@@ -1,0 +1,253 @@
+"""Engine catalog: explicit schemas + table loading.
+
+The reference declares schemas only at the ClickHouse sink (DDL under
+apps/clickhouse/migrations/) while the in-flight batches are schemaless
+dicts whose columns come from ``data[0].keys()`` (reference:
+apps/airflow/dags/school/etl_school_to_clickhouse.py:90). The engine
+inverts that: every table has an explicit StructType here and writes are
+strict (no mergeSchema), so a drifted upstream fails loudly at the
+boundary instead of silently widening the warehouse.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Driver-provided test tables (/root/testdata/sf*/ — see TESTDATA.md)
+# ---------------------------------------------------------------------------
+
+TEST_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table as a DataFrame (parquet scan).
+
+    Plain ``spark.read.parquet`` so Catalyst gets full column pruning and
+    row-group predicate pushdown on whatever the caller selects/filters.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
+    only as a nanos-epoch long (``spark.sql.legacy.parquet.nanosAsLong``);
+    we normalize it back to TimestampType here so every consumer sees a
+    real timestamp column.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql() queries."""
+    for name in TEST_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-domain warehouse schemas (ClickHouse DDL → Spark StructType).
+# Type mapping per SURVEY.md §1.2: UUID→String, Nullable(T)→nullable field,
+# Decimal(p,s)→DecimalType, Array(Tuple(...))→ArrayType(StructType).
+# ---------------------------------------------------------------------------
+
+
+def _f(name: str, dtype: T.DataType, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, dtype, nullable)
+
+
+# reference: apps/clickhouse/migrations/2024_12_03_17_41_create_subject_table.sql:2-29
+SUBJECT_SCHEMA = T.StructType(
+    [
+        _f("subjectId", T.StringType(), False),
+        _f("structureRecordId", T.StringType()),
+        _f("schoolId", T.StringType(), False),
+        _f("campusId", T.StringType()),
+        _f("groupStructureId", T.StringType()),
+        _f("curriculumId", T.StringType()),
+        _f("name", T.StringType()),
+        _f("nameNative", T.StringType()),
+        _f("description", T.StringType()),
+        _f("credit", T.FloatType()),
+        _f("code", T.StringType()),
+        _f("coe", T.IntegerType()),
+        _f("practiceHour", T.ByteType()),
+        _f("theoryHour", T.ByteType()),
+        _f("fieldHour", T.ByteType()),
+        _f("totalHour", T.ByteType()),
+        _f("archiveStatus", T.ByteType()),
+        _f("lmsCourseId", T.StringType()),
+        _f("updatedAt", T.TimestampType()),
+    ]
+)
+
+# reference: apps/airflow/dags/student_scores_subject/
+# etl_student_scores_subject_month_to_clickhouse.py:445-450 (Mongo projection)
+EVALUATION_SCHEMA = T.StructType(
+    [
+        _f("evaluationId", T.StringType(), False),
+        _f("name", T.StringType()),
+        _f("description", T.StringType()),
+        _f("sort", T.IntegerType()),
+        _f("maxScore", T.DoubleType()),
+        _f("coe", T.IntegerType()),
+        _f("type", T.StringType()),  # semester | month | subject | custom
+        _f("parentId", T.StringType()),  # parent evaluationId or 'na'
+        _f("schoolId", T.StringType()),
+        _f("campusId", T.StringType()),
+        _f("groupStructureId", T.StringType()),
+        _f("structurePath", T.StringType()),  # '#<structureRecordId>#...'
+        _f("templateId", T.StringType()),
+        _f("configGroupId", T.StringType()),
+        _f("referenceId", T.StringType()),
+        _f("createdAt", T.StringType()),  # ISO8601 string at source
+    ]
+)
+
+# reference: apps/airflow/dags/student_scores_subject/…:451-454
+SCORE_SCHEMA = T.StructType(
+    [
+        _f("scoreId", T.StringType(), False),
+        _f("score", T.StringType()),  # numeric-as-string at source (to_float)
+        _f("evaluationId", T.StringType()),
+        _f("studentId", T.StringType()),
+        _f("idCard", T.StringType()),
+        _f("scorerId", T.StringType()),
+        _f("markedAt", T.StringType()),  # ISO8601 / legacy literal
+        _f("structurePath", T.StringType()),
+    ]
+)
+
+# reference: apps/airflow/dags/student/etl_students_to_clickhouse.py:37-45
+STUDENT_SCHEMA = T.StructType(
+    [
+        _f("studentId", T.StringType(), False),
+        _f("uniqueKey", T.StringType()),
+        _f("firstName", T.StringType()),
+        _f("lastName", T.StringType()),
+        _f("firstNameNative", T.StringType()),
+        _f("lastNameNative", T.StringType()),
+        _f("dob", T.DateType()),
+        _f("gender", T.StringType()),
+        _f("idCard", T.StringType()),
+        _f("program", T.StringType()),
+        _f("remark", T.StringType()),
+        _f("profile", T.StringType()),  # JSON-in-string dynamic column
+        _f("noAttendance", T.BooleanType()),
+        _f("status", T.StringType()),
+        _f("finalAcademicStatus", T.StringType()),
+        _f("enrolledAt", T.TimestampType()),
+        _f("createdAt", T.TimestampType()),
+        _f("updatedAt", T.TimestampType()),
+        _f("schoolId", T.StringType()),
+    ]
+)
+
+# reference: apps/clickhouse/migrations/
+# 2025_02_24_10_02_create_student_score_subject_month_table.sql:1-58
+STUDENT_MONTH_SUBJECT_SCORE_SCHEMA = T.StructType(
+    [
+        _f("monthEvaluationId", T.StringType(), False),
+        _f("monthName", T.StringType()),
+        _f("subjectEvaluationId", T.StringType(), False),
+        _f("subjectName", T.StringType()),
+        _f("studentId", T.StringType(), False),
+        _f("studentFirstName", T.StringType()),
+        _f("studentLastName", T.StringType()),
+        _f("idCard", T.StringType()),
+        _f("gender", T.StringType()),
+        _f("dob", T.DateType()),
+        _f("schoolId", T.StringType()),
+        _f("campusId", T.StringType()),
+        _f("groupStructureId", T.StringType()),
+        _f("structureRecordId", T.StringType()),
+        _f("structureRecordName", T.StringType()),
+        _f("subjectId", T.StringType()),
+        _f("subjectDimName", T.StringType()),
+        _f("credit", T.FloatType()),
+        _f("score", T.DoubleType()),
+        _f("maxScore", T.DoubleType()),
+        _f("percentage", T.DoubleType()),
+        _f("grade", T.StringType()),
+        _f("gpa", T.DoubleType()),
+        _f("meaning", T.StringType()),
+        _f("scorerId", T.StringType()),
+        _f("markedAt", T.TimestampType()),
+        _f("customEvaluations", T.StringType()),  # JSON array string
+        _f("customEvaluationCount", T.IntegerType()),
+    ]
+)
+
+# Transcript subjectDetails element — 18-field named tuple
+# reference: apps/clickhouse/migrations/
+# 2025_02_25_15_30_create_transcript_table.sql:24-49
+SUBJECT_DETAIL_SCHEMA = T.StructType(
+    [
+        _f("subjectEvaluationId", T.StringType()),
+        _f("subjectName", T.StringType()),
+        _f("subjectNameNative", T.StringType()),
+        _f("subjectCode", T.StringType()),
+        _f("credit", T.DecimalType(5, 2)),
+        _f("coe", T.IntegerType()),
+        _f("score", T.DecimalType(5, 2)),
+        _f("maxScore", T.DecimalType(5, 2)),
+        _f("percentage", T.DecimalType(5, 2)),
+        _f("grade", T.StringType()),
+        _f("gpa", T.DecimalType(5, 2)),
+        _f("meaning", T.StringType()),
+        _f("monthEvaluationId", T.StringType()),
+        _f("monthName", T.StringType()),
+        _f("semesterEvaluationId", T.StringType()),
+        _f("semesterName", T.StringType()),
+        _f("scorerId", T.StringType()),
+        _f("markedAt", T.TimestampType()),
+    ]
+)
+
+# reference: …create_transcript_table.sql:2-64
+STUDENT_TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        _f("studentId", T.StringType(), False),
+        _f("studentFirstName", T.StringType()),
+        _f("studentLastName", T.StringType()),
+        _f("idCard", T.StringType()),
+        _f("gender", T.StringType()),
+        _f("dob", T.DateType()),
+        _f("schoolId", T.StringType()),
+        _f("campusId", T.StringType()),
+        _f("groupStructureId", T.StringType()),
+        _f("structureRecordId", T.StringType()),
+        _f("structureRecordName", T.StringType()),
+        _f("structurePath", T.StringType()),
+        _f("subjectDetails", T.ArrayType(SUBJECT_DETAIL_SCHEMA)),
+        _f("totalCredits", T.DecimalType(7, 2)),
+        _f("totalGPA", T.DecimalType(5, 2)),
+        _f("subjectCount", T.IntegerType()),
+    ]
+)
+
+WAREHOUSE_SCHEMAS: dict[str, T.StructType] = {
+    "subject": SUBJECT_SCHEMA,
+    "evaluation": EVALUATION_SCHEMA,
+    "score": SCORE_SCHEMA,
+    "student": STUDENT_SCHEMA,
+    "student_month_subject_score": STUDENT_MONTH_SUBJECT_SCORE_SCHEMA,
+    "student_transcript": STUDENT_TRANSCRIPT_SCHEMA,
+}

@@ -1,0 +1,58 @@
+"""F3-F5 — the timestamp zoo.
+
+The reference ingests timestamps in several shapes and normalizes them with
+per-row Python (reference: apps/airflow/dags/applicant/
+etl_applicants_to_clickhouse.py:21-38 ``clean_timestamps``;
+apps/airflow/dags/student_scores_subject/
+etl_student_scores_subject_month_to_clickhouse.py:56-82 ``format_datetime``):
+
+1. ISO-8601 ``%Y-%m-%dT%H:%M:%S[.%f]Z``
+2. the legacy literal ``datetime.date@version=2(1999-09-09)``
+3. already-clean ``%Y-%m-%d %H:%M:%S``
+
+Here each becomes a vectorized ``to_timestamp``/``regexp_extract``
+coalesce chain — one pass, JVM-side, invalid input → NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_LEGACY_RE = r"\((\d{4}-\d{2}-\d{2})\)"
+
+
+def iso_timestamp(col: Column) -> Column:
+    """ISO-8601 with/without millis, with/without 'Z' → timestamp."""
+    return F.coalesce(
+        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.to_timestamp(col, "yyyy-MM-dd HH:mm:ss"),
+    )
+
+
+def legacy_date_rescue(col: Column) -> Column:
+    """F4 — ``datetime.date@version=2(1999-09-09)`` → timestamp at midnight.
+
+    reference: apps/airflow/dags/student_transcript/
+    etl_student_transcript_to_clickhouse.py:31-41
+    """
+    date_str = F.regexp_extract(col, _LEGACY_RE, 1)
+    return F.when(
+        date_str != "", F.to_timestamp(date_str, "yyyy-MM-dd")
+    ).otherwise(F.lit(None).cast("timestamp"))
+
+
+def iso_or_legacy_timestamp(col: Column) -> Column:
+    """Full zoo: ISO first, then the legacy rescue; unparsable → NULL."""
+    return F.coalesce(iso_timestamp(col), legacy_date_rescue(col))
+
+
+def timestamp_to_iso_string(col: Column) -> Column:
+    """F5 — timestamp → '%Y-%m-%dT%H:%M:%S' string (JSON boundaries only).
+
+    reference: apps/airflow/dags/student/etl_students_to_clickhouse.py:56-57
+    """
+    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")

@@ -1,0 +1,19 @@
+"""Relational operator layer (SURVEY.md §2.3-2.8)."""
+
+from clickhouse_etl_spark.operators.dedup import (  # noqa: F401
+    latest_row_per_key,
+    last_write_wins,
+)
+from clickhouse_etl_spark.operators.joins import (  # noqa: F401
+    broadcast_dim_join,
+    semi_join_pushdown,
+    anti_join,
+    hierarchy_parent_join,
+)
+from clickhouse_etl_spark.operators.aggregates import (  # noqa: F401
+    avg_null_dropped,
+    avg_null_as_zero,
+    weighted_average,
+    nested_details,
+)
+from clickhouse_etl_spark.operators.rollup import hierarchical_rollup  # noqa: F401

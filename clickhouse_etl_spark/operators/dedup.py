@@ -1,0 +1,65 @@
+"""Dedup operators (SURVEY.md §2.3 P3, §2.4 J7, §2.6 W1).
+
+At 100 TB the ranking-window dedup shuffles once on the key — exactly the
+minimum required — and AQE splits skewed keys. No collect, no driver state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_row_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str = "updatedAt",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """P3/W1 — keep the max-``order_col`` row per key.
+
+    reference: apps/airflow/dags/student/etl_students_to_clickhouse.py:38-45
+    (Postgres ``SELECT DISTINCT ON ("uniqueKey") … ORDER BY "uniqueKey",
+    "updatedAt" DESC``). Spark shape: ranking window + rn=1 filter — a
+    single shuffle on the dedup key.
+
+    ``tiebreak`` columns break exact ``order_col`` ties deterministically
+    (Postgres DISTINCT ON leaves them unspecified; we pin them down so the
+    operator is reproducible).
+    """
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def last_write_wins(
+    df: DataFrame, key: str, order_col: str | None = None
+) -> DataFrame:
+    """J7 — one row per key, keeping the *last seen* (reference dict
+    comprehension keeps the last subject per structureRecordId).
+
+    reference: apps/airflow/dags/student_scores_subject/
+    etl_student_scores_subject_month_to_clickhouse.py:149.
+
+    The reference's "last" is source iteration order — an accident. We make
+    the policy explicit: order by ``order_col`` (default: the natural
+    ``updatedAt`` if present) and keep the max. Deliberate, documented
+    deviation: deterministic instead of arbitrary.
+    """
+    if order_col is None:
+        order_col = "updatedAt" if "updatedAt" in df.columns else df.columns[-1]
+    return latest_row_per_key(df, [key], order_col)
+
+
+def exact_distinct(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """A9 — distinct key sets (reference ``set(...)`` comprehensions).
+
+    reference: …etl_student_scores_subject_month_to_clickhouse.py:467-468
+    """
+    return (df.select(*cols) if cols else df).distinct()

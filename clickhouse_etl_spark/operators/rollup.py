@@ -1,0 +1,112 @@
+"""A5 — bounded hierarchical rollup over the evaluation tree.
+
+reference: apps/airflow/dags/score/etl_scores_by_subject_to_clickhouse.py:48-106
+(``calculate_average_scores`` / ``calculate_scores_recursively``): a node's
+value is
+
+- leaf (no children): mean of its direct scores with None→0
+  (reference :79-81), no scores → NULL;
+- internal: mean of its children's values (reference :67-75), optionally
+  restricted to children of a given type (reference :72 filters
+  ``type == 'Subject'`` — note the case mismatch against lowercase data, a
+  reference quirk the pipeline layer can opt into).
+
+Scale design: the *fact* (scores) is touched exactly once — one hash
+aggregation for leaf averages. The tree walk then runs over the evaluation
+dimension only (small; broadcastable), as a depth-bounded loop of
+join+groupBy — no recursion, no driver-side row data, and a cycle in
+``parentId`` terminates at the depth cap instead of recursing forever
+(the reference would stack-overflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hierarchical_rollup(
+    evaluations: DataFrame,
+    scores: DataFrame,
+    id_col: str = "evaluationId",
+    parent_col: str = "parentId",
+    score_col: str = "score",
+    child_type_filter: str | None = None,
+    type_col: str = "type",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Return one row per evaluation node: (id_col, rolled ``value``).
+
+    ``child_type_filter``: if set, internal nodes average only children of
+    that exact type (the reference's 'Subject' quirk). Children of other
+    types are invisible to the parent — but a node whose children are all
+    filtered out still counts as internal and yields NULL (reference
+    :74-76 returns None for empty child_scores).
+    """
+    nodes = evaluations.select(id_col, parent_col, type_col).cache()
+
+    # Leaf averages: one pass over the fact table, null-as-zero semantics.
+    leaf_vals = scores.groupBy(id_col).agg(
+        F.avg(F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))).alias("value")
+    )
+
+    # parent→has-children map (exclude 'na' roots per reference :59).
+    child_edges = nodes.filter(F.col(parent_col) != "na")
+    parents_with_children = (
+        child_edges.select(F.col(parent_col).alias(id_col)).distinct()
+    )
+
+    # Depth-0: childless nodes take their leaf average (NULL if unscored).
+    resolved = (
+        nodes.join(parents_with_children, on=id_col, how="left_anti")
+        .join(leaf_vals, on=id_col, how="left")
+        .select(id_col, "value")
+    )
+
+    eligible_children = (
+        child_edges.filter(F.col(type_col) == child_type_filter)
+        if child_type_filter is not None
+        else child_edges
+    )
+
+    for _ in range(max_depth):
+        # A parent is computable only when EVERY eligible child is already
+        # in `resolved` (a resolved child may still carry a NULL value —
+        # an unscored leaf — so resolution is tracked by membership, not
+        # by value). avg() then ignores NULL child values: a NULL child
+        # simply doesn't contribute to its parent's mean.
+        resolved_marked = resolved.select(
+            F.col(id_col),
+            F.col("value").alias("__child_value"),
+            F.lit(True).alias("__is_resolved"),
+        )
+        child_vals = eligible_children.join(resolved_marked, on=id_col, how="left")
+
+        candidate_parents = (
+            child_vals.groupBy(F.col(parent_col).alias(id_col))
+            .agg(
+                F.avg("__child_value").alias("value"),
+                F.sum(
+                    F.when(F.col("__is_resolved"), F.lit(0)).otherwise(F.lit(1))
+                ).alias("__missing"),
+            )
+            .filter(F.col("__missing") == 0)
+            .drop("__missing")
+            .join(resolved.select(id_col), on=id_col, how="left_anti")
+        )
+        # Parents with children but none eligible → NULL value.
+        starved_parents = (
+            parents_with_children.join(
+                eligible_children.select(F.col(parent_col).alias(id_col)).distinct(),
+                on=id_col,
+                how="left_anti",
+            )
+            .join(resolved.select(id_col), on=id_col, how="left_anti")
+            .withColumn("value", F.lit(None).cast("double"))
+        )
+        new_rows = candidate_parents.unionByName(starved_parents)
+        if new_rows.isEmpty():
+            break
+        resolved = resolved.unionByName(new_rows).localCheckpoint(eager=False)
+
+    return resolved

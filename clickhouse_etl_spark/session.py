@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference transform layer is single-process Python with no execution
+tuning at all (SURVEY.md §6). Here we centralize the Spark configuration
+that makes the same workloads survive a 1000-executor / 100 TB deployment:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic broadcast)
+- ANSI off: the reference's ``to_float`` returns None on unparsable input
+  (reference: apps/airflow/dags/student_scores_subject/
+  etl_student_scores_subject_month_to_clickhouse.py:45-53); non-ANSI casts
+  reproduce exactly that null-on-bad-cast semantic.
+- Arrow enabled for the pandas-UDF paths (text/similarity operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster the
+# same keys are what you would tune (shuffle partitions ≈ 2-3× total cores,
+# maxPartitionBytes to keep scan tasks ~128MB).
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # The driver's events.parquet stores ts as TIMESTAMP(NANOS) which the
+    # Spark parquet reader rejects; read as long and convert in the catalog.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "clickhouse_etl_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    cluster, leave it unset and let spark-submit provide it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

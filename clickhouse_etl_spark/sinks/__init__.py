@@ -1,0 +1,4 @@
+"""Sink layer: MergeTree-mapped partitioned writes + migration bootstrap."""
+
+from clickhouse_etl_spark.sinks.writers import write_mergetree_mapped  # noqa: F401
+from clickhouse_etl_spark.sinks.migrations import MigrationRunner  # noqa: F401
