@@ -1,0 +1,35 @@
+"""Declared query inventory — the driver-facing correctness surface.
+
+Every operator from SURVEY.md §2 (and the north-star extensions) appears
+here as a named query: a ``(spark, sf_dir) -> DataFrame`` callable plus,
+where SQL-expressible, an equivalent ANSI-SQL oracle string that DuckDB
+executes over the same parquet tables. Column names are aliased
+identically on both sides (the driver's compare sorts columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# Import for side effect: populates QUERIES / ORACLE_SQL.
+from clickhouse_etl_spark.queries import relational  # noqa: E402,F401
+from clickhouse_etl_spark.queries import northstar  # noqa: E402,F401
+from clickhouse_etl_spark.queries import streaming_batch  # noqa: E402,F401

@@ -1,0 +1,205 @@
+"""North-star queries: dedup / similarity / text analysis / multimodal.
+
+SQL-expressible operators carry a DuckDB oracle; the LSH/SimHash/ANN and
+mapInPandas operators are registered without oracle (driver records the
+weaker rows-only check — noted in each docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.multimodal import attach_binary_payload, extract_features
+from clickhouse_etl_spark.queries import register
+from clickhouse_etl_spark.text.analysis import (
+    STOPWORDS,
+    document_fingerprint,
+    language_guess,
+    text_stats,
+    token_count_regex,
+)
+from clickhouse_etl_spark.text.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from clickhouse_etl_spark.text.similarity import (
+    brute_force_cosine_topk,
+    lsh_ann_topk,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — hash-groupBy on content digest
+# ---------------------------------------------------------------------------
+@register(
+    "ns_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY text
+    """,
+)
+def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+# ---------------------------------------------------------------------------
+# Text stats / quality scoring
+# ---------------------------------------------------------------------------
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+@register(
+    "ns_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS n_stopwords,
+           ROUND(CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_word_len,
+           ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
+                 * (1 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                        / len(string_split(text, ' '))), 6) AS quality_score
+    FROM documents
+    """,
+)
+def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic
+# ---------------------------------------------------------------------------
+@register(
+    "ns_lang_id",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+                WHEN list_contains(string_split(text, ' '), 'a') THEN 'en_weak'
+                ELSE 'unknown' END AS lang_guess
+    FROM documents
+    """,
+)
+def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_guess(docs)
+
+
+# ---------------------------------------------------------------------------
+# Regex token counting
+# ---------------------------------------------------------------------------
+@register(
+    "ns_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_regex_tokens
+    FROM documents
+    """,
+)
+def ns_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_count_regex(docs)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint
+# ---------------------------------------------------------------------------
+@register(
+    "ns_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+    """,
+)
+def ns_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return document_fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word-set) Jaccard — the verification kernel, SQL-checked
+# ---------------------------------------------------------------------------
+@register(
+    "ns_ngram_jaccard",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                         list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+                 / len(list_distinct(list_concat(string_split(a.text, ' '),
+                                                 string_split(b.text, ' ')))), 6) AS jaccard
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ns_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash+LSH near-dup (no SQL oracle — LSH banding; rows-only check)
+# ---------------------------------------------------------------------------
+@register("ns_minhash_neardup")
+def ns_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, jaccard_threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (no SQL oracle — pandas-UDF signature; rows-only check)
+# ---------------------------------------------------------------------------
+@register("ns_simhash_neardup")
+def ns_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (exact; DuckDB list_cosine_similarity oracle)
+# ---------------------------------------------------------------------------
+@register(
+    "ns_cosine_topk",
+    oracle="""
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND(list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id ASC) AS rank
+      FROM embeddings c
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+      WHERE q.vec_id <> c.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def ns_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return brute_force_cosine_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (no SQL oracle — approximate; rows-only check)
+# ---------------------------------------------------------------------------
+@register("ns_ann_lsh")
+def ns_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return lsh_ann_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (no SQL oracle — mapInPandas; rows-only check)
+# ---------------------------------------------------------------------------
+@register("ns_multimodal_features")
+def ns_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs, source_col="text", modality="image")
+    return extract_features(payloads)

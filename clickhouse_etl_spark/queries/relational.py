@@ -1,0 +1,726 @@
+"""Reference-surface operators (SURVEY.md §2) declared on the test tables.
+
+Each query re-expresses one reference operator Spark-first on the driver's
+TPC-H-ish tables (customer/orders/lineitem stand in for the reference's
+student/evaluation/score shapes; events for the incremental tier).
+
+Numeric policy for oracle parity: money aggregates are summed as
+DECIMAL(18,2) (exact, order-independent) and only then cast to DOUBLE;
+ratios/averages are rounded to 6 places on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.functions.grading import (
+    grade_band_sql,
+    grade_gpa_sql,
+    grade_letter,
+    grade_gpa,
+)
+from clickhouse_etl_spark.operators.aggregates import (
+    avg_null_as_zero,
+    avg_null_dropped,
+    avg_of_avgs,
+    weighted_average,
+)
+from clickhouse_etl_spark.operators.dedup import latest_row_per_key
+from clickhouse_etl_spark.operators.joins import (
+    anti_join,
+    broadcast_dim_join,
+    candidate_expansion,
+    semi_join_pushdown,
+)
+from clickhouse_etl_spark.operators.rollup import hierarchical_rollup
+from clickhouse_etl_spark.queries import register
+
+
+def _dec_sum(col, alias, scale=2):
+    """Exact (order-independent) money sum: decimal-sum → double."""
+    return (
+        F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 / W1 — latest-row-per-key dedup (window)
+# reference: apps/airflow/dags/student/etl_students_to_clickhouse.py:38-45
+# ---------------------------------------------------------------------------
+@register(
+    "p3_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def p3_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return latest_row_per_key(
+        events, ["user_id"], order_col="ts", tiebreak=["event_id"]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# S7 / P2 — incremental high-watermark predicate (pushed to the scan)
+# reference: apps/airflow/dags/student/etl_students_to_clickhouse.py:31,44
+# ---------------------------------------------------------------------------
+@register(
+    "s7_incremental_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def s7_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    batch = events.filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    return batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"), _dec_sum("value", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — group-by average, nulls dropped (SQL AVG)
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:160-204
+# ---------------------------------------------------------------------------
+@register(
+    "a1_avg_null_dropped",
+    oracle="""
+    SELECT event_type, ROUND(AVG(value), 6) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a1_avg_null_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = avg_null_dropped(events, ["event_type"], "value", alias="avg_value")
+    return out.withColumn("avg_value", F.round("avg_value", 6))
+
+
+# ---------------------------------------------------------------------------
+# A2 — null-as-zero average (different denominator than A1)
+# reference: …etl_student_transcript_to_clickhouse.py:240-245
+# ---------------------------------------------------------------------------
+@register(
+    "a2_avg_null_as_zero",
+    oracle="""
+    SELECT event_type, ROUND(AVG(COALESCE(value, 0)), 6) AS avg_value_z
+    FROM events GROUP BY event_type
+    """,
+)
+def a2_avg_null_as_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = avg_null_as_zero(events, ["event_type"], "value", alias="avg_value_z")
+    return out.withColumn("avg_value_z", F.round("avg_value_z", 6))
+
+
+# ---------------------------------------------------------------------------
+# A3 — weighted average with coe≤0→1 defaulting
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:284-302
+# ---------------------------------------------------------------------------
+@register(
+    "a3_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * w) / SUM(w), 6) AS weighted_price
+    FROM (
+      SELECT l_returnflag, l_extendedprice,
+             CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1.0
+                  ELSE l_quantity END AS w
+      FROM lineitem
+    ) GROUP BY l_returnflag
+    """,
+)
+def a3_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = weighted_average(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", alias="weighted_price"
+    )
+    return out.withColumn("weighted_price", F.round("weighted_price", 6))
+
+
+# ---------------------------------------------------------------------------
+# F2 — grade banding ladder (closed lower bounds)
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:84-109
+# ---------------------------------------------------------------------------
+_PCT = "CAST(o_orderkey % 101 AS DOUBLE)"
+
+@register(
+    "f2_grade_distribution",
+    oracle=f"""
+    SELECT {grade_band_sql(_PCT)} AS grade,
+           {grade_gpa_sql(_PCT)} AS gpa,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def f2_grade_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pct = (F.col("o_orderkey") % 101).cast("double")
+    return (
+        orders.select(
+            grade_letter(pct).alias("grade"), grade_gpa(pct).alias("gpa")
+        )
+        .groupBy("grade", "gpa")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J5 — fact ⨝ broadcast dims (the reference's dict hash joins)
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:121,143,361
+# ---------------------------------------------------------------------------
+@register(
+    "j1_revenue_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j1_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    enriched = broadcast_dim_join(
+        orders,
+        customer.select("c_custkey", "c_nationkey"),
+        on=[orders.o_custkey == F.col("c_custkey")],
+        how="inner",
+    )
+    enriched = broadcast_dim_join(
+        enriched,
+        nation.select("n_nationkey", "n_name"),
+        on=[F.col("c_nationkey") == F.col("n_nationkey")],
+        how="inner",
+    )
+    return enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_orders"), _dec_sum("o_totalprice", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2-J4 — hierarchy hop (child ⨝ parent dim)
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:154-158,356-358
+# ---------------------------------------------------------------------------
+@register(
+    "j2_customers_per_region",
+    oracle="""
+    SELECT r.r_name AS region, count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j2_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    df = broadcast_dim_join(
+        customer,
+        nation.select("n_nationkey", "n_regionkey"),
+        on=[F.col("c_nationkey") == F.col("n_nationkey")],
+        how="inner",
+    )
+    df = broadcast_dim_join(
+        df,
+        region.select("r_regionkey", "r_name"),
+        on=[F.col("n_regionkey") == F.col("r_regionkey")],
+        how="inner",
+    )
+    return df.groupBy(F.col("r_name").alias("region")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dec_sum("c_acctbal", "total_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/J9 — keyed-lookup extraction as left-semi join
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:466-511
+# ---------------------------------------------------------------------------
+@register(
+    "j9_semi_customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def j9_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    active = semi_join_pushdown(customer, keys, on="c_custkey")
+    return active.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# anti-join — negative membership ("if key in processed: continue")
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:273-276
+# ---------------------------------------------------------------------------
+@register(
+    "anti_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    inactive = anti_join(customer, keys, on="c_custkey")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dec_sum("c_acctbal", "total_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — cartesian candidate expansion then left join + filter
+# reference: apps/airflow/dags/student_transcript/
+# etl_student_transcript_to_clickhouse.py:276-304
+# ---------------------------------------------------------------------------
+@register(
+    "j10_candidate_grid",
+    oracle="""
+    SELECT g.r_name AS region, g.o_orderstatus AS status,
+           COALESCE(a.n_orders, 0) AS n_orders
+    FROM (SELECT r_name, o_orderstatus
+          FROM (SELECT DISTINCT r_name FROM region)
+          CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)) g
+    LEFT JOIN (
+      SELECT r.r_name, o.o_orderstatus, count(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, o.o_orderstatus
+    ) a ON a.r_name = g.r_name AND a.o_orderstatus = g.o_orderstatus
+    """,
+)
+def j10_candidate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    grid = candidate_expansion(
+        region.select("r_name").distinct(),
+        orders.select(F.col("o_orderstatus")),
+        student_key="o_orderstatus",
+    )
+    actual = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        grid.join(actual, on=["r_name", "o_orderstatus"], how="left")
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("o_orderstatus").alias("status"),
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — average of averages (two-level groupBy)
+# reference: …etl_student_transcript_to_clickhouse.py:255-265
+# ---------------------------------------------------------------------------
+@register(
+    "a4_avg_of_avgs",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           ROUND(AVG(cust_avg), 6) AS avg_customer_order_value
+    FROM (
+      SELECT c.c_nationkey, AVG(o.o_totalprice) AS cust_avg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ) GROUP BY c_nationkey
+    """,
+)
+def a4_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    out = avg_of_avgs(
+        joined,
+        inner_keys=["c_nationkey", "o_custkey"],
+        outer_keys=["c_nationkey"],
+        value="o_totalprice",
+        alias="avg_customer_order_value",
+    )
+    return out.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.round("avg_customer_order_value", 6).alias("avg_customer_order_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — credit totals & weighted GPA shape
+# reference: …etl_student_transcript_to_clickhouse.py:409-412,440-442
+# ---------------------------------------------------------------------------
+@register(
+    "a6_credit_totals",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS totalCredits,
+           ROUND(SUM(l_quantity * l_discount) / SUM(l_quantity), 6) AS weightedDiscount,
+           count(*) AS subjectCount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a6_credit_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _dec_sum("l_quantity", "totalCredits"),
+        F.round(
+            F.sum(F.col("l_quantity") * F.col("l_discount")) / F.sum("l_quantity"), 6
+        ).alias("weightedDiscount"),
+        F.count(F.lit(1)).alias("subjectCount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — nested-list aggregation (collect_list)
+# reference: …etl_student_transcript_to_clickhouse.py:368-394,399-452
+# ---------------------------------------------------------------------------
+@register(
+    "a7_nested_order_lines",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           LIST_SORT(LIST(l_linenumber)) AS line_numbers,
+           count(*) AS line_count
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a7_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — hierarchical rollup (region ← nation ← customer tree; leaf scores =
+# order totals). One pass over the fact; bounded tree walk above it.
+# reference: apps/airflow/dags/score/etl_scores_by_subject_to_clickhouse.py:48-106
+# ---------------------------------------------------------------------------
+@register(
+    "a5_hierarchical_rollup",
+    oracle="""
+    WITH leaf AS (
+      SELECT 'c' || c.c_custkey AS id, 'n' || c.c_nationkey AS parent,
+             AVG(COALESCE(o.o_totalprice, 0)) AS v
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ),
+    -- customers with no orders have one NULL o_totalprice row → avg(coalesce)=0?
+    -- no: LEFT JOIN yields a row with NULL which coalesces to 0; the engine's
+    -- leaf (no scores → NULL) differs, so exclude orderless customers here too
+    leaf_real AS (
+      SELECT 'c' || o.o_custkey AS id,
+             AVG(COALESCE(o.o_totalprice, 0)) AS v
+      FROM orders o GROUP BY o.o_custkey
+    ),
+    cust AS (
+      SELECT 'c' || c.c_custkey AS id, c.c_nationkey, lr.v
+      FROM customer c LEFT JOIN leaf_real lr ON lr.id = 'c' || c.c_custkey
+    ),
+    nat AS (
+      SELECT n.n_nationkey, n.n_regionkey, AVG(cu.v) AS v
+      FROM nation n LEFT JOIN cust cu ON cu.c_nationkey = n.n_nationkey
+      GROUP BY n.n_nationkey, n.n_regionkey
+    ),
+    reg AS (
+      SELECT r.r_regionkey, AVG(na.v) AS v
+      FROM region r LEFT JOIN nat na ON na.n_regionkey = r.r_regionkey
+      GROUP BY r.r_regionkey
+    )
+    SELECT id, ROUND(v, 6) AS value FROM cust
+    UNION ALL
+    SELECT 'n' || n_nationkey AS id, ROUND(v, 6) AS value FROM nat
+    UNION ALL
+    SELECT 'r' || r_regionkey AS id, ROUND(v, 6) AS value FROM reg
+    """,
+)
+def a5_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+
+    # Build the evaluation-tree shape: region roots, nation mid, customer leaves.
+    evals = (
+        region.select(
+            F.concat(F.lit("r"), F.col("r_regionkey")).alias("evaluationId"),
+            F.lit("na").alias("parentId"),
+            F.lit("region").alias("type"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("evaluationId"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("parentId"),
+                F.lit("nation").alias("type"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("evaluationId"),
+                F.concat(F.lit("n"), F.col("c_nationkey")).alias("parentId"),
+                F.lit("customer").alias("type"),
+            )
+        )
+    )
+    scores = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("evaluationId"),
+        F.col("o_totalprice").alias("score"),
+    )
+    rolled = hierarchical_rollup(evals, scores, max_depth=3)
+    return rolled.select(
+        F.col("evaluationId").alias("id"), F.round("value", 6).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — "latest marked" representative via max_by
+# reference: …etl_student_transcript_to_clickhouse.py:296-301,330-332
+# ---------------------------------------------------------------------------
+@register(
+    "w2_latest_marked",
+    oracle="""
+    SELECT user_id, ARG_MAX(event_type, event_id) AS last_event_type,
+           MAX(event_id) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def w2_latest_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — ordered top-k (sort + limit, deterministic tiebreak)
+# reference: ORDER BY in extraction SQL, apps/airflow/dags/subject/
+# etl_subjects_to_clickhouse.py:188
+# ---------------------------------------------------------------------------
+@register(
+    "o1_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def o1_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — union-with-anti-join merge (direct ∪ custom-only)
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:233-342
+# ---------------------------------------------------------------------------
+@register(
+    "set_union_anti_merge",
+    oracle="""
+    SELECT c_custkey, path FROM (
+      SELECT c_custkey, 'direct' AS path FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey, 'custom' AS path FROM customer
+      WHERE c_acctbal > 5000 AND c_mktsegment <> 'BUILDING'
+    )
+    """,
+)
+def set_union_anti_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    direct = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit("direct").alias("path")
+    )
+    custom_only = anti_join(
+        customer.filter(F.col("c_acctbal") > 5000),
+        customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+        on="c_custkey",
+    ).select("c_custkey", F.lit("custom").alias("path"))
+    return direct.unionByName(custom_only)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (A1+A3+F7 composition) — also
+# the headline bench query.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the §3.3 wide denormalized fact re-shaped onto TPC-H — multi-way
+# broadcast join + window dedup + grade banding + nested JSON details.
+# reference lifecycle: SURVEY.md §3.3
+# ---------------------------------------------------------------------------
+@register(
+    "flagship_wide_fact",
+    oracle=f"""
+    SELECT o.o_orderkey AS orderkey, c.c_name AS customer_name,
+           n.n_name AS nation, r.r_name AS region,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(*) AS line_count,
+           {grade_band_sql("CAST(o.o_orderkey % 101 AS DOUBLE)")} AS grade
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY o.o_orderkey, c.c_name, n.n_name, r.r_name
+    """,
+)
+def flagship_wide_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    pct = (F.col("o_orderkey") % 101).cast("double")
+    return (
+        joined.groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            grade_letter(pct).alias("grade"),
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .select(
+            "orderkey", "customer_name", "nation", "region",
+            "revenue", "line_count", "grade",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-suite — scalar function zoo in one row-level pass (F3/F4/F7/F9/F12/F16 +
+# JSON extraction F11) — checked value-by-value against DuckDB.
+# ---------------------------------------------------------------------------
+@register(
+    "f_scalar_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           ROUND(COALESCE(value, 0), 6) AS value_or_zero,
+           CASE WHEN 100.0 > 0 THEN ROUND(COALESCE(value,0) / 100.0 * 100, 6) ELSE 0 END AS pct,
+           regexp_extract('datetime.date@version=2(' || strftime(ts, '%Y-%m-%d') || ')',
+                          '\\((\\d{4}-\\d{2}-\\d{2})\\)', 1) AS rescued_date,
+           split_part('#' || CAST(user_id AS VARCHAR) || '#tail', '#', 2) AS path_id
+    FROM events
+    """,
+)
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.functions.scalars import (
+        coalesce_default,
+        path_first_id,
+        path_synthesize,
+        percentage,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    legacy = F.concat(
+        F.lit("datetime.date@version=2("),
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.lit(")"),
+    )
+    path = F.concat(path_synthesize(F.col("user_id")), F.lit("#tail"))
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        F.round(coalesce_default(F.col("value"), 0), 6).alias("value_or_zero"),
+        F.round(
+            percentage(coalesce_default(F.col("value"), 0), F.lit(100.0)), 6
+        ).alias("pct"),
+        F.regexp_extract(legacy, r"\((\d{4}-\d{2}-\d{2})\)", 1).alias("rescued_date"),
+        path_first_id(path).alias("path_id"),
+    )

@@ -1,0 +1,16 @@
+"""Large-scale training-data operators: dedup, similarity, text analysis."""
+
+from clickhouse_etl_spark.text.analysis import (  # noqa: F401
+    document_fingerprint,
+    language_guess,
+    text_stats,
+)
+from clickhouse_etl_spark.text.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash_signatures,
+)
+from clickhouse_etl_spark.text.similarity import (  # noqa: F401
+    brute_force_cosine_topk,
+    lsh_ann_topk,
+)

@@ -1,0 +1,86 @@
+"""Text-analysis operators for the training-data pipeline tier.
+
+All JVM-side column expressions (split / higher-order functions / regex) —
+no Python in the row path, so these run at full codegen speed over 100 TB
+of documents and scale linearly with executors (narrow, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is")
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, stopword ratio, avg word length, quality score.
+
+    Quality = min(n_tokens/100, 1) × (1 − stopword_ratio): length-normalized
+    and stopword-penalized — the standard cheap pre-filter shape for LLM
+    training corpora (length/punct/stopword heuristics).
+    """
+    toks = _tokens(F.col(text_col))
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.expr(f"filter(split({text_col}, ' '), x -> x IN ({stop_list}))")
+    )
+    stop_ratio = F.round(n_stop.cast("double") / n_tokens, 6)
+    avg_word_len = F.round(
+        F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
+        / n_tokens,
+        6,
+    )
+    quality = F.round(
+        F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        * (1 - n_stop.cast("double") / n_tokens),
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language heuristic (n-gram-style language ID).
+
+    Real corpora use char-n-gram profiles; the deterministic marker-token
+    ladder here is the same operator shape (per-doc classify, no shuffle)
+    with a vocabulary that suits the synthetic fixture.
+    """
+    toks = _tokens(F.col(text_col))
+    guess = (
+        F.when(F.array_contains(toks, "the"), F.lit("en"))
+        .when(F.array_contains(toks, "a"), F.lit("en_weak"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.select("doc_id", guess.alias("lang_guess"))
+
+
+def token_count_regex(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish regex token counting (alnum runs, codegen'd regexp)."""
+    return df.select(
+        "doc_id",
+        F.regexp_count(F.col(text_col), F.lit("[a-zA-Z0-9]+")).alias("n_regex_tokens"),
+    )
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic content fingerprint (md5 of normalized text).
+
+    The exact-dedup key at scale: group/join on the 128-bit digest instead
+    of shipping full document bodies through the shuffle.
+    """
+    return df.select(
+        "doc_id", F.md5(F.lower(F.col(text_col))).alias("fingerprint")
+    )

@@ -1,0 +1,264 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash.
+
+Scale design:
+- exact: group on a 128-bit digest (never shuffle document bodies).
+- MinHash+LSH: per-doc signature (narrow), explode to (band, bandhash)
+  keys, self-join *within buckets only* — the classic way to avoid the
+  O(n²) all-pairs comparison at corpus scale; candidate pairs then get an
+  exact Jaccard verification.
+- SimHash: vectorized Arrow/pandas UDF (numpy bit ops), band-bucketed the
+  same way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: canonical (min) id + duplicate count.
+
+    Groups on sha2(text) so only 32-byte digests shuffle, not documents.
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("__h"))
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__h")
+        .select("keep_id", "dup_count")
+    )
+
+
+def _shingles(text_col: str, k: int = 3) -> F.Column:
+    """k-word shingles as strings (higher-order functions, JVM-side)."""
+    return F.expr(
+        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {k}, 0)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))"
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature over word shingles.
+
+    Each of the ``num_hashes`` functions is xxhash64 salted with the hash
+    index — deterministic across runs/executors, no fitted model needed.
+    Narrow transformation: no shuffle.
+    """
+    sh = _shingles(text_col, shingle_k)
+    out = df.select(F.col(id_col), sh.alias("__sh"))
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(__sh, s -> xxhash64(concat('mh{i}:', s)))")
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return out.select(id_col, F.array(*sig_cols).alias("signature"))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs with exact verification.
+
+    shingle → minhash → band → bucket self-join → exact-Jaccard verify.
+    Pairs are emitted once (doc_a < doc_b), with the verified shingle-set
+    Jaccard. Only bucket-colliding pairs are ever compared, so cost is
+    proportional to collisions, not n².
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    shingle_sets = df.select(
+        F.col(id_col), F.array_distinct(_shingles(text_col, shingle_k)).alias("__set")
+    )
+    verified = (
+        candidates.join(
+            shingle_sets.select(
+                F.col(id_col).alias("doc_a"), F.col("__set").alias("__set_a")
+            ),
+            on="doc_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col(id_col).alias("doc_b"), F.col("__set").alias("__set_b")
+            ),
+            on="doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
+                / F.size(F.array_union("__set_a", "__set_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+_SIMHASH_BITS = 64
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash — vectorized over Arrow batches (numpy bit counting).
+
+    md5-based word hashes keep it deterministic across processes (no
+    PYTHONHASHSEED dependence).
+    """
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+        for word in text.split():
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(word.encode("utf-8")).digest()[:8], "big")
+            )
+            bits = (h >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        sig = 0
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= 1 << int(b)
+        out[i] = np.int64(sig - (1 << 63)) if sig >= (1 << 63) else np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc 64-bit SimHash (Arrow-batched pandas UDF)."""
+    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band-bucket join + Hamming verification.
+
+    The 64-bit signature splits into ``bands`` 16-bit keys; a pair within
+    ``max_hamming`` ≤ bands-1 bit flips must collide on at least one band
+    (pigeonhole), so bucketing finds all such pairs without n² compares.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    width = _SIMHASH_BITS // bands
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-set Jaccard for consecutive doc-id pairs.
+
+    The verification kernel of near-dedup isolated as its own (SQL-
+    expressible) operator: join doc i with doc i+1, intersect/union the
+    distinct-token sets.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("__words"),
+    )
+    a = words.select(
+        F.col(id_col).alias("doc_a"), F.col("__words").alias("__wa")
+    )
+    b = words.select(
+        (F.col(id_col) - 1).alias("doc_a"),
+        F.col(id_col).alias("doc_b"),
+        F.col("__words").alias("__wb"),
+    )
+    return (
+        a.join(b, on="doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("__wa", "__wb")).cast("double")
+                / F.size(F.array_union("__wa", "__wb")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

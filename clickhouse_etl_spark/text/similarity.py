@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB design requires:
+- brute-force cosine top-k: exact; the query side is tiny → broadcast, so
+  the corpus never shuffles and the scan parallelizes per-partition.
+- LSH (random-hyperplane) bucketed ANN: sub-linear candidate generation —
+  buckets bound the comparison set; the hyperplanes are derived from
+  deterministic per-(plane, dim) hashes, so no fitted model/state ships
+  to executors.
+
+Dot products use JVM higher-order functions (zip_with + aggregate) — no
+Python in the inner loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+
+
+def _as_double(col: str) -> str:
+    return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def brute_force_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (baseline / ground truth).
+
+    ``queries`` (small) broadcasts; cosine evaluates corpus-side with
+    whole-stage codegen; ranking is a per-query window.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.expr(_as_double(vec_col)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv")
+    )
+    dot = _DOT.format(a="__qv", b="__cv")
+    qn = _NORM.format(a="__qv")
+    cn = _NORM.format(a="__cv")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("cosine", F.round(F.expr(f"({dot}) / (({qn}) * ({cn}))"), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplane_sign(vec_col: str, plane: int) -> str:
+    """Sign bit of <v, h_plane> where h_plane[d] = deterministic ±1 from
+    xxhash64(plane, d) — a reproducible random hyperplane, no stored model."""
+    proj = (
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
+        f" (x, d) -> x * (CAST(pmod(xxhash64(concat('hp{plane}:', d)), 2) AS DOUBLE) * 2.0 - 1.0)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return f"CASE WHEN ({proj}) >= 0 THEN 1 ELSE 0 END"
+
+
+def lsh_bucket(vec_col: str, num_planes: int = 8) -> F.Column:
+    """Bucket id = concatenated hyperplane sign bits (0..2^planes-1)."""
+    bits = [
+        f"({_hyperplane_sign(vec_col, p)}) * {1 << p}" for p in range(num_planes)
+    ]
+    return F.expr(" + ".join(bits))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+
+    At corpus scale the bucket join replaces the full cross product; recall
+    is tunable via ``num_planes`` (fewer planes → bigger buckets → higher
+    recall, more compute).
+    """
+    c = corpus.select(
+        F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv")
+    ).withColumn("__bucket", lsh_bucket("__cv", num_planes))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.expr(_as_double(vec_col)).alias("__qv"),
+    ).withColumn("__bucket", lsh_bucket("__qv", num_planes))
+
+    dot = _DOT.format(a="__qv", b="__cv")
+    qn = _NORM.format(a="__qv")
+    cn = _NORM.format(a="__cv")
+    scored = (
+        c.join(F.broadcast(q), on="__bucket")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("cosine", F.round(F.expr(f"({dot}) / (({qn}) * ({cn}))"), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
