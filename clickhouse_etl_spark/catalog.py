@@ -36,6 +36,32 @@ TEST_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime SQL confs the engine's semantics depend on. Set defensively on
+# every load because callers may hand us a session we didn't build
+# (session.py applies the same set at build time, but that only covers
+# sessions created through get_spark()):
+#  - nanosAsLong: events.parquet stores ts as TIMESTAMP(NANOS), which
+#    vanilla Spark rejects with PARQUET_TYPE_ILLEGAL.
+#  - UTC timezone: window/date_trunc boundaries must match the oracle.
+#  - ANSI off: bad casts return null (reference to_float semantics,
+#    apps/airflow/dags/student_scores_subject/
+#    etl_student_scores_subject_month_to_clickhouse.py:45-53), not errors.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the semantics-bearing runtime confs to any session."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            spark.conf.set(key, value)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table as a DataFrame (parquet scan).
@@ -46,13 +72,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
     only as a nanos-epoch long (``spark.sql.legacy.parquet.nanosAsLong``);
     we normalize it back to TimestampType here so every consumer sees a
-    real timestamp column.
+    real timestamp column. Nanos→micros uses integer division (``ts div
+    1000``): going through a double loses precision at ~1.7e18 (ulp ≈ 256
+    ns) and can disagree with the oracle's truncation by 1 µs.
     """
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

@@ -150,12 +150,15 @@ def ns_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup (no SQL oracle — pandas-UDF signature; rows-only check)
+# SimHash near-dup (no SQL oracle — pandas-UDF signature; rows-only check).
+# max_hamming=3 with 4 bands honors the pigeonhole completeness contract
+# (recall = 1.0 within the radius) — the Manku-style web-dedup operating
+# point; text/dedup.py rejects radii the banding can't guarantee.
 # ---------------------------------------------------------------------------
 @register("ns_simhash_neardup")
 def ns_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=16)
+    return simhash_near_duplicates(docs, max_hamming=3, bands=4)
 
 
 # ---------------------------------------------------------------------------
@@ -196,10 +199,46 @@ def ns_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (no SQL oracle — mapInPandas; rows-only check)
+# Multimodal plumbing — mapInPandas feature extraction, NOW with a full
+# DuckDB oracle: the stub decoder derives features from the sha256 digest
+# (little-endian uint32 chunks / 2^32), which SQL can reproduce by parsing
+# the hex digest. The registered query flattens the feature vector to 8
+# scalar columns so the driver's value-hash gets hashable cells; the typed
+# array <double> stays on the operator for the real pipeline path.
 # ---------------------------------------------------------------------------
-@register("ns_multimodal_features")
+def _le_u32_from_hex(h: str, i: int) -> str:
+    """SQL: little-endian uint32 from hex digest chars for feature i."""
+    b = 8 * i
+    return (
+        f"('0x' || substr({h}, {b + 7}, 2) || substr({h}, {b + 5}, 2)"
+        f" || substr({h}, {b + 3}, 2) || substr({h}, {b + 1}, 2))::UBIGINT"
+    )
+
+
+_MM_FEATURES = ",\n           ".join(
+    f"ROUND({_le_u32_from_hex('sha256(text)', i)} / 4294967296.0, 6) AS f{i}"
+    for i in range(8)
+)
+
+
+@register(
+    "ns_multimodal_features",
+    oracle=f"""
+    SELECT doc_id, 'image' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha,
+           {_MM_FEATURES}
+    FROM documents
+    """,
+)
 def ns_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, source_col="text", modality="image")
-    return extract_features(payloads)
+    feats = extract_features(payloads)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "content_sha",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(8)],
+    )

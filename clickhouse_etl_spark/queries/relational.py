@@ -418,15 +418,20 @@ def a6_credit_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a7_nested_order_lines",
     oracle="""
     SELECT l_orderkey AS orderkey,
-           LIST_SORT(LIST(l_linenumber)) AS line_numbers,
+           ARRAY_TO_STRING(LIST_SORT(LIST(l_linenumber)), ',') AS line_numbers,
            count(*) AS line_count
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def a7_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered query serializes the array to a CSV string so the
+    driver's order-insensitive value-hash (pandas) can canonicalize it; the
+    warehouse write path keeps the typed array via operators.nested_details."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias(
+            "line_numbers"
+        ),
         F.count(F.lit(1)).alias("line_count"),
     )
 
@@ -653,9 +658,13 @@ def flagship_wide_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
 
+    # customer is NOT force-broadcast: it grows with sf (would stop fitting
+    # at ~100×), so AQE picks the strategy at runtime (still broadcast at
+    # small sf, shuffle join when it outgrows the threshold). nation/region
+    # are constant-size — always broadcast.
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )

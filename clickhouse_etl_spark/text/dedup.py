@@ -187,10 +187,20 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """SimHash near-dup pairs: band-bucket join + Hamming verification.
 
-    The 64-bit signature splits into ``bands`` 16-bit keys; a pair within
+    The 64-bit signature splits into ``bands`` equal keys; a pair within
     ``max_hamming`` ≤ bands-1 bit flips must collide on at least one band
     (pigeonhole), so bucketing finds all such pairs without n² compares.
+    This is the Manku/Jain/Sarma web-dedup design (WWW'07): small hamming
+    radius + a few wide band tables. The contract is ENFORCED: asking for
+    ``max_hamming > bands - 1`` would silently miss qualifying pairs, so it
+    raises instead.
     """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"pigeonhole completeness requires max_hamming <= bands-1 "
+            f"(got max_hamming={max_hamming}, bands={bands}); raise `bands` "
+            f"or lower `max_hamming`"
+        )
     sigs = simhash_signatures(df, text_col, id_col)
     width = _SIMHASH_BITS // bands
     banded = sigs.select(

@@ -48,18 +48,25 @@ def brute_force_cosine_topk(
     dot = _DOT.format(a="__qv", b="__cv")
     qn = _NORM.format(a="__qv")
     cn = _NORM.format(a="__cv")
+    # Rank on the UNROUNDED cosine (matching the oracle's ORDER BY); round
+    # only in the final projection — rounding first can flip near-tie ranks.
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(query_id_col) != F.col(id_col))
-        .withColumn("cosine", F.round(F.expr(f"({dot}) / (({qn}) * ({cn}))"), 6))
+        .withColumn("__cos_raw", F.expr(f"({dot}) / (({qn}) * ({cn}))"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+        F.col("__cos_raw").desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+        .select(
+            query_id_col,
+            id_col,
+            F.round("__cos_raw", 6).alias("cosine"),
+            "rank",
+        )
     )
 
 
@@ -111,13 +118,18 @@ def lsh_ann_topk(
     scored = (
         c.join(F.broadcast(q), on="__bucket")
         .filter(F.col(query_id_col) != F.col(id_col))
-        .withColumn("cosine", F.round(F.expr(f"({dot}) / (({qn}) * ({cn}))"), 6))
+        .withColumn("__cos_raw", F.expr(f"({dot}) / (({qn}) * ({cn}))"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+        F.col("__cos_raw").desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+        .select(
+            query_id_col,
+            id_col,
+            F.round("__cos_raw", 6).alias("cosine"),
+            "rank",
+        )
     )

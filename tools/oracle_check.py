@@ -18,8 +18,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+from pyspark.sql import SparkSession
 
-from clickhouse_etl_spark import get_spark
 from clickhouse_etl_spark.catalog import TEST_TABLES
 
 
@@ -60,7 +60,16 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark(app_name="oracle_check")
+    # Deliberately a VANILLA session (not get_spark()) — the driver harness
+    # supplies its own SparkSession, so every query must be self-sufficient
+    # (catalog.ensure_runtime_confs applies the semantics-bearing confs at
+    # runtime). Round-1 failure mode: session-build-time conf dependence.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle_check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
