@@ -1,0 +1,81 @@
+"""Bench harness — the driver's per-round performance signal.
+
+Times every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Timing includes the collect() (the driver collects too). Run locally at
+sf0.01 while iterating:
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # Warm up the JVM/codegen path once so the first timed query isn't
+    # charged for session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            per_query[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep benching; a failed query is its own signal
+            failed[name] = f"{type(e).__name__}: {e}"[:200]
+
+    total = round(sum(per_query.values()), 3)
+    out = {
+        "metric": "query_inventory_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(per_query),
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
