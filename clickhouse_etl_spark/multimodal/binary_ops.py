@@ -77,7 +77,19 @@ def extract_features(
     invocation per Arrow batch (not per row), schema pinned to
     FEATURES_SCHEMA.
     """
-    decode = decoder or _fake_decode
+    if decoder is None:
+        # Inline (nested) copy of _fake_decode: cloudpickle serializes
+        # nested functions BY VALUE, so executors don't need the
+        # clickhouse_etl_spark package importable — a module-level default
+        # would pickle by reference and break on bare workers.
+        def decoder(payload: bytes) -> np.ndarray:
+            digest = hashlib.sha256(payload).digest()
+            raw = np.frombuffer(digest[: FEATURE_DIM * 4], dtype="<u4").astype(
+                np.float64
+            )
+            return np.round(raw / 2**32, 6)
+
+    decode = decoder
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -104,9 +104,15 @@ def hierarchical_rollup(
             .join(resolved.select(id_col), on=id_col, how="left_anti")
             .withColumn("value", F.lit(None).cast("double"))
         )
-        new_rows = candidate_parents.unionByName(starved_parents)
+        # Eager checkpoint: materialize the level ONCE (isEmpty below would
+        # otherwise recompute it, and the union would recompute it again),
+        # and truncate lineage so per-level plans don't stack up.
+        new_rows = candidate_parents.unionByName(starved_parents).localCheckpoint(
+            eager=True
+        )
         if new_rows.isEmpty():
             break
-        resolved = resolved.unionByName(new_rows).localCheckpoint(eager=False)
+        resolved = resolved.unionByName(new_rows).localCheckpoint(eager=True)
 
+    nodes.unpersist()
     return resolved

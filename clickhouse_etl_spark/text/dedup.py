@@ -61,8 +61,10 @@ def minhash_signature(
     index — deterministic across runs/executors, no fitted model needed.
     Narrow transformation: no shuffle.
     """
+    from clickhouse_etl_spark.util import rebalance_for_compute
+
     sh = _shingles(text_col, shingle_k)
-    out = df.select(F.col(id_col), sh.alias("__sh"))
+    out = rebalance_for_compute(df).select(F.col(id_col), sh.alias("__sh"))
     sig_cols = [
         F.array_min(
             F.expr(f"transform(__sh, s -> xxhash64(concat('mh{i}:', s)))")
@@ -99,6 +101,10 @@ def minhash_near_duplicates(
             )
         ).alias("band", "band_hash"),
     )
+    # Materialize the (small: n×bands ints) band table once — the self-join
+    # below references it twice and Spark broadcasts one side rather than
+    # reusing the exchange, which would recompute every MinHash signature.
+    banded = banded.localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -113,7 +119,9 @@ def minhash_near_duplicates(
         )
         .distinct()
     )
-    shingle_sets = df.select(
+    from clickhouse_etl_spark.util import rebalance_for_compute
+
+    shingle_sets = rebalance_for_compute(df).select(
         F.col(id_col), F.array_distinct(_shingles(text_col, shingle_k)).alias("__set")
     )
     verified = (
@@ -171,11 +179,48 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _simhash64_jvm(text_col: str) -> F.Column:
+    """64-bit SimHash as a pure JVM expression (whole-stage codegen).
+
+    Word hashes via xxhash64; one aggregate() pass per word accumulates a
+    64-wide ±1 counter array (zip_with), then the sign bits assemble the
+    signature. No Python in the loop — this is the 100 TB path (the
+    pandas-UDF variant stays as the injectable-hash/UDF-surface option).
+    """
+    counts = (
+        f"aggregate(transform(split({text_col}, ' '), w -> xxhash64(w)), "
+        f"array_repeat(0L, {_SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {_SIMHASH_BITS - 1}), "
+        f"(a, b) -> a + shiftrightunsigned(h, b) % 2 * 2 - 1))"
+    )
+    sig = (
+        f"aggregate(zip_with({counts}, sequence(0, {_SIMHASH_BITS - 1}), "
+        f"(c, b) -> IF(c > 0, shiftleft(1L, b), 0L)), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+    return F.expr(sig)
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "jvm",
 ) -> DataFrame:
-    """Per-doc 64-bit SimHash (Arrow-batched pandas UDF)."""
-    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+    """Per-doc 64-bit SimHash.
+
+    ``impl='jvm'`` (default): xxhash64-based codegen expression — no
+    Python in the hot path. ``impl='pandas'``: the Arrow-batched UDF with
+    md5 word hashes (kept as the custom-hash injection seam / UDF-surface
+    demonstration).
+    """
+    from clickhouse_etl_spark.util import rebalance_for_compute
+
+    if impl == "pandas":
+        sig = _simhash64(F.col(text_col))
+    else:
+        sig = _simhash64_jvm(text_col)
+    return rebalance_for_compute(df).select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -216,6 +261,9 @@ def simhash_near_duplicates(
             )
         ).alias("band", "band_key"),
     )
+    # One signature computation total: the self-join otherwise recomputes
+    # the SimHash expression on both the probe and the broadcast side.
+    banded = banded.localCheckpoint(eager=True)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
