@@ -1,0 +1,161 @@
+"""Structured Streaming tier — the real readStream/withWatermark module.
+
+The reference has no streaming surface (SURVEY.md §2.10): its closest
+analog is the daily high-watermark incremental batch (S7). This module is
+the engine's extension tier mandated by the north star: the SAME windowed
+aggregations exposed in ``queries/streaming_batch.py`` as batch queries,
+executed as incremental streaming jobs over a file source.
+
+Design notes (100 TB):
+- File-source streaming scales by listing + splitting new files per
+  micro-batch; at production scale the source would be Kafka — swap
+  ``read_event_stream`` only, the window logic is source-agnostic.
+- ``withWatermark`` bounds state: late events beyond the watermark are
+  dropped and completed windows are evicted from the state store. Without
+  it, windowed state grows forever.
+- Batch ≡ stream equivalence is the correctness contract: run the same
+  window over the same files with ``Trigger.AvailableNow`` and the final
+  ("append"-complete) output must equal the batch groupBy — asserted in
+  tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_etl_spark.catalog import ensure_runtime_confs
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS) which arrives as
+# a long under nanosAsLong (streaming requires an explicit schema).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over a parquet landing zone of events.
+
+    ``path`` may be a directory or a glob (e.g. ``{sf_dir}/events.parquet``).
+    ``maxFilesPerTrigger`` throttles micro-batch size (ingestion rate
+    control) — leave None for AvailableNow back-fills.
+    """
+    import os
+    import tempfile
+
+    ensure_runtime_confs(spark)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        # Spark's file stream source requires a DIRECTORY (it pins
+        # basePath to the source path internally). For a single concrete
+        # file, build a tiny landing-zone dir holding a symlink — the
+        # shape a real ingestion directory has.
+        zone = tempfile.mkdtemp(prefix="event_stream_zone_")
+        os.symlink(os.path.abspath(path), os.path.join(zone, os.path.basename(path)))
+        path = zone
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data watermark.
+
+    Streaming twin of ``queries/streaming_batch.stream_tumbling_hourly``
+    (identical output schema; batch ≡ stream asserted in tests).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts (streaming twin of stream_sliding_2h)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of silence.
+
+    Streaming twin of ``stream_session_30m`` — ``session_window`` is the
+    built-in stateful merge (no applyInPandasWithState needed for pure
+    gap-sessionization).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Execute a streaming aggregation to completion (AvailableNow) and
+    return the final result as a batch DataFrame (memory sink, complete
+    mode). Test/backfill helper — production would writeStream to parquet/
+    Kafka with the same trigger.
+    """
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)

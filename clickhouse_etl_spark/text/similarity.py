@@ -89,35 +89,65 @@ def lsh_bucket(vec_col: str, num_planes: int = 8) -> F.Column:
     return F.expr(" + ".join(bits))
 
 
+def _table_buckets(vec_col: str, num_planes: int, num_tables: int) -> F.Column:
+    """Array of ``num_tables`` bucket ids; table t uses planes
+    [t*num_planes, (t+1)*num_planes)."""
+    buckets = []
+    for t in range(num_tables):
+        bits = [
+            f"({_hyperplane_sign(vec_col, t * num_planes + p)}) * {1 << p}"
+            for p in range(num_planes)
+        ]
+        buckets.append(" + ".join(bits))
+    return F.expr(f"array({', '.join(buckets)})")
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     num_planes: int = 6,
+    num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's LSH bucket.
+    """Approximate top-k: compare only within shared LSH buckets.
 
-    At corpus scale the bucket join replaces the full cross product; recall
-    is tunable via ``num_planes`` (fewer planes → bigger buckets → higher
-    recall, more compute).
+    OR-amplified: ``num_tables`` independent hash tables of ``num_planes``
+    sign bits each — a candidate matches if it shares the query's bucket in
+    ANY table (recall = 1-(1-p^planes)^tables for per-plane agreement p).
+    At corpus scale the bucket join replaces the full cross product; tune
+    planes (precision / bucket size) and tables (recall) independently.
     """
     c = corpus.select(
         F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv")
-    ).withColumn("__bucket", lsh_bucket("__cv", num_planes))
+    ).select(
+        id_col,
+        "__cv",
+        F.posexplode(_table_buckets("__cv", num_planes, num_tables)).alias(
+            "__table", "__bucket"
+        ),
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.expr(_as_double(vec_col)).alias("__qv"),
-    ).withColumn("__bucket", lsh_bucket("__qv", num_planes))
+    ).select(
+        query_id_col,
+        "__qv",
+        F.posexplode(_table_buckets("__qv", num_planes, num_tables)).alias(
+            "__table", "__bucket"
+        ),
+    )
 
     dot = _DOT.format(a="__qv", b="__cv")
     qn = _NORM.format(a="__qv")
     cn = _NORM.format(a="__cv")
     scored = (
-        c.join(F.broadcast(q), on="__bucket")
+        c.join(F.broadcast(q), on=["__table", "__bucket"])
         .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, "__qv", "__cv")
+        .dropDuplicates([query_id_col, id_col])
         .withColumn("__cos_raw", F.expr(f"({dot}) / (({qn}) * ({cn}))"))
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -1,0 +1,104 @@
+"""A1-A8 golden tests — the averaging-semantics traps (SURVEY.md §5.3).
+
+The A1-vs-A2 denominator difference and coe≤0→1 defaulting are silent
+semantic bugs if conflated — pinned here with hand-computed values.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.operators.aggregates import (
+    avg_null_as_zero,
+    avg_null_dropped,
+    avg_of_avgs,
+    credit_totals,
+    json_details,
+    nested_details,
+    weighted_average,
+)
+
+# (group, score): group g1 has scores [80, None, 100] → A1 avg=90, A2 avg=60.
+SCORES = [("g1", 80.0), ("g1", None), ("g1", 100.0), ("g2", None), ("g3", 50.0)]
+
+
+@pytest.fixture(scope="module")
+def scores_df(spark):
+    return spark.createDataFrame(SCORES, ["grp", "score"])
+
+
+def test_a1_null_dropped_denominator(spark, scores_df):
+    out = {
+        r["grp"]: r["avg_score"]
+        for r in avg_null_dropped(scores_df, ["grp"], "score").collect()
+    }
+    assert out["g1"] == 90.0  # (80+100)/2 — null NOT in the denominator
+    assert out["g2"] is None  # all-null group → NULL, not 0
+    assert out["g3"] == 50.0
+
+
+def test_a2_null_as_zero_denominator(spark, scores_df):
+    out = {
+        r["grp"]: r["avg_score"]
+        for r in avg_null_as_zero(scores_df, ["grp"], "score").collect()
+    }
+    assert out["g1"] == 60.0  # (80+0+100)/3 — null counts as zero
+    assert out["g2"] == 0.0
+    assert out["g3"] == 50.0
+
+
+def test_a3_weighted_average_coe_defaulting(spark):
+    # coe ≤ 0 and NULL both default to weight 1 (reference …:293-295).
+    rows = [
+        ("s1", 80.0, 2.0),
+        ("s1", 60.0, 0.0),   # defaults to 1
+        ("s1", 40.0, -3.0),  # defaults to 1
+        ("s2", 90.0, None),  # defaults to 1
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pct", "coe"])
+    out = {
+        r["subj"]: r["weighted_avg"]
+        for r in weighted_average(df, ["subj"], "pct", "coe").collect()
+    }
+    assert out["s1"] == pytest.approx((80 * 2 + 60 * 1 + 40 * 1) / 4)
+    assert out["s2"] == pytest.approx(90.0)
+
+
+def test_a4_avg_of_avgs_differs_from_flat_avg(spark):
+    rows = [("n1", "c1", 10.0), ("n1", "c1", 30.0), ("n1", "c2", 50.0)]
+    df = spark.createDataFrame(rows, ["nat", "cust", "v"])
+    out = avg_of_avgs(df, ["nat", "cust"], ["nat"], "v").collect()
+    # mean(mean(10,30), mean(50)) = mean(20, 50) = 35 — NOT flat mean 30.
+    assert out[0]["avg_of_avgs"] == pytest.approx(35.0)
+
+
+def test_a6_credit_totals(spark):
+    rows = [("st1", 3.0, 4.0), ("st1", 1.0, 2.0)]
+    df = spark.createDataFrame(rows, ["student", "credit", "gpa"])
+    r = credit_totals(df, ["student"]).collect()[0]
+    assert r["totalCredits"] == 4.0
+    assert r["totalGPA"] == pytest.approx((3 * 4 + 1 * 2) / 4)  # 3.5
+    assert r["subjectCount"] == 2
+
+
+def test_a7_nested_details_deterministic_order(spark):
+    rows = [("st1", "math", 90.0), ("st1", "art", 70.0), ("st2", "math", 50.0)]
+    df = spark.createDataFrame(rows, ["student", "subject", "score"])
+    out = {
+        r["student"]: r["details"]
+        for r in nested_details(df, ["student"], ["subject", "score"]).collect()
+    }
+    assert [d["subject"] for d in out["st1"]] == ["art", "math"]  # sorted
+    assert out["st2"][0]["score"] == 50.0
+
+
+def test_a8_json_details_roundtrip(spark):
+    rows = [("st1", "quiz", 10.0), ("st1", "exam", 20.0)]
+    df = spark.createDataFrame(rows, ["student", "kind", "score"])
+    r = json_details(df, ["student"], ["kind", "score"]).collect()[0]
+    parsed = json.loads(r["customEvaluations"])
+    assert {d["kind"] for d in parsed} == {"quiz", "exam"}
+    assert r["customEvaluationCount"] == 2

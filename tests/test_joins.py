@@ -1,0 +1,74 @@
+"""J1-J10 golden tests — join templates on small hand-built frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.operators.joins import (
+    anti_join,
+    broadcast_dim_join,
+    candidate_expansion,
+    hierarchy_parent_join,
+    semi_join_pushdown,
+)
+
+
+def test_j1_broadcast_dim_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (3, "zz")], ["k", "v"])
+    dim = spark.createDataFrame([(1, "dim1"), (2, "dim2")], ["k", "name"])
+    out = broadcast_dim_join(fact, dim, on="k", how="left").collect()
+    by_k = {r["k"]: r["name"] for r in out}
+    assert by_k == {1: "dim1", 2: "dim2", 3: None}
+
+
+def test_j9_semi_join_no_duplication(spark):
+    src = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    keys = spark.createDataFrame([(1,), (1,), (2,)], ["k"])  # dup keys
+    out = semi_join_pushdown(src, keys, on="k")
+    assert sorted(r["k"] for r in out.collect()) == [1, 2]  # no fan-out
+
+
+def test_anti_join(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2,)], ["k"])
+    assert sorted(r["k"] for r in anti_join(left, right, on="k").collect()) == [1, 3]
+
+
+def test_j2_hierarchy_parent_join_prefix_and_left(spark):
+    child = spark.createDataFrame(
+        [("c1", "p1"), ("c2", "p_missing")], ["evaluationId", "parentId"]
+    )
+    parent = spark.createDataFrame(
+        [("p1", "Month One")], ["evaluationId", "name"]
+    )
+    out = {
+        r["evaluationId"]: r["parent_name"]
+        for r in hierarchy_parent_join(child, parent).collect()
+    }
+    assert out == {"c1": "Month One", "c2": None}
+
+
+def test_j4_two_hop_ancestry(spark):
+    evals = spark.createDataFrame(
+        [("sem", None, "semester"), ("mon", "sem", "month"), ("sub", "mon", "subject")],
+        ["evaluationId", "parentId", "type"],
+    )
+    subjects = evals.filter(F.col("type") == "subject")
+    months = evals.filter(F.col("type") == "month")
+    semesters = evals.filter(F.col("type") == "semester")
+    hop1 = hierarchy_parent_join(subjects, months, parent_prefix="month_")
+    hop2 = hierarchy_parent_join(
+        hop1,
+        semesters,
+        child_parent_col="month_parentId",
+        parent_prefix="sem_",
+    )
+    r = hop2.collect()[0]
+    assert r["month_evaluationId"] == "mon" and r["sem_evaluationId"] == "sem"
+
+
+def test_j10_candidate_expansion(spark):
+    subjects = spark.createDataFrame([("s1",), ("s2",)], ["subj"])
+    students = spark.createDataFrame([(1,), (1,), (2,)], ["studentId"])
+    out = candidate_expansion(subjects, students)
+    assert out.count() == 4  # 2 subjects × 2 distinct students

@@ -1,0 +1,113 @@
+"""F1/F6-F16 golden tests — scalar function semantics (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.catalog import ensure_runtime_confs
+from clickhouse_etl_spark.functions.scalars import (
+    coalesce_default,
+    gender_normalize,
+    is_uuid,
+    nan_to_null,
+    path_first_id,
+    path_synthesize,
+    percentage,
+    safe_double,
+    score_from_percentage,
+    weighted_coe,
+)
+
+
+def _one_col(spark, values, expr_fn, dtype="string"):
+    ensure_runtime_confs(spark)
+    df = spark.createDataFrame([(v,) for v in values], f"v {dtype}")
+    return [r["out"] for r in df.select(expr_fn(F.col("v")).alias("out")).collect()]
+
+
+def test_f1_gender_normalize_passthrough_keeps_original(spark):
+    got = _one_col(
+        spark, ["m", "M", "male", "MALE", "f", "Female", "nonbinary", None],
+        gender_normalize,
+    )
+    # passthrough returns the ORIGINAL value, not the lowercased one
+    # (reference …etl_students_to_clickhouse.py:75-80).
+    assert got == ["male", "male", "male", "male", "female", "female",
+                   "nonbinary", None]
+
+
+def test_f6_safe_double_null_on_bad_input(spark):
+    got = _one_col(spark, ["1.5", "x", "", None, " 2 "], safe_double)
+    assert got == [1.5, None, None, None, 2.0]
+
+
+def test_f7_percentage_guard(spark):
+    ensure_runtime_confs(spark)
+    df = spark.createDataFrame(
+        [(50.0, 200.0), (50.0, 0.0), (50.0, -1.0)], ["s", "mx"]
+    )
+    got = [
+        r["p"]
+        for r in df.select(
+            percentage(F.col("s"), F.col("mx")).alias("p")
+        ).collect()
+    ]
+    assert got == [25.0, 0.0, 0.0]
+
+
+def test_f8_score_reconstruction(spark):
+    df = spark.createDataFrame([(80.0, 50.0)], ["pct", "mx"])
+    got = df.select(
+        score_from_percentage(F.col("pct"), F.col("mx")).alias("s")
+    ).collect()
+    assert got[0]["s"] == pytest.approx(40.0)
+
+
+def test_f9_f10_path_split_and_synthesize(spark):
+    got = _one_col(spark, ["#abc#def#", "#only", ""], path_first_id)
+    # no second segment → NULL (the reference's ``split('#')[1]`` would
+    # raise IndexError; the engine degrades to NULL instead of failing).
+    assert got == ["abc", "only", None]
+    got2 = _one_col(spark, ["rec1"], path_synthesize)
+    assert got2 == ["#rec1"]
+
+
+def test_f12_f16_coalesce_default(spark):
+    got = _one_col(
+        spark, [None, 5.0], lambda c: coalesce_default(c, 100.0), dtype="double"
+    )
+    assert got == [100.0, 5.0]
+
+
+def test_a3_weighted_coe_defaults(spark):
+    got = _one_col(
+        spark, [2.0, 0.0, -1.0, None], weighted_coe, dtype="double"
+    )
+    assert got == [2.0, 1.0, 1.0, 1.0]
+
+
+def test_f13_uuid_validation(spark):
+    got = _one_col(
+        spark,
+        [
+            "123e4567-e89b-12d3-a456-426614174000",
+            "123E4567-E89B-12D3-A456-426614174000",
+            "not-a-uuid",
+            "123e4567e89b12d3a456426614174000",
+            None,
+        ],
+        is_uuid,
+    )
+    assert got == [True, True, False, False, None]
+
+
+def test_f14_nan_to_null(spark):
+    got = _one_col(
+        spark, [1.0, float("nan"), None], nan_to_null, dtype="double"
+    )
+    assert got[0] == 1.0
+    assert got[1] is None and got[2] is None
+    assert not any(isinstance(g, float) and math.isnan(g) for g in got)

@@ -1,0 +1,88 @@
+"""S7 watermark ledger, K1/O2 MergeTree-mapped writes, K5 migrations."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.sinks.writers import write_mergetree_mapped
+from clickhouse_etl_spark.sources.readers import commit_watermark, incremental_read
+from clickhouse_etl_spark.sources.watermark import EPOCH, WatermarkLedger
+from tests.conftest import SF_SMOKE
+
+
+def test_watermark_ledger_roundtrip(tmp_path):
+    ledger = WatermarkLedger(str(tmp_path / "wm.jsonl"))
+    assert ledger.get("p1") == EPOCH
+    ledger.commit("p1", "2024-01-15T00:00:00.000000")
+    ledger.commit("p1", "2024-02-01T00:00:00.000000")
+    ledger.commit("p2", "2024-03-01T00:00:00.000000")
+    assert ledger.get("p1").startswith("2024-02-01")
+    assert ledger.get("p2").startswith("2024-03-01")
+    # stale commit never regresses the watermark (max wins)
+    ledger.commit("p1", "2023-01-01T00:00:00.000000")
+    assert ledger.get("p1").startswith("2024-02-01")
+
+
+def test_incremental_read_and_commit(spark, tmp_path):
+    ledger = WatermarkLedger(str(tmp_path / "wm.jsonl"))
+    events = load_table(spark, SF_SMOKE, "events")
+    full = events.count()
+
+    batch1 = incremental_read(events, ledger, "events", ts_col="ts")
+    assert batch1.count() == full  # epoch watermark → everything
+
+    wm = commit_watermark(batch1, ledger, "events", ts_col="ts")
+    assert wm is not None
+    batch2 = incremental_read(events, ledger, "events", ts_col="ts")
+    assert batch2.count() == 0  # nothing newer than max(ts) of batch1
+
+    # committed watermark == max(ts): strictly-greater semantics exclude
+    # the boundary row itself (no double-processing).
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    assert wm == max_ts.strftime("%Y-%m-%dT%H:%M:%S.%f")
+
+
+def test_mergetree_mapped_write_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("s1", 2, "b"), ("s1", 1, "a"), ("s2", 9, "z")],
+        ["schoolId", "sortK", "v"],
+    )
+    out = str(tmp_path / "warehouse")
+    write_mergetree_mapped(df, out, partition_by="schoolId", order_by=["sortK"])
+    # hive partition dirs exist → partition pruning on read
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("schoolId=")
+    ) == ["schoolId=s1", "schoolId=s2"]
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert set(back.columns) == {"schoolId", "sortK", "v"}
+    # partition filter prunes files (plan shows partition filter count)
+    pruned = back.filter(F.col("schoolId") == "s1")
+    assert pruned.count() == 2
+
+
+def test_migration_runner_idempotent(spark, tmp_path):
+    from clickhouse_etl_spark.sinks.migrations import MigrationRunner
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_create.sql").write_text(
+        "CREATE OR REPLACE TEMP VIEW mig_v1 AS SELECT 1 AS x"
+    )
+    (mdir / "002_more.sql").write_text(
+        "CREATE OR REPLACE TEMP VIEW mig_v2 AS SELECT 2 AS x;"
+        "CREATE OR REPLACE TEMP VIEW mig_v3 AS SELECT 3 AS x"
+    )
+    runner = MigrationRunner(spark, str(mdir), str(tmp_path / "applied.json"))
+    assert runner.run() == ["001_create.sql", "002_more.sql"]  # filename order
+    assert runner.run() == []  # idempotent
+    assert spark.table("mig_v3").collect()[0]["x"] == 3
+    # a new migration dropped in later applies alone
+    (mdir / "003_late.sql").write_text(
+        "CREATE OR REPLACE TEMP VIEW mig_v4 AS SELECT 4 AS x"
+    )
+    assert runner.run() == ["003_late.sql"]

@@ -1,0 +1,116 @@
+"""Near-dup / ANN recall vs exact ground truth (VERDICT r1 item 7).
+
+These pin the *approximation contracts*: SimHash banding must have
+recall 1.0 within its guaranteed Hamming radius, MinHash-LSH recall is
+measured against exact all-pairs Jaccard (target documented ≥ 0.9 at the
+operating threshold), and the LSH ANN must retrieve planted
+near-duplicate vectors.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.text.dedup import (
+    _shingles,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from clickhouse_etl_spark.text.similarity import brute_force_cosine_topk, lsh_ann_topk
+from tests.conftest import SF_SMOKE, rows_set
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_simhash_recall_within_radius_is_total(spark, docs):
+    """Pigeonhole contract: every pair at hamming ≤ bands-1 is found."""
+    sigs = simhash_signatures(docs)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= 3)
+    )
+    truth_pairs = rows_set(truth, "doc_a", "doc_b")
+    got_pairs = rows_set(
+        simhash_near_duplicates(docs, max_hamming=3, bands=4), "doc_a", "doc_b"
+    )
+    assert got_pairs == truth_pairs  # exact: banding is complete AND verified
+
+
+def test_simhash_rejects_uncovered_radius(docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(docs, max_hamming=16, bands=4)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    threshold = 0.2
+    sets = docs.select(
+        "doc_id", F.array_distinct(_shingles("text", 3)).alias("s")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb")),
+        )
+        .filter(F.col("j") >= threshold)
+    )
+    truth_pairs = rows_set(truth, "doc_a", "doc_b")
+    got_pairs = rows_set(
+        minhash_near_duplicates(docs, jaccard_threshold=threshold),
+        "doc_a",
+        "doc_b",
+    )
+    # LSH candidates are verified with exact Jaccard → no false positives…
+    assert got_pairs <= truth_pairs
+    # …and banding recall at j≥0.2 with 16 hashes / 4 bands must hold the
+    # documented floor.
+    if truth_pairs:
+        recall = len(got_pairs) / len(truth_pairs)
+        assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9"
+
+
+def test_ann_retrieves_planted_near_duplicates(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    # Plant a near-identical copy of each query (tiny deterministic
+    # perturbation, cosine ≈ 0.9999) at vec_id + 100000.
+    planted = queries.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x * (1.0 + 0.001 * sin(i)))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    out = lsh_ann_topk(corpus, queries, k=5)
+    got = {(r["query_id"], r["vec_id"]) for r in out.collect()}
+    for q in range(3):
+        assert (q, q + 100000) in got, f"planted near-dup missed for query {q}"
+
+
+def test_ann_is_subset_of_bruteforce_universe(spark):
+    """ANN results carry correct cosines: each (query, id, cosine) triple
+    must agree with the exact computation from the brute-force path."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_cosine_topk(emb, queries, k=1000)
+    exact_map = {
+        (r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()
+    }
+    for r in lsh_ann_topk(emb, queries, k=5).collect():
+        key = (r["query_id"], r["vec_id"])
+        assert key in exact_map
+        assert r["cosine"] == pytest.approx(exact_map[key], abs=1e-6)
