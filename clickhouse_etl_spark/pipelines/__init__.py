@@ -1,0 +1,18 @@
+"""Pipeline layer: task graph + the reference's three ETL lifecycles."""
+
+from clickhouse_etl_spark.pipelines.graph import Pipeline, Stage
+from clickhouse_etl_spark.pipelines.reference_etl import (
+    copy_entity,
+    monthly_subject_fact,
+    student_transcript,
+    synthetic_warehouse,
+)
+
+__all__ = [
+    "Pipeline",
+    "Stage",
+    "copy_entity",
+    "monthly_subject_fact",
+    "student_transcript",
+    "synthetic_warehouse",
+]

@@ -33,3 +33,4 @@ def register(name: str, oracle: str | None = None):
 from clickhouse_etl_spark.queries import relational  # noqa: E402,F401
 from clickhouse_etl_spark.queries import northstar  # noqa: E402,F401
 from clickhouse_etl_spark.queries import streaming_batch  # noqa: E402,F401
+from clickhouse_etl_spark.queries import pipelines  # noqa: E402,F401
