@@ -223,9 +223,10 @@ def monthly_subject_fact(
     )
 
     # CUSTOM path: custom percentages roll up to the parent subject,
-    # weighted by coe (≤0 → 1).
-    custom_scored = broadcast_dim_join(
-        per_eval,
+    # weighted by coe (≤0 → 1). The custom-evaluation dimension GROWS with
+    # the corpus (unlike month/subject), so no broadcast hint — AQE
+    # broadcasts while it fits and shuffle-joins beyond that.
+    custom_scored = per_eval.join(
         customs.select("evaluationId", "parentId", "maxScore", "coe"),
         on="evaluationId",
         how="inner",
@@ -279,8 +280,9 @@ def monthly_subject_fact(
         parent_prefix="month_",
         how="left",
     )
-    with_students = broadcast_dim_join(
-        wide,
+    # students is a growing dim (one row per enrolled student) — leave the
+    # strategy to AQE for the same reason as customs above.
+    with_students = wide.join(
         students.select(
             "studentId",
             F.col("firstName").alias("studentFirstName"),

@@ -590,6 +590,121 @@ def set_union_anti_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J7 — last-write-wins dim dedup (the reference dict comprehension keeps
+# the last subject per structureRecordId; engine policy: max of an explicit
+# order column, deterministic).
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:149
+# ---------------------------------------------------------------------------
+@register(
+    "j7_last_write_wins",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def j7_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.dedup import last_write_wins
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return last_write_wins(orders, "o_custkey", order_col="o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# A8 — JSON-array aggregation (customEvaluations column + count)
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:216-231,
+# 373-374,426-427
+# ---------------------------------------------------------------------------
+@register(
+    "a8_json_custom_evals",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           to_json(list_sort(list(struct_pack(
+               l_linenumber := l_linenumber, l_returnflag := l_returnflag
+           )))) AS customEvaluations,
+           count(*) AS customEvaluationCount
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a8_json_custom_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.aggregates import json_details
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return json_details(
+        li.select(F.col("l_orderkey").alias("orderkey"), "l_linenumber", "l_returnflag"),
+        keys=["orderkey"],
+        detail_cols=["l_linenumber", "l_returnflag"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-suite 2 — the remaining scalar zoo: F3 ISO parse, F5 ISO stringify,
+# F13 UUID validation, F14 NaN→NULL.
+# ---------------------------------------------------------------------------
+@register(
+    "f_scalar_suite2",
+    oracle="""
+    SELECT event_id,
+           strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%dT%H:%M:%SZ')
+             AS parsed_ts,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_str,
+           CASE WHEN event_id % 2 = 0 THEN
+             regexp_matches(
+               substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+               substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+               substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+               substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+               substr(md5(CAST(event_id AS VARCHAR)), 21, 12),
+               '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+           ELSE
+             regexp_matches('not-a-uuid',
+               '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+           END AS uuid_ok,
+           value AS value_clean
+    FROM events
+    """,
+)
+def f_scalar_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.functions.scalars import is_uuid, nan_to_null
+    from clickhouse_etl_spark.functions.timestamps import (
+        iso_timestamp,
+        timestamp_to_iso_string,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    md5 = F.md5(F.col("event_id").cast("string"))
+    uuid_like = F.concat_ws(
+        "-",
+        F.substring(md5, 1, 8),
+        F.substring(md5, 9, 4),
+        F.substring(md5, 13, 4),
+        F.substring(md5, 17, 4),
+        F.substring(md5, 21, 12),
+    )
+    candidate = F.when(F.col("event_id") % 2 == 0, uuid_like).otherwise(
+        F.lit("not-a-uuid")
+    )
+    # F14: inject NaN for NULL values, then scrub it back to NULL.
+    with_nan = F.when(F.col("value").isNull(), F.lit(float("nan"))).otherwise(
+        F.col("value")
+    )
+    return events.select(
+        "event_id",
+        iso_timestamp(F.concat(timestamp_to_iso_string(F.col("ts")), F.lit("Z")))
+        .alias("parsed_ts"),
+        timestamp_to_iso_string(F.col("ts")).alias("iso_str"),
+        is_uuid(candidate).alias("uuid_ok"),
+        nan_to_null(with_nan).alias("value_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship: TPC-H-Q1-shaped pricing summary (A1+A3+F7 composition) — also
 # the headline bench query.
 # ---------------------------------------------------------------------------

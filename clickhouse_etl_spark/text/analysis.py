@@ -24,30 +24,37 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     and stopword-penalized — the standard cheap pre-filter shape for LLM
     training corpora (length/punct/stopword heuristics).
     """
-    toks = _tokens(F.col(text_col))
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    n_tokens = F.size(toks)
-    n_stop = F.size(
-        F.expr(f"filter(split({text_col}, ' '), x -> x IN ({stop_list}))")
+    # Hoist the tokenization into its own projection: split() feeds four
+    # downstream expressions and would otherwise be recomputed per use
+    # (CollapseProject keeps multi-referenced non-cheap exprs separate).
+    base = df.select(
+        "doc_id",
+        F.col(text_col),
+        _tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "doc_id",
+        F.col(text_col),
+        F.size("__toks").alias("__n_tokens"),
+        F.size(F.expr(f"filter(__toks, x -> x IN ({stop_list}))")).alias("__n_stop"),
     )
-    stop_ratio = F.round(n_stop.cast("double") / n_tokens, 6)
-    avg_word_len = F.round(
-        F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
-        / n_tokens,
-        6,
-    )
-    quality = F.round(
-        F.least(n_tokens.cast("double") / 100, F.lit(1.0))
-        * (1 - n_stop.cast("double") / n_tokens),
-        6,
-    )
-    return df.select(
+    n_tokens = F.col("__n_tokens")
+    n_stop = F.col("__n_stop")
+    return base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
-        stop_ratio.alias("stopword_ratio"),
-        avg_word_len.alias("avg_word_len"),
-        quality.alias("quality_score"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
+            / n_tokens,
+            6,
+        ).alias("avg_word_len"),
+        F.round(
+            F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+            * (1 - n_stop.cast("double") / n_tokens),
+            6,
+        ).alias("quality_score"),
     )
 
 
