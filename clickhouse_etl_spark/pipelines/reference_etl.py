@@ -363,6 +363,9 @@ def student_transcript(
         F.col("sem_evaluationId").alias("semesterEvaluationId"),
         F.col("sem_name").alias("semesterName"),
     )
+    # Both aggregations below consume this plan; materialize it once
+    # instead of recomputing the whole fact chain per branch.
+    with_sem = with_sem.localCheckpoint(eager=True)
 
     details = nested_details(
         with_sem,

@@ -34,3 +34,4 @@ from clickhouse_etl_spark.queries import relational  # noqa: E402,F401
 from clickhouse_etl_spark.queries import northstar  # noqa: E402,F401
 from clickhouse_etl_spark.queries import streaming_batch  # noqa: E402,F401
 from clickhouse_etl_spark.queries import pipelines  # noqa: E402,F401
+from clickhouse_etl_spark.queries import extensions  # noqa: E402,F401

@@ -1,0 +1,95 @@
+"""Extension queries — analytic surface the reference lacks but Spark
+gives for free (SURVEY.md §2.5/§2.6 notes: no grouping sets, no lag/lead,
+no running totals anywhere in the reference). Exposed as first-class,
+oracle-checked operators so a reference user gets them on day one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping sets — subtotal hierarchies in one pass.
+# ---------------------------------------------------------------------------
+@register(
+    "ext_rollup_part_stats",
+    oracle="""
+    SELECT p_brand, CAST(p_size % 5 AS INT) AS size_band,
+           count(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part
+    GROUP BY ROLLUP (p_brand, CAST(p_size % 5 AS INT))
+    """,
+)
+def ext_rollup_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.rollup("p_brand", (F.col("p_size") % 5).cast("int").alias("size_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running total — window frame (ROWS UNBOUNDED PRECEDING).
+# ---------------------------------------------------------------------------
+@register(
+    "ext_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+    FROM orders
+    """,
+)
+def ext_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag/lead — inter-event gaps (the analytics the streaming tier's
+# sessionization is built on, exposed as a batch operator).
+# ---------------------------------------------------------------------------
+@register(
+    "ext_event_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def ext_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )

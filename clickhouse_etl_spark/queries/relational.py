@@ -63,8 +63,11 @@ def _dec_sum(col, alias, scale=2):
 )
 def p3_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # Project BEFORE the window: the dedup shuffles whole rows, and the
+    # wide props column never reaches the output.
+    slim = events.select("user_id", "event_id", "event_type", "value", "ts")
     return latest_row_per_key(
-        events, ["user_id"], order_col="ts", tiebreak=["event_id"]
+        slim, ["user_id"], order_col="ts", tiebreak=["event_id"]
     ).select("user_id", "event_id", "event_type", "value")
 
 
