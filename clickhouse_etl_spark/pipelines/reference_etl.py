@@ -201,12 +201,15 @@ def monthly_subject_fact(
     subject_evals = evaluations.filter(F.col("type") == "subject")
     customs = evaluations.filter(F.col("type") == "custom")
 
-    # per-(evaluation, student) mean score — null-dropped (A1 semantics)
+    # per-(evaluation, student) mean score — null-dropped (A1 semantics).
+    # Materialized once: both the direct and the custom path consume it,
+    # and recomputing means re-running the scores join + aggregation.
     per_eval = avg_null_dropped(
         scores, ["evaluationId", "studentId"], "score", alias="avg_score"
-    )
+    ).localCheckpoint(eager=True)
 
     # DIRECT path: scores attached straight to subject evaluations.
+    # Also materialized — it is read twice (union + precedence anti-join).
     direct = (
         broadcast_dim_join(
             per_eval,
@@ -220,6 +223,7 @@ def monthly_subject_fact(
             percentage(F.col("avg_score"), F.col("maxScore")).alias("percentage"),
             F.lit("direct").alias("path"),
         )
+        .localCheckpoint(eager=True)
     )
 
     # CUSTOM path: custom percentages roll up to the parent subject,

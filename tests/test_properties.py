@@ -1,0 +1,130 @@
+"""Property-based tests (SURVEY.md §5.4) — invariants over random inputs.
+
+hypothesis drives the generators; each property runs one Spark job over a
+generated frame (small max_examples — Spark jobs are not free).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.functions.grading import grade_band
+from clickhouse_etl_spark.functions.scalars import percentage, weighted_coe
+from clickhouse_etl_spark.operators.dedup import latest_row_per_key
+from clickhouse_etl_spark.operators.rollup import hierarchical_rollup
+
+_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_pct = st.floats(
+    min_value=-1000, max_value=1000, allow_nan=False, allow_infinity=False
+)
+
+
+@_SLOW
+@given(st.lists(finite_pct, min_size=1, max_size=8))
+def test_grade_gpa_always_bounded(spark, pcts):
+    df = spark.createDataFrame([(p,) for p in pcts], ["pct"])
+    rows = df.select(grade_band(F.col("pct")).alias("g")).collect()
+    for r in rows:
+        assert 0.0 <= r["g"]["gpa"] <= 4.0
+        assert r["g"]["grade"] in {"A", "B+", "B", "C+", "C", "D", "E", "F"}
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_percentage_bounded_when_max_positive(spark, pairs):
+    df = spark.createDataFrame(pairs, ["s", "mx"])
+    rows = df.select(
+        "s", "mx", percentage(F.col("s"), F.col("mx")).alias("p")
+    ).collect()
+    for r in rows:
+        if r["mx"] > 0 and r["s"] <= r["mx"]:
+            assert 0.0 <= r["p"] <= 100.0 + 1e-9
+        if r["mx"] <= 0:
+            assert r["p"] == 0.0
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=1, max_size=8
+    )
+)
+def test_weighted_coe_always_positive(spark, coes):
+    df = spark.createDataFrame([(c,) for c in coes], ["coe"])
+    for r in df.select(weighted_coe(F.col("coe")).alias("w")).collect():
+        assert r["w"] > 0
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_dedup_output_keys_unique_and_maximal(spark, rows):
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows], ["k", "updatedAt"]
+    )
+    out = latest_row_per_key(df, ["k"], tiebreak=["updatedAt"]).collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys))  # one row per key
+    best = {}
+    for k, v in rows:
+        best[k] = max(best.get(k, -1), v)
+    for r in out:
+        assert r["updatedAt"] == best[r["k"]]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_rollup_values_within_leaf_range(spark, leaf_scores):
+    """Every rolled-up value is a (nested) mean ⇒ stays inside
+    [min(leaf), max(leaf)] of the scored leaves."""
+    evals = spark.createDataFrame(
+        [("root", "na", "x")]
+        + [(f"leaf{k}", "root", "x") for k in range(6)],
+        ["evaluationId", "parentId", "type"],
+    )
+    scores = spark.createDataFrame(
+        [(f"leaf{k}", v) for k, v in leaf_scores], ["evaluationId", "score"]
+    )
+    out = {
+        r["evaluationId"]: r["value"]
+        for r in hierarchical_rollup(evals, scores).collect()
+    }
+    vals = [v for k, v in leaf_scores]
+    lo, hi = min(vals), max(vals)
+    root = out["root"]
+    if root is not None:
+        assert lo - 1e-9 <= root <= hi + 1e-9
