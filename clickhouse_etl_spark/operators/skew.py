@@ -1,0 +1,82 @@
+"""Skew-handling join/aggregate shapes for hot keys.
+
+At 100 TB a handful of hot keys (one big school, one viral document) can
+put an entire shuffle partition on one executor. AQE's skew-join split
+(spark.sql.adaptive.skewJoin) handles most cases at runtime; these named
+operators are the explicit fallback for sources AQE can't split (e.g. a
+skewed key feeding an aggregation whose partials are already huge, or a
+non-AQE environment) — the classic salting construction:
+
+- salted aggregate: two-phase — first group on (key, salt) so the hot
+  key's rows spread over ``salt_buckets`` reducers, then combine the
+  partials per key. Valid for any algebraic aggregate (sum/count/min/max —
+  avg as sum+count).
+- salted join: replicate the SMALL side ``salt_buckets`` times (one copy
+  per salt) and salt the big side deterministically, so the hot key's
+  probe rows spread across buckets while every probe row still finds its
+  build row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt_col(cols: Sequence[str], buckets: int) -> F.Column:
+    """Deterministic per-row salt (hash of the whole row's stable cols) —
+    keeps runs reproducible, unlike rand()."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets))
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    salt_from: Sequence[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe sum/count/avg per key.
+
+    ``salt_from``: columns whose hash spreads the hot key's rows (must be
+    finer-grained than ``keys`` — e.g. the event id). Returns one row per
+    key with sum_value / n_rows / avg_value.
+    """
+    salted = df.withColumn("__salt", _salt_col(salt_from, salt_buckets))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.sum(value).alias("__psum"), F.count(F.lit(1)).alias("__pcnt")
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            F.sum("__psum").alias("sum_value"),
+            F.sum("__pcnt").alias("n_rows"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n_rows"))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_from: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    Every big-side row gets one deterministic salt; the small side is
+    exploded ``salt_buckets``× so each (key, salt) bucket has its build
+    row. Output equals ``big.join(small, on, how)`` — asserted in tests —
+    but the hot key's probe work spreads over ``salt_buckets`` tasks.
+    """
+    keys = list(on)
+    big_s = big.withColumn("__salt", _salt_col(salt_from, salt_buckets))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = big_s.join(small_s, on=keys + ["__salt"], how=how)
+    return out.drop("__salt")

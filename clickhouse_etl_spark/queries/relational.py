@@ -403,13 +403,17 @@ def a4_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a6_credit_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed through operators.credit_totals (the library fn users call);
+    l_quantity is integral so the double sum is exact/order-independent."""
+    from clickhouse_etl_spark.operators.aggregates import credit_totals
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        _dec_sum("l_quantity", "totalCredits"),
-        F.round(
-            F.sum(F.col("l_quantity") * F.col("l_discount")) / F.sum("l_quantity"), 6
-        ).alias("weightedDiscount"),
-        F.count(F.lit(1)).alias("subjectCount"),
+    out = credit_totals(li, ["l_returnflag"], credit="l_quantity", gpa="l_discount")
+    return out.select(
+        "l_returnflag",
+        F.col("totalCredits").cast("double").alias("totalCredits"),
+        F.round("totalGPA", 6).alias("weightedDiscount"),
+        F.col("subjectCount").cast("long").alias("subjectCount"),
     )
 
 

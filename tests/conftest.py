@@ -21,6 +21,8 @@ SF_T2 = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from pyspark.sql import SparkSession
 
     s = (
@@ -28,6 +30,9 @@ def spark():
         .appName("clickhouse_etl_spark_tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
+        # static conf: catalog tables (bucketed-write tests) land in a tmp
+        # warehouse, not the repo
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark_wh_"))
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,101 @@
+"""Scale-shape operators: salting equivalence, bucketed co-located joins,
+and the K4 nested-array warehouse write."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.operators.skew import salted_join, salted_sum_count
+from clickhouse_etl_spark.sinks.bucketed import colocated_join, write_bucketed_table
+from clickhouse_etl_spark.sinks.writers import write_mergetree_mapped
+from tests.conftest import SF_SMOKE, rows_set
+
+
+# --- salting ---------------------------------------------------------------
+
+def test_salted_aggregate_matches_plain(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r["event_type"]): (r["s"], r["n"])
+        for r in events.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = salted_sum_count(
+        events, ["event_type"], "value", salt_from=["event_id"], salt_buckets=8
+    )
+    for r in salted.collect():
+        s, n = plain[r["event_type"]]
+        assert r["n_rows"] == n
+        assert r["sum_value"] == pytest.approx(s, rel=1e-9)
+
+
+def test_salted_join_matches_plain(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    plain = rows_set(
+        orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+            "o_orderkey", "c_custkey", "c_mktsegment"
+        )
+    )
+    salted = rows_set(
+        salted_join(
+            orders.withColumnRenamed("o_custkey", "c_custkey"),
+            customer,
+            on=["c_custkey"],
+            salt_from=["o_orderkey"],
+            salt_buckets=8,
+        ).select("o_orderkey", "c_custkey", "c_mktsegment")
+    )
+    assert salted == plain
+
+
+# --- bucketed co-located join ---------------------------------------------
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    write_bucketed_table(orders, "b_orders", "o_custkey", 8, sort_by=["o_custkey"])
+    write_bucketed_table(customer, "b_customer", "o_custkey", 8, sort_by=["o_custkey"])
+
+    # disable auto-broadcast so the join would OTHERWISE shuffle both sides
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_orders", "b_customer", on="o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucket-aligned: zero shuffle
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+# --- K4: nested Array(Struct) warehouse write ------------------------------
+
+def test_nested_transcript_write_roundtrip(spark, tmp_path):
+    from clickhouse_etl_spark.pipelines import student_transcript, synthetic_warehouse
+
+    wh = synthetic_warehouse(spark, SF_SMOKE)
+    t = student_transcript(wh["evaluations"], wh["scores"], wh["students"])
+    out = str(tmp_path / "transcripts")
+    write_mergetree_mapped(
+        t, out, partition_by="schoolId", order_by=["studentId"]
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == t.count()
+    # the nested array<struct> column survives the round trip typed
+    field = {f.name: f for f in back.schema.fields}["subjectDetails"]
+    assert isinstance(field.dataType, T.ArrayType)
+    assert isinstance(field.dataType.elementType, T.StructType)
+    # partition pruning works on the MergeTree-mapped layout
+    one_school = back.filter(F.col("schoolId") == "0")
+    assert 0 < one_school.count() < back.count()
