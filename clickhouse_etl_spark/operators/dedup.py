@@ -57,6 +57,29 @@ def last_write_wins(
     return latest_row_per_key(df, [key], order_col)
 
 
+def scrub_invalid_keys(
+    df: DataFrame,
+    cols: Sequence[str],
+    invalid: Sequence[str] = ("undefined", ""),
+) -> DataFrame:
+    """P4 — drop rows whose key columns are NULL or sentinel-invalid.
+
+    reference: apps/airflow/dags/student_transcript/
+    etl_student_transcript_to_clickhouse.py:124 filters the literal string
+    ``"undefined"`` out of structure ids before the lookup extraction (a
+    JS-null artifact of the upstream service). Named policy instead of an
+    inline filter so every pipeline treats bad keys identically.
+    """
+    cond = F.lit(True)
+    for c in cols:
+        col = F.col(c)
+        # compare on the string form: a numeric key against a string
+        # sentinel would coerce the sentinel to NULL and x IN (NULL)
+        # is NULL — silently dropping every valid row.
+        cond = cond & col.isNotNull() & ~col.cast("string").isin(*invalid)
+    return df.filter(cond)
+
+
 def exact_distinct(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """A9 — distinct key sets (reference ``set(...)`` comprehensions).
 

@@ -37,7 +37,10 @@ from clickhouse_etl_spark.operators.aggregates import (
     nested_details,
     weighted_average,
 )
-from clickhouse_etl_spark.operators.dedup import latest_row_per_key
+from clickhouse_etl_spark.operators.dedup import (
+    latest_row_per_key,
+    scrub_invalid_keys,
+)
 from clickhouse_etl_spark.operators.joins import (
     anti_join,
     broadcast_dim_join,
@@ -163,11 +166,13 @@ def copy_entity(
 ) -> DataFrame:
     """dedup-latest → normalize → JSON profile: the student copy pipeline.
 
-    reference steps: DISTINCT ON dedup (…:38-45), gender normalization
-    (…:75-80), profile JSON serialization (…:82-86). The write step is
-    write_mergetree_mapped — separated so the transform stays testable.
+    reference steps: P4 invalid-key scrub (…student_transcript/…:124),
+    DISTINCT ON dedup (…:38-45), gender normalization (…:75-80), profile
+    JSON serialization (…:82-86). The write step is write_mergetree_mapped
+    — separated so the transform stays testable.
     """
-    deduped = latest_row_per_key(entities, [key], order_col=order_col)
+    scrubbed = scrub_invalid_keys(entities, [key])
+    deduped = latest_row_per_key(scrubbed, [key], order_col=order_col)
     return deduped.select(
         F.col(key),
         F.col("firstName"),

@@ -28,6 +28,7 @@ from clickhouse_etl_spark.text.dedup import (
 )
 from clickhouse_etl_spark.text.similarity import (
     brute_force_cosine_topk,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 
@@ -196,6 +197,18 @@ def ns_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return lsh_ann_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# IVF-cell ANN (no SQL oracle — approximate; rows-only check). The
+# data-dependent scale path: centroid cells + nprobe, vs LSH's random
+# hyperplanes.
+# ---------------------------------------------------------------------------
+@register("ns_ann_ivf")
+def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_ann_topk(emb, queries, k=5)
 
 
 # ---------------------------------------------------------------------------

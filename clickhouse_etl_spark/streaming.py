@@ -137,22 +137,92 @@ def session_counts(
     )
 
 
+FIRST_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("first_event_id", T.LongType()),
+    ]
+)
+
+_FIRST_SEEN_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def first_seen_per_key(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: emit each (user_id, event_type)'s FIRST
+    event exactly once across the whole stream — a streaming dedup that
+    the built-in window aggregations can't express (state must survive
+    micro-batches and suppress later re-emissions).
+
+    ``applyInPandasWithState``: per-key Arrow-batched Python with an
+    explicit GroupState; one boolean per key, so state size is O(keys),
+    bounded and eviction-friendly. Batch twin: groupBy(min_by) — asserted
+    equal in tests; cross-batch suppression asserted with a 2-file source
+    at maxFilesPerTrigger=1.
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            return  # key already emitted in an earlier micro-batch
+        best = None
+        for pdf in pdfs:
+            cand = pdf.sort_values(["ts", "event_id"]).head(1)
+            best = (
+                cand
+                if best is None
+                else pd.concat([best, cand]).sort_values(["ts", "event_id"]).head(1)
+            )
+        if best is None or best.empty:
+            return
+        state.update((True,))
+        row = best.iloc[0]
+        yield pd.DataFrame(
+            {
+                "user_id": [row["user_id"]],
+                "event_type": [row["event_type"]],
+                "first_ts": [row["ts"]],
+                "first_event_id": [row["event_id"]],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            fn,
+            FIRST_SEEN_SCHEMA,
+            _FIRST_SEEN_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     streaming_df: DataFrame,
     query_name: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a streaming aggregation to completion (AvailableNow) and
-    return the final result as a batch DataFrame (memory sink, complete
-    mode). Test/backfill helper — production would writeStream to parquet/
-    Kafka with the same trigger.
+    return the final result as a batch DataFrame (memory sink). Windowed
+    aggs use ``complete``; arbitrary-stateful ops (applyInPandasWithState)
+    require ``append``. Test/backfill helper — production would
+    writeStream to parquet/Kafka with the same trigger.
     """
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -102,6 +102,106 @@ def _table_buckets(vec_col: str, num_planes: int, num_tables: int) -> F.Column:
     return F.expr(f"array({', '.join(buckets)})")
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, probe only
+    the query's ``nprobe`` nearest cells.
+
+    The data-dependent alternative to random-hyperplane LSH: cells adapt
+    to the embedding distribution, so recall per candidate examined is
+    higher on clustered data. Centroids here are a deterministic hash
+    sample of the corpus (training-free, reproducible); a k-means|| fit
+    would slot into ``centroids`` without touching the probe path. At
+    scale the cell assignment is one narrow pass (corpus × tiny broadcast
+    centroid set) and each query examines ~corpus×nprobe/num_centroids
+    vectors instead of the full corpus.
+    """
+    c = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv"))
+
+    # Deterministic pseudo-random centroid sample: smallest hash wins.
+    centroids = (
+        c.withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("__cent_id"), F.col("__cv").alias("__cent_vec")
+        )
+        .localCheckpoint(eager=True)  # tiny; reused by both assignments
+    )
+
+    dot_cc = _DOT.format(a="__cv", b="__cent_vec")
+    cn = _NORM.format(a="__cv")
+    centn = _NORM.format(a="__cent_vec")
+    sim_to_cent = F.expr(f"({dot_cc}) / (({cn}) * ({centn}))")
+
+    # Corpus → nearest cell (argmax cosine to centroid).
+    c_cells = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", sim_to_cent)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("__sim").desc(), F.col("__cent_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "__cv", F.col("__cent_id").alias("__cell"))
+    )
+
+    # Query → nprobe nearest cells.
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.expr(_as_double(vec_col)).alias("__qv"),
+    )
+    dot_qc = _DOT.format(a="__qv", b="__cent_vec")
+    qn = _NORM.format(a="__qv")
+    q_cells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", F.expr(f"({dot_qc}) / (({qn}) * ({centn}))"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("__sim").desc(), F.col("__cent_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= nprobe)
+        .select(query_id_col, "__qv", F.col("__cent_id").alias("__cell"))
+    )
+
+    dot = _DOT.format(a="__qv", b="__cv")
+    cn2 = _NORM.format(a="__cv")
+    scored = (
+        c_cells.join(F.broadcast(q_cells), on="__cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__cos_raw", F.expr(f"({dot}) / (({qn}) * ({cn2}))"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos_raw").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("__cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -42,6 +42,20 @@ def test_j7_last_write_wins_one_row_per_key(spark):
     assert {r["name"] for r in out} == {"new", "only"}
 
 
+def test_p4_scrub_invalid_keys(spark):
+    from clickhouse_etl_spark.operators.dedup import scrub_invalid_keys
+
+    df = spark.createDataFrame(
+        [("ok1", "x"), ("undefined", "y"), (None, "z"), ("", "w"), ("ok2", "v")],
+        ["sid", "v"],
+    )
+    out = sorted(r["sid"] for r in scrub_invalid_keys(df, ["sid"]).collect())
+    assert out == ["ok1", "ok2"]
+    # numeric keys must pass through untouched (no NULL-coercion trap)
+    nums = spark.createDataFrame([(1,), (2,)], ["sid"])
+    assert scrub_invalid_keys(nums, ["sid"]).count() == 2
+
+
 def test_a9_exact_distinct(spark):
     df = spark.createDataFrame(
         [("a", 1), ("a", 1), ("a", 2)], ["k", "v"]

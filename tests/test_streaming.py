@@ -49,3 +49,63 @@ def test_session_batch_equals_stream(spark, event_stream, tmp_path):
     batch = rows_set(stream_session_30m(spark, SF_SMOKE))
     stream = rows_set(_run(spark, st.session_counts(event_stream), "t_sess", tmp_path))
     assert stream == batch
+
+
+# --- custom stateful operator (applyInPandasWithState) ----------------------
+
+def test_first_seen_stateful_equals_batch_minby(spark, event_stream, tmp_path):
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.catalog import load_table
+
+    out = st.run_stream_to_memory(
+        spark,
+        st.first_seen_per_key(event_stream),
+        "t_first_seen",
+        str(tmp_path / "fs"),
+        output_mode="append",
+    )
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = events.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id")).alias("m")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("m.ts").alias("first_ts"),
+        F.col("m.event_id").alias("first_event_id"),
+    )
+    assert rows_set(out) == rows_set(batch)
+
+
+def test_first_seen_state_suppresses_across_microbatches(spark, tmp_path):
+    """2-file source at maxFilesPerTrigger=1 → 2 micro-batches; the state
+    must prevent a key emitted in batch 1 from re-emitting in batch 2."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_etl_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    pdf = events.select("event_id", "ts", "user_id", "event_type", "value",
+                        "props").toPandas().sort_values("ts")
+    pdf["ts"] = pdf["ts"].astype("int64")  # back to int64 nanos for the zone
+    half = len(pdf) // 2
+    zone = tmp_path / "zone2"
+    zone.mkdir()
+    for name, part in (("a.parquet", pdf.iloc[:half]), ("b.parquet", pdf.iloc[half:])):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       str(zone / name))
+
+    stream = st.read_event_stream(spark, str(zone), max_files_per_trigger=1)
+    out = st.run_stream_to_memory(
+        spark,
+        st.first_seen_per_key(stream),
+        "t_first_seen_2b",
+        str(tmp_path / "fs2"),
+        output_mode="append",
+    ).collect()
+    keys = [(r["user_id"], r["event_type"]) for r in out]
+    assert len(keys) == len(set(keys))  # exactly one emission per key
+    n_keys = events.select("user_id", "event_type").distinct().count()
+    assert len(keys) == n_keys

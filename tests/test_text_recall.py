@@ -19,7 +19,11 @@ from clickhouse_etl_spark.text.dedup import (
     simhash_near_duplicates,
     simhash_signatures,
 )
-from clickhouse_etl_spark.text.similarity import brute_force_cosine_topk, lsh_ann_topk
+from clickhouse_etl_spark.text.similarity import (
+    brute_force_cosine_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from tests.conftest import SF_SMOKE, rows_set
 
 
@@ -99,6 +103,26 @@ def test_ann_retrieves_planted_near_duplicates(spark):
     got = {(r["query_id"], r["vec_id"]) for r in out.collect()}
     for q in range(3):
         assert (q, q + 100000) in got, f"planted near-dup missed for query {q}"
+
+
+def test_ivf_retrieves_planted_near_duplicates(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    planted = queries.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x * (1.0 + 0.001 * sin(i)))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_ann_topk(corpus, queries, k=5).collect()
+    }
+    # a near-identical vector maps to the query's own top cell → always
+    # probed (nprobe ≥ 1), and it ranks #1 by cosine.
+    for q in range(3):
+        assert (q, q + 100000) in got, f"IVF missed planted near-dup for query {q}"
 
 
 def test_ann_is_subset_of_bruteforce_universe(spark):
