@@ -53,14 +53,19 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+_PUNCT_SQL = r"[!-/:-@\[-`{-~]"
+
 @register(
     "ns_text_stats",
     oracle=f"""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS n_stopwords,
+           length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS n_punct,
            ROUND(CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS DOUBLE)
                  / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS punct_ratio,
            ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / len(string_split(text, ' ')), 6) AS avg_word_len,
            ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
@@ -120,6 +125,36 @@ def ns_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return document_fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (Rabin-Karp family; composes incrementally,
+# unlike md5 — the content-defined-chunking primitive). Oracle emulates
+# Spark's wrapping int64 arithmetic with a HUGEINT fold mod 2^64.
+# ---------------------------------------------------------------------------
+@register(
+    "ns_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT
+                     ELSE u END AS BIGINT) AS rolling_fp
+    FROM (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::HUGEINT,
+                 list_transform(string_split(text, ''), c -> ascii(c)::HUGEINT)),
+               (acc, ch) -> (acc * 31 + ch) % 18446744073709551616::HUGEINT
+             ) AS u
+      FROM documents
+    )
+    """,
+)
+def ns_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.analysis import document_rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return document_rolling_fingerprint(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is")
 
+# ASCII punctuation character class (shared with the DuckDB oracle).
+PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
 
 def _tokens(text: Column) -> Column:
     return F.split(text, " ")
@@ -40,11 +43,18 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     n_tokens = F.col("__n_tokens")
     n_stop = F.col("__n_stop")
+    n_punct = F.length(
+        F.col(text_col)
+    ) - F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, ""))
     return base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
         F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(
+            n_punct.cast("double") / F.greatest(F.length(text_col), F.lit(1)), 6
+        ).alias("punct_ratio"),
         F.round(
             F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
             / n_tokens,
@@ -90,4 +100,32 @@ def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     return df.select(
         "doc_id", F.md5(F.lower(F.col(text_col))).alias("fingerprint")
+    )
+
+
+ROLLING_BASE = 31  # Java-style 64-bit polynomial hash, natural wraparound
+
+
+def rolling_hash(text: str) -> F.Column:
+    """Polynomial rolling hash (Rabin-Karp family) over the characters.
+
+    h = Σ code_i · B^(n-1-i) in wrapping int64 arithmetic, evaluated
+    Horner-style as one JVM ``aggregate`` over the character array — no
+    Python, no shuffle. Unlike md5 this composes incrementally (chunk
+    hashes combine with a power of B), which is what makes it the right
+    primitive for content-defined chunking / shingle windows at ingest.
+    ``text`` is the column NAME (the lambda is SQL-built).
+    """
+    return F.expr(
+        f"aggregate(split({text}, ''), CAST(0 AS BIGINT), "
+        f"(acc, ch) -> acc * {ROLLING_BASE} + ascii(ch))"
+    )
+
+
+def document_rolling_fingerprint(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Rolling-hash fingerprint per document (see :func:`rolling_hash`)."""
+    return df.select(
+        "doc_id", rolling_hash(text_col).alias("rolling_fp")
     )

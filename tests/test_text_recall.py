@@ -125,6 +125,26 @@ def test_ivf_retrieves_planted_near_duplicates(spark):
         assert (q, q + 100000) in got, f"IVF missed planted near-dup for query {q}"
 
 
+def test_rolling_hash_matches_python_reference(spark, docs):
+    from clickhouse_etl_spark.text.analysis import (
+        ROLLING_BASE,
+        document_rolling_fingerprint,
+    )
+
+    sample = docs.limit(5)
+    got = {
+        r["doc_id"]: r["rolling_fp"]
+        for r in document_rolling_fingerprint(sample).collect()
+    }
+    mask = (1 << 64) - 1
+    for r in sample.collect():
+        h = 0
+        for ch in r["text"]:
+            h = (h * ROLLING_BASE + ord(ch)) & mask
+        expect = h - (1 << 64) if h >= (1 << 63) else h  # signed int64
+        assert got[r["doc_id"]] == expect
+
+
 def test_ann_is_subset_of_bruteforce_universe(spark):
     """ANN results carry correct cosines: each (query, id, cosine) triple
     must agree with the exact computation from the brute-force path."""
