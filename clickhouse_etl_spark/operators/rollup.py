@@ -116,3 +116,58 @@ def hierarchical_rollup(
 
     nodes.unpersist()
     return resolved
+
+
+def hierarchical_rollup_by_level(
+    evaluations: DataFrame,
+    scores: DataFrame,
+    level_types: list[str],
+    id_col: str = "evaluationId",
+    parent_col: str = "parentId",
+    score_col: str = "score",
+    type_col: str = "type",
+) -> DataFrame:
+    """Rollup fast path for a KNOWN level ordering (bottom-up types).
+
+    When the hierarchy's shape is rigid — the reference's tree always is:
+    custom → subject → month → semester (type field, SURVEY.md §1.1) —
+    the generic fixed-point loop's per-level isEmpty() actions and
+    checkpoints are pure overhead. This variant builds ONE lazy plan:
+    leaf averages once over the fact, then one join+agg per declared
+    level. Same semantics as :func:`hierarchical_rollup` on such trees
+    (asserted in tests): null-as-zero leaf averages, NULL for unscored
+    leaves, parents average non-null child values, childless mid-level
+    nodes yield NULL.
+    """
+    leaf_type = level_types[0]
+    leaf_vals = scores.groupBy(id_col).agg(
+        F.avg(F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))).alias("value")
+    )
+    prev = (
+        evaluations.filter(F.col(type_col) == leaf_type)
+        .select(id_col)
+        .join(leaf_vals, on=id_col, how="left")
+    )
+    levels = [prev]
+    prev_type = leaf_type
+    for t in level_types[1:]:
+        child_edges = evaluations.filter(F.col(type_col) == prev_type).select(
+            F.col(parent_col).alias("__p"), F.col(id_col)
+        )
+        child_vals = (
+            child_edges.join(prev, on=id_col)
+            .groupBy("__p")
+            .agg(F.avg("value").alias("value"))
+            .withColumnRenamed("__p", id_col)
+        )
+        level_rows = (
+            evaluations.filter(F.col(type_col) == t)
+            .select(id_col)
+            .join(child_vals, on=id_col, how="left")
+        )
+        levels.append(level_rows)
+        prev, prev_type = level_rows, t
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -518,7 +518,15 @@ def a5_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey")).alias("evaluationId"),
         F.col("o_totalprice").alias("score"),
     )
-    rolled = hierarchical_rollup(evals, scores, max_depth=3)
+    # The level ordering is known (customer→nation→region), so the
+    # single-plan leveled fast path applies — no per-level driver actions.
+    # Generic fixed-point hierarchical_rollup stays for unknown shapes;
+    # tests assert both agree on this tree.
+    from clickhouse_etl_spark.operators.rollup import hierarchical_rollup_by_level
+
+    rolled = hierarchical_rollup_by_level(
+        evals, scores, level_types=["customer", "nation", "region"]
+    )
     return rolled.select(
         F.col("evaluationId").alias("id"), F.round("value", 6).alias("value")
     )

@@ -55,6 +55,26 @@ def test_every_node_gets_exactly_one_row(rolled):
     assert len(rolled) == len(TREE)
 
 
+def test_leveled_fast_path_matches_generic(spark):
+    """On a rigid-typed tree the single-plan leveled rollup must agree
+    with the generic fixed-point loop row for row."""
+    from clickhouse_etl_spark.operators.rollup import hierarchical_rollup_by_level
+
+    evals = spark.createDataFrame(TREE, ["evaluationId", "parentId", "type"])
+    scores = spark.createDataFrame(SCORES, ["evaluationId", "score"])
+    generic = {
+        r["evaluationId"]: r["value"]
+        for r in hierarchical_rollup(evals, scores).collect()
+    }
+    leveled = {
+        r["evaluationId"]: r["value"]
+        for r in hierarchical_rollup_by_level(
+            evals, scores, ["subject", "month", "semester"]
+        ).collect()
+    }
+    assert leveled == generic
+
+
 def test_cycle_terminates(spark):
     # a → b → a cycle plus a normal leaf; must terminate, cycle nodes
     # simply never resolve (absent), the clean branch still computes.
