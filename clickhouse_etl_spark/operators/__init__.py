@@ -3,6 +3,8 @@
 from clickhouse_etl_spark.operators.dedup import (  # noqa: F401
     latest_row_per_key,
     last_write_wins,
+    scrub_invalid_keys,
+    exact_distinct,
 )
 from clickhouse_etl_spark.operators.joins import (  # noqa: F401
     broadcast_dim_join,
@@ -14,6 +16,16 @@ from clickhouse_etl_spark.operators.aggregates import (  # noqa: F401
     avg_null_dropped,
     avg_null_as_zero,
     weighted_average,
+    avg_of_avgs,
+    credit_totals,
     nested_details,
+    json_details,
 )
-from clickhouse_etl_spark.operators.rollup import hierarchical_rollup  # noqa: F401
+from clickhouse_etl_spark.operators.rollup import (  # noqa: F401
+    hierarchical_rollup,
+    hierarchical_rollup_by_level,
+)
+from clickhouse_etl_spark.operators.skew import (  # noqa: F401
+    salted_join,
+    salted_sum_count,
+)

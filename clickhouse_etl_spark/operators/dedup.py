@@ -57,6 +57,25 @@ def last_write_wins(
     return latest_row_per_key(df, [key], order_col)
 
 
+def representative_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    payload_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """W2 — per-key payload values taken from the max-``order_col`` row.
+
+    reference: apps/airflow/dags/student_transcript/
+    etl_student_transcript_to_clickhouse.py:296-301,330-332 keeps the score
+    with the latest ``markedAt`` as the representative scorer. ``max_by``
+    is the single-agg form — one shuffle, no window, no self-join.
+    """
+    return df.groupBy(*keys).agg(
+        *[F.max_by(c, order_col).alias(c) for c in payload_cols],
+        F.max(order_col).alias(order_col),
+    )
+
+
 def scrub_invalid_keys(
     df: DataFrame,
     cols: Sequence[str],

@@ -545,10 +545,16 @@ def a5_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w2_latest_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.dedup import representative_latest
+
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("user_id").agg(
-        F.max_by("event_type", "event_id").alias("last_event_type"),
-        F.max("event_id").alias("last_event_id"),
+    out = representative_latest(
+        events, ["user_id"], payload_cols=["event_type"], order_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("event_id").alias("last_event_id"),
     )
 
 

@@ -2,3 +2,7 @@
 
 from clickhouse_etl_spark.sinks.writers import write_mergetree_mapped  # noqa: F401
 from clickhouse_etl_spark.sinks.migrations import MigrationRunner  # noqa: F401
+from clickhouse_etl_spark.sinks.bucketed import (  # noqa: F401
+    colocated_join,
+    write_bucketed_table,
+)

@@ -6,3 +6,9 @@ from clickhouse_etl_spark.sources.readers import (  # noqa: F401
     incremental_read,
 )
 from clickhouse_etl_spark.sources.watermark import WatermarkLedger  # noqa: F401
+from clickhouse_etl_spark.sources.documents import (  # noqa: F401
+    mongo_projection_columns,
+    normalize_object_id,
+    read_document_collection,
+)
+from clickhouse_etl_spark.sources.federated import register_jdbc_catalog  # noqa: F401

@@ -2,15 +2,20 @@
 
 from clickhouse_etl_spark.text.analysis import (  # noqa: F401
     document_fingerprint,
+    document_rolling_fingerprint,
     language_guess,
     text_stats,
+    token_count_regex,
 )
 from clickhouse_etl_spark.text.dedup import (  # noqa: F401
     exact_dedup,
     minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
     simhash_signatures,
 )
 from clickhouse_etl_spark.text.similarity import (  # noqa: F401
     brute_force_cosine_topk,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
