@@ -90,6 +90,12 @@ def minhash_near_duplicates(
     Jaccard. Only bucket-colliding pairs are ever compared, so cost is
     proportional to collisions, not n².
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — a ragged last band silently changes the "
+            f"collision probability curve"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
     banded = sigs.select(

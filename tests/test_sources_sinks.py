@@ -65,6 +65,33 @@ def test_mergetree_mapped_write_layout(spark, tmp_path):
     assert pruned.count() == 2
 
 
+def test_staging_publish_swap_and_rollback(spark, tmp_path):
+    from clickhouse_etl_spark.sinks.staging import (
+        list_versions,
+        publish_snapshot,
+        read_current,
+        rollback,
+    )
+
+    root = str(tmp_path / "fact_table")
+    v1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    v2 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+
+    publish_snapshot(v1, root, "20240101")
+    assert read_current(spark, root).count() == 1
+
+    publish_snapshot(v2, root, "20240102")
+    assert read_current(spark, root).count() == 2
+    assert list_versions(root) == ["v=20240101", "v=20240102"]
+
+    rollback(root, "20240101")
+    assert read_current(spark, root).count() == 1  # instant rollback
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        rollback(root, "19990101")
+
+
 def test_migration_runner_idempotent(spark, tmp_path):
     from clickhouse_etl_spark.sinks.migrations import MigrationRunner
 
