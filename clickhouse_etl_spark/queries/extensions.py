@@ -70,6 +70,32 @@ def ext_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# COUNT DISTINCT per group — exact here (oracle-checkable); the approximate
+# HLL form (approx_count_distinct) is pinned against this in pytest with a
+# documented error bound, since an approximate result can't hash-match.
+# ---------------------------------------------------------------------------
+@register(
+    "ext_distinct_users_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ext_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # lag/lead — inter-event gaps (the analytics the streaming tier's
 # sessionization is built on, exposed as a batch operator).
 # ---------------------------------------------------------------------------

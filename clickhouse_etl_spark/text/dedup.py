@@ -124,11 +124,27 @@ def minhash_near_duplicates(
             F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
         )
         .distinct()
+        # consumed three times below (two id projections + the verify
+        # join) — materialize the (small) pair list once
+        .localCheckpoint(eager=True)
     )
     from clickhouse_etl_spark.util import rebalance_for_compute
 
-    shingle_sets = rebalance_for_compute(df).select(
-        F.col(id_col), F.array_distinct(_shingles(text_col, shingle_k)).alias("__set")
+    # Re-shingle ONLY the docs that appear in some candidate pair (semi
+    # join), and materialize once — the verify stage joins this set twice
+    # (doc_a and doc_b side), and candidates ≪ corpus after banding.
+    candidate_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    shingle_sets = (
+        rebalance_for_compute(df.join(F.broadcast(candidate_ids), on=id_col, how="left_semi"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(_shingles(text_col, shingle_k)).alias("__set"),
+        )
+        .localCheckpoint(eager=True)
     )
     verified = (
         candidates.join(

@@ -79,6 +79,17 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+# --- approximate aggregates -------------------------------------------------
+
+def test_approx_count_distinct_within_bound(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    r = events.agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+    ).collect()[0]
+    assert abs(r["approx"] - r["exact"]) <= max(3, 0.15 * r["exact"])
+
+
 # --- K4: nested Array(Struct) warehouse write ------------------------------
 
 def test_nested_transcript_write_roundtrip(spark, tmp_path):
