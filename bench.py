@@ -47,9 +47,15 @@ def main() -> int:
 
     qs = entrymod.queries()
 
-    # Warm up the JVM/codegen path once so the first timed query isn't
-    # charged for session startup.
+    # Warm up the JVM/codegen path AND the Python worker pool once so the
+    # first timed query isn't charged for session infrastructure startup
+    # (Arrow workers take ~2s to spin; they're reused across queries).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _identity(it):
+        yield from it
+
+    spark.range(1_000).mapInPandas(_identity, schema="id long").count()
 
     per_query: dict[str, float] = {}
     failed: dict[str, str] = {}

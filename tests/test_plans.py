@@ -55,6 +55,17 @@ def test_no_python_udf_in_relational_queries(spark):
         assert "PythonUDF" not in plan, f"{name} ships rows through Python"
 
 
+def test_no_unbroadcast_cartesian_anywhere(spark):
+    """Every cross-product in the inventory must be the broadcast form
+    (BroadcastNestedLoopJoin over a tiny side) — a plain CartesianProduct
+    at 100 TB is a job-killer, so none may appear in ANY registered plan."""
+    from clickhouse_etl_spark.queries import QUERIES
+
+    for name, fn in QUERIES.items():
+        plan = _explain(fn(spark, SF_SMOKE), mode="simple")
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+
+
 def test_whole_stage_codegen_covers_q1(spark):
     plan = _explain(q1_pricing_summary(spark, SF_SMOKE), mode="codegen")
     # "Found N WholeStageCodegen subtrees" — the whole agg pipeline codegens.
