@@ -39,6 +39,15 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Size scan splits to the DATA, not the default: sf0.1 tables are
+        # single ≤50MB files, which the 128MB default reads as ONE task —
+        # serializing every scan on 1 of 32 cores. 4MB splits parallelize
+        # them. (On a real 100TB cluster files are many and large; you'd
+        # keep 128MB to bound task count.)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

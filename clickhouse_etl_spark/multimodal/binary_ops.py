@@ -105,3 +105,100 @@ def extract_features(
             )
 
     return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads.
+
+    ``resizer(payload, w, h) -> bytes`` is the injection seam for a real
+    codec (PIL/libvips — not in this container). The default STUB is a
+    deterministic fake that emits a w*h-byte pseudo-image derived from the
+    content hash, so the Spark contract — schema, batch shape, payload
+    size ∝ w*h — is real and testable.
+    """
+    if resizer is None:
+
+        def resizer(payload: bytes, w: int, h: int) -> bytes:
+            digest = hashlib.sha256(payload).digest()
+            reps = (w * h) // len(digest) + 1
+            return (digest * reps)[: w * h]
+
+    resize = resizer
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [resize(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_frames_total", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 10,
+    decoder: Callable[[bytes], list] | None = None,
+) -> DataFrame:
+    """Frame sampling for video payloads: 1 row in → N frame rows out.
+
+    The fan-out shape (mapInPandas may yield MORE rows than it receives)
+    is the part Spark must get right — schema, ordering column, and the
+    per-frame binary. The STUB ``decoder`` fakes a 32-'frame' video by
+    chunking the payload; a real ffmpeg-backed decoder plugs into the
+    same seam.
+    """
+    if decoder is None:
+
+        def decoder(payload: bytes) -> list:
+            n = 32
+            chunk = max(1, len(payload) // n)
+            return [payload[i * chunk : (i + 1) * chunk] for i in range(n)]
+
+    decode = decoder
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_no": [], "frame": [], "n_frames_total": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode(payload)
+                for i in range(0, len(frames), every_nth):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["frame"].append(frames[i])
+                    rows["n_frames_total"].append(len(frames))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=FRAMES_SCHEMA)

@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_etl_spark.catalog import load_table
-from clickhouse_etl_spark.multimodal import attach_binary_payload, extract_features
+from clickhouse_etl_spark.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
 from clickhouse_etl_spark.queries import register
 from clickhouse_etl_spark.text.analysis import (
     STOPWORDS,
@@ -28,6 +33,7 @@ from clickhouse_etl_spark.text.dedup import (
 )
 from clickhouse_etl_spark.text.similarity import (
     brute_force_cosine_topk,
+    embedding_cosine_neardup,
     ivf_ann_topk,
     lsh_ann_topk,
 )
@@ -244,6 +250,62 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return ivf_ann_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup PAIRS (dedup shape, not search shape). LSH
+# candidates → exact verify; approximate candidate set → rows-only check,
+# recall contract pinned in tests/test_text_recall.py.
+# ---------------------------------------------------------------------------
+@register("ns_emb_neardup")
+def ns_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_neardup(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize: stub emits a (width*height)-byte pseudo-image from the
+# sha256 digest — exactly reproducible in SQL (from_hex(repeat(sha256))),
+# so the mapInPandas plumbing gets a REAL oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "ns_mm_resize",
+    oracle="""
+    SELECT doc_id,
+           from_hex(repeat(sha256(text), 2)) AS payload,
+           8 AS width, 8 AS height,
+           64::BIGINT AS n_bytes
+    FROM documents
+    """,
+)
+def ns_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs, source_col="text", modality="image")
+    return resize_images(payloads, width=8, height=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: 1 video row → N frame rows (fan-out shape).
+# The stub 'video' is the payload chunked into 32 frames; every 10th is
+# sampled. ASCII fixture text makes byte chunks == char chunks, so the
+# oracle mirrors the slicing with substr+encode.
+# ---------------------------------------------------------------------------
+@register(
+    "ns_mm_frames",
+    oracle="""
+    SELECT d.doc_id, g.i AS frame_no,
+           encode(substr(d.text,
+                         g.i * GREATEST(octet_length(encode(d.text)) // 32, 1) + 1,
+                         GREATEST(octet_length(encode(d.text)) // 32, 1))) AS frame,
+           32 AS n_frames_total
+    FROM documents d
+    CROSS JOIN (SELECT unnest([0, 10, 20, 30]) AS i) g
+    """,
+)
+def ns_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs, source_col="text", modality="video")
+    return sample_frames(payloads, every_nth=10)
 
 
 # ---------------------------------------------------------------------------

@@ -202,6 +202,59 @@ def ivf_ann_topk(
     )
 
 
+def embedding_cosine_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    num_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate PAIRS: cosine ≥ threshold.
+
+    The dedup shape (all qualifying pairs), not the search shape (top-k
+    per query): multi-table hyperplane LSH generates candidate pairs —
+    cost ∝ bucket collisions, never n² — then exact cosine verifies, so
+    there are no false positives; recall follows the OR-amplified
+    (1-(1-p^planes)^tables) curve, which is steep near cosine 1 where
+    near-duplicates live. Pairs emit once (id_a < id_b).
+    """
+    c = corpus.select(
+        F.col(id_col), F.expr(_as_double(vec_col)).alias("__v")
+    ).select(
+        id_col,
+        "__v",
+        F.posexplode(_table_buckets("__v", num_planes, num_tables)).alias(
+            "__table", "__bucket"
+        ),
+    ).localCheckpoint(eager=True)  # self-joined below; hash planes once
+
+    l, r = c.alias("l"), c.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.__table") == F.col("r.__table"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.__v").alias("__va"),
+            F.col("r.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = _DOT.format(a="__va", b="__vb")
+    na = _NORM.format(a="__va")
+    nb = _NORM.format(a="__vb")
+    return (
+        pairs.withColumn("__cos", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

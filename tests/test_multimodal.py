@@ -49,6 +49,35 @@ def test_extract_features_schema_and_values(spark):
         assert r["features"] == pytest.approx(list(expect))
 
 
+def test_resize_contract(spark):
+    from clickhouse_etl_spark.multimodal import resize_images
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(4)
+    out = resize_images(
+        attach_binary_payload(docs, "text"), width=16, height=4
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert len(r["payload"]) == 16 * 4 == r["n_bytes"]
+        assert (r["width"], r["height"]) == (16, 4)
+
+
+def test_frame_sampling_fanout(spark):
+    from clickhouse_etl_spark.multimodal import sample_frames
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(3)
+    out = sample_frames(
+        attach_binary_payload(docs, "text", modality="video"), every_nth=8
+    ).collect()
+    # 32 fake frames, every 8th → 4 rows per input doc (fan-out shape)
+    assert len(out) == 3 * 4
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
+        assert r["n_frames_total"] == 32
+    assert all(sorted(v) == [0, 8, 16, 24] for v in by_doc.values())
+
+
 def test_decoder_injection_seam(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(3)
     payloads = attach_binary_payload(docs, source_col="text")

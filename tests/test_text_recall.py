@@ -125,6 +125,25 @@ def test_ivf_retrieves_planted_near_duplicates(spark):
         assert (q, q + 100000) in got, f"IVF missed planted near-dup for query {q}"
 
 
+def test_embedding_neardup_finds_planted_pair_no_false_positives(spark):
+    from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x * (1.0 + 0.001 * sin(i)))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    out = embedding_cosine_neardup(corpus, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    for q in range(3):
+        assert (q, q + 100000) in got, f"planted near-dup pair {q} missed"
+    # exact verification → every reported cosine must really be ≥ 0.9
+    assert all(c >= 0.9 for c in got.values())
+
+
 def test_rolling_hash_matches_python_reference(spark, docs):
     from clickhouse_etl_spark.text.analysis import (
         ROLLING_BASE,
