@@ -176,6 +176,29 @@ def test_object_id_normalization(spark, landing_zone):
     )
 
 
+def test_malformed_documents_degrade_to_nulls(spark, tmp_path):
+    """PERMISSIVE boundary: a malformed JSONL line must not kill the read
+    — its fields come back NULL (and are filterable), valid rows parse."""
+    zone = tmp_path / "dirty"
+    zone.mkdir()
+    (zone / "docs.jsonl").write_text(
+        '{"_id": "ok1", "name": "Valid", "type": "subject", '
+        '"parent": {"id": "p", "kind": "k"}, "maxScore": 10.0}\n'
+        "{this is not json at all\n"
+        '{"_id": "ok2", "name": "Valid2", "type": "custom", '
+        '"parent": null, "maxScore": 5.0}\n'
+    )
+    df = read_document_collection(spark, str(zone), DOC_SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 3  # malformed row present, all-NULL, not fatal
+    names = sorted(r["name"] for r in rows if r["name"] is not None)
+    assert names == ["Valid", "Valid2"]
+    # and the standard scrub drops it
+    from clickhouse_etl_spark.operators.dedup import scrub_invalid_keys
+
+    assert scrub_invalid_keys(df, ["_id"]).count() == 2
+
+
 def test_document_source_as_pipeline_extract(spark, landing_zone):
     """The Mongo-analog extract feeding a pipeline stage (S4 → transform)."""
     pipe = Pipeline("mongo_etl")

@@ -51,6 +51,52 @@ def test_session_batch_equals_stream(spark, event_stream, tmp_path):
     assert stream == batch
 
 
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once incremental semantics: re-running against the same
+    checkpoint after new files land must read ONLY the new files (the
+    streaming form of the S7 high-watermark contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_etl_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    pdf = events.toPandas().sort_values("ts")
+    pdf["ts"] = pdf["ts"].astype("int64")
+    half = len(pdf) // 2
+    zone = tmp_path / "resume_zone"
+    zone.mkdir()
+    ckpt = str(tmp_path / "resume_ckpt")
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[:half], preserve_index=False),
+        str(zone / "a.parquet"),
+    )
+
+    def run_once(name):
+        stream = st.read_event_stream(spark, str(zone))
+        q = (
+            st.tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    assert run_once("resume_run1") == half
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[half:], preserve_index=False),
+        str(zone / "b.parquet"),
+    )
+    # second run, SAME checkpoint: only file b is read
+    assert run_once("resume_run2") == len(pdf) - half
+
+
 # --- custom stateful operator (applyInPandasWithState) ----------------------
 
 def test_first_seen_stateful_equals_batch_minby(spark, event_stream, tmp_path):
