@@ -329,13 +329,16 @@ def student_transcript(
     evaluations: DataFrame,
     scores: DataFrame,
     students: DataFrame,
+    include_details: bool = True,
 ) -> DataFrame:
     """Nested transcript: per-student subjectDetails array + A6 totals.
 
     The detail struct mirrors the 18-field ``subjectDetails`` tuple
     (transcript DDL …create_transcript_table.sql:24-49) over the fields
     the synthetic warehouse carries; the month→semester ancestry is the
-    J4 two-hop self-join.
+    J4 two-hop self-join. ``include_details=False`` skips the nested
+    collect_list for totals-only consumers (same fact chain, one agg
+    instead of two).
     """
     fact = monthly_subject_fact(evaluations, scores, students)
     months = evaluations.filter(F.col("type") == "month")
@@ -372,6 +375,9 @@ def student_transcript(
         F.col("sem_evaluationId").alias("semesterEvaluationId"),
         F.col("sem_name").alias("semesterName"),
     )
+    if not include_details:
+        return credit_totals(with_sem, ["studentId"], credit="credit", gpa="gpa")
+
     # Both aggregations below consume this plan; materialize it once
     # instead of recomputing the whole fact chain per branch.
     with_sem = with_sem.localCheckpoint(eager=True)

@@ -200,7 +200,9 @@ def pl_monthly_subject_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pl_transcript_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = synthetic_warehouse(spark, sf_dir)
-    t = student_transcript(wh["evaluations"], wh["scores"], wh["students"])
+    t = student_transcript(
+        wh["evaluations"], wh["scores"], wh["students"], include_details=False
+    )
     return t.select(
         "studentId",
         F.col("totalCredits").cast("double").alias("totalCredits"),
