@@ -70,32 +70,54 @@ def brute_force_cosine_topk(
     )
 
 
-def _hyperplane_sign(vec_col: str, plane: int) -> str:
-    """Sign bit of <v, h_plane> where h_plane[d] = deterministic ±1 from
-    xxhash64(plane, d) — a reproducible random hyperplane, no stored model."""
+def _plane_signs(plane: int, dims: int) -> list[int]:
+    """Deterministic ±1 hyperplane components: sha256("hp{plane}:{d}") low
+    bit. Computed ONCE driver-side and embedded as a literal array — the
+    previous form re-hashed these constants per corpus ROW (dims × planes
+    × tables hash calls each), a pure constant-factor waste."""
+    import hashlib
+
+    return [
+        1 if hashlib.sha256(f"hp{plane}:{d}".encode()).digest()[-1] & 1 else -1
+        for d in range(dims)
+    ]
+
+
+def _hyperplane_sign(vec_col: str, plane: int, dims: int) -> str:
+    signs = ", ".join(f"{s}.0D" for s in _plane_signs(plane, dims))
     proj = (
-        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
-        f" (x, d) -> x * (CAST(pmod(xxhash64(concat('hp{plane}:', d)), 2) AS DOUBLE) * 2.0 - 1.0)),"
+        f"aggregate(zip_with({vec_col}, array({signs}), (x, s) -> x * s),"
         f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     return f"CASE WHEN ({proj}) >= 0 THEN 1 ELSE 0 END"
 
 
-def lsh_bucket(vec_col: str, num_planes: int = 8) -> F.Column:
+def _probe_dims(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality (tiny first-row probe, one-time)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not row:
+        return 0
+    return int(row[0]["d"])
+
+
+def lsh_bucket(vec_col: str, num_planes: int = 8, dims: int = 64) -> F.Column:
     """Bucket id = concatenated hyperplane sign bits (0..2^planes-1)."""
     bits = [
-        f"({_hyperplane_sign(vec_col, p)}) * {1 << p}" for p in range(num_planes)
+        f"({_hyperplane_sign(vec_col, p, dims)}) * {1 << p}"
+        for p in range(num_planes)
     ]
     return F.expr(" + ".join(bits))
 
 
-def _table_buckets(vec_col: str, num_planes: int, num_tables: int) -> F.Column:
+def _table_buckets(
+    vec_col: str, num_planes: int, num_tables: int, dims: int
+) -> F.Column:
     """Array of ``num_tables`` bucket ids; table t uses planes
     [t*num_planes, (t+1)*num_planes)."""
     buckets = []
     for t in range(num_tables):
         bits = [
-            f"({_hyperplane_sign(vec_col, t * num_planes + p)}) * {1 << p}"
+            f"({_hyperplane_sign(vec_col, t * num_planes + p, dims)}) * {1 << p}"
             for p in range(num_planes)
         ]
         buckets.append(" + ".join(bits))
@@ -219,12 +241,13 @@ def embedding_cosine_neardup(
     (1-(1-p^planes)^tables) curve, which is steep near cosine 1 where
     near-duplicates live. Pairs emit once (id_a < id_b).
     """
+    dims = _probe_dims(corpus, vec_col)
     c = corpus.select(
         F.col(id_col), F.expr(_as_double(vec_col)).alias("__v")
     ).select(
         id_col,
         "__v",
-        F.posexplode(_table_buckets("__v", num_planes, num_tables)).alias(
+        F.posexplode(_table_buckets("__v", num_planes, num_tables, dims)).alias(
             "__table", "__bucket"
         ),
     ).localCheckpoint(eager=True)  # self-joined below; hash planes once
@@ -273,12 +296,13 @@ def lsh_ann_topk(
     At corpus scale the bucket join replaces the full cross product; tune
     planes (precision / bucket size) and tables (recall) independently.
     """
+    dims = _probe_dims(corpus, vec_col)
     c = corpus.select(
         F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv")
     ).select(
         id_col,
         "__cv",
-        F.posexplode(_table_buckets("__cv", num_planes, num_tables)).alias(
+        F.posexplode(_table_buckets("__cv", num_planes, num_tables, dims)).alias(
             "__table", "__bucket"
         ),
     )
@@ -288,7 +312,7 @@ def lsh_ann_topk(
     ).select(
         query_id_col,
         "__qv",
-        F.posexplode(_table_buckets("__qv", num_planes, num_tables)).alias(
+        F.posexplode(_table_buckets("__qv", num_planes, num_tables, dims)).alias(
             "__table", "__bucket"
         ),
     )
