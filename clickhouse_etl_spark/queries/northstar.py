@@ -134,6 +134,31 @@ def ns_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking — context-window preparation (1 doc → N overlapping
+# token-window chunks). chunk=40 / overlap=8 at fixture doc lengths gives
+# a real multi-chunk fan-out.
+# ---------------------------------------------------------------------------
+@register(
+    "ns_chunk_documents",
+    oracle="""
+    SELECT d.doc_id, CAST(g.i AS INT) AS chunk_no,
+           array_to_string(list_slice(string_split(d.text, ' '),
+                                      g.i * 32 + 1, g.i * 32 + 40), ' ') AS chunk_text,
+           len(list_slice(string_split(d.text, ' '),
+                          g.i * 32 + 1, g.i * 32 + 40)) AS chunk_n_tokens
+    FROM documents d,
+         UNNEST(range(0, (GREATEST(len(string_split(d.text, ' ')) - 8, 1) + 31) // 32))
+           AS g(i)
+    """,
+)
+def ns_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.analysis import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=40, overlap_tokens=8)
+
+
+# ---------------------------------------------------------------------------
 # Rolling-hash fingerprint (Rabin-Karp family; composes incrementally,
 # unlike md5 — the content-defined-chunking primitive). Oracle emulates
 # Spark's wrapping int64 arithmetic with a HUGEINT fold mod 2^64.

@@ -103,6 +103,52 @@ def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the context-
+    window preparation step of an LLM training/RAG pipeline.
+
+    One row in → ceil(max(n-overlap,1)/step) rows out (step = chunk −
+    overlap), all with JVM higher-order functions: tokenize once, explode
+    a chunk index, slice per chunk. No Python, no shuffle — scales
+    linearly with the corpus.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = f"split({text_col}, ' ')"
+    n_chunks = (
+        f"(greatest(size({toks}) - {overlap_tokens}, 1) + {step} - 1) div {step}"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.expr(toks).alias("__toks"),
+        F.expr(n_chunks).alias("__n_chunks"),
+    )
+    exploded = base.select(
+        id_col,
+        "__toks",
+        F.posexplode(F.expr("sequence(0, __n_chunks - 1)")).alias(
+            "__pos", "chunk_no"
+        ),
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.expr(
+            f"concat_ws(' ', slice(__toks, chunk_no * {step} + 1, {chunk_tokens}))"
+        ).alias("chunk_text"),
+        F.expr(
+            f"size(slice(__toks, chunk_no * {step} + 1, {chunk_tokens}))"
+        ).alias("chunk_n_tokens"),
+    )
+
+
 ROLLING_BASE = 31  # Java-style 64-bit polynomial hash, natural wraparound
 
 

@@ -125,6 +125,34 @@ def test_ivf_retrieves_planted_near_duplicates(spark):
         assert (q, q + 100000) in got, f"IVF missed planted near-dup for query {q}"
 
 
+def test_chunking_reconstructs_document(spark):
+    """Chunks with overlap must tile the document: dropping each chunk's
+    overlap prefix (except chunk 0) and concatenating reconstructs the
+    original token stream exactly."""
+    from clickhouse_etl_spark.text.analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "short doc")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=30, overlap_tokens=5)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_no"], r["chunk_text"]) for r in out.collect())
+    )
+    by_doc = {}
+    for doc_id, chunk_no, text in rows:
+        toks = text.split(" ")
+        if chunk_no > 0:
+            toks = toks[5:]  # drop the overlap prefix
+        by_doc.setdefault(doc_id, []).extend(toks)
+    assert by_doc[1] == [f"w{i}" for i in range(100)]
+    assert by_doc[2] == ["short", "doc"]
+    # every chunk except possibly the last is exactly chunk_tokens long
+    for doc_id, chunk_no, text in rows[:-1]:
+        if doc_id == 1 and chunk_no < max(c for d, c, _ in rows if d == 1):
+            assert len(text.split(" ")) == 30
+
+
 def test_embedding_neardup_finds_planted_pair_no_false_positives(spark):
     from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
 
