@@ -96,6 +96,88 @@ def ext_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact percentiles — the ClickHouse quantile() analog (interpolated).
+# ---------------------------------------------------------------------------
+@register(
+    "ext_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / cross-tab — one row per region, one column per order status.
+# ---------------------------------------------------------------------------
+@register(
+    "ext_pivot_status_by_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           COUNT(*) FILTER (o.o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (o.o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (o.o_orderstatus = 'P') AS status_P
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def ext_pivot_status_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "region",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling — reproducible hash-mod subsets (the training-data
+# sampling primitive: same rows every run, no RNG state, pushes down).
+# ---------------------------------------------------------------------------
+@register(
+    "ext_deterministic_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE (event_id * 2654435761) % 100 < 10
+    """,
+)
+def ext_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(
+        F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(100)) < 10
+    ).select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # lag/lead — inter-event gaps (the analytics the streaming tier's
 # sessionization is built on, exposed as a batch operator).
 # ---------------------------------------------------------------------------
