@@ -229,6 +229,38 @@ def ns_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding L2-normalization — after this cosine == dot product. The query
+# projects scalar evidence (norm of the unit vector must be 1, original
+# norm reported) since the driver canon needs hashable cells; the operator
+# itself returns the typed array for downstream pipelines.
+# ---------------------------------------------------------------------------
+@register(
+    "ns_normalize_embeddings",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> x * x), 'sum')), 6) AS l2_norm,
+           1.0 AS unit_norm
+    FROM embeddings
+    """,
+)
+def ns_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.similarity import normalize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = normalize_embeddings(emb)
+    unit_norm = (
+        "round(sqrt(aggregate(transform(unit_vec, x -> x * x),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)), 6)"
+    )
+    return out.select(
+        "vec_id",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        F.expr(unit_norm).alias("unit_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Brute-force cosine top-k (exact; DuckDB list_cosine_similarity oracle)
 # ---------------------------------------------------------------------------
 @register(

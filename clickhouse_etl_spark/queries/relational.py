@@ -726,6 +726,35 @@ def f_scalar_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F11 (typed form) — from_json with an explicit schema: the parsed-struct
+# alternative to get_json_object, incl. malformed-input → NULL semantics
+# (reference stores dynamic JSON in strings; SURVEY §1.2 maps it to
+# from_json when fields need typing).
+# ---------------------------------------------------------------------------
+@register(
+    "f_json_parse",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 10 = 0 THEN NULL
+                ELSE CAST(props->>'$.k' AS BIGINT) END AS k_typed,
+           (event_id % 10 = 0) AS was_malformed
+    FROM events
+    """,
+)
+def f_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dirty = F.when(F.col("event_id") % 10 == 0, F.lit("{not json")).otherwise(
+        F.col("props")
+    )
+    parsed = F.from_json(dirty, "k BIGINT")
+    return events.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        (F.col("event_id") % 10 == 0).alias("was_malformed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship: TPC-H-Q1-shaped pricing summary (A1+A3+F7 composition) — also
 # the headline bench query.
 # ---------------------------------------------------------------------------

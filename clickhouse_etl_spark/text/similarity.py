@@ -25,6 +25,29 @@ def _as_double(col: str) -> str:
     return f"transform({col}, x -> CAST(x AS DOUBLE))"
 
 
+def normalize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-normalize embeddings (the standard preprocessing step: after
+    this, cosine similarity IS the dot product, which halves the per-pair
+    work in every downstream ANN/dedup pass). Zero vectors pass through
+    unchanged (norm guard). Pure JVM higher-order functions."""
+    v = _as_double(vec_col)
+    norm = _NORM.format(a=v)
+    unit = (
+        f"CASE WHEN ({norm}) > 0"
+        f" THEN transform({v}, x -> x / ({norm}))"
+        f" ELSE {v} END"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(unit).alias("unit_vec"),
+        F.expr(norm).alias("l2_norm"),
+    )
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
