@@ -726,6 +726,52 @@ def f_scalar_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join (extension): for each 'click' event, the most recent
+# 'purchase' value at-or-before it per user. Right side pre-deduped per
+# (user, ts) so the tie policy is explicit on both engines; DuckDB oracle
+# uses its native ASOF JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "ext_asof_last_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           ROUND(p.purchase_value, 6) AS last_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def ext_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", value_cols=["purchase_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("asof_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F11 (typed form) — from_json with an explicit schema: the parsed-struct
 # alternative to get_json_object, incl. malformed-input → NULL semantics
 # (reference stores dynamic JSON in strings; SURVEY §1.2 maps it to

@@ -67,6 +67,31 @@ def test_j4_two_hop_ancestry(spark):
     assert r["month_evaluationId"] == "mon" and r["sem_evaluationId"] == "sem"
 
 
+def test_asof_join_backward_semantics(spark):
+    """At-or-before: equal timestamps match; later right rows never leak
+    backward; keys with no prior right row get NULL."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [("u1", t(10), "e1"), ("u1", t(20), "e2"), ("u2", t(5), "e3")],
+        ["user_id", "ts", "eid"],
+    )
+    right = spark.createDataFrame(
+        [("u1", t(10), 100.0), ("u1", t(15), 200.0), ("u2", t(30), 999.0)],
+        ["user_id", "ts", "v"],
+    )
+    out = {
+        r["eid"]: r["asof_v"]
+        for r in asof_join(left, right, on="user_id", value_cols=["v"]).collect()
+    }
+    assert out["e1"] == 100.0  # equal ts counts as "at or before"
+    assert out["e2"] == 200.0  # latest of the two priors
+    assert out["e3"] is None  # u2's only right row is in the future
+
+
 def test_j10_candidate_expansion(spark):
     subjects = spark.createDataFrame([("s1",), ("s2",)], ["subj"])
     students = spark.createDataFrame([(1,), (1,), (2,)], ["studentId"])
