@@ -178,6 +178,89 @@ def ext_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range join (binned): events falling inside derived maintenance windows
+# ([02:00,03:30) and [14:00,15:30) of every active day). The oracle is the
+# exact theta join — the engine's binned equi-join must match it row for
+# row while planning as a hash join, not a nested loop.
+# ---------------------------------------------------------------------------
+@register(
+    "ext_range_join_windows",
+    oracle="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+    intervals AS (
+      SELECT 'am_' || strftime(d, '%Y%m%d') AS interval_id,
+             d + INTERVAL 2 HOUR AS s, d + INTERVAL 210 MINUTE AS e FROM days
+      UNION ALL
+      SELECT 'pm_' || strftime(d, '%Y%m%d'),
+             d + INTERVAL 14 HOUR, d + INTERVAL 930 MINUTE FROM days
+    )
+    SELECT i.interval_id, count(ev.ts) AS n_events,
+           CAST(SUM(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM intervals i
+    LEFT JOIN events ev ON ev.ts >= i.s AND ev.ts < i.e
+    GROUP BY i.interval_id
+    """,
+)
+def ext_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.rangejoin import range_join_binned
+
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(F.date_trunc("day", "ts").alias("d")).distinct()
+    intervals = days.select(
+        F.concat(F.lit("am_"), F.date_format("d", "yyyyMMdd")).alias("interval_id"),
+        (F.col("d") + F.expr("INTERVAL 2 HOURS")).alias("start"),
+        (F.col("d") + F.expr("INTERVAL 3 HOURS 30 MINUTES")).alias("end"),
+    ).unionByName(
+        days.select(
+            F.concat(F.lit("pm_"), F.date_format("d", "yyyyMMdd")).alias(
+                "interval_id"
+            ),
+            (F.col("d") + F.expr("INTERVAL 14 HOURS")).alias("start"),
+            (F.col("d") + F.expr("INTERVAL 15 HOURS 30 MINUTES")).alias("end"),
+        )
+    )
+    joined = range_join_binned(
+        events.select("ts", "value"), intervals, bin_seconds=3600, how="right"
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count("ts").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style cascade rollup: daily aggregates computed FROM hourly
+# partials (the continuous-aggregate shape — coarser resolutions reuse
+# finer ones instead of rescanning the fact).
+# ---------------------------------------------------------------------------
+@register(
+    "ext_hypertable_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ext_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+    )
+    daily = hourly.groupBy(
+        F.to_date(F.date_trunc("day", "hour")).alias("day"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_dec").cast("double").alias("sum_value"),
+    )
+    return daily
+
+
+# ---------------------------------------------------------------------------
 # lag/lead — inter-event gaps (the analytics the streaming tier's
 # sessionization is built on, exposed as a batch operator).
 # ---------------------------------------------------------------------------

@@ -92,6 +92,27 @@ def test_asof_join_backward_semantics(spark):
     assert out["e3"] is None  # u2's only right row is in the future
 
 
+def test_range_join_binned_boundaries(spark):
+    """start inclusive, end exclusive, and intervals straddling a bin
+    boundary must still catch events in every covered bin."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.rangejoin import range_join_binned
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    events = spark.createDataFrame(
+        [(t(1, 59), "before"), (t(2, 0), "at_start"), (t(3, 29), "inside"),
+         (t(3, 30), "at_end"), (t(2, 45), "mid")],
+        ["ts", "tag"],
+    )
+    intervals = spark.createDataFrame(
+        [(t(2), t(3, 30), "win")], ["start", "end", "interval_id"]
+    )
+    out = range_join_binned(events, intervals, bin_seconds=3600)
+    tags = sorted(r["tag"] for r in out.collect())
+    assert tags == ["at_start", "inside", "mid"]  # ends exclusive, start in
+
+
 def test_j10_candidate_expansion(spark):
     subjects = spark.createDataFrame([("s1",), ("s2",)], ["subj"])
     students = spark.createDataFrame([(1,), (1,), (2,)], ["studentId"])
