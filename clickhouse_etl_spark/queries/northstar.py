@@ -159,6 +159,48 @@ def ns_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouped-map (applyInPandas) — per-user median/MAD outlier flags. The
+# per-group median is not algebraic, so this is the genuine grouped-pandas
+# case; DuckDB's quantile_cont uses the same linear interpolation as
+# numpy's median, giving a full value-hash oracle for a pandas-UDF path.
+# ---------------------------------------------------------------------------
+@register(
+    "ns_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    mad AS (
+      SELECT e.user_id, quantile_cont(abs(e.value - med.m), 0.5) AS d
+      FROM events e JOIN med ON e.user_id = med.user_id
+      WHERE e.value IS NOT NULL GROUP BY e.user_id
+    )
+    SELECT e.user_id, e.value,
+           ROUND(med.m, 6) AS group_median,
+           ROUND(mad.d, 6) AS group_mad,
+           (mad.d > 0 AND abs(e.value - med.m) > 3.0 * mad.d) AS is_outlier
+    FROM events e
+    JOIN med ON e.user_id = med.user_id
+    JOIN mad ON e.user_id = mad.user_id
+    WHERE e.value IS NOT NULL
+    """,
+)
+def ns_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.grouped import mad_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    out = mad_outliers(events.select("user_id", "value"), ["user_id"])
+    return out.select(
+        "user_id",
+        "value",
+        F.round("group_median", 6).alias("group_median"),
+        F.round("group_mad", 6).alias("group_mad"),
+        "is_outlier",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling-hash fingerprint (Rabin-Karp family; composes incrementally,
 # unlike md5 — the content-defined-chunking primitive). Oracle emulates
 # Spark's wrapping int64 arithmetic with a HUGEINT fold mod 2^64.

@@ -95,6 +95,24 @@ def test_a7_nested_details_deterministic_order(spark):
     assert out["st2"][0]["score"] == 50.0
 
 
+def test_mad_outliers_grouped_map(spark):
+    from clickhouse_etl_spark.operators.grouped import mad_outliers
+
+    rows = [
+        ("u1", 1.0), ("u1", 2.0), ("u1", 3.0), ("u1", 100.0), ("u1", None),
+        ("u2", 5.0),  # single value: MAD 0 → never an outlier
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "value"])
+    out = mad_outliers(df, ["user_id"], "value").collect()
+    assert len(out) == 5  # NULL excluded
+    u1 = {r["value"]: r for r in out if r["user_id"] == "u1"}
+    assert u1[100.0]["is_outlier"] is True
+    assert u1[2.0]["is_outlier"] is False
+    assert u1[2.0]["group_median"] == pytest.approx(2.5)
+    u2 = [r for r in out if r["user_id"] == "u2"][0]
+    assert u2["group_mad"] == 0.0 and u2["is_outlier"] is False
+
+
 def test_a8_json_details_roundtrip(spark):
     rows = [("st1", "quiz", 10.0), ("st1", "exam", 20.0)]
     df = spark.createDataFrame(rows, ["student", "kind", "score"])
