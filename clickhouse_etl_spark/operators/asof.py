@@ -45,13 +45,20 @@ def asof_join(
             c for c in right.columns if c not in keys and c != right_ts
         ]
 
+    # The right side's values travel as ONE struct (non-null per right
+    # row even when every field is null), so the forward fill carries the
+    # whole matched row atomically — per-column last(ignorenulls) would
+    # stitch fields from DIFFERENT right rows whenever the most recent
+    # one holds a null in some column, diverging from as-of semantics.
+    r_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    r_struct_type = right.select(r_struct.alias("__rrow")).schema["__rrow"].dataType
+
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("__rrow"),
     )
     r_tagged = right.select(
         *keys,
@@ -60,7 +67,7 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["__lrow"].dataType
         ).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        r_struct.alias("__rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -71,13 +78,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{suffix}{c}")
-            for c in value_cols
-        ],
+        "*", F.last("__rrow", ignorenulls=True).over(w).alias("__rfill")
     )
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns] + [
-        F.col(f"{suffix}{c}") for c in value_cols
+        F.col(f"__rfill.{c}").alias(f"{suffix}{c}") for c in value_cols
     ]
     return filled.filter(F.col("__is_left") == 1).select(*out_cols)

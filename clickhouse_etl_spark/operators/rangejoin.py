@@ -11,6 +11,8 @@ equi-shuffle Catalyst handles like any other join.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,25 +32,52 @@ def range_join_binned(
     are exclusive. ``bin_seconds`` trades bin-replication of intervals
     against per-bin candidate count — set it near the typical interval
     length.
+
+    ``how``: 'inner', 'left' (keep unmatched events), or 'right' (keep
+    unmatched intervals). The outer variants re-attach unmatched rows via
+    an anti join on the preserved side's full column set (null-safe), so
+    a row matching in one bin never also surfaces null-extended from
+    another bin — the preserved side's rows should be unique.
+
+    Bin boundaries: the upper bin is the *un-decremented*
+    ``floor(unix_timestamp(end) / bin_seconds)`` — ``unix_timestamp``
+    truncates sub-second precision, so decrementing first (the old form)
+    dropped events in ``[floor(end), end)`` whose bin exceeded the
+    decremented bound. The exact predicate filters the overshoot rows the
+    extra tail bin admits. Inverted/zero-length intervals (``end <=
+    start``) are clamped to a single bin instead of generating a
+    descending (spurious) sequence; the exact predicate matches nothing
+    for them, so they only appear (null-extended) under ``how='right'``.
     """
+    if how not in ("inner", "left", "right"):
+        raise ValueError(f"range_join_binned supports inner/left/right, got {how!r}")
+
+    lo_bin = F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds).cast("long")
+    hi_bin = F.floor(F.unix_timestamp(F.col(end_col)) / bin_seconds).cast("long")
     e_binned = events.withColumn(
-        "__bin", (F.unix_timestamp(F.col(ts_col)) / bin_seconds).cast("long")
+        "__bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds).cast("long")
     )
     i_binned = intervals.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                (F.unix_timestamp(F.col(start_col)) / bin_seconds).cast("long"),
-                # end exclusive: a zero-length tail bin is still generated,
-                # the exact predicate filters it
-                ((F.unix_timestamp(F.col(end_col)) - 1) / bin_seconds).cast("long"),
-            )
-        ),
+        "__bin", F.explode(F.sequence(lo_bin, F.greatest(lo_bin, hi_bin)))
     )
-    return (
-        e_binned.join(i_binned, on="__bin", how=how)
+    matched = (
+        e_binned.join(i_binned, on="__bin", how="inner")
         .filter(
             (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
         )
         .drop("__bin")
     )
+    if how == "inner":
+        return matched
+
+    preserved = events if how == "left" else intervals
+    # Null-safe anti join on the preserved side's own columns: rows that
+    # produced at least one match are excluded; the rest come back
+    # null-extended exactly once (hence the uniqueness requirement).
+    matched_keys = matched.select(*preserved.columns).distinct()
+    cond = reduce(
+        lambda a, b: a & b,
+        [preserved[c].eqNullSafe(matched_keys[c]) for c in preserved.columns],
+    )
+    unmatched = preserved.join(matched_keys, on=cond, how="left_anti")
+    return matched.unionByName(unmatched, allowMissingColumns=True)

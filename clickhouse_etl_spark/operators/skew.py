@@ -72,7 +72,18 @@ def salted_join(
     exploded ``salt_buckets``× so each (key, salt) bucket has its build
     row. Output equals ``big.join(small, on, how)`` — asserted in tests —
     but the hot key's probe work spreads over ``salt_buckets`` tasks.
+
+    Only ``how`` in {'inner', 'left'} is supported: for right/full/semi/
+    anti variants the replicated small side would emit each unmatched
+    small row once per salt bucket (or wrongly suppress anti matches), so
+    those are rejected rather than silently wrong.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "small side is replicated per salt bucket, so right/full/semi/"
+            "anti joins would duplicate or drop unmatched small-side rows"
+        )
     keys = list(on)
     big_s = big.withColumn("__salt", _salt_col(salt_from, salt_buckets))
     small_s = small.withColumn(

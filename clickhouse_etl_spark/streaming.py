@@ -27,6 +27,10 @@ from pyspark.sql import types as T
 
 from clickhouse_etl_spark.catalog import ensure_runtime_confs
 
+# Landing-zone symlink dirs created for single-file stream sources,
+# keyed by the real file path; reused across calls, removed at exit.
+_SYMLINK_ZONES: dict[str, str] = {}
+
 # events.parquet physical schema: ts is TIMESTAMP(NANOS) which arrives as
 # a long under nanosAsLong (streaming requires an explicit schema).
 EVENTS_RAW_SCHEMA = T.StructType(
@@ -52,7 +56,9 @@ def read_event_stream(
     ``maxFilesPerTrigger`` throttles micro-batch size (ingestion rate
     control) — leave None for AvailableNow back-fills.
     """
+    import atexit
     import os
+    import shutil
     import tempfile
 
     ensure_runtime_confs(spark)
@@ -63,9 +69,16 @@ def read_event_stream(
         # Spark's file stream source requires a DIRECTORY (it pins
         # basePath to the source path internally). For a single concrete
         # file, build a tiny landing-zone dir holding a symlink — the
-        # shape a real ingestion directory has.
-        zone = tempfile.mkdtemp(prefix="event_stream_zone_")
-        os.symlink(os.path.abspath(path), os.path.join(zone, os.path.basename(path)))
+        # shape a real ingestion directory has. Zones are reused per
+        # source file and removed at interpreter exit so repeated calls
+        # don't leak temp dirs for the process lifetime.
+        real = os.path.abspath(path)
+        zone = _SYMLINK_ZONES.get(real)
+        if zone is None or not os.path.isdir(zone):
+            zone = tempfile.mkdtemp(prefix="event_stream_zone_")
+            os.symlink(real, os.path.join(zone, os.path.basename(real)))
+            _SYMLINK_ZONES[real] = zone
+            atexit.register(shutil.rmtree, zone, ignore_errors=True)
         path = zone
     raw = reader.parquet(path)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -227,5 +240,14 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # Timed out: the memory table holds a PARTIAL result and the query
+        # is still running against the session — stop it and fail loudly
+        # rather than silently returning incomplete data.
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not finish within "
+            f"{timeout_sec}s; stopped to avoid returning partial results"
+        )
     return spark.table(query_name)

@@ -113,6 +113,78 @@ def test_range_join_binned_boundaries(spark):
     assert tags == ["at_start", "inside", "mid"]  # ends exclusive, start in
 
 
+def test_asof_join_row_atomicity(spark):
+    """All carried columns come from the SAME matched right row: a NULL in
+    one column of the most recent row must NOT be backfilled from an older
+    row (the per-column forward-fill bug)."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame([("u1", t(20), "e1")], ["user_id", "ts", "eid"])
+    right = spark.createDataFrame(
+        [("u1", t(5), 1.0, "old"), ("u1", t(10), None, "new")],
+        ["user_id", "ts", "a", "b"],
+    )
+    r = asof_join(left, right, on="user_id", value_cols=["a", "b"]).collect()[0]
+    # the t(10) row is the match: a must be its NULL, not t(5)'s 1.0
+    assert r["asof_a"] is None and r["asof_b"] == "new"
+
+
+def test_range_join_subsecond_end(spark):
+    """A sub-second interval end must not truncate away the final bin:
+    events in [floor(end), end) still match."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.rangejoin import range_join_binned
+
+    events = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 3, 0, 0, 200_000), "tail_in"),
+         (dt.datetime(2024, 1, 1, 3, 0, 0, 700_000), "tail_out")],
+        ["ts", "tag"],
+    )
+    intervals = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 2), dt.datetime(2024, 1, 1, 3, 0, 0, 500_000),
+          "win")],
+        ["start", "end", "interval_id"],
+    )
+    out = range_join_binned(events, intervals, bin_seconds=3600)
+    assert [r["tag"] for r in out.collect()] == ["tail_in"]
+
+
+def test_range_join_outer_and_inverted(spark):
+    """how='right' keeps unmatched intervals exactly once (even spanning
+    several bins); inverted intervals don't generate spurious matches."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.rangejoin import range_join_binned
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    events = spark.createDataFrame([(t(2), "hit")], ["ts", "tag"])
+    intervals = spark.createDataFrame(
+        [(t(2), t(3), "matched"),
+         (t(10), t(14), "empty_wide"),   # 4 bins, no events
+         (t(6), t(5), "inverted")],      # end < start
+        ["start", "end", "interval_id"],
+    )
+    out = range_join_binned(events, intervals, bin_seconds=3600, how="right")
+    rows = {r["interval_id"]: r["tag"] for r in out.collect()}
+    assert rows == {"matched": "hit", "empty_wide": None, "inverted": None}
+    assert out.count() == 3  # one row per unmatched interval, not per bin
+
+
+def test_salted_join_rejects_replicating_sides(spark):
+    from clickhouse_etl_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    try:
+        salted_join(df, df, on=["k"], salt_from=["v"], how="right")
+        raise AssertionError("expected ValueError for how='right'")
+    except ValueError:
+        pass
+
+
 def test_j10_candidate_expansion(spark):
     subjects = spark.createDataFrame([("s1",), ("s2",)], ["subj"])
     students = spark.createDataFrame([(1,), (1,), (2,)], ["studentId"])
