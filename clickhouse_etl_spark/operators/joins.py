@@ -32,7 +32,10 @@ def broadcast_dim_join(
 
 
 def semi_join_pushdown(
-    source: DataFrame, keys: DataFrame, on: str | Sequence[str]
+    source: DataFrame,
+    keys: DataFrame,
+    on: str | Sequence[str],
+    broadcast: bool = True,
 ) -> DataFrame:
     """S5/J9 — fetch only rows whose key appears in an extracted key set.
 
@@ -40,18 +43,33 @@ def semi_join_pushdown(
     from score keys). Spark shape: ``left_semi`` with the (small) key set
     broadcast — same pushdown effect without string assembly, and it still
     works when the key set is too large for an IN-list.
+
+    ``broadcast=True`` is right for the reference's shape (a bounded
+    extracted key list). Pass ``False`` when the key set DERIVES FROM A
+    FACT (it grows with the data and a forced broadcast eventually OOMs
+    the driver): AQE then still broadcasts while it fits under the
+    threshold and shuffle-joins beyond.
     """
-    return source.join(F.broadcast(keys), on=on, how="left_semi")
+    keys = F.broadcast(keys) if broadcast else keys
+    return source.join(keys, on=on, how="left_semi")
 
 
 def anti_join(
-    left: DataFrame, right: DataFrame, on: str | Sequence[str]
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    broadcast: bool = True,
 ) -> DataFrame:
     """Negative membership — reference ``if key in processed: continue``.
 
     reference: …etl_student_scores_subject_month_to_clickhouse.py:273-276
+
+    Same ``broadcast`` contract as :func:`semi_join_pushdown`: keep the
+    hint for bounded dimension key sets, pass ``False`` for fact-derived
+    right sides and let AQE choose at runtime.
     """
-    return left.join(F.broadcast(right), on=on, how="left_anti")
+    right = F.broadcast(right) if broadcast else right
+    return left.join(right, on=on, how="left_anti")
 
 
 def hierarchy_parent_join(
@@ -79,15 +97,34 @@ def hierarchy_parent_join(
 
 
 def candidate_expansion(
-    subjects: DataFrame, students: DataFrame, student_key: str = "studentId"
+    subjects: DataFrame,
+    students: DataFrame,
+    student_key: str = "studentId",
+    broadcast_side: str = "students",
 ) -> DataFrame:
     """J10 — subject-evals × distinct students candidate grid.
 
     reference: …etl_student_transcript_to_clickhouse.py:276-304 iterates
     the cross product then skips pairs without scores. Spark shape:
-    crossJoin with the *small* distinct-student side broadcast, then the
-    caller left-joins scores and filters. We replicate the result set, not
-    the loop.
+    crossJoin with one side broadcast, then the caller left-joins scores
+    and filters. We replicate the result set, not the loop.
+
+    ``broadcast_side`` picks which side ships to every task:
+    - ``'students'`` (default): matches the reference's loop — right for
+      a bounded student set.
+    - ``'subjects'``: the SCALE form — at millions of students the
+      distinct-student side no longer fits in a broadcast, so broadcast
+      the (bounded) subject-evaluation dimension instead and keep the
+      student side distributed; the grid still never shuffles twice.
+    - ``'none'``: no hint, AQE/planner chooses (cartesian shuffle).
     """
+    if broadcast_side not in ("students", "subjects", "none"):
+        raise ValueError(f"broadcast_side must be students|subjects|none, got {broadcast_side!r}")
     distinct_students = students.select(student_key).distinct()
-    return subjects.crossJoin(F.broadcast(distinct_students))
+    if broadcast_side == "students":
+        return subjects.crossJoin(F.broadcast(distinct_students))
+    if broadcast_side == "subjects":
+        return distinct_students.crossJoin(F.broadcast(subjects)).select(
+            *subjects.columns, student_key
+        )
+    return subjects.crossJoin(distinct_students)

@@ -253,11 +253,15 @@ def monthly_subject_fact(
         alias="percentage",
     ).withColumn("path", F.lit("custom"))
 
-    # precedence: direct wins; custom-only pairs fill the rest.
+    # precedence: direct wins; custom-only pairs fill the rest. The
+    # anti-join's right side is the direct FACT's key set — it grows with
+    # the data, so no forced broadcast (AQE still broadcasts while it
+    # fits under the threshold, shuffle-joins beyond).
     custom_only = anti_join(
         aggregated,
         direct.select("subjectEvaluationId", "studentId"),
         on=["subjectEvaluationId", "studentId"],
+        broadcast=False,
     )
     merged = direct.unionByName(custom_only)
 
@@ -403,4 +407,9 @@ def student_transcript(
     totals = credit_totals(
         with_sem, ["studentId"], credit="credit", gpa="gpa"
     )
-    return broadcast_dim_join(details, totals, on="studentId", how="inner")
+    # totals is per-student — one row per enrolled student, growing with
+    # the data — so this is a plain join, not a broadcast_dim_join: both
+    # sides are already hash-partitioned by studentId from their groupBys,
+    # so the sort-merge join reuses that partitioning without a new
+    # shuffle (and AQE still broadcasts while totals is small).
+    return details.join(totals, on="studentId", how="inner")

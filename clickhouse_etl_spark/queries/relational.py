@@ -94,37 +94,31 @@ def s7_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A1 — group-by average, nulls dropped (SQL AVG)
-# reference: …etl_student_scores_subject_month_to_clickhouse.py:160-204
+# A1 + A2 — BOTH averaging semantics side by side: nulls-dropped (SQL AVG)
+# vs null-as-zero (different denominator — the reference's silent semantic
+# trap, SURVEY.md §5.3). One query, both library operators exercised.
+# reference: …etl_student_scores_subject_month_to_clickhouse.py:160-204;
+#            …etl_student_transcript_to_clickhouse.py:240-245
 # ---------------------------------------------------------------------------
 @register(
-    "a1_avg_null_dropped",
+    "a12_avg_null_semantics",
     oracle="""
-    SELECT event_type, ROUND(AVG(value), 6) AS avg_value
+    SELECT event_type,
+           ROUND(AVG(value), 6) AS avg_value,
+           ROUND(AVG(COALESCE(value, 0)), 6) AS avg_value_z
     FROM events GROUP BY event_type
     """,
 )
-def a1_avg_null_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a12_avg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    out = avg_null_dropped(events, ["event_type"], "value", alias="avg_value")
-    return out.withColumn("avg_value", F.round("avg_value", 6))
-
-
-# ---------------------------------------------------------------------------
-# A2 — null-as-zero average (different denominator than A1)
-# reference: …etl_student_transcript_to_clickhouse.py:240-245
-# ---------------------------------------------------------------------------
-@register(
-    "a2_avg_null_as_zero",
-    oracle="""
-    SELECT event_type, ROUND(AVG(COALESCE(value, 0)), 6) AS avg_value_z
-    FROM events GROUP BY event_type
-    """,
-)
-def a2_avg_null_as_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    out = avg_null_as_zero(events, ["event_type"], "value", alias="avg_value_z")
-    return out.withColumn("avg_value_z", F.round("avg_value_z", 6))
+    a1 = avg_null_dropped(events, ["event_type"], "value", alias="avg_value")
+    a2 = avg_null_as_zero(events, ["event_type"], "value", alias="avg_value_z")
+    # 5-row grouped outputs; the join is trivially broadcast by AQE.
+    return a1.join(a2, on="event_type").select(
+        "event_type",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("avg_value_z", 6).alias("avg_value_z"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -269,36 +263,20 @@ def j2_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j9_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # the key set derives from the orders FACT (grows with sf) — no
+    # forced broadcast; AQE picks the strategy at runtime.
     keys = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
-    active = semi_join_pushdown(customer, keys, on="c_custkey")
+    active = semi_join_pushdown(customer, keys, on="c_custkey", broadcast=False)
     return active.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
 
 
-# ---------------------------------------------------------------------------
-# anti-join — negative membership ("if key in processed: continue")
-# reference: …etl_student_scores_subject_month_to_clickhouse.py:273-276
-# ---------------------------------------------------------------------------
-@register(
-    "anti_customers_without_orders",
-    oracle="""
-    SELECT c_mktsegment, count(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY c_mktsegment
-    """,
-)
-def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    keys = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
-    inactive = anti_join(customer, keys, on="c_custkey")
-    return inactive.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        _dec_sum("c_acctbal", "total_acctbal"),
-    )
+# (anti-join negative membership — "if key in processed: continue",
+# reference …etl_student_scores_subject_month_to_clickhouse.py:273-276 —
+# is registry-covered by set_union_anti_merge below and oracle-checked in
+# tests/test_demoted_oracles.py: the registry is capped at the driver's
+# 50-query correctness window.)
 
 
 # ---------------------------------------------------------------------------
@@ -388,33 +366,12 @@ def a4_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# A6 — credit totals & weighted GPA shape
-# reference: …etl_student_transcript_to_clickhouse.py:409-412,440-442
-# ---------------------------------------------------------------------------
-@register(
-    "a6_credit_totals",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS totalCredits,
-           ROUND(SUM(l_quantity * l_discount) / SUM(l_quantity), 6) AS weightedDiscount,
-           count(*) AS subjectCount
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def a6_credit_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Routed through operators.credit_totals (the library fn users call);
-    l_quantity is integral so the double sum is exact/order-independent."""
-    from clickhouse_etl_spark.operators.aggregates import credit_totals
-
-    li = load_table(spark, sf_dir, "lineitem")
-    out = credit_totals(li, ["l_returnflag"], credit="l_quantity", gpa="l_discount")
-    return out.select(
-        "l_returnflag",
-        F.col("totalCredits").cast("double").alias("totalCredits"),
-        F.round("totalGPA", 6).alias("weightedDiscount"),
-        F.col("subjectCount").cast("long").alias("subjectCount"),
-    )
+# (A6 credit totals / weighted GPA — reference
+# …etl_student_transcript_to_clickhouse.py:409-412,440-442 — is
+# registry-covered by pl_transcript_totals (the same operators.credit_totals
+# inside its lifecycle) and oracle-checked standalone in
+# tests/test_demoted_oracles.py: registry capped at the driver's 50-query
+# correctness window.)
 
 
 # ---------------------------------------------------------------------------
@@ -606,6 +563,7 @@ def set_union_anti_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.filter(F.col("c_acctbal") > 5000),
         customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
         on="c_custkey",
+        broadcast=False,  # right side grows with the customer table
     ).select("c_custkey", F.lit("custom").alias("path"))
     return direct.unionByName(custom_only)
 
@@ -665,67 +623,6 @@ def a8_json_custom_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# F-suite 2 — the remaining scalar zoo: F3 ISO parse, F5 ISO stringify,
-# F13 UUID validation, F14 NaN→NULL.
-# ---------------------------------------------------------------------------
-@register(
-    "f_scalar_suite2",
-    oracle="""
-    SELECT event_id,
-           strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%dT%H:%M:%SZ')
-             AS parsed_ts,
-           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_str,
-           CASE WHEN event_id % 2 = 0 THEN
-             regexp_matches(
-               substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
-               substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
-               substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
-               substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
-               substr(md5(CAST(event_id AS VARCHAR)), 21, 12),
-               '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
-           ELSE
-             regexp_matches('not-a-uuid',
-               '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
-           END AS uuid_ok,
-           value AS value_clean
-    FROM events
-    """,
-)
-def f_scalar_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_etl_spark.functions.scalars import is_uuid, nan_to_null
-    from clickhouse_etl_spark.functions.timestamps import (
-        iso_timestamp,
-        timestamp_to_iso_string,
-    )
-
-    events = load_table(spark, sf_dir, "events")
-    md5 = F.md5(F.col("event_id").cast("string"))
-    uuid_like = F.concat_ws(
-        "-",
-        F.substring(md5, 1, 8),
-        F.substring(md5, 9, 4),
-        F.substring(md5, 13, 4),
-        F.substring(md5, 17, 4),
-        F.substring(md5, 21, 12),
-    )
-    candidate = F.when(F.col("event_id") % 2 == 0, uuid_like).otherwise(
-        F.lit("not-a-uuid")
-    )
-    # F14: inject NaN for NULL values, then scrub it back to NULL.
-    with_nan = F.when(F.col("value").isNull(), F.lit(float("nan"))).otherwise(
-        F.col("value")
-    )
-    return events.select(
-        "event_id",
-        iso_timestamp(F.concat(timestamp_to_iso_string(F.col("ts")), F.lit("Z")))
-        .alias("parsed_ts"),
-        timestamp_to_iso_string(F.col("ts")).alias("iso_str"),
-        is_uuid(candidate).alias("uuid_ok"),
-        nan_to_null(with_nan).alias("value_clean"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # As-of join (extension): for each 'click' event, the most recent
 # 'purchase' value at-or-before it per user. Right side pre-deduped per
 # (user, ts) so the tie policy is explicit on both engines; DuckDB oracle
@@ -768,35 +665,6 @@ def ext_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round("asof_purchase_value", 6).alias("last_purchase_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# F11 (typed form) — from_json with an explicit schema: the parsed-struct
-# alternative to get_json_object, incl. malformed-input → NULL semantics
-# (reference stores dynamic JSON in strings; SURVEY §1.2 maps it to
-# from_json when fields need typing).
-# ---------------------------------------------------------------------------
-@register(
-    "f_json_parse",
-    oracle="""
-    SELECT event_id,
-           CASE WHEN event_id % 10 = 0 THEN NULL
-                ELSE CAST(props->>'$.k' AS BIGINT) END AS k_typed,
-           (event_id % 10 = 0) AS was_malformed
-    FROM events
-    """,
-)
-def f_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    dirty = F.when(F.col("event_id") % 10 == 0, F.lit("{not json")).otherwise(
-        F.col("props")
-    )
-    parsed = F.from_json(dirty, "k BIGINT")
-    return events.select(
-        "event_id",
-        parsed.getField("k").alias("k_typed"),
-        (F.col("event_id") % 10 == 0).alias("was_malformed"),
     )
 
 
@@ -903,8 +771,11 @@ def flagship_wide_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# F-suite — scalar function zoo in one row-level pass (F3/F4/F7/F9/F12/F16 +
-# JSON extraction F11) — checked value-by-value against DuckDB.
+# F-suite — the whole scalar function zoo in ONE row-level pass, checked
+# value-by-value against DuckDB: F3 ISO parse, F4 legacy-date rescue,
+# F5 ISO stringify, F7 guarded percentage, F9 path split, F11 JSON
+# extraction (string + typed from_json with malformed→NULL), F12/F16
+# coalesce defaults, F13 UUID validation, F14 NaN→NULL.
 # ---------------------------------------------------------------------------
 @register(
     "f_scalar_suite",
@@ -915,16 +786,41 @@ def flagship_wide_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN 100.0 > 0 THEN ROUND(COALESCE(value,0) / 100.0 * 100, 6) ELSE 0 END AS pct,
            regexp_extract('datetime.date@version=2(' || strftime(ts, '%Y-%m-%d') || ')',
                           '\\((\\d{4}-\\d{2}-\\d{2})\\)', 1) AS rescued_date,
-           split_part('#' || CAST(user_id AS VARCHAR) || '#tail', '#', 2) AS path_id
+           split_part('#' || CAST(user_id AS VARCHAR) || '#tail', '#', 2) AS path_id,
+           strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%dT%H:%M:%SZ')
+             AS parsed_ts,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_str,
+           CASE WHEN event_id % 2 = 0 THEN
+             regexp_matches(
+               substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+               substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+               substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+               substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+               substr(md5(CAST(event_id AS VARCHAR)), 21, 12),
+               '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+           ELSE
+             regexp_matches('not-a-uuid',
+               '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+           END AS uuid_ok,
+           value AS value_clean,
+           CASE WHEN event_id % 10 = 0 THEN NULL
+                ELSE CAST(props->>'$.k' AS BIGINT) END AS k_typed,
+           (event_id % 10 = 0) AS was_malformed
     FROM events
     """,
 )
 def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.functions.scalars import (
         coalesce_default,
+        is_uuid,
+        nan_to_null,
         path_first_id,
         path_synthesize,
         percentage,
+    )
+    from clickhouse_etl_spark.functions.timestamps import (
+        iso_timestamp,
+        timestamp_to_iso_string,
     )
 
     events = load_table(spark, sf_dir, "events")
@@ -934,6 +830,27 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(")"),
     )
     path = F.concat(path_synthesize(F.col("user_id")), F.lit("#tail"))
+    md5 = F.md5(F.col("event_id").cast("string"))
+    uuid_like = F.concat_ws(
+        "-",
+        F.substring(md5, 1, 8),
+        F.substring(md5, 9, 4),
+        F.substring(md5, 13, 4),
+        F.substring(md5, 17, 4),
+        F.substring(md5, 21, 12),
+    )
+    candidate = F.when(F.col("event_id") % 2 == 0, uuid_like).otherwise(
+        F.lit("not-a-uuid")
+    )
+    # F14: inject NaN for NULL values, then scrub it back to NULL.
+    with_nan = F.when(F.col("value").isNull(), F.lit(float("nan"))).otherwise(
+        F.col("value")
+    )
+    # F11 typed: from_json with malformed-input → NULL semantics.
+    dirty = F.when(F.col("event_id") % 10 == 0, F.lit("{not json")).otherwise(
+        F.col("props")
+    )
+    parsed = F.from_json(dirty, "k BIGINT")
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
@@ -943,4 +860,11 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct"),
         F.regexp_extract(legacy, r"\((\d{4}-\d{2}-\d{2})\)", 1).alias("rescued_date"),
         path_first_id(path).alias("path_id"),
+        iso_timestamp(F.concat(timestamp_to_iso_string(F.col("ts")), F.lit("Z")))
+        .alias("parsed_ts"),
+        timestamp_to_iso_string(F.col("ts")).alias("iso_str"),
+        is_uuid(candidate).alias("uuid_ok"),
+        nan_to_null(with_nan).alias("value_clean"),
+        parsed.getField("k").alias("k_typed"),
+        (F.col("event_id") % 10 == 0).alias("was_malformed"),
     )

@@ -44,18 +44,10 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_sliding_2h",
-    oracle="""
-    SELECT window_start, count(*) AS n_events
-    FROM (
-      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
-                     date_trunc('hour', ts)]) AS window_start
-      FROM events
-    )
-    GROUP BY window_start
-    """,
-)
+# Not registered: the sliding-window shape is oracle-checked in
+# tests/test_demoted_oracles.py and batch≡stream-asserted in
+# tests/test_streaming.py — the registry is capped at the driver's
+# 50-query correctness window (tumbling + session stay registered).
 def stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (2h length, 1h slide): each event lands in 2 windows."""
     events = load_table(spark, sf_dir, "events")

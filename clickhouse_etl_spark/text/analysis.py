@@ -20,12 +20,36 @@ def _tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_guess_col(text: Column) -> Column:
+    """Marker-token language-ID expression (see :func:`language_guess`)."""
+    toks = _tokens(text)
+    return (
+        F.when(F.array_contains(toks, "the"), F.lit("en"))
+        .when(F.array_contains(toks, "a"), F.lit("en_weak"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    """BPE-ish regex token-count expression (alnum runs)."""
+    return F.regexp_count(text, F.lit("[a-zA-Z0-9]+"))
+
+
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    include_lang: bool = False,
+    include_regex_tokens: bool = False,
+) -> DataFrame:
     """Token count, stopword ratio, avg word length, quality score.
 
     Quality = min(n_tokens/100, 1) × (1 − stopword_ratio): length-normalized
     and stopword-penalized — the standard cheap pre-filter shape for LLM
     training corpora (length/punct/stopword heuristics).
+
+    ``include_lang`` / ``include_regex_tokens`` append the language-ID and
+    regex-token-count columns in the SAME single narrow pass (one scan, no
+    join) — the fused form a corpus-profiling job wants.
     """
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     # Hoist the tokenization into its own projection: split() feeds four
@@ -46,6 +70,11 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = F.length(
         F.col(text_col)
     ) - F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, ""))
+    extra = []
+    if include_lang:
+        extra.append(language_guess_col(F.col(text_col)).alias("lang_guess"))
+    if include_regex_tokens:
+        extra.append(token_count_col(F.col(text_col)).alias("n_regex_tokens"))
     return base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -65,6 +94,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             * (1 - n_stop.cast("double") / n_tokens),
             6,
         ).alias("quality_score"),
+        *extra,
     )
 
 
@@ -75,32 +105,32 @@ def language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     ladder here is the same operator shape (per-doc classify, no shuffle)
     with a vocabulary that suits the synthetic fixture.
     """
-    toks = _tokens(F.col(text_col))
-    guess = (
-        F.when(F.array_contains(toks, "the"), F.lit("en"))
-        .when(F.array_contains(toks, "a"), F.lit("en_weak"))
-        .otherwise(F.lit("unknown"))
+    return df.select(
+        "doc_id", language_guess_col(F.col(text_col)).alias("lang_guess")
     )
-    return df.select("doc_id", guess.alias("lang_guess"))
 
 
 def token_count_regex(df: DataFrame, text_col: str = "text") -> DataFrame:
     """BPE-ish regex token counting (alnum runs, codegen'd regexp)."""
     return df.select(
-        "doc_id",
-        F.regexp_count(F.col(text_col), F.lit("[a-zA-Z0-9]+")).alias("n_regex_tokens"),
+        "doc_id", token_count_col(F.col(text_col)).alias("n_regex_tokens")
     )
 
 
-def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def document_fingerprint(
+    df: DataFrame, text_col: str = "text", include_rolling: bool = False
+) -> DataFrame:
     """Deterministic content fingerprint (md5 of normalized text).
 
     The exact-dedup key at scale: group/join on the 128-bit digest instead
     of shipping full document bodies through the shuffle.
+    ``include_rolling`` appends the Rabin-Karp rolling hash (see
+    :func:`rolling_hash`) in the same narrow pass.
     """
-    return df.select(
-        "doc_id", F.md5(F.lower(F.col(text_col))).alias("fingerprint")
-    )
+    cols = ["doc_id", F.md5(F.lower(F.col(text_col))).alias("fingerprint")]
+    if include_rolling:
+        cols.append(rolling_hash(text_col).alias("rolling_fp"))
+    return df.select(*cols)
 
 
 def chunk_documents(

@@ -113,6 +113,33 @@ def test_mad_outliers_grouped_map(spark):
     assert u2["group_mad"] == 0.0 and u2["is_outlier"] is False
 
 
+def test_mad_outliers_jvm_equals_grouped_map(spark):
+    """The JVM two-pass default must agree with the applyInPandas seam on
+    every row (same medians, MADs, flags) — including the null-value and
+    single-value-group edges."""
+    from clickhouse_etl_spark.operators.grouped import mad_outliers, mad_outliers_jvm
+
+    rows = [
+        ("u1", 1.0), ("u1", 2.0), ("u1", 3.0), ("u1", 100.0), ("u1", None),
+        ("u2", 5.0),
+        ("u3", -1.0), ("u3", -1.0), ("u3", 4.0), ("u3", 8.5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "value"])
+    canon = lambda out: sorted(
+        (
+            r["user_id"],
+            r["value"],
+            round(r["group_median"], 9),
+            round(r["group_mad"], 9),
+            r["is_outlier"],
+        )
+        for r in out
+    )
+    assert canon(mad_outliers_jvm(df, ["user_id"]).collect()) == canon(
+        mad_outliers(df, ["user_id"]).collect()
+    )
+
+
 def test_a8_json_details_roundtrip(spark):
     rows = [("st1", "quiz", 10.0), ("st1", "exam", 20.0)]
     df = spark.createDataFrame(rows, ["student", "kind", "score"])

@@ -66,6 +66,49 @@ def test_no_unbroadcast_cartesian_anywhere(spark):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
 
 
+def test_no_forced_broadcast_on_fact_derived_sides(spark):
+    """Fact-derived join sides (the precedence anti-join key set, the
+    per-student totals, J9's extracted key set) must NOT carry a broadcast
+    hint: they grow with the data, and a forced broadcast is the one
+    plan shape that cannot survive a 100× scale-up. The optimized logical
+    plans may still end up broadcast BY AQE at small sf — what we assert
+    is the absence of the unconditional hint."""
+    from clickhouse_etl_spark.pipelines.reference_etl import (
+        monthly_subject_fact,
+        student_transcript,
+        synthetic_warehouse,
+    )
+
+    wh = synthetic_warehouse(spark, SF_SMOKE)
+
+    def hint_targets(df):
+        """Names of the relations under an explicit broadcast hint."""
+        plan = df._jdf.queryExecution().analyzed().toString()
+        out = []
+        for line in plan.splitlines():
+            if "UnresolvedHint broadcast" in line or "ResolvedHint" in line:
+                out.append(line)
+        return "\n".join(out)
+
+    fact = monthly_subject_fact(wh["evaluations"], wh["scores"], wh["students"])
+    # the anti-join on (subjectEvaluationId, studentId) must be hint-free:
+    # no hint line may mention the direct fact's key projection. Hints on
+    # the bounded dims (subject/month evaluations) are expected and fine.
+    fact_plan = fact._jdf.queryExecution().optimizedPlan().toString()
+    for line in fact_plan.splitlines():
+        if "LeftAnti" in line:
+            assert "broadcast" not in line.lower(), f"forced broadcast on anti join: {line}"
+
+    transcript = student_transcript(wh["evaluations"], wh["scores"], wh["students"])
+    t_plan = transcript._jdf.queryExecution().optimizedPlan().toString()
+    # the final details⨝totals join (both sides per-student aggregates)
+    # must not be hint-forced either: no Inner join line with a hint on
+    # a per-student aggregate side.
+    for line in t_plan.splitlines():
+        if "Join Inner, (studentId" in line:
+            assert "broadcast" not in line.lower(), f"forced broadcast on totals join: {line}"
+
+
 def test_whole_stage_codegen_covers_q1(spark):
     plan = _explain(q1_pricing_summary(spark, SF_SMOKE), mode="codegen")
     # "Found N WholeStageCodegen subtrees" — the whole agg pipeline codegens.
