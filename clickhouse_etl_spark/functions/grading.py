@@ -74,3 +74,11 @@ def grade_gpa_sql(pct_expr: str) -> str:
         for cutoff, _, gpa, _ in GRADE_BANDS
     )
     return f"CASE {cases} ELSE {FAIL_BAND[1]} END"
+
+
+def grade_meaning_sql(pct_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {pct_expr} >= {cutoff} THEN '{meaning}'"
+        for cutoff, _, _, meaning in GRADE_BANDS
+    )
+    return f"CASE {cases} ELSE '{FAIL_BAND[2]}' END"

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clickhouse_etl_spark.util import materialize
+
 
 def hierarchical_rollup(
     evaluations: DataFrame,
@@ -107,12 +109,10 @@ def hierarchical_rollup(
         # Eager checkpoint: materialize the level ONCE (isEmpty below would
         # otherwise recompute it, and the union would recompute it again),
         # and truncate lineage so per-level plans don't stack up.
-        new_rows = candidate_parents.unionByName(starved_parents).localCheckpoint(
-            eager=True
-        )
+        new_rows = materialize(candidate_parents.unionByName(starved_parents))
         if new_rows.isEmpty():
             break
-        resolved = resolved.unionByName(new_rows).localCheckpoint(eager=True)
+        resolved = materialize(resolved.unionByName(new_rows))
 
     nodes.unpersist()
     return resolved

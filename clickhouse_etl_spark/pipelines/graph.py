@@ -26,6 +26,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
+from clickhouse_etl_spark.util import materialize
+
 Context = dict[str, DataFrame]
 
 
@@ -53,7 +55,7 @@ class Stage:
                 time.sleep(self.retry_backoff_sec * (2 ** (attempt - 1)))
         for key in self.materialize:
             if key in out:
-                out[key] = out[key].localCheckpoint(eager=True)
+                out[key] = materialize(out[key])
         merged = dict(ctx)
         merged.update(out)
         return merged

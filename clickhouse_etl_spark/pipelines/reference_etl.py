@@ -4,16 +4,34 @@
    (reference: apps/airflow/dags/student/etl_students_to_clickhouse.py:28-116)
 2. ``monthly_subject_fact`` — the §3.3 wide denormalized score fact
    (reference: apps/airflow/dags/student_scores_subject/
-   etl_student_scores_subject_month_to_clickhouse.py:111-433)
-3. ``student_transcript``  — the nested-transcript build with subjectDetails
+   etl_student_scores_subject_month_to_clickhouse.py:111-433; DDL
+   apps/clickhouse/migrations/2025_02_24_10_02_create_student_score_subject_month_table.sql)
+3. ``student_transcript``  — the nested-transcript build with the full
+   18-field subjectDetails tuple
    (reference: apps/airflow/dags/student_transcript/
    etl_student_transcript_to_clickhouse.py:177-457; DDL
    apps/clickhouse/migrations/2025_02_25_15_30_create_transcript_table.sql:24-49)
 
+The two analytical lifecycles deliberately do NOT share an averaging
+chain, mirroring the reference's (surprising but real) semantics:
+
+- wide fact: A1 null-dropped per-eval averages, A3 coe-weighted custom
+  rollup (coe≤0→1), scoreSource 'direct'/'aggregated'
+  (…student_scores_subject/…:243-247,284-302)
+- transcript: A2 null-as-zero per-eval averages, A4 UNWEIGHTED average of
+  custom percentages (…student_transcript/…:240-245,255-265)
+
+Representative-score policy: the reference picks ``score_list[0]``
+("assuming chronological order" — nondeterministic dict/list order). The
+engine's named policy is W2 latest-marked with an explicit total-order
+tiebreak (markedAt, then scoreId), applied identically in the DuckDB
+oracles: ``arg_max(row, epoch(markedAt)*1e8 + scoreId)``.
+
 ``synthetic_warehouse`` derives deterministic warehouse-shaped fixtures
-(students / evaluation tree / scores) from the driver's TPC-H-ish tables so
-the pipelines run — and oracle-check — at every scale factor without
-bespoke test data. The derivations are pure column expressions, hence
+(students / evaluation tree / scores / structure records / the
+structure-keyed subject dim) from the driver's TPC-H-ish tables so the
+pipelines run — and oracle-check — at every scale factor without bespoke
+test data. The derivations are pure column expressions, hence
 SQL-expressible for the DuckDB oracle.
 """
 
@@ -27,24 +45,26 @@ from clickhouse_etl_spark.functions.grading import grade_band
 from clickhouse_etl_spark.functions.scalars import (
     gender_normalize,
     json_object,
+    path_first_id,
     percentage,
     score_from_percentage,
-    weighted_coe,
 )
 from clickhouse_etl_spark.operators.aggregates import (
+    avg_null_as_zero,
     avg_null_dropped,
     credit_totals,
     nested_details,
     weighted_average,
 )
 from clickhouse_etl_spark.operators.dedup import (
+    last_write_wins,
     latest_row_per_key,
     scrub_invalid_keys,
 )
+from clickhouse_etl_spark.util import materialize
 from clickhouse_etl_spark.operators.joins import (
     anti_join,
     broadcast_dim_join,
-    hierarchy_parent_join,
 )
 
 
@@ -54,7 +74,9 @@ from clickhouse_etl_spark.operators.joins import (
 
 def synthetic_students(spark: SparkSession, sf_dir: str) -> DataFrame:
     """students dim from customer — raw gender values deliberately dirty
-    (m/F/male/FEMALE/other cycle) to exercise F1 normalization."""
+    (m/F/male/FEMALE/other cycle) to exercise F1 normalization; native
+    names / dob / campus / nullable groupStructureId mirror the Postgres
+    student extraction columns (…etl_students_to_clickhouse.py:38-42)."""
     c = load_table(spark, sf_dir, "customer")
     gender_raw = (
         F.when(F.col("c_custkey") % 5 == 0, "m")
@@ -63,12 +85,25 @@ def synthetic_students(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c_custkey") % 5 == 3, "FEMALE")
         .otherwise("other")
     )
+    last = F.concat(F.lit("L"), (F.col("c_custkey") % 97))
     return c.select(
         F.col("c_custkey").alias("studentId"),
         F.col("c_name").alias("firstName"),
+        last.alias("lastName"),
+        F.concat(F.col("c_name"), F.lit("-nat")).alias("firstNameNative"),
+        F.concat(last, F.lit("-nat")).alias("lastNameNative"),
         F.col("c_mktsegment").alias("program"),
         gender_raw.alias("gender"),
         F.concat(F.lit("id-"), F.col("c_custkey")).alias("idCard"),
+        F.date_add(
+            F.lit("1990-01-01").cast("date"), (F.col("c_custkey") % 5000).cast("int")
+        ).alias("dob"),
+        F.concat(F.lit("ca"), F.col("c_custkey") % 7).alias("campusId"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("gs"), F.col("c_custkey") % 5)).alias(
+            "groupStructureId"
+        ),
         (F.col("c_nationkey") % 3).cast("string").alias("schoolId"),
     )
 
@@ -76,10 +111,16 @@ def synthetic_students(spark: SparkSession, sf_dir: str) -> DataFrame:
 def synthetic_evaluations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-level evaluation tree: semester(2) ← month(regions) ←
     subject(nations) ← custom(suppliers). coe/maxScore vary to exercise
-    the F16/A3 defaulting paths; subject credit exercises A6."""
+    the F16/A3 defaulting paths. Every 7th subject parents DIRECTLY to a
+    semester (the reference's 'parent could be month or semester' branch,
+    …etl_student_transcript_to_clickhouse.py:344-366); every 5th subject
+    carries its own groupStructureId to exercise the F12 3-way coalesce.
+    Months carry start/end dates (the attendanceColumn analog)."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
+    null_s = F.lit(None).cast("string")
+    null_t = F.lit(None).cast("timestamp")
 
     semesters = (
         region.select((F.col("r_regionkey") % 2).alias("k"))
@@ -92,8 +133,13 @@ def synthetic_evaluations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0).alias("maxScore"),
             F.lit(1).alias("coe"),
             F.lit(0.0).alias("credit"),
+            F.concat(F.lit("sch"), F.col("k")).alias("schoolId"),
+            null_s.alias("groupStructureId"),
+            null_t.alias("startDate"),
+            null_t.alias("endDate"),
         )
     )
+    base_ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
     months = region.select(
         F.concat(F.lit("mo"), F.col("r_regionkey")).alias("evaluationId"),
         F.col("r_name").alias("name"),
@@ -102,15 +148,31 @@ def synthetic_evaluations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100.0).alias("maxScore"),
         F.lit(1).alias("coe"),
         F.lit(0.0).alias("credit"),
+        F.concat(F.lit("sch"), F.col("r_regionkey") % 2).alias("schoolId"),
+        null_s.alias("groupStructureId"),
+        (base_ts + F.make_dt_interval(F.col("r_regionkey") * 30)).alias("startDate"),
+        (base_ts + F.make_dt_interval(F.col("r_regionkey") * 30 + 29)).alias(
+            "endDate"
+        ),
     )
     subjects = nation.select(
         F.concat(F.lit("su"), F.col("n_nationkey")).alias("evaluationId"),
         F.col("n_name").alias("name"),
-        F.concat(F.lit("mo"), F.col("n_regionkey")).alias("parentId"),
+        F.when(
+            F.col("n_nationkey") % 7 == 0,
+            F.concat(F.lit("se"), F.col("n_regionkey") % 2),
+        ).otherwise(F.concat(F.lit("mo"), F.col("n_regionkey"))).alias("parentId"),
         F.lit("subject").alias("type"),
         F.lit(100.0).alias("maxScore"),
         (F.col("n_nationkey") % 4).cast("int").alias("coe"),
         (F.col("n_nationkey") % 4 + 1).cast("double").alias("credit"),
+        F.concat(F.lit("sch"), F.col("n_regionkey") % 2).alias("schoolId"),
+        F.when(
+            F.col("n_nationkey") % 5 == 0,
+            F.concat(F.lit("gse"), F.col("n_nationkey")),
+        ).otherwise(null_s).alias("groupStructureId"),
+        null_t.alias("startDate"),
+        null_t.alias("endDate"),
     )
     customs = supplier.select(
         F.concat(F.lit("cu"), F.col("s_suppkey")).alias("evaluationId"),
@@ -120,13 +182,19 @@ def synthetic_evaluations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (50.0 + (F.col("s_suppkey") % 3) * 25.0).alias("maxScore"),
         ((F.col("s_suppkey") % 5) - 1).cast("int").alias("coe"),
         F.lit(0.0).alias("credit"),
+        null_s.alias("schoolId"),
+        null_s.alias("groupStructureId"),
+        null_t.alias("startDate"),
+        null_t.alias("endDate"),
     )
     return semesters.unionByName(months).unionByName(subjects).unionByName(customs)
 
 
 def synthetic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scores fact from lineitem ⨝ orders: every third line is a DIRECT
-    subject score (precedence path), the rest hit custom evaluations."""
+    subject score (precedence path), the rest hit custom evaluations.
+    structurePath is the reference's materialized path ('#<id>#…', J6/F9);
+    scorerId/markedAt/description feed the representative-score policy."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     joined = li.join(
@@ -137,13 +205,48 @@ def synthetic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber") % 3 == 0,
         F.concat(F.lit("su"), F.col("l_suppkey") % 25),
     ).otherwise(F.concat(F.lit("cu"), F.col("l_suppkey")))
+    score_id = F.col("l_orderkey") * 10 + F.col("l_linenumber")
     return joined.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("scoreId"),
+        score_id.alias("scoreId"),
         F.col("o_custkey").alias("studentId"),
         eval_id.alias("evaluationId"),
         F.col("l_quantity").cast("double").alias("score"),
         F.col("l_suppkey").alias("scorerId"),
         F.col("l_shipdate").alias("markedAt"),
+        F.concat(
+            F.lit("#st"), F.col("l_suppkey") % 25, F.lit("#p"), F.col("l_partkey") % 3
+        ).alias("structurePath"),
+        F.concat(F.lit("d"), score_id % 7).alias("description"),
+    )
+
+
+def synthetic_structures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """structure_record dim (the Postgres school-structure extraction,
+    …etl_school_structure_to_clickhouse.py:193-199)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        F.concat(F.lit("st"), F.col("n_nationkey")).alias("structureRecordId"),
+        F.concat(F.lit("Class "), F.col("n_name")).alias("name"),
+        F.concat(F.lit("gs"), F.col("n_nationkey") % 5).alias("groupStructureId"),
+    )
+
+
+def synthetic_subject_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The structure-keyed subject dimension (Postgres ``subject`` table)
+    with DUPLICATE structureRecordId versions, so the J7 last-write-wins
+    dedup (…etl_student_scores_subject_month_to_clickhouse.py:149) is a
+    real decision. At sf0.001 some structureRecordIds have NO subject row
+    at all — exercising the missing-subject-info defaults."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    srid = F.concat(F.lit("st"), F.col("s_suppkey") % 25)
+    return supplier.select(
+        srid.alias("structureRecordId"),
+        F.concat(F.col("s_name"), F.lit("-nat")).alias("nameNative"),
+        F.concat(F.lit("SUB"), F.col("s_suppkey") % 25, F.lit("-"), F.col("s_suppkey"))
+        .alias("code"),
+        (F.col("s_suppkey") % 4 + 1).cast("double").alias("credit"),
+        (F.col("s_suppkey") % 4).cast("int").alias("coe"),
+        F.col("s_suppkey").alias("version"),
     )
 
 
@@ -152,6 +255,8 @@ def synthetic_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame
         "students": synthetic_students(spark, sf_dir),
         "evaluations": synthetic_evaluations(spark, sf_dir),
         "scores": synthetic_scores(spark, sf_dir),
+        "structures": synthetic_structures(spark, sf_dir),
+        "subject_dim": synthetic_subject_dim(spark, sf_dir),
     }
 
 
@@ -185,22 +290,117 @@ def copy_entity(
 
 
 # ---------------------------------------------------------------------------
-# Lifecycle 2 — monthly_subject_fact (§3.3)
+# Shared pieces of the two analytical lifecycles
+# ---------------------------------------------------------------------------
+
+def _score_order(markedAt="markedAt", scoreId="scoreId") -> F.Column:
+    """Total order for representative-score selection: latest markedAt,
+    scoreId tiebreak — one BIGINT so arg_max is expressible identically
+    in the DuckDB oracle. (scoreId < 1e8 at every driver scale factor.)"""
+    return F.unix_timestamp(F.col(markedAt)) * F.lit(100_000_000) + F.col(scoreId)
+
+
+def _representatives(
+    scores: DataFrame, subject_evals: DataFrame, customs: DataFrame
+) -> DataFrame:
+    """W2 — one representative score row per (subject, student, source):
+    the latest-marked direct score, and the latest-marked custom-child
+    score (the reference's placeholder_score probe,
+    …etl_student_scores_subject_month_to_clickhouse.py:305-331). The
+    whole payload travels as ONE struct so structurePath/scorerId/
+    markedAt/description always come from the same physical score."""
+    direct_src = scores.join(
+        F.broadcast(subject_evals.select("evaluationId")), on="evaluationId"
+    ).select(
+        F.col("evaluationId").alias("subjectEvaluationId"),
+        "studentId",
+        F.lit("direct").alias("scoreSource"),
+        "structurePath", "scorerId", "markedAt", "description", "scoreId",
+    )
+    custom_src = scores.join(
+        F.broadcast(customs.select("evaluationId", "parentId")), on="evaluationId"
+    ).select(
+        F.col("parentId").alias("subjectEvaluationId"),
+        "studentId",
+        F.lit("aggregated").alias("scoreSource"),
+        "structurePath", "scorerId", "markedAt", "description", "scoreId",
+    )
+    both = direct_src.unionByName(custom_src)
+    payload = F.struct("structurePath", "scorerId", "markedAt", "description")
+    rep = both.groupBy("subjectEvaluationId", "studentId", "scoreSource").agg(
+        F.max_by(payload, _score_order()).alias("__rep")
+    )
+    return rep.select(
+        "subjectEvaluationId",
+        "studentId",
+        "scoreSource",
+        F.col("__rep.structurePath").alias("structurePath"),
+        F.col("__rep.scorerId").alias("scorerId"),
+        F.col("__rep.markedAt").alias("markedAt"),
+        F.col("__rep.description").alias("description"),
+    )
+
+
+def _attach_dims(
+    df: DataFrame,
+    structures: DataFrame,
+    subject_dim: DataFrame,
+) -> DataFrame:
+    """J6 path-split + structure join, then J7 last-write-wins subject
+    info. ``df`` must carry ``structurePath``; adds structureRecordId,
+    structureRecordName, structure groupStructureId (prefixed), and the
+    subject-info columns (nameNative/code/credit/coe, nullable when no
+    subject row exists for the structure)."""
+    with_srid = df.withColumn("structureRecordId", path_first_id(F.col("structurePath")))
+    with_struct = broadcast_dim_join(
+        with_srid,
+        structures.select(
+            "structureRecordId",
+            F.col("name").alias("structureRecordName"),
+            F.col("groupStructureId").alias("structure_gs"),
+        ),
+        on="structureRecordId",
+        how="left",
+    )
+    subject_info = last_write_wins(
+        subject_dim, "structureRecordId", order_col="version"
+    ).select(
+        "structureRecordId",
+        F.col("nameNative").alias("subjectNameNative"),
+        F.col("code").alias("subjectCode"),
+        F.col("credit").alias("subjectInfoCredit"),
+        F.col("coe").alias("subjectInfoCoe"),
+    )
+    return broadcast_dim_join(
+        with_struct, subject_info, on="structureRecordId", how="left"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lifecycle 2 — monthly_subject_fact (§3.3, full DDL surface)
 # ---------------------------------------------------------------------------
 
 def monthly_subject_fact(
     evaluations: DataFrame,
     scores: DataFrame,
     students: DataFrame,
+    structures: DataFrame,
+    subject_dim: DataFrame,
 ) -> DataFrame:
-    """The wide per-(month, subject, student) score fact.
+    """The wide per-(month, subject, student) score fact — every column of
+    the staging DDL (…2025_02_24_10_02…sql) except the write-time
+    ``createdAt DEFAULT now()`` (the sink applies it), plus an internal
+    ``subjectParentId`` the transcript consumes for the J4 ancestry.
 
     Reference semantics chain (…student_scores_subject/…:111-433):
-    P5 type-partition → J1 score⨝eval → A1 per-(eval,student) average →
-    F7 percentage (custom maxScore) → J2 custom→subject hop → A3
-    coe-weighted subject aggregate → direct-over-custom precedence
-    (§2.8 anti-join union) → F2 grade banding → J5 student dim (F1
-    gender) → J3 subject→month hop.
+    P5 type-partition → J1 score⨝eval → A1 per-(eval,student) null-dropped
+    average → F7 percentage (custom maxScore) → J2 custom→subject hop →
+    A3 coe-weighted subject aggregate (coe≤0→1) → direct-over-aggregated
+    precedence (§2.8 anti-join union) → F2 grade banding → W2
+    representative score → J6 structurePath split + structure join → J7
+    last-write-wins subject info → J5 student dim (F1 gender) → J3
+    subject→month hop → F12 groupStructureId coalesce → A8 custom-eval
+    JSON detail column.
     """
     months = evaluations.filter(F.col("type") == "month")
     subject_evals = evaluations.filter(F.col("type") == "subject")
@@ -211,7 +411,7 @@ def monthly_subject_fact(
     # and recomputing means re-running the scores join + aggregation.
     per_eval = avg_null_dropped(
         scores, ["evaluationId", "studentId"], "score", alias="avg_score"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     # DIRECT path: scores attached straight to subject evaluations.
     # Also materialized — it is read twice (union + precedence anti-join).
@@ -226,190 +426,496 @@ def monthly_subject_fact(
             F.col("evaluationId").alias("subjectEvaluationId"),
             "studentId",
             percentage(F.col("avg_score"), F.col("maxScore")).alias("percentage"),
-            F.lit("direct").alias("path"),
+            F.lit("direct").alias("scoreSource"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
-    # CUSTOM path: custom percentages roll up to the parent subject,
-    # weighted by coe (≤0 → 1). The custom-evaluation dimension GROWS with
-    # the corpus (unlike month/subject), so no broadcast hint — AQE
-    # broadcasts while it fits and shuffle-joins beyond that.
-    custom_scored = per_eval.join(
-        customs.select("evaluationId", "parentId", "maxScore", "coe"),
-        on="evaluationId",
-        how="inner",
-    ).select(
-        F.col("parentId").alias("subjectEvaluationId"),
-        "studentId",
-        percentage(F.col("avg_score"), F.col("maxScore")).alias("custom_pct"),
-        "coe",
+    # CUSTOM path, step 1 — per-custom-eval records (the reference's
+    # custom_record dicts, …:216-231): avg score, guarded percentage,
+    # grade banding, raw coe, latest-marked description. These feed BOTH
+    # the A3 subject rollup and the A8 customEvaluations JSON column.
+    custom_desc = (
+        scores.join(F.broadcast(customs.select("evaluationId")), on="evaluationId")
+        .groupBy("evaluationId", "studentId")
+        .agg(F.max_by("description", _score_order()).alias("description"))
     )
+    custom_records = (
+        per_eval.join(
+            customs.select(
+                "evaluationId", "parentId", "name", "maxScore", "coe"
+            ),
+            on="evaluationId",
+            how="inner",
+        )
+        .join(custom_desc, on=["evaluationId", "studentId"], how="left")
+        .select(
+            F.col("parentId").alias("subjectEvaluationId"),
+            "studentId",
+            "evaluationId",
+            "name",
+            F.col("avg_score"),
+            F.col("maxScore"),
+            percentage(F.col("avg_score"), F.col("maxScore")).alias("custom_pct"),
+            "coe",
+            "description",
+        )
+        .withColumn("g", grade_band(F.col("custom_pct")))
+        .transform(materialize)
+    )
+
+    # A8 — customEvaluations JSON detail column (sorted for determinism).
+    custom_json = custom_records.groupBy("subjectEvaluationId", "studentId").agg(
+        F.to_json(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("evaluationId"),
+                        F.col("name"),
+                        F.round("avg_score", 6).alias("score"),
+                        F.col("maxScore"),
+                        F.round("custom_pct", 6).alias("percentage"),
+                        F.col("g.grade").alias("grade"),
+                        F.col("g.gpa").alias("gpa"),
+                        F.col("g.meaning").alias("meaning"),
+                        F.col("coe"),
+                        F.col("description"),
+                    )
+                )
+            )
+        ).alias("customEvaluations"),
+        F.count(F.lit(1)).cast("int").alias("customEvaluationCount"),
+    )
+
+    # CUSTOM path, step 2 — A3 coe-weighted rollup to the parent subject.
     aggregated = weighted_average(
-        custom_scored,
+        custom_records.select(
+            "subjectEvaluationId", "studentId",
+            F.col("custom_pct"), F.col("coe"),
+        ),
         ["subjectEvaluationId", "studentId"],
         "custom_pct",
         "coe",
         alias="percentage",
-    ).withColumn("path", F.lit("custom"))
+    ).withColumn("scoreSource", F.lit("aggregated"))
 
-    # precedence: direct wins; custom-only pairs fill the rest. The
+    # precedence: direct wins; aggregated-only pairs fill the rest. The
     # anti-join's right side is the direct FACT's key set — it grows with
     # the data, so no forced broadcast (AQE still broadcasts while it
     # fits under the threshold, shuffle-joins beyond).
-    custom_only = anti_join(
+    aggregated_only = anti_join(
         aggregated,
         direct.select("subjectEvaluationId", "studentId"),
         on=["subjectEvaluationId", "studentId"],
         broadcast=False,
     )
-    merged = direct.unionByName(custom_only)
+    merged = direct.unionByName(aggregated_only)
 
     graded = merged.withColumn("g", grade_band(F.col("percentage"))).select(
         "subjectEvaluationId",
         "studentId",
         "percentage",
-        "path",
+        "scoreSource",
         F.col("g.grade").alias("grade"),
         F.col("g.gpa").alias("gpa"),
+        F.col("g.meaning").alias("meaning"),
     )
 
-    # denormalize: subject name/credit + month ancestry + student dim.
-    wide = hierarchy_parent_join(
-        broadcast_dim_join(
-            graded,
-            subject_evals.select(
-                F.col("evaluationId").alias("subjectEvaluationId"),
-                F.col("name").alias("subjectName"),
-                F.col("parentId"),
-                F.col("maxScore").alias("subjectMaxScore"),
-                F.col("credit"),
-            ),
-            on="subjectEvaluationId",
-            how="inner",
+    # W2 representative score → structure/subject-info dims (J6+J7).
+    reps = _representatives(scores, subject_evals, customs)
+    with_rep = graded.join(
+        reps, on=["subjectEvaluationId", "studentId", "scoreSource"], how="left"
+    )
+    with_dims = _attach_dims(with_rep, structures, subject_dim)
+
+    # subject evaluation dim + J3 month hop (month only here: the wide
+    # fact leaves month columns NULL when the subject parents straight to
+    # a semester — reference month_evaluations.get() → {}).
+    with_subject = broadcast_dim_join(
+        with_dims,
+        subject_evals.select(
+            F.col("evaluationId").alias("subjectEvaluationId"),
+            F.col("name").alias("subjectName"),
+            F.col("maxScore").alias("subjectMaxScore"),
+            F.col("parentId").alias("subjectParentId"),
+            F.col("schoolId"),
+            F.col("groupStructureId").alias("eval_gs"),
         ),
-        months.select("evaluationId", "name"),
-        child_parent_col="parentId",
-        parent_prefix="month_",
+        on="subjectEvaluationId",
+        how="inner",
+    )
+    with_month = broadcast_dim_join(
+        with_subject,
+        months.select(
+            F.col("evaluationId").alias("monthEvaluationId"),
+            F.col("name").alias("monthName"),
+            F.col("startDate").alias("monthStartDate"),
+            F.col("endDate").alias("monthEndDate"),
+        ),
+        on=[F.col("subjectParentId") == F.col("monthEvaluationId")],
         how="left",
     )
-    # students is a growing dim (one row per enrolled student) — leave the
-    # strategy to AQE for the same reason as customs above.
-    with_students = wide.join(
+
+    # J5 students (growing dim — AQE picks the strategy) + A8 JSON.
+    with_students = with_month.join(
         students.select(
             "studentId",
             F.col("firstName").alias("studentFirstName"),
+            F.col("lastName").alias("studentLastName"),
+            F.col("firstNameNative").alias("studentFirstNameNative"),
+            F.col("lastNameNative").alias("studentLastNameNative"),
+            "idCard",
+            "dob",
             gender_normalize(F.col("gender")).alias("gender"),
-            "schoolId",
+            "campusId",
+            F.col("groupStructureId").alias("student_gs"),
         ),
         on="studentId",
         how="left",
-    )
+    ).join(custom_json, on=["subjectEvaluationId", "studentId"], how="left")
+
     return with_students.select(
-        F.col("month_evaluationId").alias("monthEvaluationId"),
-        F.col("month_name").alias("monthName"),
-        "subjectEvaluationId",
-        "subjectName",
+        # School & campus
+        "schoolId",
+        "campusId",
+        # Structure / class
+        "structureRecordId",
+        "structureRecordName",
+        # F12 — the reference's eval.gs or student.gs or structure.gs
+        # (engine policy: NULL-coalesce; the Python `or` also skipped
+        # ''/0 — documented divergence, fixtures use NULLs only).
+        F.coalesce("eval_gs", "student_gs", "structure_gs").alias(
+            "groupStructureId"
+        ),
+        "structurePath",
+        # Student
         "studentId",
         "studentFirstName",
+        "studentLastName",
+        "studentFirstNameNative",
+        "studentLastNameNative",
+        "idCard",
+        "dob",
         "gender",
-        "schoolId",
-        F.round("percentage", 6).alias("percentage"),
+        # Month (parent)
+        "monthEvaluationId",
+        "monthName",
+        "monthStartDate",
+        "monthEndDate",
+        # Subject (child)
+        "subjectEvaluationId",
+        "subjectName",
+        "subjectNameNative",
+        "subjectMaxScore",
+        F.col("subjectInfoCoe").alias("coe"),
+        F.col("subjectCode").alias("code"),
+        F.col("subjectInfoCredit").alias("credit"),
+        # Score
         F.round(
             score_from_percentage(F.col("percentage"), F.col("subjectMaxScore")), 6
         ).alias("score"),
+        F.round("percentage", 6).alias("percentage"),
         "grade",
+        "meaning",
         "gpa",
-        "credit",
-        "path",
+        "scoreSource",
+        F.coalesce("customEvaluationCount", F.lit(0)).alias(
+            "customEvaluationCount"
+        ),
+        "customEvaluations",
+        "scorerId",
+        "markedAt",
+        "description",
+        # internal (not in the DDL): the transcript's J4 ancestry seed
+        "subjectParentId",
     )
 
 
 # ---------------------------------------------------------------------------
-# Lifecycle 3 — student_transcript (§3.3 nested)
+# Lifecycle 3 — student_transcript (§3.3 nested, full 18-field tuple)
 # ---------------------------------------------------------------------------
 
 def student_transcript(
     evaluations: DataFrame,
     scores: DataFrame,
     students: DataFrame,
+    structures: DataFrame,
+    subject_dim: DataFrame,
     include_details: bool = True,
 ) -> DataFrame:
-    """Nested transcript: per-student subjectDetails array + A6 totals.
+    """Nested transcript: one row per (student, structureRecord) with the
+    full 18-field ``subjectDetails`` tuple array + A6 totals + the
+    record-level scorer columns (transcript DDL
+    …2025_02_25_15_30_create_transcript_table.sql:24-49).
 
-    The detail struct mirrors the 18-field ``subjectDetails`` tuple
-    (transcript DDL …create_transcript_table.sql:24-49) over the fields
-    the synthetic warehouse carries; the month→semester ancestry is the
-    J4 two-hop self-join. ``include_details=False`` skips the nested
-    collect_list for totals-only consumers (same fact chain, one agg
-    instead of two).
+    The transcript runs its OWN averaging chain — deliberately different
+    from the wide fact (see module docstring): A2 null-as-zero per-eval
+    averages (…student_transcript/…:287-290), A4 UNWEIGHTED average of
+    custom percentages (…:255-265), direct-over-custom precedence, F2
+    banding. Ancestry is the J4 two-hop: direct parent (month OR
+    semester), then month→semester when the parent is a month
+    (…:344-366). ``include_details=False`` skips the nested collect_list
+    for totals-only consumers (same chain, one agg instead of two).
     """
-    fact = monthly_subject_fact(evaluations, scores, students)
+    subject_evals = evaluations.filter(F.col("type") == "subject")
+    customs = evaluations.filter(F.col("type") == "custom")
+    parents = evaluations.filter(F.col("type").isin("month", "semester"))
     months = evaluations.filter(F.col("type") == "month")
     semesters = evaluations.filter(F.col("type") == "semester")
 
-    with_sem = hierarchy_parent_join(
+    # A2 — null-as-zero per-(evaluation, student) averages.
+    per_eval = avg_null_as_zero(
+        scores, ["evaluationId", "studentId"], "score", alias="avg_score"
+    ).transform(materialize)
+
+    direct = (
         broadcast_dim_join(
-            fact,
-            months.select(
-                F.col("evaluationId").alias("monthEvaluationId"),
-                F.col("parentId").alias("month_parentId"),
-            ),
-            on="monthEvaluationId",
-            how="left",
-        ),
-        semesters.select("evaluationId", "name"),
-        child_parent_col="month_parentId",
-        parent_prefix="sem_",
-        how="left",
-    ).select(
-        "studentId",
-        "studentFirstName",
-        "gender",
-        "schoolId",
-        "subjectEvaluationId",
-        "subjectName",
-        "credit",
-        "percentage",
-        "score",
-        "grade",
-        "gpa",
-        "monthEvaluationId",
-        "monthName",
-        F.col("sem_evaluationId").alias("semesterEvaluationId"),
-        F.col("sem_name").alias("semesterName"),
+            per_eval,
+            subject_evals.select("evaluationId", "maxScore"),
+            on="evaluationId",
+            how="inner",
+        )
+        .select(
+            F.col("evaluationId").alias("subjectEvaluationId"),
+            "studentId",
+            F.col("avg_score").alias("final_score"),
+            F.lit("direct").alias("scoreSource"),
+        )
+        .transform(materialize)
     )
-    if not include_details:
-        return credit_totals(with_sem, ["studentId"], credit="credit", gpa="gpa")
+
+    # A4 — unweighted mean of custom percentages, rescaled by the SUBJECT
+    # max score into a final score (…student_transcript/…:255-265).
+    custom_pcts = per_eval.join(
+        customs.select("evaluationId", "parentId", "maxScore"),
+        on="evaluationId",
+        how="inner",
+    ).select(
+        F.col("parentId").alias("subjectEvaluationId"),
+        "studentId",
+        percentage(F.col("avg_score"), F.col("maxScore")).alias("custom_pct"),
+    )
+    custom_rolled = custom_pcts.groupBy("subjectEvaluationId", "studentId").agg(
+        F.avg("custom_pct").alias("custom_mean_pct")
+    )
+
+    custom_only = anti_join(
+        custom_rolled,
+        direct.select("subjectEvaluationId", "studentId"),
+        on=["subjectEvaluationId", "studentId"],
+        broadcast=False,
+    )
+
+    # attach subject maxScore, produce score+percentage per path:
+    # direct: percentage = score/max*100 ; custom: score = pct*max/100.
+    d_scored = broadcast_dim_join(
+        direct,
+        subject_evals.select(
+            F.col("evaluationId").alias("subjectEvaluationId"),
+            F.col("maxScore").alias("subjectMaxScore"),
+        ),
+        on="subjectEvaluationId",
+        how="inner",
+    ).select(
+        "subjectEvaluationId",
+        "studentId",
+        "scoreSource",
+        "subjectMaxScore",
+        F.col("final_score"),
+        percentage(F.col("final_score"), F.col("subjectMaxScore")).alias(
+            "pct"
+        ),
+    )
+    c_scored = broadcast_dim_join(
+        custom_only.withColumn("scoreSource", F.lit("aggregated")),
+        subject_evals.select(
+            F.col("evaluationId").alias("subjectEvaluationId"),
+            F.col("maxScore").alias("subjectMaxScore"),
+        ),
+        on="subjectEvaluationId",
+        how="inner",
+    ).select(
+        "subjectEvaluationId",
+        "studentId",
+        "scoreSource",
+        "subjectMaxScore",
+        score_from_percentage(F.col("custom_mean_pct"), F.col("subjectMaxScore"))
+        .alias("final_score"),
+        F.col("custom_mean_pct").alias("pct"),
+    )
+    merged = d_scored.unionByName(c_scored)
+
+    graded = merged.withColumn("g", grade_band(F.col("pct")))
+
+    # W2 representative + J6/J7 dims (same policy as the wide fact).
+    reps = _representatives(scores, subject_evals, customs)
+    with_rep = graded.join(
+        reps, on=["subjectEvaluationId", "studentId", "scoreSource"], how="left"
+    )
+    with_dims = _attach_dims(with_rep, structures, subject_dim)
+
+    # subject eval dim + J4 ancestry: direct parent (month or semester),
+    # then month→semester second hop.
+    with_subject = broadcast_dim_join(
+        with_dims,
+        subject_evals.select(
+            F.col("evaluationId").alias("subjectEvaluationId"),
+            F.col("name").alias("subjectName"),
+            F.col("parentId").alias("subjectParentId"),
+            F.col("schoolId").alias("subjectSchoolId"),
+        ),
+        on="subjectEvaluationId",
+        how="inner",
+    )
+    with_parent = broadcast_dim_join(
+        with_subject,
+        parents.select(
+            F.col("evaluationId").alias("parentEvaluationId"),
+            F.col("name").alias("parentName"),
+            F.col("type").alias("parentType"),
+            F.col("parentId").alias("parentParentId"),
+        ),
+        on=[F.col("subjectParentId") == F.col("parentEvaluationId")],
+        how="left",
+    )
+    with_sem = broadcast_dim_join(
+        with_parent,
+        semesters.select(
+            F.col("evaluationId").alias("hopSemesterId"),
+            F.col("name").alias("hopSemesterName"),
+        ),
+        on=[
+            (F.col("parentType") == "month")
+            & (F.col("parentParentId") == F.col("hopSemesterId"))
+        ],
+        how="left",
+    )
+
+    # the reference initializes ''/None then fills per branch
+    # (…student_transcript/…:334-366): monthName '' unless parent is a
+    # month; semester fields from the direct parent OR the 2-hop.
+    is_month = F.col("parentType") == "month"
+    is_sem = F.col("parentType") == "semester"
+    detail_base = with_sem.select(
+        "studentId",
+        "structureRecordId",
+        "structureRecordName",
+        "structure_gs",
+        F.col("subjectSchoolId"),
+        "scorerId",
+        "markedAt",
+        F.struct(
+            F.col("subjectEvaluationId"),
+            F.col("subjectName"),
+            F.coalesce("subjectNameNative", F.lit("")).alias("subjectNameNative"),
+            F.coalesce("subjectCode", F.lit("")).alias("code"),
+            F.coalesce("subjectInfoCredit", F.lit(0.0)).alias("credit"),
+            F.round("final_score", 6).alias("score"),
+            F.col("subjectMaxScore").alias("maxScore"),
+            F.round("pct", 6).alias("percentage"),
+            F.col("g.grade").alias("grade"),
+            F.col("g.meaning").alias("meaning"),
+            F.col("g.gpa").alias("gpa"),
+            F.coalesce("parentName", F.lit("")).alias("subjectParentName"),
+            F.col("parentEvaluationId").alias("subjectParentEvaluationId"),
+            F.coalesce("parentType", F.lit("")).alias("subjectParentType"),
+            F.when(is_month, F.col("parentName")).otherwise(F.lit("")).alias(
+                "monthName"
+            ),
+            F.when(is_month, F.col("parentEvaluationId")).alias(
+                "monthEvaluationId"
+            ),
+            F.when(is_month, F.coalesce("hopSemesterName", F.lit("")))
+            .when(is_sem, F.col("parentName"))
+            .otherwise(F.lit(""))
+            .alias("semesterName"),
+            F.when(is_month, F.col("hopSemesterId"))
+            .when(is_sem, F.col("parentEvaluationId"))
+            .alias("semesterEvaluationId"),
+        ).alias("detail"),
+    )
 
     # Both aggregations below consume this plan; materialize it once
-    # instead of recomputing the whole fact chain per branch.
-    with_sem = with_sem.localCheckpoint(eager=True)
+    # instead of recomputing the whole transcript chain per branch.
+    detail_base = detail_base.transform(materialize)
 
-    details = nested_details(
-        with_sem,
-        keys=["studentId", "studentFirstName", "gender", "schoolId"],
-        detail_cols=[
-            "subjectEvaluationId",
-            "subjectName",
-            "credit",
-            "score",
-            "percentage",
-            "grade",
-            "gpa",
-            "monthEvaluationId",
-            "monthName",
-            "semesterEvaluationId",
-            "semesterName",
-        ],
-        alias="subjectDetails",
+    group_keys = [
+        "studentId",
+        "structureRecordId",
+        "structureRecordName",
+        "structure_gs",
+    ]
+    # A6 totals over the detail credits/gpas (credit from subject info,
+    # 0 when missing — …student_transcript/…:409-412).
+    credit = F.col("detail.credit")
+    gpa = F.col("detail.gpa")
+    scorer_ord = (
+        F.unix_timestamp(F.col("markedAt")) * F.lit(100_000) + F.col("scorerId")
     )
-    totals = credit_totals(
-        with_sem, ["studentId"], credit="credit", gpa="gpa"
+    totals = detail_base.groupBy(*group_keys).agg(
+        F.sum(credit).alias("totalCredits"),
+        F.when(
+            F.sum(credit) > 0, F.sum(credit * gpa) / F.sum(credit)
+        ).otherwise(F.lit(0.0)).alias("totalGPA"),
+        F.count(F.lit(1)).cast("long").alias("subjectCount"),
+        # record-level scorer: the engine's deterministic form of the
+        # reference's last-iteration-wins dict write (…:330-332).
+        F.max_by(F.struct("scorerId", "markedAt"), scorer_ord).alias("__scorer"),
+        # schoolId of the first detail in sorted order (…:422).
+        F.min_by("subjectSchoolId", F.col("detail.subjectEvaluationId")).alias(
+            "schoolId"
+        ),
     )
-    # totals is per-student — one row per enrolled student, growing with
-    # the data — so this is a plain join, not a broadcast_dim_join: both
-    # sides are already hash-partitioned by studentId from their groupBys,
-    # so the sort-merge join reuses that partitioning without a new
-    # shuffle (and AQE still broadcasts while totals is small).
-    return details.join(totals, on="studentId", how="inner")
+
+    if not include_details:
+        return totals.select(
+            "studentId",
+            "structureRecordId",
+            F.col("totalCredits"),
+            F.col("totalGPA"),
+            F.col("subjectCount"),
+        )
+
+    details = detail_base.groupBy(*group_keys).agg(
+        F.sort_array(F.collect_list("detail")).alias("subjectDetails")
+    )
+
+    # per-student joins: both sides are already partitioned by the group
+    # keys from their aggregations — plain join, AQE decides strategy.
+    assembled = details.join(totals, on=group_keys, how="inner").join(
+        students.select(
+            "studentId",
+            F.col("firstName").alias("studentFirstName"),
+            F.col("lastName").alias("studentLastName"),
+            F.col("firstNameNative").alias("studentFirstNameNative"),
+            F.col("lastNameNative").alias("studentLastNameNative"),
+            "idCard",
+            "dob",
+            gender_normalize(F.col("gender")).alias("gender"),
+            "campusId",
+        ),
+        on="studentId",
+        how="left",
+    )
+    return assembled.select(
+        "schoolId",
+        "campusId",
+        "structureRecordId",
+        "structureRecordName",
+        F.col("structure_gs").alias("groupStructureId"),
+        F.concat(F.lit("#"), F.col("structureRecordId")).alias("structurePath"),
+        "studentId",
+        "studentFirstName",
+        "studentLastName",
+        "studentFirstNameNative",
+        "studentLastNameNative",
+        "idCard",
+        "dob",
+        "gender",
+        "subjectDetails",
+        F.col("totalCredits"),
+        F.col("totalGPA"),
+        "subjectCount",
+        F.col("__scorer.scorerId").alias("scorerId"),
+        F.col("__scorer.markedAt").alias("markedAt"),
+    )

@@ -97,6 +97,10 @@ def ext_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Exact percentiles — the ClickHouse quantile() analog (interpolated).
+# Exact is the ORACLE form only (it buffers each group's values); the
+# 100 TB path is approx_percentile's bounded sketch — pinned against this
+# within 2% in tests/test_scale_ops.py::test_approx_percentile_within_bound
+# (same pattern as the HLL twin above).
 # ---------------------------------------------------------------------------
 @register(
     "ext_percentiles",

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from clickhouse_etl_spark.util import materialize
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -110,7 +112,7 @@ def minhash_near_duplicates(
     # Materialize the (small: n×bands ints) band table once — the self-join
     # below references it twice and Spark broadcasts one side rather than
     # reusing the exchange, which would recompute every MinHash signature.
-    banded = banded.localCheckpoint(eager=True)
+    banded = materialize(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -126,7 +128,7 @@ def minhash_near_duplicates(
         .distinct()
         # consumed three times below (two id projections + the verify
         # join) — materialize the (small) pair list once
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     from clickhouse_etl_spark.util import rebalance_for_compute
 
@@ -144,7 +146,7 @@ def minhash_near_duplicates(
             F.col(id_col),
             F.array_distinct(_shingles(text_col, shingle_k)).alias("__set"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     verified = (
         candidates.join(
@@ -285,7 +287,7 @@ def simhash_near_duplicates(
     )
     # One signature computation total: the self-join otherwise recomputes
     # the SimHash expression on both the probe and the broadcast side.
-    banded = banded.localCheckpoint(eager=True)
+    banded = materialize(banded)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from clickhouse_etl_spark.util import materialize
+
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
 
@@ -179,7 +181,7 @@ def ivf_ann_topk(
         .select(
             F.col(id_col).alias("__cent_id"), F.col("__cv").alias("__cent_vec")
         )
-        .localCheckpoint(eager=True)  # tiny; reused by both assignments
+        .transform(materialize)  # tiny; reused by both assignments
     )
 
     dot_cc = _DOT.format(a="__cv", b="__cent_vec")
@@ -273,7 +275,7 @@ def embedding_cosine_neardup(
         F.posexplode(_table_buckets("__v", num_planes, num_tables, dims)).alias(
             "__table", "__bucket"
         ),
-    ).localCheckpoint(eager=True)  # self-joined below; hash planes once
+    ).transform(materialize)  # self-joined below; hash planes once
 
     l, r = c.alias("l"), c.alias("r")
     pairs = (

@@ -2,7 +2,69 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+# Engine-wide materialization strategy (see :func:`materialize`).
+_MATERIALIZE_MODE: str | None = None
+
+_MATERIALIZE_MODES = ("localCheckpoint", "checkpoint", "persist", "none")
+
+
+def set_materialize_mode(mode: str | None) -> None:
+    """Set the engine-wide default for :func:`materialize`.
+
+    ``localCheckpoint`` (default) | ``checkpoint`` | ``persist`` | ``none``.
+    ``None`` resets to the built-in default. Can also be set via the
+    ``SPARK_GRAFT_MATERIALIZE`` environment variable (the explicit setter
+    wins).
+    """
+    if mode is not None and mode not in _MATERIALIZE_MODES:
+        raise ValueError(f"materialize mode must be one of {_MATERIALIZE_MODES}")
+    global _MATERIALIZE_MODE
+    _MATERIALIZE_MODE = mode
+
+
+def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
+    """Cut the lineage / cache an intermediate that multiple downstream
+    branches consume, with a cluster-appropriate strategy:
+
+    - ``localCheckpoint`` — eager, executor-local blocks. FASTEST on
+      local[] / single-JVM runs (this harness), but the blocks are
+      UNREPLICATED executor state: on a real cluster an executor loss
+      kills the job. The local-mode default.
+    - ``checkpoint`` — eager, written to the reliable checkpoint dir
+      (HDFS/object store). The CLUSTER mode: survives executor loss.
+      Requires ``spark.sparkContext.setCheckpointDir(...)`` first.
+    - ``persist`` — lazy MEMORY_AND_DISK cache; keeps lineage (fault
+      recovery recomputes), no eager cost. Right when the reuse is
+      optional or the intermediate is small.
+    - ``none`` — pass-through (recompute per consumer).
+
+    Resolution order: explicit ``mode`` arg → ``set_materialize_mode`` →
+    ``$SPARK_GRAFT_MATERIALIZE`` → ``localCheckpoint``.
+    """
+    mode = (
+        mode
+        or _MATERIALIZE_MODE
+        or os.environ.get("SPARK_GRAFT_MATERIALIZE")
+        or "localCheckpoint"
+    )
+    if mode not in _MATERIALIZE_MODES:
+        raise ValueError(f"materialize mode must be one of {_MATERIALIZE_MODES}")
+    if mode == "none":
+        return df
+    if mode == "localCheckpoint":
+        return df.localCheckpoint(eager=True)
+    if mode == "checkpoint":
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise RuntimeError(
+                "materialize(mode='checkpoint') needs a reliable checkpoint "
+                "dir: call spark.sparkContext.setCheckpointDir('<hdfs/s3 path>')"
+            )
+        return df.checkpoint(eager=True)
+    return df.persist()
 
 
 def rebalance_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:

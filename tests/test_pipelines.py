@@ -98,7 +98,10 @@ def test_copy_entity_keeps_latest_version(spark):
 
 def test_transcript_nested_invariants(spark):
     wh = synthetic_warehouse(spark, SF_SMOKE)
-    t = student_transcript(wh["evaluations"], wh["scores"], wh["students"])
+    t = student_transcript(
+        wh["evaluations"], wh["scores"], wh["students"],
+        wh["structures"], wh["subject_dim"],
+    )
     # subjectCount must equal the nested array size (SURVEY §5.4 property)
     bad = t.filter(F.col("subjectCount") != F.size("subjectDetails")).count()
     assert bad == 0

@@ -81,16 +81,10 @@ def test_no_forced_broadcast_on_fact_derived_sides(spark):
 
     wh = synthetic_warehouse(spark, SF_SMOKE)
 
-    def hint_targets(df):
-        """Names of the relations under an explicit broadcast hint."""
-        plan = df._jdf.queryExecution().analyzed().toString()
-        out = []
-        for line in plan.splitlines():
-            if "UnresolvedHint broadcast" in line or "ResolvedHint" in line:
-                out.append(line)
-        return "\n".join(out)
-
-    fact = monthly_subject_fact(wh["evaluations"], wh["scores"], wh["students"])
+    fact = monthly_subject_fact(
+        wh["evaluations"], wh["scores"], wh["students"],
+        wh["structures"], wh["subject_dim"],
+    )
     # the anti-join on (subjectEvaluationId, studentId) must be hint-free:
     # no hint line may mention the direct fact's key projection. Hints on
     # the bounded dims (subject/month evaluations) are expected and fine.
@@ -99,11 +93,13 @@ def test_no_forced_broadcast_on_fact_derived_sides(spark):
         if "LeftAnti" in line:
             assert "broadcast" not in line.lower(), f"forced broadcast on anti join: {line}"
 
-    transcript = student_transcript(wh["evaluations"], wh["scores"], wh["students"])
+    transcript = student_transcript(
+        wh["evaluations"], wh["scores"], wh["students"],
+        wh["structures"], wh["subject_dim"],
+    )
     t_plan = transcript._jdf.queryExecution().optimizedPlan().toString()
-    # the final details⨝totals join (both sides per-student aggregates)
-    # must not be hint-forced either: no Inner join line with a hint on
-    # a per-student aggregate side.
+    # the final details⨝totals join (both sides per-(student, structure)
+    # aggregates) must not be hint-forced either.
     for line in t_plan.splitlines():
         if "Join Inner, (studentId" in line:
             assert "broadcast" not in line.lower(), f"forced broadcast on totals join: {line}"

@@ -14,6 +14,40 @@ from clickhouse_etl_spark.sinks.writers import write_mergetree_mapped
 from tests.conftest import SF_SMOKE, rows_set
 
 
+# --- materialization strategy ---------------------------------------------
+
+def test_materialize_modes(spark, tmp_path):
+    """The cluster-safe materialization knob: localCheckpoint (local
+    default), reliable checkpoint (cluster mode), persist, none — all
+    yield the same rows; checkpoint demands a checkpoint dir."""
+    from clickhouse_etl_spark.util import materialize, set_materialize_mode
+
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    expect = df.collect()
+
+    assert materialize(df, "none") is df
+    assert materialize(df, "localCheckpoint").collect() == expect
+    p = materialize(df, "persist")
+    assert p.collect() == expect and p.storageLevel.useMemory
+    p.unpersist()
+
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(RuntimeError, match="checkpoint dir"):
+            materialize(df, "checkpoint")
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    assert materialize(df, "checkpoint").collect() == expect
+
+    # the global knob steers the default; bogus modes are rejected
+    set_materialize_mode("none")
+    try:
+        assert materialize(df) is df
+    finally:
+        set_materialize_mode(None)
+    with pytest.raises(ValueError):
+        set_materialize_mode("bogus")
+
+
 # --- salting ---------------------------------------------------------------
 
 def test_salted_aggregate_matches_plain(spark):
@@ -90,13 +124,35 @@ def test_approx_count_distinct_within_bound(spark):
     assert abs(r["approx"] - r["exact"]) <= max(3, 0.15 * r["exact"])
 
 
+def test_approx_percentile_within_bound(spark):
+    """The 100 TB twin of ext_percentiles: exact percentile buffers every
+    group's values in memory, approx_percentile keeps a bounded sketch
+    (Greenwald-Khanna, accuracy=1/eps). Pinned: the sketch's p50/p95 stay
+    within 2% relative error of the exact interpolated quantile on every
+    o_orderpriority group."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    rows = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("apx_p50"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 1000)").alias("apx_p95"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["apx_p50"] - r["exact_p50"]) <= 0.02 * r["exact_p50"]
+        assert abs(r["apx_p95"] - r["exact_p95"]) <= 0.02 * r["exact_p95"]
+
+
 # --- K4: nested Array(Struct) warehouse write ------------------------------
 
 def test_nested_transcript_write_roundtrip(spark, tmp_path):
     from clickhouse_etl_spark.pipelines import student_transcript, synthetic_warehouse
 
     wh = synthetic_warehouse(spark, SF_SMOKE)
-    t = student_transcript(wh["evaluations"], wh["scores"], wh["students"])
+    t = student_transcript(
+        wh["evaluations"], wh["scores"], wh["students"],
+        wh["structures"], wh["subject_dim"],
+    )
     out = str(tmp_path / "transcripts")
     write_mergetree_mapped(
         t, out, partition_by="schoolId", order_by=["studentId"]
@@ -107,6 +163,7 @@ def test_nested_transcript_write_roundtrip(spark, tmp_path):
     field = {f.name: f for f in back.schema.fields}["subjectDetails"]
     assert isinstance(field.dataType, T.ArrayType)
     assert isinstance(field.dataType.elementType, T.StructType)
-    # partition pruning works on the MergeTree-mapped layout
-    one_school = back.filter(F.col("schoolId") == "0")
+    # partition pruning works on the MergeTree-mapped layout (transcript
+    # schoolId comes from the subject evaluations: 'sch0'/'sch1')
+    one_school = back.filter(F.col("schoolId") == "sch0")
     assert 0 < one_school.count() < back.count()
