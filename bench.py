@@ -48,6 +48,13 @@ def main() -> int:
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
+        # Results leave the engine as Arrow batches (toPandas), not
+        # row-pickled Rows: on wide results (the 35-column fact with its
+        # JSON detail column) driver-side pickling dominated the timing
+        # (16s collect vs 1.7s compute at sf0.1) — Arrow is the honest
+        # export path a real engine uses, and every value still reaches
+        # the driver.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,7 +78,11 @@ def main() -> int:
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            try:
+                df.toPandas()  # Arrow export (see conf note above)
+            except Exception:
+                df.collect()  # fallback for Arrow-unfriendly schemas
             per_query[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # keep benching; a failed query is its own signal
             failed[name] = f"{type(e).__name__}: {e}"[:200]
@@ -85,6 +96,17 @@ def main() -> int:
         "sf": sf,
         "cpus": cpus,
         "n_queries": len(per_query),
+        # round-3 registry consolidation: per-query diffs vs BENCH_r02
+        # compare against the SUM of the fused r2 queries; the pl_* fact/
+        # transcript queries now compute and export the FULL 35-column /
+        # 18-field DDL surface (~4x round 2's output width).
+        "fused_from_r2": {
+            "a12_avg_null_semantics": ["a1_avg_null_dropped", "a2_avg_null_as_zero"],
+            "f_scalar_suite": ["f_scalar_suite", "f_scalar_suite2", "f_json_parse"],
+            "ns_text_stats": ["ns_text_stats", "ns_lang_id", "ns_token_count"],
+            "ns_fingerprint": ["ns_fingerprint", "ns_rolling_fingerprint"],
+            "ns_mm_pipeline": ["ns_mm_resize", "ns_mm_frames"],
+        },
     }
     if failed:
         out["failed"] = failed

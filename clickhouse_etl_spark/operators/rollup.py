@@ -106,13 +106,18 @@ def hierarchical_rollup(
             .join(resolved.select(id_col), on=id_col, how="left_anti")
             .withColumn("value", F.lit(None).cast("double"))
         )
-        # Eager checkpoint: materialize the level ONCE (isEmpty below would
-        # otherwise recompute it, and the union would recompute it again),
-        # and truncate lineage so per-level plans don't stack up.
-        new_rows = materialize(candidate_parents.unionByName(starved_parents))
+        # Materialize the level ONCE (isEmpty below would otherwise
+        # recompute it, and the union would recompute it again), with
+        # cut_lineage: the fixed-point loop's plans would stack up each
+        # iteration under a lazy persist.
+        new_rows = materialize(
+            candidate_parents.unionByName(starved_parents), cut_lineage=True
+        )
         if new_rows.isEmpty():
             break
-        resolved = materialize(resolved.unionByName(new_rows))
+        resolved = materialize(
+            resolved.unionByName(new_rows), cut_lineage=True
+        )
 
     nodes.unpersist()
     return resolved

@@ -11,7 +11,7 @@ Spark-first translation:
 - G1 chaining → ordered stages over a shared context dict.
 - G2 XCom → the context holds *DataFrames* (lazy plans) — no
   serialize/deserialize hop through a metadata DB; an optional
-  ``materialize`` flag per stage eagerly localCheckpoints an output when
+  ``materialize`` flag per stage materializes an output (engine strategy,
   downstream stages reuse it more than once (the persist-between-stages
   policy).
 - G3 retries → per-stage retry count with exponential backoff; a stage

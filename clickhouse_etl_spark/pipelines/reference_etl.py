@@ -48,13 +48,7 @@ from clickhouse_etl_spark.functions.scalars import (
     path_first_id,
     percentage,
     score_from_percentage,
-)
-from clickhouse_etl_spark.operators.aggregates import (
-    avg_null_as_zero,
-    avg_null_dropped,
-    credit_totals,
-    nested_details,
-    weighted_average,
+    weighted_coe,
 )
 from clickhouse_etl_spark.operators.dedup import (
     last_write_wins,
@@ -300,44 +294,28 @@ def _score_order(markedAt="markedAt", scoreId="scoreId") -> F.Column:
     return F.unix_timestamp(F.col(markedAt)) * F.lit(100_000_000) + F.col(scoreId)
 
 
-def _representatives(
-    scores: DataFrame, subject_evals: DataFrame, customs: DataFrame
-) -> DataFrame:
-    """W2 — one representative score row per (subject, student, source):
-    the latest-marked direct score, and the latest-marked custom-child
-    score (the reference's placeholder_score probe,
-    …etl_student_scores_subject_month_to_clickhouse.py:305-331). The
-    whole payload travels as ONE struct so structurePath/scorerId/
-    markedAt/description always come from the same physical score."""
-    direct_src = scores.join(
-        F.broadcast(subject_evals.select("evaluationId")), on="evaluationId"
-    ).select(
-        F.col("evaluationId").alias("subjectEvaluationId"),
-        "studentId",
-        F.lit("direct").alias("scoreSource"),
-        "structurePath", "scorerId", "markedAt", "description", "scoreId",
+def _per_eval_base(scores: DataFrame, null_as_zero: bool) -> DataFrame:
+    """ONE pass over the scores fact: the per-(evaluation, student)
+    average (A1 null-dropped or A2 null-as-zero) PLUS the W2
+    latest-marked representative payload and its order key — avg, rep,
+    and ord in a single shuffle instead of three separate scans
+    (averages / custom descriptions / representatives all group on the
+    same keys). The whole payload travels as ONE struct so
+    structurePath/scorerId/markedAt/description always come from the
+    same physical score, and because ``_score_order`` is a TOTAL order,
+    the representative of any coarser regrouping (custom children → the
+    parent subject) is exactly ``max_by(__rep, __rep_ord)``.
+
+    W2 reference: …etl_student_scores_subject_month_to_clickhouse.py:305-331.
+    """
+    value = (
+        F.coalesce(F.col("score"), F.lit(0.0)) if null_as_zero else F.col("score")
     )
-    custom_src = scores.join(
-        F.broadcast(customs.select("evaluationId", "parentId")), on="evaluationId"
-    ).select(
-        F.col("parentId").alias("subjectEvaluationId"),
-        "studentId",
-        F.lit("aggregated").alias("scoreSource"),
-        "structurePath", "scorerId", "markedAt", "description", "scoreId",
-    )
-    both = direct_src.unionByName(custom_src)
     payload = F.struct("structurePath", "scorerId", "markedAt", "description")
-    rep = both.groupBy("subjectEvaluationId", "studentId", "scoreSource").agg(
-        F.max_by(payload, _score_order()).alias("__rep")
-    )
-    return rep.select(
-        "subjectEvaluationId",
-        "studentId",
-        "scoreSource",
-        F.col("__rep.structurePath").alias("structurePath"),
-        F.col("__rep.scorerId").alias("scorerId"),
-        F.col("__rep.markedAt").alias("markedAt"),
-        F.col("__rep.description").alias("description"),
+    return scores.groupBy("evaluationId", "studentId").agg(
+        F.avg(value).alias("avg_score"),
+        F.max_by(payload, _score_order()).alias("__rep"),
+        F.max(_score_order()).alias("__rep_ord"),
     )
 
 
@@ -406,66 +384,58 @@ def monthly_subject_fact(
     subject_evals = evaluations.filter(F.col("type") == "subject")
     customs = evaluations.filter(F.col("type") == "custom")
 
-    # per-(evaluation, student) mean score — null-dropped (A1 semantics).
-    # Materialized once: both the direct and the custom path consume it,
-    # and recomputing means re-running the scores join + aggregation.
-    per_eval = avg_null_dropped(
-        scores, ["evaluationId", "studentId"], "score", alias="avg_score"
-    ).transform(materialize)
+    # per-(evaluation, student) mean score (A1 null-dropped semantics,
+    # == operators.avg_null_dropped) + the W2 representative in ONE
+    # shuffle over the fact. Materialized once: the direct path, the
+    # custom path, and the precedence anti-join all consume it.
+    per_eval = materialize(_per_eval_base(scores, null_as_zero=False))
 
     # DIRECT path: scores attached straight to subject evaluations.
-    # Also materialized — it is read twice (union + precedence anti-join).
-    direct = (
-        broadcast_dim_join(
-            per_eval,
-            subject_evals.select("evaluationId", "maxScore"),
-            on="evaluationId",
-            how="inner",
-        )
-        .select(
-            F.col("evaluationId").alias("subjectEvaluationId"),
-            "studentId",
-            percentage(F.col("avg_score"), F.col("maxScore")).alias("percentage"),
-            F.lit("direct").alias("scoreSource"),
-        )
-        .transform(materialize)
+    # NOT re-materialized — it is one broadcast join away from the
+    # checkpointed per_eval, cheaper to recompute than to serialize.
+    direct = broadcast_dim_join(
+        per_eval,
+        subject_evals.select("evaluationId", "maxScore"),
+        on="evaluationId",
+        how="inner",
+    ).select(
+        F.col("evaluationId").alias("subjectEvaluationId"),
+        "studentId",
+        percentage(F.col("avg_score"), F.col("maxScore")).alias("percentage"),
+        F.lit("direct").alias("scoreSource"),
+        "__rep",
     )
 
     # CUSTOM path, step 1 — per-custom-eval records (the reference's
     # custom_record dicts, …:216-231): avg score, guarded percentage,
-    # grade banding, raw coe, latest-marked description. These feed BOTH
-    # the A3 subject rollup and the A8 customEvaluations JSON column.
-    custom_desc = (
-        scores.join(F.broadcast(customs.select("evaluationId")), on="evaluationId")
-        .groupBy("evaluationId", "studentId")
-        .agg(F.max_by("description", _score_order()).alias("description"))
-    )
-    custom_records = (
-        per_eval.join(
-            customs.select(
-                "evaluationId", "parentId", "name", "maxScore", "coe"
-            ),
-            on="evaluationId",
-            how="inner",
-        )
-        .join(custom_desc, on=["evaluationId", "studentId"], how="left")
-        .select(
-            F.col("parentId").alias("subjectEvaluationId"),
-            "studentId",
-            "evaluationId",
-            "name",
-            F.col("avg_score"),
-            F.col("maxScore"),
-            percentage(F.col("avg_score"), F.col("maxScore")).alias("custom_pct"),
-            "coe",
-            "description",
-        )
-        .withColumn("g", grade_band(F.col("custom_pct")))
-        .transform(materialize)
-    )
+    # grade banding, raw coe, latest-marked description (the rep's).
+    custom_records = per_eval.join(
+        F.broadcast(
+            customs.select("evaluationId", "parentId", "name", "maxScore", "coe")
+        ),
+        on="evaluationId",
+        how="inner",
+    ).select(
+        F.col("parentId").alias("subjectEvaluationId"),
+        "studentId",
+        "evaluationId",
+        "name",
+        F.col("avg_score"),
+        F.col("maxScore"),
+        percentage(F.col("avg_score"), F.col("maxScore")).alias("custom_pct"),
+        "coe",
+        F.col("__rep.description").alias("description"),
+        "__rep",
+        "__rep_ord",
+    ).withColumn("g", grade_band(F.col("custom_pct")))
 
-    # A8 — customEvaluations JSON detail column (sorted for determinism).
-    custom_json = custom_records.groupBy("subjectEvaluationId", "studentId").agg(
+    # CUSTOM path, step 2 — ONE aggregation to the parent subject: the A3
+    # coe-weighted percentage (== operators.weighted_average), the A8
+    # customEvaluations JSON column, and the custom-side W2 rep (exact:
+    # max_by over per-eval reps == max_by over the raw child scores).
+    w = weighted_coe(F.col("coe"))
+    custom_agg = custom_records.groupBy("subjectEvaluationId", "studentId").agg(
+        (F.sum(F.col("custom_pct") * w) / F.sum(w)).alias("agg_percentage"),
         F.to_json(
             F.sort_array(
                 F.collect_list(
@@ -485,31 +455,41 @@ def monthly_subject_fact(
             )
         ).alias("customEvaluations"),
         F.count(F.lit(1)).cast("int").alias("customEvaluationCount"),
-    )
+        F.max_by("__rep", "__rep_ord").alias("__crep"),
+    ).transform(materialize)
 
-    # CUSTOM path, step 2 — A3 coe-weighted rollup to the parent subject.
-    aggregated = weighted_average(
-        custom_records.select(
+    # precedence: direct wins (but still carries its subject's custom-eval
+    # JSON details, like the reference's direct records); aggregated-only
+    # pairs fill the rest. The anti-join's right side is the direct FACT's
+    # key set — it grows with the data, so no forced broadcast (AQE still
+    # broadcasts while it fits under the threshold, shuffle-joins beyond).
+    merged_cols = [
+        "subjectEvaluationId", "studentId", "percentage", "scoreSource",
+        "__rep", "customEvaluations", "customEvaluationCount",
+    ]
+    direct_full = direct.join(
+        custom_agg.select(
             "subjectEvaluationId", "studentId",
-            F.col("custom_pct"), F.col("coe"),
+            "customEvaluations", "customEvaluationCount",
         ),
-        ["subjectEvaluationId", "studentId"],
-        "custom_pct",
-        "coe",
-        alias="percentage",
-    ).withColumn("scoreSource", F.lit("aggregated"))
-
-    # precedence: direct wins; aggregated-only pairs fill the rest. The
-    # anti-join's right side is the direct FACT's key set — it grows with
-    # the data, so no forced broadcast (AQE still broadcasts while it
-    # fits under the threshold, shuffle-joins beyond).
+        on=["subjectEvaluationId", "studentId"],
+        how="left",
+    ).select(*merged_cols)
     aggregated_only = anti_join(
-        aggregated,
+        custom_agg.select(
+            "subjectEvaluationId",
+            "studentId",
+            F.col("agg_percentage").alias("percentage"),
+            F.lit("aggregated").alias("scoreSource"),
+            F.col("__crep").alias("__rep"),
+            "customEvaluations",
+            "customEvaluationCount",
+        ),
         direct.select("subjectEvaluationId", "studentId"),
         on=["subjectEvaluationId", "studentId"],
         broadcast=False,
-    )
-    merged = direct.unionByName(aggregated_only)
+    ).select(*merged_cols)
+    merged = direct_full.unionByName(aggregated_only)
 
     graded = merged.withColumn("g", grade_band(F.col("percentage"))).select(
         "subjectEvaluationId",
@@ -519,14 +499,16 @@ def monthly_subject_fact(
         F.col("g.grade").alias("grade"),
         F.col("g.gpa").alias("gpa"),
         F.col("g.meaning").alias("meaning"),
+        F.col("__rep.structurePath").alias("structurePath"),
+        F.col("__rep.scorerId").alias("scorerId"),
+        F.col("__rep.markedAt").alias("markedAt"),
+        F.col("__rep.description").alias("description"),
+        "customEvaluations",
+        "customEvaluationCount",
     )
 
-    # W2 representative score → structure/subject-info dims (J6+J7).
-    reps = _representatives(scores, subject_evals, customs)
-    with_rep = graded.join(
-        reps, on=["subjectEvaluationId", "studentId", "scoreSource"], how="left"
-    )
-    with_dims = _attach_dims(with_rep, structures, subject_dim)
+    # structure/subject-info dims (J6+J7) off the rep's structurePath.
+    with_dims = _attach_dims(graded, structures, subject_dim)
 
     # subject evaluation dim + J3 month hop (month only here: the wide
     # fact leaves month columns NULL when the subject parents straight to
@@ -556,7 +538,7 @@ def monthly_subject_fact(
         how="left",
     )
 
-    # J5 students (growing dim — AQE picks the strategy) + A8 JSON.
+    # J5 students (growing dim — AQE picks the strategy).
     with_students = with_month.join(
         students.select(
             "studentId",
@@ -572,7 +554,7 @@ def monthly_subject_fact(
         ),
         on="studentId",
         how="left",
-    ).join(custom_json, on=["subjectEvaluationId", "studentId"], how="left")
+    )
 
     return with_students.select(
         # School & campus
@@ -663,71 +645,52 @@ def student_transcript(
     months = evaluations.filter(F.col("type") == "month")
     semesters = evaluations.filter(F.col("type") == "semester")
 
-    # A2 — null-as-zero per-(evaluation, student) averages.
-    per_eval = avg_null_as_zero(
-        scores, ["evaluationId", "studentId"], "score", alias="avg_score"
-    ).transform(materialize)
+    # A2 — null-as-zero per-(evaluation, student) averages, fused with
+    # the W2 representative in one shuffle (same shape as the fact).
+    per_eval = materialize(_per_eval_base(scores, null_as_zero=True))
 
-    direct = (
-        broadcast_dim_join(
-            per_eval,
-            subject_evals.select("evaluationId", "maxScore"),
-            on="evaluationId",
-            how="inner",
-        )
-        .select(
-            F.col("evaluationId").alias("subjectEvaluationId"),
-            "studentId",
-            F.col("avg_score").alias("final_score"),
-            F.lit("direct").alias("scoreSource"),
-        )
-        .transform(materialize)
+    # DIRECT path (one broadcast join from the checkpoint; not re-
+    # materialized): percentage = score/max*100.
+    direct = broadcast_dim_join(
+        per_eval,
+        subject_evals.select("evaluationId", "maxScore"),
+        on="evaluationId",
+        how="inner",
+    ).select(
+        F.col("evaluationId").alias("subjectEvaluationId"),
+        "studentId",
+        F.lit("direct").alias("scoreSource"),
+        F.col("maxScore").alias("subjectMaxScore"),
+        F.col("avg_score").alias("final_score"),
+        percentage(F.col("avg_score"), F.col("maxScore")).alias("pct"),
+        "__rep",
     )
 
-    # A4 — unweighted mean of custom percentages, rescaled by the SUBJECT
-    # max score into a final score (…student_transcript/…:255-265).
-    custom_pcts = per_eval.join(
-        customs.select("evaluationId", "parentId", "maxScore"),
+    # A4 — unweighted mean of custom percentages + the custom-side W2 rep
+    # in ONE rollup to the parent subject (…student_transcript/…:255-265);
+    # rescaled by the SUBJECT max score into a final score.
+    custom_rolled = per_eval.join(
+        F.broadcast(customs.select("evaluationId", "parentId", "maxScore")),
         on="evaluationId",
         how="inner",
     ).select(
         F.col("parentId").alias("subjectEvaluationId"),
         "studentId",
         percentage(F.col("avg_score"), F.col("maxScore")).alias("custom_pct"),
-    )
-    custom_rolled = custom_pcts.groupBy("subjectEvaluationId", "studentId").agg(
-        F.avg("custom_pct").alias("custom_mean_pct")
-    )
-
-    custom_only = anti_join(
-        custom_rolled,
-        direct.select("subjectEvaluationId", "studentId"),
-        on=["subjectEvaluationId", "studentId"],
-        broadcast=False,
+        "__rep",
+        "__rep_ord",
+    ).groupBy("subjectEvaluationId", "studentId").agg(
+        F.avg("custom_pct").alias("custom_mean_pct"),
+        F.max_by("__rep", "__rep_ord").alias("__rep"),
     )
 
-    # attach subject maxScore, produce score+percentage per path:
-    # direct: percentage = score/max*100 ; custom: score = pct*max/100.
-    d_scored = broadcast_dim_join(
-        direct,
-        subject_evals.select(
-            F.col("evaluationId").alias("subjectEvaluationId"),
-            F.col("maxScore").alias("subjectMaxScore"),
-        ),
-        on="subjectEvaluationId",
-        how="inner",
-    ).select(
-        "subjectEvaluationId",
-        "studentId",
-        "scoreSource",
-        "subjectMaxScore",
-        F.col("final_score"),
-        percentage(F.col("final_score"), F.col("subjectMaxScore")).alias(
-            "pct"
-        ),
-    )
     c_scored = broadcast_dim_join(
-        custom_only.withColumn("scoreSource", F.lit("aggregated")),
+        anti_join(
+            custom_rolled,
+            direct.select("subjectEvaluationId", "studentId"),
+            on=["subjectEvaluationId", "studentId"],
+            broadcast=False,
+        ),
         subject_evals.select(
             F.col("evaluationId").alias("subjectEvaluationId"),
             F.col("maxScore").alias("subjectMaxScore"),
@@ -737,22 +700,24 @@ def student_transcript(
     ).select(
         "subjectEvaluationId",
         "studentId",
-        "scoreSource",
+        F.lit("aggregated").alias("scoreSource"),
         "subjectMaxScore",
         score_from_percentage(F.col("custom_mean_pct"), F.col("subjectMaxScore"))
         .alias("final_score"),
         F.col("custom_mean_pct").alias("pct"),
+        "__rep",
     )
-    merged = d_scored.unionByName(c_scored)
+    merged = direct.unionByName(c_scored)
 
-    graded = merged.withColumn("g", grade_band(F.col("pct")))
-
-    # W2 representative + J6/J7 dims (same policy as the wide fact).
-    reps = _representatives(scores, subject_evals, customs)
-    with_rep = graded.join(
-        reps, on=["subjectEvaluationId", "studentId", "scoreSource"], how="left"
+    graded = merged.withColumn("g", grade_band(F.col("pct"))).select(
+        "*",
+        F.col("__rep.structurePath").alias("structurePath"),
+        F.col("__rep.scorerId").alias("scorerId"),
+        F.col("__rep.markedAt").alias("markedAt"),
     )
-    with_dims = _attach_dims(with_rep, structures, subject_dim)
+
+    # J6/J7 dims off the rep's structurePath (same policy as the fact).
+    with_dims = _attach_dims(graded, structures, subject_dim)
 
     # subject eval dim + J4 ancestry: direct parent (month or semester),
     # then month→semester second hop.

@@ -329,32 +329,161 @@ def ns_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ===========================================================================
-# Approximate operators (no SQL oracle — rows-only driver check; recall
-# contracts pinned in tests/test_text_recall.py). Registered last by
-# design: a bounded check window drops these first.
-# ===========================================================================
+# ---------------------------------------------------------------------------
+# MinHash+LSH and SimHash near-dup — FULL value-hash oracles. The
+# registered queries run the 'poly' universal-hash family (polynomial
+# char-fold base + odd-multiplier affine permutations — plain wrapping
+# int64 arithmetic), which DuckDB reproduces bit-for-bit with HUGEINT
+# mod-2^64 folds: signatures, band buckets, candidate pairs, and the
+# exact verify all hash-match. The xxhash64 default family (better bit
+# mixing, the recommended 100 TB setting) keeps its recall contracts in
+# tests/test_text_recall.py — the banding math is identical under both.
+# ---------------------------------------------------------------------------
+
+from clickhouse_etl_spark.text.dedup import poly_affine_constants  # noqa: E402
+
+_M64 = "18446744073709551616::HUGEINT"
+
+_POLY_FOLD_SQL = (
+    "list_reduce(list_prepend(0::HUGEINT,"
+    " list_transform(string_split({s}, ''), c -> ascii(c)::HUGEINT)),"
+    f" (acc, ch) -> (acc * 31 + ch) % {_M64})"
+)
+
+_SIGNED_SQL = (
+    "CASE WHEN {v} >= 9223372036854775808::HUGEINT"
+    " THEN {v} - 18446744073709551616::HUGEINT ELSE {v} END"
+)
 
 
-# ---------------------------------------------------------------------------
-# MinHash+LSH near-dup (no SQL oracle — LSH banding; rows-only check)
-# ---------------------------------------------------------------------------
-@register("ns_minhash_neardup")
+def _minhash_oracle(num_hashes=16, bands=4, k=3, threshold=0.2) -> str:
+    rpb = num_hashes // bands
+    mh_exprs = []
+    for i in range(num_hashes):
+        a, b = poly_affine_constants(i)
+        affine = f"(x * {a}::HUGEINT + {b}::HUGEINT) % {_M64}"
+        mh_exprs.append(
+            "CAST(list_min(list_transform(list_transform(b, x -> "
+            + affine
+            + "), v -> "
+            + _SIGNED_SQL.format(v="v")
+            + ")) AS BIGINT)"
+        )
+    sig_list = "[" + ", ".join(mh_exprs) + "]"
+    band_fold = (
+        f"list_reduce(list_prepend(0::HUGEINT,"
+        f" list_transform(list_slice(sig, g.j * {rpb} + 1, g.j * {rpb} + {rpb}),"
+        f" v -> CASE WHEN v < 0 THEN v::HUGEINT + {_M64}"
+        f" ELSE v::HUGEINT END)),"
+        f" (acc, v) -> (acc * 31 + v) % {_M64})"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_transform(range(0, greatest(len(string_split(text,' ')) - {k}, 0) + 1),
+          i -> array_to_string(list_slice(string_split(text,' '), i+1, i+{k}), ' ')) AS sh
+      FROM documents
+    ),
+    bases AS (
+      SELECT doc_id, sh,
+        list_transform(sh, s -> {_POLY_FOLD_SQL.format(s="s")}) AS b
+      FROM sh
+    ),
+    sigs AS (SELECT doc_id, {sig_list} AS sig FROM bases),
+    banded AS (
+      SELECT doc_id, g.j AS band, {band_fold} AS band_hash
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, {bands})) AS j) g
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT p.doc_a, p.doc_b,
+        ROUND(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    ) WHERE jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming=3, bands=4) -> str:
+    a0, b0 = poly_affine_constants(0)
+    width = 64 // bands
+    word_hash = (
+        f"({_POLY_FOLD_SQL.format(s='w')} * {a0}::HUGEINT + {b0}::HUGEINT) % {_M64}"
+    )
+    return f"""
+    WITH wh AS (
+      SELECT doc_id,
+        list_transform(string_split(text, ' '), w -> {word_hash}) AS hs
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id,
+        list_transform(range(0, 64), b ->
+          list_sum(list_transform(hs, h ->
+            CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1
+                 THEN 1 ELSE -1 END))) AS cnt
+      FROM wh
+    ),
+    sigs AS (
+      SELECT doc_id,
+        list_sum(list_transform(range(0, 64), b ->
+          CASE WHEN cnt[b + 1] > 0 THEN CAST(power(2, b) AS HUGEINT)
+               ELSE 0::HUGEINT END)) AS sig_u
+      FROM counts
+    ),
+    sigs2 AS (
+      SELECT doc_id, sig_u,
+             CAST({_SIGNED_SQL.format(v="sig_u")} AS BIGINT) AS sig_s
+      FROM sigs
+    ),
+    banded AS (
+      SELECT doc_id, sig_s, g.j AS band,
+        (sig_u // CAST(power(2, g.j * {width}) AS HUGEINT)) % {1 << width} AS band_key
+      FROM sigs2 CROSS JOIN (SELECT unnest(range(0, {bands})) AS j) g
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        bit_count(xor(l.sig_s, r.sig_s)) AS hamming
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@register("ns_minhash_neardup", oracle=_minhash_oracle())
 def ns_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, jaccard_threshold=0.2)
+    return minhash_near_duplicates(
+        docs, jaccard_threshold=0.2, hash_family="poly"
+    )
 
 
-# ---------------------------------------------------------------------------
-# SimHash near-dup (no SQL oracle — pandas-UDF signature; rows-only check).
 # max_hamming=3 with 4 bands honors the pigeonhole completeness contract
 # (recall = 1.0 within the radius) — the Manku-style web-dedup operating
-# point; text/dedup.py rejects radii the banding can't guarantee.
-# ---------------------------------------------------------------------------
-@register("ns_simhash_neardup")
+# point; text/dedup.py rejects radii the banding can't guarantee. The
+# pandas-UDF signature variant stays as the UDF-surface seam (impl=
+# 'pandas', tested in tests/test_multimodal.py).
+@register("ns_simhash_neardup", oracle=_simhash_oracle())
 def ns_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3, bands=4)
+    return simhash_near_duplicates(
+        docs, max_hamming=3, bands=4, hash_family="poly"
+    )
+
+
+# ===========================================================================
+# Approximate ANN operators (no SQL oracle — rows-only driver check;
+# recall contracts pinned in tests/test_text_recall.py). Registered last
+# by design: a bounded check window drops these first.
+# ===========================================================================
 
 
 # ---------------------------------------------------------------------------

@@ -42,12 +42,45 @@ def exact_dedup(
     )
 
 
-def _shingles(text_col: str, k: int = 3) -> F.Column:
-    """k-word shingles as strings (higher-order functions, JVM-side)."""
-    return F.expr(
+def _shingles_sql(text_col: str, k: int = 3) -> str:
+    """k-word shingles as a SQL expression string (JVM higher-order fns)."""
+    return (
         f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {k}, 0)),"
         f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))"
     )
+
+
+def _shingles(text_col: str, k: int = 3) -> F.Column:
+    """k-word shingles as strings (higher-order functions, JVM-side)."""
+    return F.expr(_shingles_sql(text_col, k))
+
+
+# --- the 'poly' universal-hash family --------------------------------------
+# base(s)  = Σ 31^j · char_j   (wrapping int64 — the Java/Rabin-Karp fold)
+# h_i(s)   = base(s) · A_i + B_i  (wrapping; A_i odd 32-bit → a BIJECTION of
+#            Z_2^64, so the (A, B) pairs are a universal-ish permutation
+#            family in the standard MinHash construction)
+# Every step is plain wrapping int64 arithmetic, so a SQL oracle (DuckDB
+# HUGEINT mod 2^64) reproduces the signatures bit-for-bit — this family
+# makes MinHash/SimHash value-hash CHECKABLE. xxhash64 (the default) mixes
+# better and stays the recommended 100 TB family; the approximate-op
+# contract (banding math, collision handling) is identical under both.
+
+_M64 = 1 << 64
+
+
+def _signed64(u: int) -> int:
+    return u - _M64 if u >= (1 << 63) else u
+
+
+def poly_affine_constants(i: int) -> tuple[int, int]:
+    """(A_i, B_i) as UNSIGNED ints: A_i odd 32-bit, B_i 64-bit."""
+    a = (0x9E3779B9 * (2 * i + 1)) % (1 << 32) | 1
+    b = (0xC2B2AE3D27D4EB4F * (i + 1)) % _M64
+    return a, b
+
+
+_POLY_FOLD = "aggregate(split({s}, ''), CAST(0 AS BIGINT), (acc, ch) -> acc * 31 + ascii(ch))"
 
 
 def minhash_signature(
@@ -56,23 +89,45 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature over word shingles.
 
-    Each of the ``num_hashes`` functions is xxhash64 salted with the hash
-    index — deterministic across runs/executors, no fitted model needed.
-    Narrow transformation: no shuffle.
+    ``hash_family='xxhash64'`` (default): each of the ``num_hashes``
+    functions is xxhash64 salted with the hash index — deterministic
+    across runs/executors, no fitted model needed.
+    ``hash_family='poly'``: one polynomial char-fold base per shingle +
+    per-index affine permutations (see the family note above) — exactly
+    reproducible in a SQL oracle.
+    Narrow transformation: no shuffle either way.
     """
     from clickhouse_etl_spark.util import rebalance_for_compute
 
     sh = _shingles(text_col, shingle_k)
     out = rebalance_for_compute(df).select(F.col(id_col), sh.alias("__sh"))
-    sig_cols = [
-        F.array_min(
-            F.expr(f"transform(__sh, s -> xxhash64(concat('mh{i}:', s)))")
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "poly":
+        base_fold = _POLY_FOLD.format(s="s")
+        out = out.withColumn(
+            "__bases", F.expr(f"transform(__sh, s -> {base_fold})")
+        )
+        sig_cols = []
+        for i in range(num_hashes):
+            a, b = poly_affine_constants(i)
+            sig_cols.append(
+                F.array_min(
+                    F.expr(
+                        f"transform(__bases, x -> x * CAST({a} AS BIGINT)"
+                        f" + CAST({_signed64(b)} AS BIGINT))"
+                    )
+                ).alias(f"mh{i}")
+            )
+    else:
+        sig_cols = [
+            F.array_min(
+                F.expr(f"transform(__sh, s -> xxhash64(concat('mh{i}:', s)))")
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     return out.select(id_col, F.array(*sig_cols).alias("signature"))
 
 
@@ -84,13 +139,16 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs with exact verification.
 
     shingle → minhash → band → bucket self-join → exact-Jaccard verify.
     Pairs are emitted once (doc_a < doc_b), with the verified shingle-set
     Jaccard. Only bucket-colliding pairs are ever compared, so cost is
-    proportional to collisions, not n².
+    proportional to collisions, not n². ``hash_family='poly'`` makes the
+    whole candidate generation SQL-reproducible (oracle-checkable); see
+    :func:`minhash_signature`.
     """
     if num_hashes % bands:
         raise ValueError(
@@ -99,14 +157,22 @@ def minhash_near_duplicates(
             f"collision probability curve"
         )
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_k, hash_family
+    )
+    if hash_family == "poly":
+        band_hash = (
+            f"b -> aggregate(slice(signature, b * {rows_per_band} + 1, "
+            f"{rows_per_band}), CAST(0 AS BIGINT), (acc, v) -> acc * 31 + v)"
+        )
+    else:
+        band_hash = (
+            f"b -> hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band}))"
+        )
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})))"
-            )
+            F.expr(f"transform(sequence(0, {bands - 1}), {band_hash})")
         ).alias("band", "band_hash"),
     )
     # Materialize the (small: n×bands ints) band table once — the self-join
@@ -203,19 +269,32 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def _simhash64_jvm(text_col: str) -> F.Column:
+def _simhash64_jvm(text_col: str, hash_family: str = "xxhash64") -> F.Column:
     """64-bit SimHash as a pure JVM expression (whole-stage codegen).
 
-    Word hashes via xxhash64; one aggregate() pass per word accumulates a
-    64-wide ±1 counter array (zip_with), then the sign bits assemble the
-    signature. No Python in the loop — this is the 100 TB path (the
-    pandas-UDF variant stays as the injectable-hash/UDF-surface option).
+    Word hashes via xxhash64 (default) or the 'poly' affine family
+    (SQL-oracle-reproducible; weaker bit mixing — see the family note
+    above); one aggregate() pass per word accumulates a 64-wide ±1
+    counter array (zip_with), then the sign bits assemble the signature.
+    No Python in the loop — this is the 100 TB path (the pandas-UDF
+    variant stays as the injectable-hash/UDF-surface option).
     """
+    if hash_family == "poly":
+        a, b = poly_affine_constants(0)
+        word_hash = (
+            f"w -> {_POLY_FOLD.format(s='w')} * CAST({a} AS BIGINT)"
+            f" + CAST({_signed64(b)} AS BIGINT)"
+        )
+    else:
+        word_hash = "w -> xxhash64(w)"
+    # bit test via & 1, NOT % 2: shiftrightunsigned(h, 0) is h itself, and
+    # Spark's % keeps the dividend's sign — a negative odd hash would
+    # contribute -3 to bit 0's counter instead of +1.
     counts = (
-        f"aggregate(transform(split({text_col}, ' '), w -> xxhash64(w)), "
+        f"aggregate(transform(split({text_col}, ' '), {word_hash}), "
         f"array_repeat(0L, {_SIMHASH_BITS}), "
         f"(acc, h) -> zip_with(acc, sequence(0, {_SIMHASH_BITS - 1}), "
-        f"(a, b) -> a + shiftrightunsigned(h, b) % 2 * 2 - 1))"
+        f"(a, b) -> a + (shiftrightunsigned(h, b) & 1) * 2 - 1))"
     )
     sig = (
         f"aggregate(zip_with({counts}, sequence(0, {_SIMHASH_BITS - 1}), "
@@ -230,20 +309,22 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     impl: str = "jvm",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc 64-bit SimHash.
 
-    ``impl='jvm'`` (default): xxhash64-based codegen expression — no
-    Python in the hot path. ``impl='pandas'``: the Arrow-batched UDF with
-    md5 word hashes (kept as the custom-hash injection seam / UDF-surface
-    demonstration).
+    ``impl='jvm'`` (default): codegen expression — no Python in the hot
+    path; ``hash_family`` picks xxhash64 (default) or the
+    oracle-reproducible 'poly' word hashes. ``impl='pandas'``: the
+    Arrow-batched UDF with md5 word hashes (kept as the custom-hash
+    injection seam / UDF-surface demonstration).
     """
     from clickhouse_etl_spark.util import rebalance_for_compute
 
     if impl == "pandas":
         sig = _simhash64(F.col(text_col))
     else:
-        sig = _simhash64_jvm(text_col)
+        sig = _simhash64_jvm(text_col, hash_family)
     return rebalance_for_compute(df).select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -253,6 +334,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bands: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: band-bucket join + Hamming verification.
 
@@ -270,7 +352,7 @@ def simhash_near_duplicates(
             f"(got max_hamming={max_hamming}, bands={bands}); raise `bands` "
             f"or lower `max_hamming`"
         )
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = simhash_signatures(df, text_col, id_col, hash_family=hash_family)
     width = _SIMHASH_BITS // bands
     banded = sigs.select(
         id_col,

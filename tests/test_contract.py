@@ -33,11 +33,10 @@ def test_registry_sizes():
     # CORRECTNESS row at all.
     assert len(qs) <= 50, f"registry exceeds the driver's check window: {len(qs)}"
     assert len(qs) == 50  # consolidated surface — update deliberately
-    # the only rows-only queries are the documented approximate ops
+    # the only rows-only queries are the documented approximate ANN ops
+    # (MinHash/SimHash gained full oracles via the 'poly' hash family)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "ns_minhash_neardup",
-        "ns_simhash_neardup",
         "ns_ann_lsh",
         "ns_ann_ivf",
         "ns_emb_neardup",
