@@ -16,6 +16,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clickhouse_etl_spark.util import materialize
+
 
 def range_join_binned(
     events: DataFrame,
@@ -70,6 +72,9 @@ def range_join_binned(
     if how == "inner":
         return matched
 
+    # consumed twice below (output union + matched-key anti) — cache it
+    # rather than re-running the binned join per consumer.
+    matched = materialize(matched)
     preserved = events if how == "left" else intervals
     # Null-safe anti join on the preserved side's own columns: rows that
     # produced at least one match are excluded; the rest come back

@@ -1,0 +1,105 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+RNG-free by design: every decision is a pure function of the row's key,
+so runs are reproducible across retries, cluster sizes, and partitioning
+changes (a rand()-based sample changes membership whenever Spark
+re-executes a task — poison for dataset lineage). The hash-bucket
+primitive is the same one `ext_deterministic_sample` exposes as a query;
+these operators build the two shapes every corpus pipeline needs:
+
+- named train/val/test SPLITS with exact weight fractions, and
+- per-stratum sampling rates (rebalancing a skewed corpus).
+
+Buckets come from a pluggable expression. The default —
+``xxhash64(salt, keys…)`` — mixes well for any key type; pass
+``bucket_expr`` for an arithmetic form (e.g. Knuth multiplicative on an
+int key) when an external system must reproduce the decision in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _default_bucket(key_cols: Sequence[str], salt: str) -> Column:
+    return F.pmod(F.xxhash64(F.lit(salt), *[F.col(c) for c in key_cols]), F.lit(_BUCKETS))
+
+
+def assign_splits(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+    bucket_expr: Column | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Attach a named split per row, keyed deterministically.
+
+    ``weights`` (must sum to 1.0 ± 1e-9) map split names to fractions in
+    declaration order; the row's bucket (0..1e6) falls into exactly one
+    cumulative range, so splits are disjoint and exhaustive. The same
+    key always lands in the same split — documents never leak between
+    train and eval across reruns, and salting gives independent
+    re-partitions (different ``salt`` → statistically independent
+    assignment).
+    """
+    weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = bucket_expr if bucket_expr is not None else _default_bucket(key_cols, salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_deterministic_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_cols: Sequence[str],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows.
+
+    The corpus-rebalancing shape (downsample the over-represented
+    language/domain/source): each stratum gets its own keep-rate;
+    membership is a pure function of the key, so the SAME rows survive
+    every run. ``fractions`` maps stratum values (as strings) to rates;
+    unlisted strata use ``default_fraction``. Implemented as a broadcast
+    join of the tiny rate map + one bucket comparison — no shuffle of
+    the corpus, filter stays next to the scan.
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(str(k), float(v)) for k, v in fractions.items()],
+        [strata_col, "__rate"],
+    )
+    bucket = bucket_expr if bucket_expr is not None else _default_bucket(key_cols, salt)
+    joined = df.join(
+        F.broadcast(rates),
+        on=df[strata_col].cast("string") == rates[strata_col],
+        how="left",
+    ).drop(rates[strata_col])
+    return (
+        joined.withColumn("__rate", F.coalesce("__rate", F.lit(default_fraction)))
+        .filter(bucket < (F.col("__rate") * _BUCKETS).cast("long"))
+        .drop("__rate")
+    )

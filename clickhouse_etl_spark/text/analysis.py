@@ -179,6 +179,54 @@ def chunk_documents(
     )
 
 
+def top_k_vocab(
+    df: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent words with counts.
+
+    The tokenizer-training / frequency-pruning primitive. Shape: explode
+    → two-stage count aggregation (map-side partials are automatic) →
+    ``orderBy(count desc, word).limit(k)`` which plans as
+    TakeOrderedAndProject — each partition keeps only its own top k, no
+    global sort of the vocabulary. Deterministic tiebreak on the word.
+    """
+    words = df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(k)
+
+
+def corpus_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.6,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """Keep/drop decision per document with the firing reason.
+
+    The pre-training corpus filter composed from :func:`text_stats`:
+    too-short, stopword-heavy, or punctuation-heavy documents are
+    dropped; ``reason`` names the FIRST failing rule (priority order:
+    length, stopwords, punctuation) so drop statistics decompose. Pure
+    single-pass column logic — filters push to the scan side when used
+    as ``filter(keep)``.
+    """
+    stats = text_stats(df, text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("stopword_ratio") > max_stopword_ratio, F.lit("stopword_heavy"))
+        .when(F.col("punct_ratio") > max_punct_ratio, F.lit("punct_heavy"))
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
 ROLLING_BASE = 31  # Java-style 64-bit polynomial hash, natural wraparound
 
 

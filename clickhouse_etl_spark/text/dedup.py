@@ -391,6 +391,97 @@ def simhash_near_duplicates(
     return pairs
 
 
+def neardup_clusters(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive closure of near-duplicate pairs → (doc_id, cluster_id).
+
+    The step a training-data dedup pipeline runs AFTER pair generation
+    (exact/MinHash/SimHash/embedding): near-duplication is not transitive
+    pair-by-pair, but dedup policy usually treats connected components as
+    one duplicate group and keeps a canonical representative per group.
+    ``cluster_id`` is the minimum member id; "keep one per group" is then
+    the filter ``doc_id == cluster_id`` (see :func:`dedup_keep_list`).
+
+    Scale shape: iterative min-label propagation over the (bidirectional)
+    edge list — per round one join + one groupBy, converging in
+    O(component diameter) rounds, the standard large-graph
+    connected-components construction (no driver-side union-find, no
+    whole-graph collect). Rounds are materialized with ``cut_lineage``
+    so plans don't stack. Raises if ``max_iterations`` rounds don't
+    converge (a pathological chain longer than the cap).
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(right_col).alias("src"), F.col(left_col).alias("dst")
+            )
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .transform(lambda d: materialize(d, cut_lineage=True))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"),
+                    F.col("cluster_id").alias("src_label"),
+                ),
+                on="src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("src_label").alias("neighbor_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("neighbor_label", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = materialize(new_labels, cut_lineage=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"neardup_clusters did not converge in {max_iterations} rounds — "
+        "a component's diameter exceeds the cap; raise max_iterations"
+    )
+
+
+def dedup_keep_list(clusters: DataFrame) -> DataFrame:
+    """Per-cluster canonical representative + member count.
+
+    Input: (doc_id, cluster_id) from :func:`neardup_clusters`. The kept
+    document is the cluster id itself (minimum member); ``n_members``
+    sizes the duplicate group (1-member clusters never appear — only
+    docs that occurred in some pair are clustered).
+    """
+    return clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -123,6 +123,176 @@ def test_normalize_embeddings(spark):
     )
 
 
+def test_neardup_clusters_known_graph(spark):
+    """Triangle {1,2,3}, chain {10-11-12-13}, pair {20,21}: labels are the
+    component minima; keep-list sizes match."""
+    from clickhouse_etl_spark.text.dedup import dedup_keep_list, neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()
+    }
+    assert clusters == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                        20: 20, 21: 20}
+    keep = {
+        r["cluster_id"]: (r["keep_id"], r["n_members"])
+        for r in dedup_keep_list(neardup_clusters(pairs)).collect()
+    }
+    assert keep == {1: (1, 3), 10: (10, 4), 20: (20, 2)}
+
+
+def test_neardup_clusters_matches_recursive_oracle(spark):
+    """Connected components over the REAL MinHash pair list (poly family,
+    sf0.001) must equal DuckDB's recursive-CTE transitive closure."""
+    from clickhouse_etl_spark.queries.northstar import _minhash_oracle
+    from clickhouse_etl_spark.text.dedup import (
+        minhash_near_duplicates,
+        neardup_clusters,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_near_duplicates(
+        docs, jaccard_threshold=0.2, hash_family="poly"
+    )
+    clusters = neardup_clusters(pairs)
+    oracle = f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src, src AS dst FROM edges
+      UNION
+      SELECT r.src, e.dst
+      FROM reach r JOIN edges e ON e.src = r.dst
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """
+    _assert_matches_oracle(clusters, "WITH RECURSIVE " + oracle.strip().removeprefix("WITH "))
+
+
+def test_assign_splits_oracle_and_invariants(spark):
+    """Deterministic split assignment: disjoint+exhaustive, stable across
+    runs, and (with the arithmetic bucket) DuckDB-reproducible."""
+    from clickhouse_etl_spark.operators.sampling import assign_splits
+
+    events = load_table(spark, SF_DIR, "events")
+    bucket = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1_000_000))
+    out = assign_splits(
+        events.select("event_id"),
+        key_cols=["event_id"],
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        bucket_expr=bucket,
+    )
+    _assert_matches_oracle(
+        out,
+        """
+        SELECT event_id,
+               CASE WHEN (event_id * 2654435761) % 1000000 < 800000 THEN 'train'
+                    WHEN (event_id * 2654435761) % 1000000 < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM events
+        """,
+    )
+    # default xxhash64 bucket: same key -> same split on a rerun; weights
+    # roughly honored
+    a = assign_splits(events, ["event_id"]).groupBy("split").count().collect()
+    b = assign_splits(events, ["event_id"]).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r["split"]: r["count"] for r in a}
+    total = sum(counts.values())
+    assert abs(counts["train"] / total - 0.9) < 0.05
+
+
+def test_stratified_deterministic_sample(spark):
+    """Per-stratum keep rates, deterministic membership, DuckDB twin."""
+    from clickhouse_etl_spark.operators.sampling import (
+        stratified_deterministic_sample,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select("event_id", "event_type")
+    bucket = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1_000_000))
+    out = stratified_deterministic_sample(
+        events,
+        strata_col="event_type",
+        fractions={"click": 0.5, "view": 0.1},
+        key_cols=["event_id"],
+        bucket_expr=bucket,
+    )
+    _assert_matches_oracle(
+        out,
+        """
+        SELECT event_id, event_type
+        FROM events
+        WHERE (event_id * 2654435761) % 1000000 <
+              CAST(CASE event_type WHEN 'click' THEN 0.5
+                   WHEN 'view' THEN 0.1 ELSE 0.0 END * 1000000 AS BIGINT)
+        """,
+    )
+
+
+def test_top_k_vocab(spark):
+    """Vocabulary builder: top-k word frequencies, deterministic
+    tiebreak, checked against DuckDB."""
+    from clickhouse_etl_spark.text.analysis import top_k_vocab
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = top_k_vocab(docs, k=50)
+    _assert_matches_oracle(
+        out,
+        """
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 50
+        """,
+    )
+
+
+def test_corpus_quality_filter(spark):
+    """Keep/drop decisions + first-failing-rule reasons vs DuckDB."""
+    from clickhouse_etl_spark.text.analysis import STOPWORDS, corpus_quality_filter
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = corpus_quality_filter(
+        docs, min_tokens=40, max_stopword_ratio=0.25, max_punct_ratio=0.01
+    )
+    stop_sql = ", ".join(f"'{w}'" for w in STOPWORDS)
+    punct = r"[!-/:-@\[-`{-~]"
+    _assert_matches_oracle(
+        out,
+        f"""
+        WITH s AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x IN ({stop_sql}))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS stopword_ratio,
+                 ROUND(CAST(length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1), 6) AS punct_ratio
+          FROM documents
+        )
+        SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+               (reason IS NULL) AS keep, reason AS drop_reason
+        FROM (
+          SELECT *, CASE WHEN n_tokens < 40 THEN 'too_short'
+                         WHEN stopword_ratio > 0.25 THEN 'stopword_heavy'
+                         WHEN punct_ratio > 0.01 THEN 'punct_heavy' END AS reason
+          FROM s
+        )
+        """,
+    )
+    # the thresholds actually fire on the fixture (not a vacuous filter)
+    kept = out.filter("keep").count()
+    assert 0 < kept < out.count()
+
+
 def test_stream_sliding_2h(spark):
     """Sliding window batch form (2h / 1h slide: every event in 2 windows)."""
     from clickhouse_etl_spark.queries.streaming_batch import stream_sliding_2h

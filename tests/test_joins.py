@@ -190,3 +190,43 @@ def test_j10_candidate_expansion(spark):
     students = spark.createDataFrame([(1,), (1,), (2,)], ["studentId"])
     out = candidate_expansion(subjects, students)
     assert out.count() == 4  # 2 subjects × 2 distinct students
+
+
+def test_j10_broadcast_sides_equivalent(spark):
+    """All three broadcast_side strategies produce the same grid (same
+    columns, same rows) — 'subjects' is the millions-of-students scale
+    form, 'students' matches the reference loop."""
+    subjects = spark.createDataFrame([("s1", 10), ("s2", 20)], ["subj", "w"])
+    students = spark.createDataFrame([(1,), (1,), (2,), (3,)], ["studentId"])
+    grids = {
+        side: candidate_expansion(subjects, students, broadcast_side=side)
+        for side in ("students", "subjects", "none")
+    }
+    base = sorted(map(tuple, grids["students"].collect()))
+    for side, g in grids.items():
+        assert g.columns == ["subj", "w", "studentId"], side
+        assert sorted(map(tuple, g.collect())) == base, side
+    try:
+        candidate_expansion(subjects, students, broadcast_side="bogus")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_range_join_left_outer(spark):
+    """how='left' keeps unmatched events exactly once with null interval
+    columns."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.rangejoin import range_join_binned
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    events = spark.createDataFrame(
+        [(t(2), "hit"), (t(9), "miss")], ["ts", "tag"]
+    )
+    intervals = spark.createDataFrame(
+        [(t(2), t(3), "win")], ["start", "end", "interval_id"]
+    )
+    out = range_join_binned(events, intervals, bin_seconds=3600, how="left")
+    rows = {r["tag"]: r["interval_id"] for r in out.collect()}
+    assert rows == {"hit": "win", "miss": None}
