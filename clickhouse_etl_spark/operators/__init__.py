@@ -29,3 +29,7 @@ from clickhouse_etl_spark.operators.skew import (  # noqa: F401
     salted_join,
     salted_sum_count,
 )
+from clickhouse_etl_spark.operators.sampling import (  # noqa: F401
+    assign_splits,
+    stratified_deterministic_sample,
+)

@@ -613,6 +613,87 @@ def monthly_subject_fact(
     )
 
 
+def monthly_subject_fact_incremental(
+    evaluations: DataFrame,
+    all_scores: DataFrame,
+    new_scores: DataFrame,
+    prev_fact: DataFrame,
+    students: DataFrame,
+    structures: DataFrame,
+    subject_dim: DataFrame,
+) -> DataFrame:
+    """Incremental wide-fact maintenance: recompute ONLY the
+    (subject, student) slices a new score batch touches.
+
+    The reference recomputes the whole fact daily
+    (…etl_student_scores_subject_month_to_clickhouse.py, @daily); at
+    100 TB the production path is S7 incremental extraction (the
+    watermark ledger yields ``new_scores``) + slice-scoped recompute:
+
+    1. Map each new score to its subject-level key (direct → own
+       evaluationId, custom → the J2 parent hop) → the affected
+       (subjectEvaluationId, studentId) set.
+    2. Scope ``all_scores`` down to the affected slices with the SAME
+       mapping (left-semi): the slice's aggregates (A1 averages, A3
+       rollup, W2 representative, A8 JSON) need every score of the
+       slice, not just the new batch — and recomputing the whole slice
+       also re-resolves direct-over-aggregated precedence when a new
+       direct score supersedes a previously custom-only row.
+    3. Run the ordinary fact chain on the scoped scores and splice:
+       ``prev_fact`` anti-join affected ∪ recomputed slice.
+
+    Cost ∝ |affected slices|, not |corpus|; equivalence with the full
+    rebuild is pinned in tests.
+    """
+    subject_evals = evaluations.filter(F.col("type") == "subject")
+    customs = evaluations.filter(F.col("type") == "custom")
+
+    def to_subject_keys(scores: DataFrame) -> DataFrame:
+        direct = scores.join(
+            F.broadcast(subject_evals.select("evaluationId")), on="evaluationId"
+        ).select(
+            F.col("evaluationId").alias("subjectEvaluationId"), "studentId"
+        )
+        via_custom = scores.join(
+            F.broadcast(customs.select("evaluationId", "parentId")),
+            on="evaluationId",
+        ).select(F.col("parentId").alias("subjectEvaluationId"), "studentId")
+        return direct.unionByName(via_custom)
+
+    affected = materialize(to_subject_keys(new_scores).distinct())
+
+    # scope every score whose subject-level key is affected (both the
+    # direct rows and every custom child of an affected subject slice).
+    keyed = all_scores.join(
+        F.broadcast(
+            subject_evals.select("evaluationId", F.col("evaluationId").alias("__sk"))
+            .unionByName(
+                customs.select("evaluationId", F.col("parentId").alias("__sk"))
+            )
+        ),
+        on="evaluationId",
+    )
+    scoped = (
+        keyed.join(
+            affected.select(
+                F.col("subjectEvaluationId").alias("__sk"), "studentId"
+            ),
+            on=["__sk", "studentId"],
+            how="left_semi",
+        ).drop("__sk")
+    )
+    slice_fact = monthly_subject_fact(
+        evaluations, scoped, students, structures, subject_dim
+    )
+    untouched = anti_join(
+        prev_fact,
+        affected,
+        on=["subjectEvaluationId", "studentId"],
+        broadcast=False,
+    ).select(*prev_fact.columns)  # using-join moves keys to the front
+    return untouched.unionByName(slice_fact).select(*slice_fact.columns)
+
+
 # ---------------------------------------------------------------------------
 # Lifecycle 3 — student_transcript (§3.3 nested, full 18-field tuple)
 # ---------------------------------------------------------------------------

@@ -1,15 +1,19 @@
 """Large-scale training-data operators: dedup, similarity, text analysis."""
 
 from clickhouse_etl_spark.text.analysis import (  # noqa: F401
+    corpus_quality_filter,
     document_fingerprint,
     document_rolling_fingerprint,
     language_guess,
     text_stats,
     token_count_regex,
+    top_k_vocab,
 )
 from clickhouse_etl_spark.text.dedup import (  # noqa: F401
+    dedup_keep_list,
     exact_dedup,
     minhash_near_duplicates,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
     simhash_signatures,

@@ -115,6 +115,42 @@ def test_transcript_nested_invariants(spark):
     assert 0.0 <= float(r[0]) and float(r[1]) <= 4.0
 
 
+def test_incremental_fact_equals_full_rebuild(spark):
+    """Slice-scoped incremental maintenance must reproduce the full
+    rebuild EXACTLY — including precedence flips where the new batch adds
+    a direct score to a slice that previously had only custom scores."""
+    from clickhouse_etl_spark.pipelines.reference_etl import (
+        monthly_subject_fact,
+        monthly_subject_fact_incremental,
+    )
+
+    wh = synthetic_warehouse(spark, SF_SMOKE)
+    scores = wh["scores"]
+    old = scores.filter(F.col("scoreId") % 7 != 0)
+    new = scores.filter(F.col("scoreId") % 7 == 0)
+    assert new.count() > 0
+
+    prev_fact = monthly_subject_fact(
+        wh["evaluations"], old, wh["students"], wh["structures"], wh["subject_dim"]
+    )
+    incremental = monthly_subject_fact_incremental(
+        wh["evaluations"], scores, new, prev_fact,
+        wh["students"], wh["structures"], wh["subject_dim"],
+    )
+    full = monthly_subject_fact(
+        wh["evaluations"], scores, wh["students"], wh["structures"],
+        wh["subject_dim"],
+    )
+
+    def canon(df):
+        return sorted(
+            tuple(str(v) for v in row) for row in df.collect()
+        )
+
+    assert incremental.columns == full.columns
+    assert canon(incremental) == canon(full)
+
+
 # --- S4 document source ----------------------------------------------------
 
 DOCS = [
