@@ -4,6 +4,7 @@ from clickhouse_etl_spark.pipelines.graph import Pipeline, Stage
 from clickhouse_etl_spark.pipelines.reference_etl import (
     copy_entity,
     monthly_subject_fact,
+    monthly_subject_fact_incremental,
     student_transcript,
     synthetic_warehouse,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "Stage",
     "copy_entity",
     "monthly_subject_fact",
+    "monthly_subject_fact_incremental",
     "student_transcript",
     "synthetic_warehouse",
 ]

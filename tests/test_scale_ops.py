@@ -145,6 +145,37 @@ def test_approx_percentile_within_bound(spark):
 
 # --- K4: nested Array(Struct) warehouse write ------------------------------
 
+def test_wide_fact_write_roundtrip(spark, tmp_path):
+    """The 35-column fact written with the MergeTree mapping of its DDL
+    (PARTITION BY schoolId, ORDER BY (monthEvaluationId,
+    subjectEvaluationId, studentId)) survives a round trip typed and
+    partition-prunable."""
+    from clickhouse_etl_spark.pipelines import (
+        monthly_subject_fact,
+        synthetic_warehouse,
+    )
+
+    wh = synthetic_warehouse(spark, SF_SMOKE)
+    fact = monthly_subject_fact(
+        wh["evaluations"], wh["scores"], wh["students"],
+        wh["structures"], wh["subject_dim"],
+    ).drop("subjectParentId")
+    out = str(tmp_path / "fact")
+    write_mergetree_mapped(
+        fact, out, partition_by="schoolId",
+        order_by=["monthEvaluationId", "subjectEvaluationId", "studentId"],
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == fact.count()
+    assert set(back.columns) == set(fact.columns)
+    # JSON detail + timestamp columns survive typed
+    types = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert types["customEvaluations"] == "string"
+    assert types["monthStartDate"].startswith("timestamp")
+    one = back.filter(F.col("schoolId") == "sch0")
+    assert 0 < one.count() < back.count()
+
+
 def test_nested_transcript_write_roundtrip(spark, tmp_path):
     from clickhouse_etl_spark.pipelines import student_transcript, synthetic_warehouse
 
