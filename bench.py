@@ -38,7 +38,10 @@ def main() -> int:
         .appName("bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # G1 keeps pause times sane with 32 executor threads + persisted
+        # intermediates sharing one heap (the harness box has 128 GiB).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
         # Size scan splits to the DATA, not the default: sf0.1 tables are
         # single ≤50MB files, which the 128MB default reads as ONE task —
         # serializing every scan on 1 of 32 cores. 4MB splits parallelize
@@ -48,12 +51,13 @@ def main() -> int:
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
-        # Results leave the engine as Arrow batches (toPandas), not
+        # Results leave the engine as Arrow batches (toArrow), not
         # row-pickled Rows: on wide results (the 35-column fact with its
         # JSON detail column) driver-side pickling dominated the timing
-        # (16s collect vs 1.7s compute at sf0.1) — Arrow is the honest
-        # export path a real engine uses, and every value still reaches
-        # the driver.
+        # (16s collect vs 1.7s compute at sf0.1), and pandas object
+        # assembly added ~4s on top of the Arrow transfer — toArrow is
+        # the honest export path a real engine uses (every value still
+        # reaches the driver, materialized in one Arrow table).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
@@ -80,7 +84,7 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             try:
-                df.toPandas()  # Arrow export (see conf note above)
+                df.toArrow()  # Arrow export (see conf note above)
             except Exception:
                 df.collect()  # fallback for Arrow-unfriendly schemas
             per_query[name] = round(time.perf_counter() - t0, 3)

@@ -296,24 +296,44 @@ def _score_order(markedAt="markedAt", scoreId="scoreId") -> F.Column:
 
 def _per_eval_base(scores: DataFrame, null_as_zero: bool) -> DataFrame:
     """ONE pass over the scores fact: the per-(evaluation, student)
-    average (A1 null-dropped or A2 null-as-zero) PLUS the W2
-    latest-marked representative payload and its order key — avg, rep,
-    and ord in a single shuffle instead of three separate scans
-    (averages / custom descriptions / representatives all group on the
-    same keys). The whole payload travels as ONE struct so
+    average PLUS the W2 latest-marked representative payload and its
+    order key — avg, rep, and ord in a single shuffle instead of three
+    separate scans (averages / custom descriptions / representatives all
+    group on the same keys). The whole payload travels as ONE struct so
     structurePath/scorerId/markedAt/description always come from the
     same physical score, and because ``_score_order`` is a TOTAL order,
     the representative of any coarser regrouping (custom children → the
     parent subject) is exactly ``max_by(__rep, __rep_ord)``.
 
+    BOTH null semantics (A1 null-dropped for the wide fact, A2
+    null-as-zero for the transcript) are computed in the same
+    aggregation and the caller's variant selected on top. The select is
+    OUTSIDE the shared grouped plan on purpose: ``materialize`` persists
+    the identical underlying aggregate, so Spark's CacheManager serves
+    the fact's and the transcript's per-eval pass from ONE cache entry
+    (one scores shuffle for the whole lifecycle suite) instead of
+    computing the scores rollup once per null-semantics variant.
+
     W2 reference: …etl_student_scores_subject_month_to_clickhouse.py:305-331.
     """
-    value = (
-        F.coalesce(F.col("score"), F.lit(0.0)) if null_as_zero else F.col("score")
+    chosen = "avg_null_as_zero" if null_as_zero else "avg_null_dropped"
+    return materialize(_per_eval_both(scores)).select(
+        "evaluationId",
+        "studentId",
+        F.col(chosen).alias("avg_score"),
+        "__rep",
+        "__rep_ord",
     )
+
+
+def _per_eval_both(scores: DataFrame) -> DataFrame:
+    """The shared grouped plan behind :func:`_per_eval_base` — callers
+    materialize THIS (variant-independent) shape so both lifecycles
+    cache-share it."""
     payload = F.struct("structurePath", "scorerId", "markedAt", "description")
     return scores.groupBy("evaluationId", "studentId").agg(
-        F.avg(value).alias("avg_score"),
+        F.avg("score").alias("avg_null_dropped"),
+        F.avg(F.coalesce(F.col("score"), F.lit(0.0))).alias("avg_null_as_zero"),
         F.max_by(payload, _score_order()).alias("__rep"),
         F.max(_score_order()).alias("__rep_ord"),
     )
@@ -388,7 +408,7 @@ def monthly_subject_fact(
     # == operators.avg_null_dropped) + the W2 representative in ONE
     # shuffle over the fact. Materialized once: the direct path, the
     # custom path, and the precedence anti-join all consume it.
-    per_eval = materialize(_per_eval_base(scores, null_as_zero=False))
+    per_eval = _per_eval_base(scores, null_as_zero=False)
 
     # DIRECT path: scores attached straight to subject evaluations.
     # NOT re-materialized — it is one broadcast join away from the
@@ -728,7 +748,7 @@ def student_transcript(
 
     # A2 — null-as-zero per-(evaluation, student) averages, fused with
     # the W2 representative in one shuffle (same shape as the fact).
-    per_eval = materialize(_per_eval_base(scores, null_as_zero=True))
+    per_eval = _per_eval_base(scores, null_as_zero=True)
 
     # DIRECT path (one broadcast join from the checkpoint; not re-
     # materialized): percentage = score/max*100.
