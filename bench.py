@@ -59,6 +59,10 @@ def main() -> int:
         # the honest export path a real engine uses (every value still
         # reaches the driver, materialized in one Arrow table).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Codegen stops at the JIT's 8 KB bytecode ceiling (HotSpot won't
+        # compile bigger methods): skips multi-second Janino compiles of
+        # the widest fused stages. Mirrors session._DEFAULT_CONF.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -50,6 +50,10 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
+    # Perf (not semantics): stop codegen at the JIT's 8 KB bytecode
+    # ceiling — see session._DEFAULT_CONF. Applied here too so queries
+    # run on a caller-owned session get the same planner behavior.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 

@@ -38,6 +38,12 @@ _DEFAULT_CONF: dict[str, str] = {
     # The driver's events.parquet stores ts as TIMESTAMP(NANOS) which the
     # Spark parquet reader rejects; read as long and convert in the catalog.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # HotSpot never JIT-compiles methods over 8 KB of bytecode, so
+    # whole-stage-codegen output past that size runs interpreted anyway —
+    # falling back to volcano there skips multi-second Janino compiles of
+    # the widest fused stages (the 35-column fact select) with no
+    # steady-state loss.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 
