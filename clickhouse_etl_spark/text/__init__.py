@@ -5,9 +5,15 @@ from clickhouse_etl_spark.text.analysis import (  # noqa: F401
     document_fingerprint,
     document_rolling_fingerprint,
     language_guess,
+    pii_scrub,
+    repetition_stats,
     text_stats,
     token_count_regex,
     top_k_vocab,
+)
+from clickhouse_etl_spark.text.packing import (  # noqa: F401
+    contamination_check,
+    pack_contiguous,
 )
 from clickhouse_etl_spark.text.dedup import (  # noqa: F401
     dedup_keep_list,

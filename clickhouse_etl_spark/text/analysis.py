@@ -253,3 +253,61 @@ def document_rolling_fingerprint(
     return df.select(
         "doc_id", rolling_hash(text_col).alias("rolling_fp")
     )
+
+
+# --- PII scrubbing ---------------------------------------------------------
+# Pattern set kept inside the RE2-compatible subset (no lookaround, no
+# backrefs) so the Spark (java.util.regex) and DuckDB (RE2) executions
+# are bit-identical — the redaction is oracle-checkable.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d()/ .-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-shaped digit runs.
+
+    The standard pre-training scrub pass: every match is replaced with a
+    typed placeholder token and ``n_redactions`` counts what was removed
+    (the corpus-health metric a scrubbing job reports). A chain of three
+    JVM ``regexp_replace`` — narrow, codegen, no shuffle; order matters
+    (emails first so their digits can't be re-matched as phones).
+    """
+    scrubbed = F.col(text_col)
+    n_hits = F.lit(0)
+    for pat, tag in PII_PATTERNS:
+        n_hits = n_hits + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return df.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        n_hits.cast("int").alias("n_redactions"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition: duplicate-token and duplicate-3-gram
+    fractions.
+
+    The cheap repetition signal used to drop degenerate/boilerplate
+    documents from pretraining corpora (high duplicate-n-gram fraction =
+    looped or templated text). Pure array expressions over one
+    tokenization — narrow, JVM, no shuffle; thresholding is the
+    caller's policy (compose with ``corpus_quality_filter``).
+    """
+    from clickhouse_etl_spark.text.dedup import _shingles
+
+    toks = _tokens(F.col(text_col))
+    grams = _shingles(text_col, 3)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            1 - F.size(F.array_distinct(toks)) / F.size(toks), 6
+        ).alias("dup_token_ratio"),
+        F.round(
+            1 - F.size(F.array_distinct(grams)) / F.size(grams), 6
+        ).alias("dup_3gram_ratio"),
+    )

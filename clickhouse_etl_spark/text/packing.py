@@ -1,0 +1,113 @@
+"""Sequence packing and benchmark-contamination operators.
+
+The two corpus-preparation steps that sit between a cleaned document set
+and a training run:
+
+- :func:`pack_contiguous` maps every document to its position in the
+  concatenate-and-cut token stream (the standard pretraining packing:
+  all documents are joined into one token stream and sliced into
+  fixed-length training sequences).
+- :func:`contamination_check` flags training documents that share word
+  n-grams with an evaluation/benchmark set (train-test leakage scan).
+
+Both are pure DataFrame plans — window + higher-order functions, no
+Python in the row path — and both have exact DuckDB oracles
+(tests/test_demoted_oracles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.text.dedup import _shingles
+
+
+def pack_contiguous(
+    df: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concatenate-and-cut sequence packing: each document's span in the
+    packed token stream.
+
+    Documents are laid out in deterministic ``id_col`` order (within
+    ``shard_col`` when given); the stream is cut every ``seq_len``
+    tokens. Output per document: ``n_tokens``, ``stream_offset`` (tokens
+    before it), ``first_seq``/``last_seq`` (the training-sequence ids it
+    lands in), ``n_seqs`` (how many sequences it spans — >1 means the
+    document is split across examples).
+
+    Scale: the running offset is ONE cumulative-sum window. With
+    ``shard_col`` the window partitions by shard — embarrassingly
+    parallel, the 100 TB form (each shard packs its own stream, which is
+    exactly how multi-file tokenized corpora are produced). Without it
+    the stream is global: a single-partition window, only for
+    small/medium corpora where one global order is genuinely required.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    shard = F.col(shard_col) if shard_col else F.lit(0)
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    base = df.select(
+        *( [F.col(shard_col)] if shard_col else [] ),
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+    ).withColumn("stream_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return base.select(
+        *( [shard_col] if shard_col else [] ),
+        id_col,
+        "n_tokens",
+        "stream_offset",
+        F.floor(F.col("stream_offset") / seq_len).alias("first_seq"),
+        F.floor(
+            (F.col("stream_offset") + F.col("n_tokens") - 1) / seq_len
+        ).alias("last_seq"),
+        (
+            F.floor((F.col("stream_offset") + F.col("n_tokens") - 1) / seq_len)
+            - F.floor(F.col("stream_offset") / seq_len)
+            + 1
+        ).cast("int").alias("n_seqs"),
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-test leakage scan: training documents sharing any word
+    n-gram with a benchmark document.
+
+    Shape: shingle both sides (JVM higher-order functions), inner-join
+    on the n-gram, aggregate per training document — ``overlap_ngrams``
+    (distinct shared n-grams) and ``bench_docs`` (distinct benchmark
+    documents touched). Only contaminated documents are emitted; the
+    caller anti-joins this against the corpus to decontaminate.
+
+    Scale: the benchmark side is an EVAL SET — thousands of documents,
+    not billions — so its distinct shingle table is broadcast and the
+    100 TB training side never shuffles. (For benchmark sets too large
+    to broadcast, drop the hint and AQE falls back to a shuffle join.)
+    """
+    t_grams = train.select(
+        F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, n))).alias("gram")
+    )
+    b_grams = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(F.array_distinct(_shingles(text_col, n))).alias("gram"),
+    )
+    joined = t_grams.join(F.broadcast(b_grams), on="gram", how="inner")
+    return joined.groupBy(id_col).agg(
+        F.countDistinct("gram").alias("overlap_ngrams"),
+        F.countDistinct("bench_id").alias("bench_docs"),
+    )

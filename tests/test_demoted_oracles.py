@@ -310,3 +310,172 @@ def test_stream_sliding_2h(spark):
         GROUP BY window_start
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 training-pipeline additions: packing / contamination / PII /
+# repetition — same DuckDB value-hash rigor as the registry.
+# ---------------------------------------------------------------------------
+
+_DUCK_GRAMS3 = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(string_split(text,' ')) - 3, 0) + 1), "
+    "i -> array_to_string(list_slice(string_split(text,' '), i+1, i+3), ' ')))"
+)
+
+
+def test_pack_contiguous_global(spark):
+    """Concat-and-cut packing, global stream: offsets/sequence spans match
+    a DuckDB cumulative-sum window exactly."""
+    from clickhouse_etl_spark.text.packing import pack_contiguous
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = pack_contiguous(docs, seq_len=256)
+    _assert_matches_oracle(
+        out,
+        """
+        WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        ), o AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS stream_offset
+          FROM t
+        )
+        SELECT doc_id, n_tokens, stream_offset,
+               CAST(FLOOR(stream_offset / 256.0) AS BIGINT) AS first_seq,
+               CAST(FLOOR((stream_offset + n_tokens - 1) / 256.0) AS BIGINT)
+                 AS last_seq,
+               CAST(FLOOR((stream_offset + n_tokens - 1) / 256.0)
+                    - FLOOR(stream_offset / 256.0) + 1 AS INT) AS n_seqs
+        FROM o
+        """,
+    )
+
+
+def test_pack_contiguous_sharded(spark):
+    """The 100 TB form: per-shard streams (window partitioned by source)."""
+    from clickhouse_etl_spark.text.packing import pack_contiguous
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = pack_contiguous(docs, seq_len=128, shard_col="source")
+    _assert_matches_oracle(
+        out,
+        """
+        WITH t AS (
+          SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        ), o AS (
+          SELECT source, doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS stream_offset
+          FROM t
+        )
+        SELECT source, doc_id, n_tokens, stream_offset,
+               CAST(FLOOR(stream_offset / 128.0) AS BIGINT) AS first_seq,
+               CAST(FLOOR((stream_offset + n_tokens - 1) / 128.0) AS BIGINT)
+                 AS last_seq,
+               CAST(FLOOR((stream_offset + n_tokens - 1) / 128.0)
+                    - FLOOR(stream_offset / 128.0) + 1 AS INT) AS n_seqs
+        FROM o
+        """,
+    )
+
+
+def test_contamination_check(spark):
+    """Word-3-gram train/benchmark overlap counts vs a DuckDB unnest-join.
+    Benchmark = every 37th document; counts are exact on both sides."""
+    from clickhouse_etl_spark.text.packing import contamination_check
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    out = contamination_check(train, bench, n=3)
+    _assert_matches_oracle(
+        out,
+        f"""
+        WITH sh AS (
+          SELECT doc_id, {_DUCK_GRAMS3} AS grams FROM documents
+        ),
+        t AS (SELECT doc_id, unnest(grams) AS gram FROM sh
+              WHERE doc_id % 37 <> 0),
+        b AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM sh
+              WHERE doc_id % 37 = 0)
+        SELECT t.doc_id,
+               COUNT(DISTINCT t.gram) AS overlap_ngrams,
+               COUNT(DISTINCT b.bench_id) AS bench_docs
+        FROM t JOIN b USING (gram)
+        GROUP BY t.doc_id
+        """,
+    )
+
+
+def test_pii_scrub(spark):
+    """Email/IP/phone redaction + counts, on documents salted with
+    deterministic PII (the raw corpus has none), vs DuckDB RE2."""
+    from clickhouse_etl_spark.text.analysis import pii_scrub
+
+    salt = (
+        "CASE WHEN doc_id % 3 = 0"
+        " THEN ' contact bob@example.com or sue+x@sub.test.org'"
+        " WHEN doc_id % 3 = 1"
+        " THEN ' from 10.0.0.1 dial +1 555 123-4567 now'"
+        " ELSE '' END"
+    )
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "text", F.expr(f"concat(text, {salt})")
+    )
+    out = pii_scrub(docs)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    phone = r"\+?\d[\d()/ .-]{7,}\d"
+    _assert_matches_oracle(
+        out,
+        f"""
+        WITH salted AS (
+          SELECT doc_id, text || {salt} AS text FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{email}')) AS c1,
+                 regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+          FROM salted
+        ), s2 AS (
+          SELECT doc_id, c1,
+                 len(regexp_extract_all(t1, '{ip}')) AS c2,
+                 regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id,
+               regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS scrubbed_text,
+               CAST(c1 + c2 + len(regexp_extract_all(t2, '{phone}')) AS INT)
+                 AS n_redactions
+        FROM s2
+        """,
+    )
+
+
+def test_repetition_stats(spark):
+    """Duplicate-token / duplicate-3-gram fractions vs DuckDB list ops."""
+    from clickhouse_etl_spark.text.analysis import repetition_stats
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = repetition_stats(docs)
+    _assert_matches_oracle(
+        out,
+        f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 {_DUCK_GRAMS3.replace("list_distinct(", "", 1)[:-1]} AS grams
+          FROM documents
+        )
+        SELECT doc_id, len(toks) AS n_tokens,
+               ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                 AS dup_token_ratio,
+               ROUND(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                 AS dup_3gram_ratio
+        FROM t
+        """,
+    )
