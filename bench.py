@@ -153,6 +153,10 @@ def main() -> int:
             "ns_simhash_neardup": "same poly-family trade as minhash",
             "ns_mm_pipeline": "payloads hex-projected so the driver canon "
             "can hash binary columns (doubles export bytes)",
+            "pl_copy_students": "registration reorder (pipelines now run "
+            "22nd, not 45th): first-touch codegen of the synthetic-"
+            "warehouse expressions is charged here; the plan is unchanged "
+            "and warm-run cost is sub-second",
         },
     }
     if host:
