@@ -6,3 +6,4 @@ from clickhouse_etl_spark.sinks.bucketed import (  # noqa: F401
     colocated_join,
     write_bucketed_table,
 )
+from clickhouse_etl_spark.sinks.compaction import compact_dataset  # noqa: F401

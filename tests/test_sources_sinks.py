@@ -113,3 +113,53 @@ def test_migration_runner_idempotent(spark, tmp_path):
         "CREATE OR REPLACE TEMP VIEW mig_v4 AS SELECT 4 AS x"
     )
     assert runner.run() == ["003_late.sql"]
+
+
+def test_compact_dataset_unpartitioned(spark, tmp_path):
+    """Fragmented → compacted: file count collapses to the byte budget,
+    values survive the rewrite exactly."""
+    from clickhouse_etl_spark.sinks.compaction import compact_dataset
+
+    src = str(tmp_path / "frag")
+    dest = str(tmp_path / "compact")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS v")
+    df.repartition(40).write.parquet(src)  # 40 tiny files
+    assert len(list((tmp_path / "frag").glob("*.parquet"))) == 40
+
+    stats = compact_dataset(spark, src, dest, target_file_bytes=1 << 30)
+    assert stats["rows"] == 10_000
+    assert stats["files_written"] == 1
+    assert len(list((tmp_path / "compact").glob("*.parquet"))) == 1
+    back = spark.read.parquet(dest)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(v)").first()[0] == df.selectExpr("sum(v)").first()[0]
+
+
+def test_compact_dataset_partitioned(spark, tmp_path):
+    """Hive layout preserved; each partition's file count matches its own
+    byte budget (big partitions keep several files, small ones get one)."""
+    from clickhouse_etl_spark.sinks.compaction import compact_dataset
+
+    src = str(tmp_path / "frag")
+    dest = str(tmp_path / "compact")
+    df = spark.range(20_000).selectExpr(
+        "id", "CASE WHEN id % 10 < 9 THEN 'big' ELSE 'small' END AS part"
+    )
+    df.repartition(30).write.partitionBy("part").parquet(src)
+    assert len(list((tmp_path / "frag" / "part=big").glob("*.parquet"))) == 30
+
+    stats = compact_dataset(
+        spark, src, dest, target_file_bytes=40_000, partition_by="part"
+    )
+    assert stats["rows"] == 20_000
+    big = list((tmp_path / "compact" / "part=big").glob("*.parquet"))
+    small = list((tmp_path / "compact" / "part=small").glob("*.parquet"))
+    assert 1 <= len(small) < len(big) <= 30
+    back = spark.read.parquet(dest)
+    assert back.count() == 20_000
+    assert sorted(map(tuple, back.groupBy("part").count().collect())) == sorted(
+        map(tuple, df.groupBy("part").count().collect())
+    )
+    assert (
+        back.selectExpr("sum(id)").first()[0] == df.selectExpr("sum(id)").first()[0]
+    )
