@@ -128,3 +128,32 @@ def test_rollup_values_within_leaf_range(spark, leaf_scores):
     root = out["root"]
     if root is not None:
         assert lo - 1e-9 <= root <= hi + 1e-9
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.text("ab ", min_size=1, max_size=40)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 64),
+)
+def test_pack_contiguous_stream_invariants(spark, docs, seq_len):
+    """Packing invariants for ANY corpus and sequence length: offsets are
+    the exclusive cumsum in id order (stream is gapless), spans are
+    consistent, and every document lands in ≥1 sequence."""
+    from clickhouse_etl_spark.text.packing import pack_contiguous
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = pack_contiguous(df, seq_len=seq_len)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    expected_offset = 0
+    for r in rows:
+        assert r["n_tokens"] >= 1  # split('') is [''] — never empty
+        assert r["stream_offset"] == expected_offset
+        expected_offset += r["n_tokens"]
+        assert r["first_seq"] == r["stream_offset"] // seq_len
+        assert r["last_seq"] == (r["stream_offset"] + r["n_tokens"] - 1) // seq_len
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1 >= 1
