@@ -487,33 +487,117 @@ def ns_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed ANN (no SQL oracle — approximate; rows-only check)
+# Hyperplane-LSH oracles. The plane signs are sha256-derived LITERALS
+# (text/similarity._plane_signs) — no randomness, no fitted state — so a
+# DuckDB mirror embedding the SAME sign arrays reproduces the bucketing,
+# the candidate sets, and hence the approximate results bit-for-bit:
+# even the LSH *candidate generation* is value-hash-checked, exactly as
+# was done for MinHash/SimHash via the 'poly' family.
 # ---------------------------------------------------------------------------
-@register("ns_ann_lsh")
+
+def _duck_banded_sql(num_planes: int, num_tables: int, dims: int = 64) -> str:
+    """UNION ALL of per-table bucket projections over emb(vec_id, v)."""
+    from clickhouse_etl_spark.text.similarity import _plane_signs
+
+    selects = []
+    for t in range(num_tables):
+        bits = []
+        for p in range(num_planes):
+            signs = ", ".join(
+                f"{s}.0" for s in _plane_signs(t * num_planes + p, dims)
+            )
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{signs}]) >= 0"
+                f" THEN 1 ELSE 0 END) * {1 << p}"
+            )
+        selects.append(
+            f"SELECT vec_id, v, {t} AS tbl, {' + '.join(bits)} AS bucket FROM emb"
+        )
+    return " UNION ALL ".join(selects)
+
+
+_DUCK_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _lsh_ann_oracle(k=5, num_planes=6, num_tables=4) -> str:
+    cos = _DUCK_COS.format(a="q.v", b="c.v")
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    banded AS ({_duck_banded_sql(num_planes, num_tables)}),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+      FROM banded cb
+      JOIN (SELECT * FROM banded WHERE vec_id < 3) qb
+        ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+      WHERE qb.vec_id <> cb.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, {cos} AS cos_raw
+      FROM cand
+      JOIN emb q ON q.vec_id = cand.query_id
+      JOIN emb c ON c.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
+      SELECT query_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_raw DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def _emb_neardup_oracle(threshold=0.35, num_planes=8, num_tables=6) -> str:
+    cos = _DUCK_COS.format(a="a.v", b="b.v")
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    banded AS ({_duck_banded_sql(num_planes, num_tables)}),
+    pairs AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine FROM (
+      SELECT id_a, id_b, {cos} AS cos_raw
+      FROM pairs
+      JOIN emb a ON a.vec_id = id_a
+      JOIN emb b ON b.vec_id = id_b
+    ) WHERE cos_raw >= {threshold}
+    """
+
+
+@register("ns_ann_lsh", oracle=_lsh_ann_oracle())
 def ns_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return lsh_ann_topk(emb, queries, k=5)
 
 
+# Embedding-cosine near-dup PAIRS (dedup shape, not search shape). LSH
+# candidates → exact cosine verify; candidate generation mirrored in the
+# oracle via the literal plane arrays. Recall contract additionally
+# pinned in tests/test_text_recall.py.
+@register("ns_emb_neardup", oracle=_emb_neardup_oracle())
+def ns_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_neardup(emb, threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
-# IVF-cell ANN (no SQL oracle — approximate; rows-only check). The
-# data-dependent scale path: centroid cells + nprobe, vs LSH's random
-# hyperplanes.
+# IVF-cell ANN — the one remaining rows-only query: k-means centroid
+# fitting is ITERATIVE (data-dependent fixed point), which SQL can't
+# mirror. Registered dead last so any bounded driver window covers every
+# oracle-bearing query first. Recall pinned in tests/test_text_recall.py.
 # ---------------------------------------------------------------------------
 @register("ns_ann_ivf")
 def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return ivf_ann_topk(emb, queries, k=5)
-
-
-# ---------------------------------------------------------------------------
-# Embedding-cosine near-dup PAIRS (dedup shape, not search shape). LSH
-# candidates → exact verify; approximate candidate set → rows-only check,
-# recall contract pinned in tests/test_text_recall.py.
-# ---------------------------------------------------------------------------
-@register("ns_emb_neardup")
-def ns_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_neardup(emb, threshold=0.35)

@@ -33,14 +33,11 @@ def test_registry_sizes():
     # CORRECTNESS row at all.
     assert len(qs) <= 50, f"registry exceeds the driver's check window: {len(qs)}"
     assert len(qs) == 50  # consolidated surface — update deliberately
-    # the only rows-only queries are the documented approximate ANN ops
-    # (MinHash/SimHash gained full oracles via the 'poly' hash family)
+    # the only rows-only query is iterative IVF (k-means fitting has no
+    # SQL mirror); MinHash/SimHash check via the 'poly' hash family and
+    # the hyperplane-LSH ops via literal plane arrays in the oracle
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "ns_ann_lsh",
-        "ns_ann_ivf",
-        "ns_emb_neardup",
-    }
+    assert rows_only == {"ns_ann_ivf"}
 
 
 def test_no_oracle_queries_register_last():
