@@ -1,10 +1,13 @@
 """North-star queries: dedup / similarity / text analysis / multimodal.
 
-SQL-expressible operators carry a DuckDB oracle; the LSH/SimHash/ANN
-operators are registered without oracle (driver records the weaker
-rows-only check — noted in each docstring) and are registered LAST so a
-bounded driver check window always covers every oracle-bearing query
-first.
+Every query here carries a full DuckDB value-hash oracle EXCEPT
+iterative IVF ANN (k-means fitting has no SQL mirror — rows-only,
+registered dead last so a bounded driver check window always covers
+every oracle-bearing query first). The approximate ops are
+oracle-checkable because their randomness is manufactured: MinHash/
+SimHash signatures use the wrapping-int64 'poly' hash family and the
+hyperplane-LSH ops use sha256-derived literal plane arrays, both of
+which the oracle SQL reproduces bit-for-bit.
 
 Registry note: near-duplicate per-column variants are fused into their
 parent query (lang-ID + regex-token-count into ns_text_stats, rolling
