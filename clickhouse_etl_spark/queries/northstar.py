@@ -1,13 +1,11 @@
 """North-star queries: dedup / similarity / text analysis / multimodal.
 
-Every query here carries a full DuckDB value-hash oracle EXCEPT
-iterative IVF ANN (k-means fitting has no SQL mirror — rows-only,
-registered dead last so a bounded driver check window always covers
-every oracle-bearing query first). The approximate ops are
-oracle-checkable because their randomness is manufactured: MinHash/
-SimHash signatures use the wrapping-int64 'poly' hash family and the
-hyperplane-LSH ops use sha256-derived literal plane arrays, both of
-which the oracle SQL reproduces bit-for-bit.
+Every query here carries a full DuckDB value-hash oracle — including
+the approximate ops, whose randomness is manufactured: MinHash/SimHash
+signatures use the wrapping-int64 'poly' hash family, the
+hyperplane-LSH ops use sha256-derived literal plane arrays, and IVF's
+centroid sample is an affine permutation of the ids, all of which the
+oracle SQL reproduces bit-for-bit (candidate generation included).
 
 Registry note: near-duplicate per-column variants are fused into their
 parent query (lang-ID + regex-token-count into ns_text_stats, rolling
@@ -594,13 +592,59 @@ def ns_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF-cell ANN — the one remaining rows-only query: k-means centroid
-# fitting is ITERATIVE (data-dependent fixed point), which SQL can't
-# mirror. Registered dead last so any bounded driver window covers every
-# oracle-bearing query first. Recall pinned in tests/test_text_recall.py.
+# IVF-cell ANN. The centroid sample is an affine-permutation order of the
+# ids under the 'poly' family, so the ENTIRE chain — centroid pick, cell
+# assignment (argmax cosine), nprobe probing, final top-k — mirrors into
+# SQL: the last formerly rows-only query is now value-hash-checked.
 # ---------------------------------------------------------------------------
-@register("ns_ann_ivf")
+
+def _ivf_oracle(k=5, num_centroids=16, nprobe=4) -> str:
+    a, b = poly_affine_constants(0)
+    h = f"((vec_id::HUGEINT * {a}::HUGEINT + {b}::HUGEINT) % {_M64})"
+    signed_h = _SIGNED_SQL.format(v=h)
+    cos_assign = _DUCK_COS.format(a="e.v", b="c.cv")
+    cos_score = _DUCK_COS.format(a="q.qv", b="cl.v")
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cent_id, v AS cv FROM emb
+      ORDER BY {signed_h} LIMIT {num_centroids}
+    ),
+    cells AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_assign} DESC, c.cent_id ASC) AS rk
+        FROM emb e CROSS JOIN cent c
+      ) WHERE rk = 1
+    ),
+    qcells AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_assign} DESC, c.cent_id ASC) AS rk
+        FROM emb e CROSS JOIN cent c WHERE e.vec_id < 3
+      ) WHERE rk <= {nprobe}
+    ),
+    scored AS (
+      SELECT q.query_id, cl.vec_id, {cos_score} AS cos_raw
+      FROM cells cl JOIN qcells q USING (cent_id)
+      WHERE q.query_id <> cl.vec_id
+    )
+    SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
+      SELECT query_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_raw DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ns_ann_ivf", oracle=_ivf_oracle())
 def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return ivf_ann_topk(emb, queries, k=5)
+    return ivf_ann_topk(emb, queries, k=5, hash_family="poly")

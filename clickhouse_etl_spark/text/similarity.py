@@ -158,6 +158,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells, probe only
     the query's ``nprobe`` nearest cells.
@@ -170,12 +171,28 @@ def ivf_ann_topk(
     scale the cell assignment is one narrow pass (corpus × tiny broadcast
     centroid set) and each query examines ~corpus×nprobe/num_centroids
     vectors instead of the full corpus.
+
+    ``hash_family``: the centroid-sample order key — ``'xxhash64'``
+    (default, best mixing) or ``'poly'`` (the wrapping-int64 affine
+    permutation of the id; bit-identical in a SQL oracle, same pattern
+    as MinHash/SimHash — with it the whole IVF result is value-hash
+    checkable).
     """
     c = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv"))
 
+    if hash_family == "poly":
+        from clickhouse_etl_spark.text.dedup import _signed64, poly_affine_constants
+
+        a, b = poly_affine_constants(0)
+        order_h = F.expr(
+            f"{id_col} * CAST({a} AS BIGINT) + CAST({_signed64(b)} AS BIGINT)"
+        )
+    else:
+        order_h = F.xxhash64(F.col(id_col))
+
     # Deterministic pseudo-random centroid sample: smallest hash wins.
     centroids = (
-        c.withColumn("__h", F.xxhash64(F.col(id_col)))
+        c.withColumn("__h", order_h)
         .orderBy("__h")
         .limit(num_centroids)
         .select(

@@ -33,20 +33,24 @@ def test_registry_sizes():
     # CORRECTNESS row at all.
     assert len(qs) <= 50, f"registry exceeds the driver's check window: {len(qs)}"
     assert len(qs) == 50  # consolidated surface — update deliberately
-    # the only rows-only query is iterative IVF (k-means fitting has no
-    # SQL mirror); MinHash/SimHash check via the 'poly' hash family and
-    # the hyperplane-LSH ops via literal plane arrays in the oracle
+    # EVERY registered query is value-hash-checked: the approximate ops
+    # manufacture their randomness (poly hash family, sha256-literal
+    # hyperplanes, affine-permutation centroid sampling) so their DuckDB
+    # oracles reproduce even the candidate generation bit-for-bit.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"ns_ann_ivf"}
+    assert rows_only == set()
 
 
 def test_no_oracle_queries_register_last():
     """A bounded driver check window must always cover every
-    oracle-bearing query before any rows-only one."""
+    oracle-bearing query before any rows-only one. (Currently vacuous —
+    every query has an oracle — but kept so a future rows-only addition
+    can't silently land mid-registry.)"""
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    first_no_oracle = min(i for i, n in enumerate(qs) if n not in oracles)
-    assert all(n not in oracles for n in qs[first_no_oracle:])
+    no_oracle_idx = [i for i, n in enumerate(qs) if n not in oracles]
+    if no_oracle_idx:
+        assert all(n not in oracles for n in qs[no_oracle_idx[0]:])
 
 
 def test_query_callables_are_unique():
