@@ -339,6 +339,71 @@ def _per_eval_both(scores: DataFrame) -> DataFrame:
     )
 
 
+def _custom_agg_both(scores: DataFrame, customs: DataFrame) -> DataFrame:
+    """ONE rollup of custom evaluations to their parent subject serving
+    BOTH lifecycles — the custom-path twin of :func:`_per_eval_both`.
+
+    The fact needs the A3 coe-weighted percentage over A1 (null-dropped)
+    averages plus the A8 JSON detail column; the transcript needs the A4
+    unweighted mean of A2 (null-as-zero) percentages. Both group the
+    same ~|custom scores| rows on the same (subject, student) key, so
+    they are computed in the SAME shuffle and materialized once — with
+    :func:`_per_eval_both` this makes the whole fact+transcript suite
+    two shuffles over score-derived data, total.
+
+    References: A3/A8 …etl_student_scores_subject_month_to_clickhouse.py:284-302,
+    A4 …etl_student_transcript_to_clickhouse.py:255-265.
+    """
+    pe = materialize(_per_eval_both(scores))
+    recs = pe.join(
+        F.broadcast(
+            customs.select("evaluationId", "parentId", "name", "maxScore", "coe")
+        ),
+        on="evaluationId",
+        how="inner",
+    ).select(
+        F.col("parentId").alias("subjectEvaluationId"),
+        "studentId",
+        "evaluationId",
+        "name",
+        "maxScore",
+        "coe",
+        F.col("avg_null_dropped").alias("avg_a1"),
+        percentage(F.col("avg_null_dropped"), F.col("maxScore")).alias("pct_a1"),
+        percentage(F.col("avg_null_as_zero"), F.col("maxScore")).alias("pct_a2"),
+        F.col("__rep.description").alias("description"),
+        "__rep",
+        "__rep_ord",
+    ).withColumn("g", grade_band(F.col("pct_a1")))
+    w = weighted_coe(F.col("coe"))
+    return materialize(
+        recs.groupBy("subjectEvaluationId", "studentId").agg(
+            (F.sum(F.col("pct_a1") * w) / F.sum(w)).alias("agg_percentage"),
+            F.to_json(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("evaluationId"),
+                            F.col("name"),
+                            F.round("avg_a1", 6).alias("score"),
+                            F.col("maxScore"),
+                            F.round("pct_a1", 6).alias("percentage"),
+                            F.col("g.grade").alias("grade"),
+                            F.col("g.gpa").alias("gpa"),
+                            F.col("g.meaning").alias("meaning"),
+                            F.col("coe"),
+                            F.col("description"),
+                        )
+                    )
+                )
+            ).alias("customEvaluations"),
+            F.count(F.lit(1)).cast("int").alias("customEvaluationCount"),
+            F.avg("pct_a2").alias("custom_mean_pct"),
+            F.max_by("__rep", "__rep_ord").alias("__crep"),
+        )
+    )
+
+
 def _attach_dims(
     df: DataFrame,
     structures: DataFrame,
@@ -426,57 +491,10 @@ def monthly_subject_fact(
         "__rep",
     )
 
-    # CUSTOM path, step 1 — per-custom-eval records (the reference's
-    # custom_record dicts, …:216-231): avg score, guarded percentage,
-    # grade banding, raw coe, latest-marked description (the rep's).
-    custom_records = per_eval.join(
-        F.broadcast(
-            customs.select("evaluationId", "parentId", "name", "maxScore", "coe")
-        ),
-        on="evaluationId",
-        how="inner",
-    ).select(
-        F.col("parentId").alias("subjectEvaluationId"),
-        "studentId",
-        "evaluationId",
-        "name",
-        F.col("avg_score"),
-        F.col("maxScore"),
-        percentage(F.col("avg_score"), F.col("maxScore")).alias("custom_pct"),
-        "coe",
-        F.col("__rep.description").alias("description"),
-        "__rep",
-        "__rep_ord",
-    ).withColumn("g", grade_band(F.col("custom_pct")))
-
-    # CUSTOM path, step 2 — ONE aggregation to the parent subject: the A3
-    # coe-weighted percentage (== operators.weighted_average), the A8
-    # customEvaluations JSON column, and the custom-side W2 rep (exact:
-    # max_by over per-eval reps == max_by over the raw child scores).
-    w = weighted_coe(F.col("coe"))
-    custom_agg = custom_records.groupBy("subjectEvaluationId", "studentId").agg(
-        (F.sum(F.col("custom_pct") * w) / F.sum(w)).alias("agg_percentage"),
-        F.to_json(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("evaluationId"),
-                        F.col("name"),
-                        F.round("avg_score", 6).alias("score"),
-                        F.col("maxScore"),
-                        F.round("custom_pct", 6).alias("percentage"),
-                        F.col("g.grade").alias("grade"),
-                        F.col("g.gpa").alias("gpa"),
-                        F.col("g.meaning").alias("meaning"),
-                        F.col("coe"),
-                        F.col("description"),
-                    )
-                )
-            )
-        ).alias("customEvaluations"),
-        F.count(F.lit(1)).cast("int").alias("customEvaluationCount"),
-        F.max_by("__rep", "__rep_ord").alias("__crep"),
-    ).transform(materialize)
+    # CUSTOM path — the fused shared rollup (A3 weighted pct over A1
+    # averages + A8 JSON + custom-side W2 rep, computed in the same
+    # shuffle that also serves the transcript's A4 rollup).
+    custom_agg = _custom_agg_both(scores, customs)
 
     # precedence: direct wins (but still carries its subject's custom-eval
     # JSON details, like the reference's direct records); aggregated-only
@@ -767,22 +785,15 @@ def student_transcript(
         "__rep",
     )
 
-    # A4 — unweighted mean of custom percentages + the custom-side W2 rep
-    # in ONE rollup to the parent subject (…student_transcript/…:255-265);
-    # rescaled by the SUBJECT max score into a final score.
-    custom_rolled = per_eval.join(
-        F.broadcast(customs.select("evaluationId", "parentId", "maxScore")),
-        on="evaluationId",
-        how="inner",
-    ).select(
-        F.col("parentId").alias("subjectEvaluationId"),
+    # A4 — unweighted mean of custom A2 percentages + the custom-side W2
+    # rep (…student_transcript/…:255-265), served from the SAME fused
+    # cached rollup as the fact's A3/A8 pass; rescaled by the SUBJECT max
+    # score into a final score below.
+    custom_rolled = _custom_agg_both(scores, customs).select(
+        "subjectEvaluationId",
         "studentId",
-        percentage(F.col("avg_score"), F.col("maxScore")).alias("custom_pct"),
-        "__rep",
-        "__rep_ord",
-    ).groupBy("subjectEvaluationId", "studentId").agg(
-        F.avg("custom_pct").alias("custom_mean_pct"),
-        F.max_by("__rep", "__rep_ord").alias("__rep"),
+        "custom_mean_pct",
+        F.col("__crep").alias("__rep"),
     )
 
     c_scored = broadcast_dim_join(
