@@ -33,3 +33,4 @@ from clickhouse_etl_spark.operators.sampling import (  # noqa: F401
     assign_splits,
     stratified_deterministic_sample,
 )
+from clickhouse_etl_spark.operators.sketches import frequent_items  # noqa: F401

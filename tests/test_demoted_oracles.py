@@ -479,3 +479,39 @@ def test_repetition_stats(spark):
         FROM t
         """,
     )
+
+
+def test_frequent_items_skewed(spark):
+    """Two-phase heavy hitters vs a DuckDB exact top-k, on data where the
+    head is provably heavy (hot-key count 2500 > n/m = 1250), so the
+    sketch's superset guarantee makes the result exact."""
+    from clickhouse_etl_spark.operators.sketches import frequent_items
+
+    df = spark.range(50_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN id % 20 ELSE id END AS v"
+    )
+    out = frequent_items(df, "v", k=10, margin=4)
+    _assert_matches_oracle(
+        out,
+        """
+        SELECT v, COUNT(*) AS n FROM (
+          SELECT CASE WHEN i % 2 = 0 THEN i % 20 ELSE i END AS v
+          FROM range(50000) t(i)
+        ) GROUP BY v ORDER BY n DESC, v ASC LIMIT 10
+        """,
+    )
+
+
+def test_frequent_items_equals_exact_vocab(spark):
+    """Sketch path ≡ exact path on the real corpus: frequent_items over
+    exploded words must equal top_k_vocab (full groupBy + TakeOrdered)."""
+    from clickhouse_etl_spark.operators.sketches import frequent_items
+    from clickhouse_etl_spark.text.analysis import top_k_vocab
+
+    docs = load_table(spark, SF_DIR, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    sketched = frequent_items(words, "word", k=15, margin=4)
+    exact = top_k_vocab(docs, k=15)
+    got = [(r["word"], r["n"]) for r in sketched.collect()]
+    want = [(r["word"], r["n"]) for r in exact.collect()]
+    assert got == want
