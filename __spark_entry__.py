@@ -40,7 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted for genuinely
-    non-SQL-expressible ops: LSH banding, SimHash pandas-UDF, mapInPandas
-    multimodal plumbing — driver records rows-only checks for those)."""
+    """DuckDB-runnable ANSI SQL oracle per query — ALL 50 queries carry
+    one: the approximate ops (MinHash/SimHash/LSH-ANN/IVF) manufacture
+    their randomness (poly hash family, sha256-literal hyperplanes,
+    affine centroid permutation) so even candidate generation mirrors
+    into SQL."""
     return dict(ORACLE_SQL)
