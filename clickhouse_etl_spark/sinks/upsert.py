@@ -1,0 +1,184 @@
+"""Incremental merge (upsert) + SCD2 history — the scale path past
+full refreshes.
+
+The reference reloads every table daily: each DAG re-extracts the whole
+Postgres/Mongo source and rewrites the ClickHouse table through a staging
+swap (apps/airflow/dags/student/etl_students_to_clickhouse.py:94-113 —
+one INSERT of the full collection; staging swap …student_scores_subject/
+etl_student_scores_subject_month_to_clickhouse.py:590). That is O(table)
+work per day regardless of how little changed. At 100 TB the engine needs
+the incremental forms instead:
+
+- ``merge_upsert`` — ClickHouse's ReplacingMergeTree semantics (its
+  MergeTree DDLs: apps/clickhouse/migrations/…create_subject_table.sql:27)
+  executed eagerly: delta rows replace same-key current rows, last write
+  wins inside the delta. ONE shuffle on the merge key (union + ranking
+  window), no broadcast of anything that grows with the table — the same
+  plan shape at 60 k rows and at 100 TB, where both sides hash-partition
+  on the key and AQE splits skew.
+- ``scd2_history`` / ``scd2_apply`` — type-2 slowly-changing dimension:
+  every key keeps a timeline of attribute versions with
+  ``valid_from``/``valid_to``/``is_current``. History build is one
+  window over the change log (lag to drop no-op updates, lead to close
+  intervals); incremental apply merges a new change batch into an
+  existing history with the same single-shuffle shape.
+
+Partition/pruning note for real deployments: write the merged output
+partitioned by a stable high-level key (the reference partitions by
+``schoolId``) so the NEXT merge's scan of "current" prunes to partitions
+the delta actually touches — ``merge_upsert`` accepts a pre-pruned
+``current`` for exactly that reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.operators.dedup import latest_row_per_key
+
+#: Epoch far in the future — SCD2's "open interval" sentinel. A literal
+#: (not NULL) so range predicates (`valid_from <= ts < valid_to`) need no
+#: null branch and pushdown stays simple.
+OPEN_END = "9999-12-31 23:59:59"
+
+
+def merge_upsert(
+    current: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Merge ``delta`` into ``current``: the newest row per key wins.
+
+    Rows are ranked by (``order_col``, source) — a delta row beats a
+    current row at the same ``order_col`` value (it is the newer write).
+    Equivalent to ReplacingMergeTree's merge-time collapse with
+    ``order_col`` as the version column, but deterministic and immediate
+    instead of "eventually, in the background".
+
+    Plan: union (no shuffle) → one ranking-window shuffle on ``keys``.
+    Never broadcasts; both inputs only need the same schema.
+    """
+    tagged_cur = current.withColumn("__src", F.lit(0))
+    tagged_del = delta.withColumn("__src", F.lit(1))
+    merged = tagged_cur.unionByName(tagged_del)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(order_col).desc(), F.col("__src").desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def merge_upsert_with_deletes(
+    current: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    deleted_col: str = "is_deleted",
+) -> DataFrame:
+    """CDC-complete merge: ``delta`` rows flagged ``deleted_col`` remove
+    the key from the output (after winning the version race) — the
+    ReplacingMergeTree(ver, is_deleted) form. Same single-shuffle plan;
+    the tombstone filter runs after the window picks the newest row.
+    """
+    if deleted_col not in delta.columns:
+        raise ValueError(f"delta must carry {deleted_col!r} for CDC merges")
+    cur = current
+    if deleted_col not in cur.columns:
+        cur = cur.withColumn(deleted_col, F.lit(False))
+    merged = merge_upsert(cur, delta, keys, order_col)
+    return merged.filter(
+        ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
+    ).drop(deleted_col)
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Build a full SCD2 history from a change log.
+
+    One row per (key, version): ``valid_from`` = the change's timestamp,
+    ``valid_to`` = the next change's timestamp (:data:`OPEN_END` for the
+    current version), ``is_current`` flag. Consecutive changes with
+    identical ``attr_cols`` collapse into one interval (no-op updates —
+    the common CDC noise — don't create versions).
+
+    Plan: two windows over the SAME (keys × ts) sort — Catalyst runs them
+    in one shuffle+sort, so the whole build is a single pass.
+    """
+    order_w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(ts_col).asc()
+    )
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    # Drop rows whose attributes equal the previous version's (same key,
+    # ts order): eqNullSafe via struct comparison keeps null attrs sane.
+    deduped = (
+        changes.withColumn("__prev", F.lag(attrs).over(order_w))
+        .filter(F.col("__prev").isNull() | ~attrs.eqNullSafe(F.col("__prev")))
+        .drop("__prev")
+    )
+    next_ts = F.lead(F.col(ts_col)).over(order_w)
+    return (
+        deduped.withColumn("valid_from", F.col(ts_col))
+        .withColumn(
+            "valid_to",
+            F.coalesce(next_ts, F.lit(OPEN_END).cast("timestamp")),
+        )
+        .withColumn(
+            "is_current", F.col("valid_to") == F.lit(OPEN_END).cast("timestamp")
+        )
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Merge a new change batch into an existing SCD2 ``history``.
+
+    Semantically: rebuild each affected key's timeline from (its existing
+    versions' ``valid_from`` rows + the new changes) and splice untouched
+    keys through unchanged. Only keys present in ``changes`` are
+    re-windowed, so the shuffle is sized by the DELTA, not the table:
+    untouched history passes through with a semi-join-pruned scan —
+    at 100 TB a daily batch touching 0.1% of keys re-sorts 0.1% of rows.
+
+    ``history`` must be a prior :func:`scd2_history`/``scd2_apply``
+    output (carries ``valid_from``/``valid_to``/``is_current``).
+    """
+    key_cols = list(keys)
+    affected = changes.select(*key_cols).distinct()
+    # Existing versions of affected keys, reduced back to change-log form.
+    touched_log = (
+        history.join(affected, on=key_cols, how="left_semi")
+        .select(*key_cols, F.col("valid_from").alias(ts_col), *attr_cols)
+    )
+    new_log = changes.select(*key_cols, ts_col, *attr_cols)
+    rebuilt = scd2_history(
+        touched_log.unionByName(new_log), key_cols, ts_col, attr_cols
+    )
+    untouched = history.join(affected, on=key_cols, how="left_anti")
+    return untouched.unionByName(rebuilt.select(*untouched.columns))
+
+
+def snapshot_at(
+    history: DataFrame, ts: str, ts_col: str = "valid_from"
+) -> DataFrame:
+    """Point-in-time read over an SCD2 history: the version of every key
+    valid at ``ts`` (``valid_from <= ts < valid_to``). A plain filter —
+    partition/file pruning applies when the history is stored sorted or
+    partitioned on the interval columns."""
+    t = F.lit(ts).cast("timestamp")
+    return history.filter((F.col("valid_from") <= t) & (t < F.col("valid_to")))

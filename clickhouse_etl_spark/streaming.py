@@ -218,6 +218,91 @@ def first_seen_per_key(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the ingestion-side
+    guard a training-data pipeline runs before anything else (the batch
+    ``ns_dedup_exact`` twin, §dedup tier).
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes it, so state is O(keys per watermark
+    window) instead of O(all keys ever) — the difference between a
+    stream that runs for years and one that OOMs. Exactly-once *within*
+    the watermark horizon; duplicates arriving later than the watermark
+    are the documented trade (same contract ClickHouse's ReplacingMergeTree
+    gives: eventual, bounded-window collapse).
+
+    Batch twin for tests: ``dropDuplicates(keys)`` over the same files.
+    """
+    keys = list(keys or ["user_id", "event_type", ts_col])
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def foreach_batch_upsert(
+    streaming_df: DataFrame,
+    table_root: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+):
+    """Continuous incremental merge: each micro-batch upserts into a
+    versioned snapshot table (sinks.staging + sinks.upsert composed under
+    ``foreachBatch``) — the streaming form of the reference's daily
+    "extract → replace table" DAGs, without the full rewrite.
+
+    Exactly-once story: ``foreachBatch`` replays a failed batch with the
+    same ``batch_id``; ``publish_snapshot`` writes ``v=<batch_id>`` and
+    flips the ``_CURRENT`` pointer last, so a replay overwrites its own
+    half-written snapshot instead of corrupting the published one —
+    idempotent per batch id, atomic per publish.
+
+    Scale: the merge is :func:`~clickhouse_etl_spark.sinks.upsert.
+    merge_upsert`'s single key-shuffle; the rewrite cost is O(current
+    table) per batch here (parquet has no in-place update), which is the
+    lever a real deployment swaps for partition-pruned rewrites (merge
+    only partitions the delta touches — see sinks/upsert.py's partition
+    note) or a native MERGE sink (Delta/Iceberg).
+    """
+    from clickhouse_etl_spark.sinks.staging import publish_snapshot, read_current
+    from clickhouse_etl_spark.sinks.upsert import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            current = read_current(spark, table_root)
+        except Exception:
+            current = None
+        if current is None:
+            merged = merge_upsert(
+                batch_df.limit(0), batch_df, keys, order_col
+            )
+        else:
+            merged = merge_upsert(current, batch_df, keys, order_col)
+        # Materialize BEFORE publishing: the merge reads the _CURRENT
+        # snapshot it is about to supersede.
+        merged = merged.localCheckpoint(eager=True)
+        publish_snapshot(merged, table_root, version=f"{batch_id:020d}")
+
+    q = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"foreach_batch_upsert did not finish within {timeout_sec}s"
+        )
+    return q
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     streaming_df: DataFrame,

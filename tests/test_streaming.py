@@ -155,3 +155,94 @@ def test_first_seen_state_suppresses_across_microbatches(spark, tmp_path):
     assert len(keys) == len(set(keys))  # exactly one emission per key
     n_keys = events.select("user_id", "event_type").distinct().count()
     assert len(keys) == n_keys
+
+
+# --- watermarked streaming dedup + foreachBatch incremental merge -----------
+
+def test_dedup_within_watermark_equals_batch(spark, tmp_path):
+    """Streaming dedup over a 2-file source with duplicated events must
+    equal batch dropDuplicates — cross-micro-batch duplicates included
+    (both copies land inside the watermark horizon)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_etl_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    pdf = events.limit(200).toPandas()
+    pdf["ts"] = pdf["ts"].astype("int64")
+    zone = tmp_path / "dedup_zone"
+    zone.mkdir()
+    # file a: rows 0..149; file b: rows 100..199 → 50 duplicates span the
+    # micro-batch boundary at maxFilesPerTrigger=1.
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:150], preserve_index=False), str(zone / "a.parquet"))
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[100:], preserve_index=False), str(zone / "b.parquet"))
+
+    stream = st.read_event_stream(spark, str(zone), max_files_per_trigger=1)
+    keys = ["event_id", "ts"]
+    out = st.run_stream_to_memory(
+        spark,
+        st.dedup_within_watermark(stream, keys=keys, watermark="10 days"),
+        "t_dedup_wm",
+        str(tmp_path / "t_dedup_wm"),
+        output_mode="append",
+    )
+    batch = spark.read.parquet(str(zone)).dropDuplicates(keys)
+    assert out.count() == batch.count() == 200
+
+
+def test_foreach_batch_upsert_incremental_merge(spark, tmp_path):
+    """2 micro-batches of dimension updates merged through foreachBatch:
+    the published snapshot after the run equals a batch merge_upsert of
+    all updates, and intermediate versions remain for rollback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_etl_spark.sinks.staging import list_versions, read_current
+    from clickhouse_etl_spark.sinks.upsert import merge_upsert
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props) reused as a
+        # keyed update stream: user_id is the merge key, ts the version.
+        (1, 1_000_000_000, 10, "alpha", 1.0, "{}"),
+        (2, 2_000_000_000, 20, "beta", 2.0, "{}"),
+        (3, 3_000_000_000, 10, "alpha2", 3.0, "{}"),  # newer write, key 10
+        (4, 1_500_000_000, 30, "gamma", 4.0, "{}"),
+    ]
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    zone = tmp_path / "upsert_zone"
+    zone.mkdir()
+    cols = list(zip(*rows))
+    pq.write_table(pa.table(dict(zip(schema.names, [list(c[:2]) for c in cols]))), str(zone / "a.parquet"))
+    pq.write_table(pa.table(dict(zip(schema.names, [list(c[2:]) for c in cols]))), str(zone / "b.parquet"))
+
+    table_root = str(tmp_path / "dim_table")
+    stream = st.read_event_stream(spark, str(zone), max_files_per_trigger=1)
+    st.foreach_batch_upsert(
+        stream,
+        table_root,
+        keys=["user_id"],
+        order_col="ts",
+        checkpoint_dir=str(tmp_path / "upsert_ckpt"),
+    )
+
+    current = read_current(spark, table_root)
+    batch_all = spark.read.parquet(str(zone))
+    expected = merge_upsert(batch_all.limit(0), batch_all, ["user_id"], "ts")
+    assert rows_set(current.select("user_id", "event_type")) == rows_set(
+        expected.select("user_id", "event_type")
+    )
+    assert rows_set(current.select("user_id", "event_type")) == {
+        (10, "alpha2"), (20, "beta"), (30, "gamma"),
+    }
+    # one snapshot version per micro-batch, all kept for rollback
+    assert len(list_versions(table_root)) == 2

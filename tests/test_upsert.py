@@ -1,0 +1,212 @@
+"""Incremental merge (ReplacingMergeTree analog) + SCD2 history tests.
+
+Each batch op is cross-checked against a DuckDB oracle over the same
+rows — the in-repo twin of the driver's correctness gate for sink-tier
+ops the registry doesn't carry (the 50-query window is full).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.sinks.upsert import (
+    OPEN_END,
+    merge_upsert,
+    merge_upsert_with_deletes,
+    scd2_apply,
+    scd2_history,
+    snapshot_at,
+)
+from tests.conftest import rows_set
+
+
+@pytest.fixture()
+def dim_frames(spark):
+    current = spark.createDataFrame(
+        [
+            (1, "alice", "A", 100),
+            (2, "bob", "B", 100),
+            (3, "carol", "C", 100),
+        ],
+        "id int, name string, grade string, ver int",
+    )
+    delta = spark.createDataFrame(
+        [
+            (2, "bobby", "B+", 200),   # update
+            (2, "bobbie", "B-", 150),  # older delta write — loses to ver=200
+            (4, "dave", "D", 200),     # insert
+            (3, "carol", "C", 50),     # stale (older than current) — ignored
+        ],
+        "id int, name string, grade string, ver int",
+    )
+    return current, delta
+
+
+def test_merge_upsert_matches_duckdb(spark, dim_frames):
+    current, delta = dim_frames
+    out = merge_upsert(current, delta, ["id"], "ver")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cur(id int, name varchar, grade varchar, ver int);"
+        "INSERT INTO cur VALUES (1,'alice','A',100),(2,'bob','B',100),(3,'carol','C',100);"
+        "CREATE TABLE del(id int, name varchar, grade varchar, ver int);"
+        "INSERT INTO del VALUES (2,'bobby','B+',200),(2,'bobbie','B-',150),"
+        "(4,'dave','D',200),(3,'carol','C',50);"
+    )
+    oracle = con.execute(
+        """
+        SELECT id, name, grade, ver FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY ver DESC, src DESC) AS rn
+          FROM (SELECT *, 0 AS src FROM cur UNION ALL SELECT *, 1 AS src FROM del)
+        ) WHERE rn = 1
+        """
+    ).fetchall()
+    assert rows_set(out) == set(oracle)
+    # delta beats current at equal version: carol's ver-100 current row
+    # survives only because the delta row is OLDER (ver=50).
+    assert ("carol", "C", 100) in {(r[1], r[2], r[3]) for r in oracle}
+
+
+def test_merge_upsert_tie_prefers_delta(spark):
+    current = spark.createDataFrame([(1, "old", 100)], "id int, v string, ver int")
+    delta = spark.createDataFrame([(1, "new", 100)], "id int, v string, ver int")
+    out = merge_upsert(current, delta, ["id"], "ver")
+    assert rows_set(out) == {(1, "new", 100)}
+
+
+def test_merge_upsert_with_deletes(spark, dim_frames):
+    current, _ = dim_frames
+    delta = spark.createDataFrame(
+        [
+            (2, "bobby", "B+", 200, False),
+            (3, None, None, 200, True),     # tombstone wins → key 3 gone
+            (4, "dave", "D", 200, False),
+            (1, None, None, 50, True),      # stale tombstone → key 1 stays
+        ],
+        "id int, name string, grade string, ver int, is_deleted boolean",
+    )
+    out = merge_upsert_with_deletes(current, delta, ["id"], "ver")
+    assert rows_set(out.select("id", "name")) == {
+        (1, "alice"),
+        (2, "bobby"),
+        (4, "dave"),
+    }
+
+
+def test_merge_upsert_plan_has_no_broadcast(spark, dim_frames):
+    """Both sides of a merge grow with the table — the plan must be a
+    single shuffle on the key, never a broadcast of either side."""
+    current, delta = dim_frames
+    plan = merge_upsert(current, delta, ["id"], "ver")._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" not in plan
+    assert plan.count("Exchange") == 1
+
+
+CHANGES_ROWS = [
+    # id, ts, name, tier
+    (1, "2024-01-01 00:00:00", "alice", "gold"),
+    (1, "2024-02-01 00:00:00", "alice", "gold"),      # no-op → collapses
+    (1, "2024-03-01 00:00:00", "alice", "platinum"),
+    (2, "2024-01-15 00:00:00", "bob", "silver"),
+    (2, "2024-04-01 00:00:00", "bobby", "silver"),
+]
+
+
+def _changes_df(spark, rows=CHANGES_ROWS):
+    return spark.createDataFrame(
+        [(i, ts, n, t) for i, ts, n, t in rows],
+        "id int, ts string, name string, tier string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_scd2_history_intervals(spark):
+    hist = scd2_history(_changes_df(spark), ["id"], "ts", ["name", "tier"])
+    got = {
+        (r.id, str(r.valid_from), str(r.valid_to), r.is_current, r.name, r.tier)
+        for r in hist.collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-03-01 00:00:00", False, "alice", "gold"),
+        (1, "2024-03-01 00:00:00", OPEN_END, True, "alice", "platinum"),
+        (2, "2024-01-15 00:00:00", "2024-04-01 00:00:00", False, "bob", "silver"),
+        (2, "2024-04-01 00:00:00", OPEN_END, True, "bobby", "silver"),
+    }
+
+
+def test_scd2_history_matches_duckdb(spark):
+    hist = scd2_history(_changes_df(spark), ["id"], "ts", ["name", "tier"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ch(id int, ts timestamp, name varchar, tier varchar)")
+    con.executemany(
+        "INSERT INTO ch VALUES (?, ?, ?, ?)",
+        [list(r) for r in CHANGES_ROWS],
+    )
+    oracle = con.execute(
+        f"""
+        WITH dedup AS (
+          SELECT * FROM (
+            SELECT *, lag((name, tier)) OVER w AS prev
+            FROM ch WINDOW w AS (PARTITION BY id ORDER BY ts)
+          ) WHERE prev IS NULL OR prev IS DISTINCT FROM (name, tier)
+        )
+        SELECT id, name, tier, ts AS valid_from,
+               coalesce(lead(ts) OVER (PARTITION BY id ORDER BY ts),
+                        TIMESTAMP '{OPEN_END}') AS valid_to
+        FROM dedup
+        """
+    ).fetchall()
+    got = rows_set(hist.select("id", "name", "tier", "valid_from", "valid_to"))
+    assert got == set(oracle)
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    """Incremental apply over a change batch == rebuilding the history
+    from the concatenated change log (the defining invariant)."""
+    first = _changes_df(spark, CHANGES_ROWS[:3])
+    late_rows = [
+        (2, "2024-01-15 00:00:00", "bob", "silver"),
+        (2, "2024-04-01 00:00:00", "bobby", "silver"),
+        (1, "2024-05-01 00:00:00", "alice", "diamond"),
+        (3, "2024-06-01 00:00:00", "carol", "gold"),
+    ]
+    batch = _changes_df(spark, late_rows)
+    hist0 = scd2_history(first, ["id"], "ts", ["name", "tier"])
+    applied = scd2_apply(hist0, batch, ["id"], "ts", ["name", "tier"])
+    full = scd2_history(
+        _changes_df(spark, CHANGES_ROWS[:3] + late_rows),
+        ["id"], "ts", ["name", "tier"],
+    )
+    cols = ["id", "name", "tier", "valid_from", "valid_to", "is_current"]
+    assert rows_set(applied.select(*cols)) == rows_set(full.select(*cols))
+
+
+def test_scd2_apply_prunes_untouched_keys(spark):
+    """The apply plan must semi/anti-join history on the affected keys —
+    untouched keys pass through without re-sorting (delta-sized shuffle)."""
+    hist = scd2_history(_changes_df(spark), ["id"], "ts", ["name", "tier"])
+    batch = _changes_df(spark, [(1, "2024-05-01 00:00:00", "alice", "diamond")])
+    plan = scd2_apply(hist, batch, ["id"], "ts", ["name", "tier"])
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in txt and "LeftAnti" in txt
+    # key 2's history unchanged
+    k2 = {
+        (str(r.valid_from), str(r.valid_to))
+        for r in plan.filter(F.col("id") == 2).collect()
+    }
+    assert k2 == {
+        ("2024-01-15 00:00:00", "2024-04-01 00:00:00"),
+        ("2024-04-01 00:00:00", OPEN_END),
+    }
+
+
+def test_snapshot_at(spark):
+    hist = scd2_history(_changes_df(spark), ["id"], "ts", ["name", "tier"])
+    snap = snapshot_at(hist, "2024-02-10 00:00:00")
+    assert rows_set(snap.select("id", "name", "tier")) == {
+        (1, "alice", "gold"),
+        (2, "bob", "silver"),
+    }
