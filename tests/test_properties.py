@@ -157,3 +157,86 @@ def test_pack_contiguous_stream_invariants(spark, docs, seq_len):
         assert r["first_seq"] == r["stream_offset"] // seq_len
         assert r["last_seq"] == (r["stream_offset"] + r["n_tokens"] - 1) // seq_len
         assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1 >= 1
+
+
+# --- merge/SCD2 invariants ---------------------------------------------------
+
+upsert_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=50),  # version
+        st.integers(min_value=0, max_value=9),   # payload
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_SLOW
+@given(upsert_rows, upsert_rows, upsert_rows)
+def test_merge_upsert_sequential_equals_batched(spark, base, d1, d2):
+    """Applying deltas one-by-one == applying their union, whenever no
+    (key, version) collision crosses the two deltas with different
+    payloads (the sequential form resolves those by arrival order, the
+    batched form has no arrival order — excluded by construction)."""
+    from clickhouse_etl_spark.sinks.upsert import merge_upsert
+
+    # disambiguate: version parity splits versions between the deltas so
+    # a (key, ver) pair can't appear in both with different payloads.
+    d1 = [(k, v * 2, p) for k, v, p in d1]
+    d2 = [(k, v * 2 + 1, p) for k, v, p in d2]
+
+    schema = "k int, ver int, payload int"
+    cur = spark.createDataFrame(base, schema)
+    df1 = spark.createDataFrame(d1, schema)
+    df2 = spark.createDataFrame(d2, schema)
+
+    seq = merge_upsert(merge_upsert(cur, df1, ["k"], "ver"), df2, ["k"], "ver")
+    both = merge_upsert(cur, df1.unionByName(df2), ["k"], "ver")
+    # keys unique, and sequential == batched on (k, ver)
+    assert seq.groupBy("k").count().filter("count > 1").count() == 0
+    assert {(r.k, r.ver) for r in seq.collect()} == {
+        (r.k, r.ver) for r in both.collect()
+    }
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=0, max_value=30),   # day offset
+            st.integers(min_value=0, max_value=2),    # attr value
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_scd2_intervals_partition_time(spark, changes):
+    """For every key: intervals are disjoint, contiguous from the first
+    change to OPEN_END, exactly one is current, and consecutive versions
+    differ in attrs (no-op collapse)."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.sinks.upsert import scd2_history
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(days=d), f"v{a}") for k, d, a in changes
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, attr string")
+    # scd2 orders strictly by ts: collapse exact-ts duplicates first (the
+    # change-log contract is one change per (key, ts))
+    df = latest_row_per_key(df, ["k", "ts"], order_col="attr")
+    hist = scd2_history(df, ["k"], "ts", ["attr"]).collect()
+
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].is_current
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, disjoint
+            assert a.attr != b.attr            # no-op collapsed
