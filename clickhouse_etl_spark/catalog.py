@@ -48,6 +48,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #    etl_student_scores_subject_month_to_clickhouse.py:45-53), not errors.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (no-timezone) parquet timestamps must read as plain TIMESTAMP
+    # (LTZ under the pinned UTC session tz), not TIMESTAMP_NTZ: every
+    # operator and the DuckDB oracle agree on wall-clock values either
+    # way, but NTZ breaks TIMESTAMP-only expressions (unix_micros) and
+    # NTZ/LTZ comparisons across tables.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
     # Perf (not semantics): stop codegen at the JIT's 8 KB bytecode

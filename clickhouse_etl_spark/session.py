@@ -38,6 +38,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # The driver's events.parquet stores ts as TIMESTAMP(NANOS) which the
     # Spark parquet reader rejects; read as long and convert in the catalog.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet timestamps (timestamp[us], no tz — the regenerated
+    # testdata's ts/o_orderdate/l_shipdate) read as plain TIMESTAMP under
+    # the pinned UTC session tz, not TIMESTAMP_NTZ (which breaks
+    # unix_micros and NTZ/LTZ mixing). Mirrored in catalog._RUNTIME_CONFS.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # HotSpot never JIT-compiles methods over 8 KB of bytecode, so
     # whole-stage-codegen output past that size runs interpreted anyway —
     # falling back to volcano there skips multi-second Janino compiles of

@@ -31,18 +31,26 @@ from clickhouse_etl_spark.catalog import ensure_runtime_confs
 # keyed by the real file path; reused across calls, removed at exit.
 _SYMLINK_ZONES: dict[str, str] = {}
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS) which arrives as
-# a long under nanosAsLong (streaming requires an explicit schema).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.parquet physical schema (streaming requires an explicit schema).
+# The driver has shipped two physical encodings of ts across rounds:
+# TIMESTAMP(NANOS), which arrives as a long under nanosAsLong, and plain
+# TIMESTAMP(MICROS), which arrives as TimestampType (NTZ inference off).
+# read_event_stream probes the footer via a batch read and picks the
+# matching schema + normalization.
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
 
 
 def read_event_stream(
@@ -62,7 +70,11 @@ def read_event_stream(
     import tempfile
 
     ensure_runtime_confs(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # Footer-only probe: under nanosAsLong a TIMESTAMP(NANOS) ts infers as
+    # bigint; TIMESTAMP(MICROS) infers as timestamp (NTZ inference off).
+    ts_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    schema = _events_schema(T.LongType() if ts_is_long else T.TimestampType())
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(path):
@@ -81,7 +93,9 @@ def read_event_stream(
             atexit.register(shutil.rmtree, zone, ignore_errors=True)
         path = zone
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def tumbling_counts(
