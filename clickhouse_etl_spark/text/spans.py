@@ -1,0 +1,163 @@
+"""Duplicated-span detection — substring-level exact dedup.
+
+Document-level dedup (exact sha / MinHash / SimHash, ``text.dedup``)
+misses the dominant duplication mode in web-scale corpora: long byte
+ranges repeated across otherwise-distinct documents (boilerplate,
+licenses, quoted passages). The remedy popularized for LLM training
+data is substring dedup: find every span of >= k consecutive tokens
+that occurs more than once in the corpus, and cut (or downweight) the
+repeated occurrences.
+
+A literal suffix-array build (the single-node reference algorithm) does
+not distribute; the scalable equivalent implemented here is the
+k-shingle inverted form:
+
+1. one narrow pass emits every k-token shingle with its start position
+   (JVM higher-order functions, no Python);
+2. one aggregation finds shingles occurring >= 2 times corpus-wide;
+3. occurrences of duplicated shingles join back (shuffle on the shingle
+   key — AQE broadcasts while the duplicated set is small);
+4. per document, overlapping duplicated shingles merge into maximal
+   spans with a gaps-and-islands window — every span of >= k duplicated
+   tokens surfaces exactly once, with its token range.
+
+Any substring of length >= k repeated in the corpus is fully covered by
+duplicated k-shingles, so the merged spans are exactly the maximal
+repeated regions at k-token resolution — the same guarantee the
+suffix-array form gives, in three shuffles.
+
+Scale: the shingle join key defaults to the raw k-gram string (exact,
+oracle-checkable). At 100 TB project ``key="hash"`` — xxhash64 collapses
+the shuffle key to 8 bytes; a 64-bit collision can only ADD a false
+duplicated shingle (never drop one), and the two variants are pinned
+equal on the test corpus in tests/test_spans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _positioned_shingles(
+    df: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, gram) for every k-token shingle; docs shorter than k
+    tokens emit nothing (they cannot contain a k-token repeated span)."""
+    toks = F.split(F.col(text_col), " ")
+    shingled = df.select(
+        F.col(id_col),
+        F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {k}),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))"
+            f" ELSE array() END"
+        ).alias("__grams"),
+        F.size(toks).alias("n_tokens"),
+    )
+    return shingled.select(
+        id_col,
+        "n_tokens",
+        F.posexplode("__grams").alias("pos", "gram"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "gram",
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    Returns one row per (document, span): ``(id_col, span_start,
+    span_end, span_tokens)`` where the span covers token positions
+    ``[span_start, span_end)`` and every k-window inside it occurs >= 2
+    times in the corpus (within-document repeats count). Documents with
+    no duplicated span are absent — anti-join to get the clean set, or
+    aggregate ``span_tokens`` against the document token count for a
+    dup-fraction cut.
+
+    ``key="gram"`` (default) shuffles the raw k-gram string — exact and
+    DuckDB-checkable. ``key="hash"`` shuffles ``xxhash64(gram)`` — the
+    8-byte 100 TB form (collisions can only over-mark, never miss).
+    """
+    if key not in ("gram", "hash"):
+        raise ValueError(f"key must be 'gram' or 'hash', got {key!r}")
+    grams = _positioned_shingles(df, k, id_col, text_col)
+    if key == "hash":
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+
+    # Corpus-wide duplicated shingle set: one partial-aggregated count.
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("gram")
+    )
+
+    # Occurrences of duplicated shingles. The dup set is fact-derived —
+    # no forced broadcast; AQE broadcasts while it fits.
+    hits = grams.join(dup, on="gram", how="inner").select(id_col, "pos")
+
+    # Gaps-and-islands: a new span starts where pos clears every prior
+    # shingle's end. Both windows and the final aggregate cluster on
+    # id_col, so the whole merge is ONE shuffle.
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "__brk",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("__gid", F.sum("__brk").over(w))
+    return (
+        islands.groupBy(id_col, "__gid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "gram",
+) -> DataFrame:
+    """Per-document duplicated-token totals: ``(id, n_tokens, dup_tokens,
+    dup_fraction, n_spans)`` for every document (clean docs included with
+    zeros) — the cut-decision input for a ``dup_fraction <= x`` filter."""
+    spans = duplicated_spans(df, k=k, id_col=id_col, text_col=text_col, key=key)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    base = df.select(
+        id_col, F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    return (
+        base.join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("dup_tokens") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
