@@ -1,0 +1,107 @@
+"""Inverted index and TF-IDF — the retrieval-side text primitives.
+
+A training-data pipeline is also a retrieval pipeline (corpus search,
+near-duplicate triage, contamination forensics all want term lookup).
+Both operators here are single-groupBy plans over the posexploded token
+stream — pure JVM expressions, partial-aggregated, no Python.
+
+Scale notes:
+- The token explode is narrow (1 -> n_tokens fan-out inside the scan
+  stage); the only shuffle is the groupBy on the term (or (term, doc))
+  key. Term frequency follows a Zipf law, so the hot-term skew is real
+  at 100 TB — ``min_df``/stopword cuts happen AFTER partial aggregation
+  (map-side combine already collapsed per-partition duplicates), and
+  the posting LIST build caps at ``max_postings`` per term so one
+  stop-word cannot OOM a reducer; the full df/tf counts stay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — per-document term frequencies (one shuffle)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Term -> postings: ``(term, doc_freq, total_tf, postings)``.
+
+    ``postings`` is the deterministic ``"id:tf,id:tf,..."`` string
+    ordered by document id — a flat, comparable serialization (swap in
+    ``collect_list(struct(...))`` for a struct-typed posting list when a
+    consumer wants one). ``min_df`` prunes rare terms; ``max_postings``
+    truncates each term's LIST to the lowest-id entries (df/tf stay
+    exact) so Zipf-head terms cannot blow up a single reducer.
+    """
+    td = _doc_terms(df, id_col, text_col)
+    postings = F.array_sort(F.collect_list(F.struct(id_col, "tf")))
+    if max_postings is not None:
+        postings = F.slice(postings, 1, max_postings)
+    out = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                postings,
+                lambda x: F.concat_ws(":", x[id_col].cast("string"), x["tf"].cast("string")),
+            ),
+        ).alias("postings"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("doc_freq") >= min_df)
+    return out
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(document, term) smoothed TF-IDF weights.
+
+    ``weight = (tf / doc_len) * (ln((1 + N) / (1 + df)) + 1)`` — the
+    smooth-idf form (never zero, defined for unseen terms). N and the
+    per-term df are computed in the same plan; N is a 1-row aggregate
+    broadcast into the join, df joins on the term key.
+    """
+    td = _doc_terms(df, id_col, text_col)
+    doc_len = td.groupBy(id_col).agg(F.sum("tf").alias("__len"))
+    doc_freq = td.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("__n")
+    )
+    return (
+        td.join(doc_len, on=id_col)
+        .join(doc_freq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            (
+                (F.col("tf") / F.col("__len"))
+                * (
+                    F.log((F.lit(1) + F.col("__n")) / (F.lit(1) + F.col("__df")))
+                    + F.lit(1.0)
+                )
+            ).alias("weight"),
+        )
+    )
