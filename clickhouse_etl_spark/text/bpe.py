@@ -1,0 +1,231 @@
+"""Distributed BPE tokenizer training and encoding.
+
+Byte-pair encoding is the tokenizer family behind most LLM vocabularies.
+Training it over a 100 TB corpus decomposes into exactly one corpus-scale
+pass plus vocabulary-scale iteration — and that decomposition is the
+whole design here:
+
+1. :func:`word_counts` — the ONLY full-corpus pass: explode words,
+   count. 100 TB of text collapses to a distinct-word table (vocab-
+   scale: millions of rows, not billions).
+2. :func:`train_bpe` — the merge loop runs entirely on the word table,
+   weighted by word counts (the textbook trick: every occurrence of a
+   word shares one symbol sequence). Each iteration is one pair-count
+   aggregation (JVM arrays_zip/explode), one 1-row argmax collect, and
+   one merge application (JVM aggregate fold). Lineage is cut every
+   ``materialize_every`` merges.
+3. :func:`encode_words` — applies the learned merge ranking to a word
+   table via Arrow-batched ``mapInPandas`` (the merge list is
+   vocabulary metadata — tiny — and rides in the closure).
+4. :func:`tokenize_corpus` — corpus tokenization = encode the DISTINCT
+   words once, then join the sub-token arrays back to word occurrences
+   (broadcast while the vocab fits) and reassemble per document. The
+   per-occurrence work is a join, not a Python call.
+
+No end-of-word marker is appended (merges already stop at word
+boundaries because symbols never span words); add one in ``word_counts``
+via ``concat(word, '</w>')`` if GPT-2-style boundary symbols are wanted.
+
+Correctness is pinned against a pure-Python reference implementation
+(tests/test_bpe.py): identical merge sequence (count-desc, then
+lexicographic pair tiebreak) and identical encodings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_etl_spark.util import materialize
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) — the corpus pass. Everything after runs at vocab scale."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _init_symbols(vocab: DataFrame) -> DataFrame:
+    """Split each word into single-character symbols."""
+    return vocab.select(
+        "word",
+        "n",
+        F.expr("filter(split(word, ''), x -> x != '')").alias("syms"),
+    )
+
+
+def _pair_counts(symtab: DataFrame) -> DataFrame:
+    """Occurrence-weighted adjacent-pair counts over the symbol table."""
+    pairs = symtab.select(
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))).alias("a"),
+                F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).agg(F.sum("n").alias("count"))
+
+
+def _apply_merge(symtab: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace every adjacent (a, b) with the merged symbol, greedily
+    left-to-right (a fold can't re-match the just-merged symbol, which
+    is exactly BPE's non-overlapping scan)."""
+    merged = a + b
+    fold = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return symtab.select("word", "n", fold.alias("syms"))
+
+
+def train_bpe(
+    vocab: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    materialize_every: int = 8,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from a (word, n) vocabulary.
+
+    Returns the ordered merge list and the final symbol table
+    ``(word, n, syms)``. Stops early when no pair reaches ``min_count``.
+    Ties break deterministically: highest count, then lexicographic
+    (a, b) — pinned against the Python reference in tests.
+
+    Each iteration launches one vocab-scale Spark job (pair argmax) —
+    at 1M distinct words and 32k merges that is the standard overnight
+    tokenizer-training job; the corpus itself is never re-read.
+    """
+    symtab = materialize(_init_symbols(vocab))
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(symtab)
+            .orderBy(F.col("count").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["count"] < min_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        symtab = _apply_merge(symtab, a, b)
+        if (i + 1) % materialize_every == 0:
+            symtab = materialize(symtab)
+    return merges, symtab
+
+
+def encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """(word, tokens) — apply the learned merges to each distinct word.
+
+    Arrow-batched ``mapInPandas``; the merge ranking is vocabulary
+    metadata (tens of KB for a 32k vocab) and ships in the closure. A
+    per-batch memo dedups repeated words inside a batch."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    schema = T.StructType(
+        [
+            T.StructField(word_col, T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+
+        # Nested (not module-level) so cloudpickle ships it BY VALUE:
+        # executors don't need clickhouse_etl_spark importable.
+        def encode_word(word: str) -> list[str]:
+            """Repeatedly apply the lowest-ranked applicable merge,
+            fusing non-overlapping occurrences left-to-right —
+            equivalent to replaying the training merges in order."""
+            syms = list(word)
+            while len(syms) > 1:
+                best_rank, best_pair = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (syms[i], syms[i + 1])
+                if best_pair is None:
+                    break
+                a, b = best_pair
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        def enc(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = encode_word(w)
+            return got
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {word_col: pdf[word_col], "tokens": [enc(w) for w in pdf[word_col]]}
+            )
+
+    return words.select(word_col).mapInPandas(batches, schema=schema)
+
+
+def tokenize_corpus(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, tokens) — BPE-tokenize every document.
+
+    Encode the DISTINCT words once (vocab-scale Python), then join the
+    sub-token arrays back to word occurrences and reassemble in word
+    order. The corpus-side work is an explode + join + one groupBy —
+    no per-occurrence Python. The encoded vocab is fact-derived, so no
+    forced broadcast: AQE broadcasts while it fits."""
+    occurrences = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "word"),
+    ).filter(F.col("word") != "")
+    encoded = encode_words(occurrences.select("word").distinct(), merges)
+    joined = occurrences.join(encoded, on="word", how="inner")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "tokens"))),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens")
+        )
+    )

@@ -1,0 +1,110 @@
+"""Distributed BPE training/encoding pinned against a Python reference."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.text.bpe import (
+    encode_words,
+    tokenize_corpus,
+    train_bpe,
+    word_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+N_MERGES = 20
+
+
+def _ref_train(wc: dict[str, int], n_merges: int, min_count: int = 2):
+    """Reference BPE trainer: same tiebreak (count desc, then (a, b)
+    lexicographic) and same greedy left-to-right merge application."""
+    symtab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in symtab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wc[w]
+        if not counts:
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append(pair)
+        a, b = pair
+        for w, syms in symtab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            symtab[w] = out
+    return merges, symtab
+
+
+def _corpus_wc(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = word_counts(docs)
+    return docs, vocab, {r.word: r.n for r in vocab.collect()}
+
+
+def test_train_matches_reference(spark):
+    """Identical merge sequence AND identical final symbol table."""
+    _, vocab, wc = _corpus_wc(spark)
+    merges, symtab = train_bpe(vocab, N_MERGES)
+    ref_merges, ref_symtab = _ref_train(wc, N_MERGES)
+    assert merges == ref_merges
+    got = {r.word: list(r.syms) for r in symtab.collect()}
+    assert got == ref_symtab
+
+
+def test_encode_reproduces_training_segmentation(spark):
+    """Encoding a training word with the learned ranking yields exactly
+    the segmentation training left it with."""
+    _, vocab, _ = _corpus_wc(spark)
+    merges, symtab = train_bpe(vocab, N_MERGES)
+    trained = {r.word: list(r.syms) for r in symtab.collect()}
+    encoded = {
+        r.word: list(r.tokens)
+        for r in encode_words(vocab.select("word"), merges).collect()
+    }
+    assert encoded == trained
+
+
+def test_encode_lossless_and_oov(spark):
+    """Tokens always concatenate back to the word — including words the
+    trainer never saw (OOV falls back toward characters)."""
+    _, vocab, _ = _corpus_wc(spark)
+    merges, _ = train_bpe(vocab, N_MERGES)
+    oov = spark.createDataFrame(
+        [("zzgibberishqq",), ("the",), ("x",)], ["word"]
+    )
+    for r in encode_words(oov, merges).collect():
+        assert "".join(r.tokens) == r.word
+        assert all(len(t) >= 1 for t in r.tokens)
+
+
+def test_tokenize_corpus_lossless(spark):
+    """Per-document token streams concatenate back to the text with
+    spaces removed — nothing dropped, nothing reordered."""
+    docs, vocab, _ = _corpus_wc(spark)
+    merges, _ = train_bpe(vocab, N_MERGES)
+    toks = {r.doc_id: list(r.tokens) for r in tokenize_corpus(docs, merges).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        assert "".join(toks[row.doc_id]) == row.text.replace(" ", "")
+
+
+def test_min_count_stops_early(spark):
+    """A huge min_count stops the loop immediately."""
+    _, vocab, _ = _corpus_wc(spark)
+    merges, symtab = train_bpe(vocab, N_MERGES, min_count=10**9)
+    assert merges == []
+    assert all(len(r.syms) == len(r.word) for r in symtab.collect())
