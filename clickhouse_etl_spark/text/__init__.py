@@ -29,3 +29,22 @@ from clickhouse_etl_spark.text.similarity import (  # noqa: F401
     ivf_ann_topk,
     lsh_ann_topk,
 )
+from clickhouse_etl_spark.text.spans import (  # noqa: F401
+    cut_duplicated_spans,
+    duplicated_spans,
+    span_dedup_stats,
+)
+from clickhouse_etl_spark.text.index import (  # noqa: F401
+    inverted_index,
+    tf_idf,
+)
+from clickhouse_etl_spark.text.scoring import (  # noqa: F401
+    filter_by_score,
+    score_documents,
+)
+from clickhouse_etl_spark.text.bpe import (  # noqa: F401
+    encode_words,
+    tokenize_corpus,
+    train_bpe,
+    word_counts,
+)

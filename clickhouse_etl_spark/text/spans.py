@@ -68,6 +68,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     key: str = "gram",
+    mark: str = "all",
 ) -> DataFrame:
     """Maximal duplicated token spans per document.
 
@@ -79,27 +80,48 @@ def duplicated_spans(
     aggregate ``span_tokens`` against the document token count for a
     dup-fraction cut.
 
+    ``mark`` picks the occurrence policy:
+
+    - ``"all"`` (default): every occurrence of a duplicated shingle is
+      marked — the detection/measurement view.
+    - ``"non_first"``: the canonical first occurrence (lowest
+      ``(id, pos)`` corpus-wide) of each duplicated shingle is spared —
+      the substring-dedup CUT policy: removing the marked spans keeps
+      exactly one copy of every repeated passage in the corpus.
+
     ``key="gram"`` (default) shuffles the raw k-gram string — exact and
     DuckDB-checkable. ``key="hash"`` shuffles ``xxhash64(gram)`` — the
     8-byte 100 TB form (collisions can only over-mark, never miss).
     """
     if key not in ("gram", "hash"):
         raise ValueError(f"key must be 'gram' or 'hash', got {key!r}")
+    if mark not in ("all", "non_first"):
+        raise ValueError(f"mark must be 'all' or 'non_first', got {mark!r}")
     grams = _positioned_shingles(df, k, id_col, text_col)
     if key == "hash":
         grams = grams.withColumn("gram", F.xxhash64("gram"))
 
-    # Corpus-wide duplicated shingle set: one partial-aggregated count.
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= 2)
-        .select("gram")
-    )
-
-    # Occurrences of duplicated shingles. The dup set is fact-derived —
-    # no forced broadcast; AQE broadcasts while it fits.
-    hits = grams.join(dup, on="gram", how="inner").select(id_col, "pos")
+    if mark == "non_first":
+        # Rank occurrences per shingle; everything past rank 1 is a
+        # duplicate occurrence. Same single shuffle on the gram key as
+        # the count path (window instead of groupBy+join-back).
+        w = Window.partitionBy("gram").orderBy(id_col, "pos")
+        hits = (
+            grams.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") >= 2)
+            .select(id_col, "pos")
+        )
+    else:
+        # Corpus-wide duplicated shingle set: one partial-aggregated
+        # count; occurrences join back. The dup set is fact-derived —
+        # no forced broadcast; AQE broadcasts while it fits.
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2)
+            .select("gram")
+        )
+        hits = grams.join(dup, on="gram", how="inner").select(id_col, "pos")
 
     # Gaps-and-islands: a new span starts where pos clears every prior
     # shingle's end. Both windows and the final aggregate cluster on
@@ -123,6 +145,57 @@ def duplicated_spans(
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "gram",
+) -> DataFrame:
+    """Substring-dedup surgery: remove every non-first duplicated span.
+
+    Rewrites ``text_col`` with the tokens of ``mark="non_first"`` spans
+    deleted, so each repeated passage survives exactly once corpus-wide
+    (its canonical lowest-``(id, pos)`` occurrence). Adds
+    ``removed_tokens`` with the per-document cut size. Documents without
+    duplicated spans pass through untouched.
+
+    The rewrite is JVM-side: the span list joins back per document
+    (span counts per doc are small — they merge overlaps by
+    construction) and an indexed higher-order filter drops covered
+    token positions without exploding the corpus.
+    """
+    spans = duplicated_spans(
+        df, k=k, id_col=id_col, text_col=text_col, key=key, mark="non_first"
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"),
+        F.sum("span_tokens").alias("__cut"),
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+        ),
+    )
+    out_cols = [
+        F.concat_ws(" ", kept).alias(text_col)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return (
+        df.join(per_doc, on=id_col, how="left")
+        .withColumn("__spans", F.coalesce("__spans", F.array()))
+        .select(
+            *out_cols,
+            F.coalesce("__cut", F.lit(0)).alias("removed_tokens"),
         )
     )
 

@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from clickhouse_etl_spark.catalog import load_table
-from clickhouse_etl_spark.text.spans import duplicated_spans, span_dedup_stats
+from clickhouse_etl_spark.text.spans import (
+    cut_duplicated_spans,
+    duplicated_spans,
+    span_dedup_stats,
+)
 from tools.oracle_check import canon_rows
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -138,6 +142,82 @@ def test_span_dedup_stats(spark):
     assert all(0.0 <= r.dup_fraction <= 1.0 for r in rows)
     assert all(r.dup_tokens == 0 and r.dup_fraction == 0.0
                for r in rows if r.n_spans == 0)
+
+
+def test_non_first_oracle(spark):
+    """The keep-one-copy policy (row_number over each shingle's
+    occurrences) against a DuckDB mirror."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = duplicated_spans(docs, k=8, mark="non_first")
+    k = 8
+    _assert_matches(
+        out,
+        f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{k}-1], ' ') AS gram
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - {k} + 1, 0))) AS g(i)
+        ),
+        hits AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM grams
+          ) WHERE rn >= 2
+        ),
+        islands AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos > coalesce(max(pos + {k}) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+            THEN 1 ELSE 0 END AS brk
+          FROM hits
+        ),
+        grp AS (
+          SELECT doc_id, pos, sum(brk) OVER (
+            PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM islands
+        )
+        SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end,
+               max(pos) + {k} - min(pos) AS span_tokens
+        FROM grp GROUP BY doc_id, gid
+        """,
+    )
+
+
+def test_cut_keeps_one_copy_micro(spark):
+    """Cutting non-first spans leaves exactly one copy of the repeated
+    passage and preserves unique text."""
+    rows = [
+        (1, "a b c d e f x1 y1 z1"),
+        (2, "q2 a b c d e f w2"),
+        (3, "p3 q3 r3"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in cut_duplicated_spans(docs, k=3).collect()}
+    # doc 1 holds the canonical (first) copy — untouched.
+    assert out[1].text == "a b c d e f x1 y1 z1"
+    assert out[1].removed_tokens == 0
+    # doc 2 loses the repeated a..f run, keeps its unique frame.
+    assert out[2].text == "q2 w2"
+    assert out[2].removed_tokens == 6
+    # clean doc passes through.
+    assert out[3].text == "p3 q3 r3"
+    assert out[3].removed_tokens == 0
+    assert set(out[1].__fields__) == {"doc_id", "text", "removed_tokens"}
+
+
+def test_cut_totals_match_spans(spark):
+    """Corpus-wide removed tokens equal the non-first span total."""
+    docs = load_table(spark, SF_DIR, "documents")
+    cut = cut_duplicated_spans(docs, k=8)
+    spans = duplicated_spans(docs, k=8, mark="non_first")
+    total_cut = cut.agg(F.sum("removed_tokens")).first()[0]
+    total_spans = spans.agg(F.sum("span_tokens")).first()[0]
+    assert total_cut == total_spans
+    assert cut.count() == docs.count()
 
 
 def test_spans_plan_no_python(spark):
