@@ -31,6 +31,7 @@ from clickhouse_etl_spark.operators.skew import (  # noqa: F401
 )
 from clickhouse_etl_spark.operators.sampling import (  # noqa: F401
     assign_splits,
+    mix_corpora,
     stratified_deterministic_sample,
 )
 from clickhouse_etl_spark.operators.sketches import frequent_items  # noqa: F401

@@ -103,3 +103,76 @@ def stratified_deterministic_sample(
         .filter(bucket < (F.col("__rate") * _BUCKETS).cast("long"))
         .drop("__rate")
     )
+
+
+def mix_corpora(
+    sources: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    key_cols: Sequence[str],
+    total: int | None = None,
+    max_epochs: int = 1,
+    salt: str = "mix",
+    source_col: str = "source_name",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic weighted mixture over named corpora — the
+    pretraining data-mixing step.
+
+    Each source contributes ``weights[name]`` of the output. With
+    ``total=None`` the mixture is as large as the weights allow without
+    repeating data: ``T = min(n_s * max_epochs / w_s)``. A source whose
+    demand exceeds its size repeats whole epochs (tagged in
+    ``epoch_col``) up to ``max_epochs`` — the standard epoch-capped
+    upsampling of small high-quality corpora — and raises if the demand
+    cannot be met, rather than silently drifting off the target mix.
+
+    Row selection is the same RNG-free hash-bucket primitive as
+    :func:`assign_splits`, so the mixture is reproducible bit-for-bit
+    across retries and repartitioning; fractional-epoch membership is
+    binomial around the target (exact in expectation — exact-count
+    selection would need a global sort, which does not scale).
+
+    One ``count()`` job per source is the only driver-side work; the
+    mixture itself is per-source filters + an epoch explode + unionByName
+    (schemas must match across sources; ``source_col``/``epoch_col`` are
+    appended). Weights must sum to 1.
+    """
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"mixture weights must sum to 1.0, got {sum(weights.values())}")
+    if set(weights) != set(sources):
+        raise ValueError("weights and sources must have identical keys")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    sizes = {name: df.count() for name, df in sources.items()}
+    if any(n == 0 for n in sizes.values()):
+        empty = [k for k, n in sizes.items() if n == 0]
+        raise ValueError(f"empty source(s): {empty}")
+    if total is None:
+        total = int(min(sizes[s] * max_epochs / weights[s] for s in sources))
+    parts = []
+    for name, df in sources.items():
+        need = weights[name] * total
+        n = sizes[name]
+        if need > n * max_epochs + 1e-9:
+            raise ValueError(
+                f"source {name!r} needs {need:.0f} rows but has {n} x "
+                f"{max_epochs} epochs; raise max_epochs or lower its weight"
+            )
+        full, frac = int(need // n), (need % n) / n
+        bucket = _default_bucket(key_cols, f"{salt}:{name}")
+        # epochs per row: `full` whole passes + one more for rows whose
+        # bucket clears the fractional-epoch threshold.
+        epochs = F.lit(full) + F.when(
+            bucket < int(round(frac * _BUCKETS)), F.lit(1)
+        ).otherwise(F.lit(0))
+        parts.append(
+            df.withColumn("__epochs", epochs)
+            .filter(F.col("__epochs") > 0)
+            .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("__epochs"))))
+            .drop("__epochs")
+            .withColumn(source_col, F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
