@@ -35,3 +35,9 @@ from clickhouse_etl_spark.operators.sampling import (  # noqa: F401
     stratified_deterministic_sample,
 )
 from clickhouse_etl_spark.operators.sketches import frequent_items  # noqa: F401
+from clickhouse_etl_spark.operators.events import (  # noqa: F401
+    retention_flags,
+    retention_summary,
+    sessionize,
+    window_funnel,
+)

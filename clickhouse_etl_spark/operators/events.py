@@ -1,0 +1,149 @@
+"""Event-sequence analytics: sessionize, window funnel, retention.
+
+The ClickHouse warehouse the reference loads into is famous for exactly
+these (``windowFunnel``, ``retention``, session analysis) — the
+downstream Metabase/report layer consumes them. Spark-first forms:
+
+- :func:`sessionize` — gaps-and-islands session ids (the batch twin of
+  ``streaming.session_window``): one window pass per user, no Python.
+- :func:`window_funnel` — max funnel level per user, greedy-from-
+  earliest semantics: level i is reached iff after the user's FIRST
+  step-1 event there are strictly-later events matching steps 2..i, in
+  order, all within ``window_seconds`` of that first event. One user-
+  keyed join per funnel step (funnels are short; each join shuffles on
+  the user key only).
+- :func:`retention_flags` / :func:`retention_summary` — ClickHouse
+  ``retention()``: per-user condition flags where every later flag is
+  AND-ed with the first (cohort) condition, then cohort-wide counts.
+
+All three are exact and DuckDB-oracle-checked (tests/test_events.py).
+
+Note on funnel semantics: ClickHouse's ``windowFunnel`` slides the
+window over EVERY step-1 occurrence and keeps the best chain;
+greedy-from-earliest anchors at the first occurrence — simpler, still a
+true funnel, and the variant whose oracle SQL stays readable. The
+docstring is the contract; don't silently assume the ClickHouse
+variant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign a session id per user from inactivity gaps.
+
+    A new session starts when the time since the user's previous event
+    exceeds ``gap`` (interval string). ``session_col`` is the 1-based
+    session ordinal per user — combine with the user key for a globally
+    unique id. One shuffle (window on user), codegen throughout.
+    """
+    gap_sec = F.expr(f"INTERVAL {gap}")
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("timestamp") > prev_ts + gap_sec)
+    ).cast("int")
+    return events.withColumn(
+        session_col,
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: Sequence[Column | str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Max funnel level per user (greedy-from-earliest; see module doc).
+
+    ``steps`` are boolean conditions (Column or SQL string), one per
+    funnel stage in order. Returns ``(user_col, funnel_level)`` for
+    every user with at least one step-1 event; level ranges 1..len(steps).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    conds = [F.expr(s) if isinstance(s, str) else s for s in steps]
+    ts = F.col(ts_col).cast("timestamp")
+
+    anchor = (
+        events.filter(conds[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("__t1"))
+    )
+    cur = anchor.withColumn("__t_prev", F.col("__t1"))
+    levels = anchor.select(user_col, F.lit(1).alias("funnel_level"))
+    deadline = F.col("__t1") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+    for i, cond in enumerate(conds[1:], start=2):
+        nxt = events.filter(cond).select(
+            F.col(user_col), ts.alias("__ts")
+        )
+        cur = (
+            cur.join(nxt, on=user_col, how="inner")
+            .filter((F.col("__ts") > F.col("__t_prev")) & (F.col("__ts") <= deadline))
+            .groupBy(user_col, "__t1")
+            .agg(F.min("__ts").alias("__t_prev"))
+        )
+        levels = levels.unionByName(
+            cur.select(user_col, F.lit(i).alias("funnel_level"))
+        )
+    return levels.groupBy(user_col).agg(
+        F.max("funnel_level").alias("funnel_level")
+    )
+
+
+def retention_flags(
+    events: DataFrame,
+    conds: Sequence[Column | str],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user retention flags (ClickHouse ``retention()`` semantics).
+
+    ``r1`` is true iff the user matches the cohort condition
+    ``conds[0]``; every later ``r_i`` is true iff the user matches
+    ``conds[i]`` AND ``r1``. One aggregation pass; flags come out as
+    ints (0/1) for painless summing.
+    """
+    if not conds:
+        raise ValueError("conds must be non-empty")
+    cs = [F.expr(c) if isinstance(c, str) else c for c in conds]
+    aggs = [
+        F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"__m{i}")
+        for i, c in enumerate(cs, start=1)
+    ]
+    per_user = events.groupBy(user_col).agg(*aggs)
+    out = [F.col("__m1").alias("r1")]
+    out += [
+        (F.col(f"__m{i}") * F.col("__m1")).alias(f"r{i}")
+        for i in range(2, len(cs) + 1)
+    ]
+    return per_user.select(F.col(user_col), *out)
+
+
+def retention_summary(
+    events: DataFrame,
+    conds: Sequence[Column | str],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort-wide retention counts: one row, ``n_r1..n_rk`` summed over
+    users — the number retained at each stage."""
+    flags = retention_flags(events, conds, user_col=user_col)
+    k = len(list(conds))
+    return flags.agg(
+        *[F.sum(f"r{i}").alias(f"n_r{i}") for i in range(1, k + 1)]
+    )

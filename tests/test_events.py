@@ -1,0 +1,180 @@
+"""Event-sequence analytics (sessionize / funnel / retention) — DuckDB
+oracles on the sf0.001 events table + micro semantics checks."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.operators.events import (
+    retention_flags,
+    retention_summary,
+    sessionize,
+    window_funnel,
+)
+from tools.oracle_check import canon_rows
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _assert_matches(sdf, oracle_sql):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+        )
+        cur = con.execute(oracle_sql)
+        dcols, drows = [d[0] for d in cur.description], cur.fetchall()
+    finally:
+        con.close()
+    sc, sr = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    dc, dr = canon_rows(dcols, drows)
+    assert sc == dc, f"columns differ: spark={sc} duckdb={dc}"
+    assert len(sr) == len(dr), f"rowcount: spark={len(sr)} duckdb={len(dr)}"
+    assert sr == dr, "canonicalized values differ"
+
+
+def test_sessionize_oracle(spark):
+    events = load_table(spark, SF_DIR, "events")
+    out = sessionize(events, gap="30 minutes").select(
+        "user_id", "event_id", "session_id"
+    )
+    _assert_matches(
+        out,
+        """
+        SELECT user_id, event_id,
+               sum(CASE WHEN prev_ts IS NULL
+                        OR ts > prev_ts + INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM events
+        )
+        """,
+    )
+
+
+def test_window_funnel_oracle(spark):
+    events = load_table(spark, SF_DIR, "events")
+    steps = [
+        "event_type = 'signup'",
+        "event_type = 'view'",
+        "event_type = 'purchase'",
+    ]
+    out = window_funnel(events, steps, window_seconds=86400)
+    _assert_matches(
+        out,
+        """
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1 USING (user_id)
+          WHERE e.event_type = 'view' AND e.ts > t1.t1
+            AND e.ts <= t1.t1 + INTERVAL 86400 SECONDS
+          GROUP BY e.user_id
+        ),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            AND e.ts <= t1.t1 + INTERVAL 86400 SECONDS
+          GROUP BY e.user_id
+        )
+        SELECT t1.user_id,
+               CASE WHEN t3.user_id IS NOT NULL THEN 3
+                    WHEN t2.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS funnel_level
+        FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        """,
+    )
+
+
+def test_window_funnel_micro(spark):
+    """Window cutoff and ordering: step events outside the window or out
+    of order don't count."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: full chain inside window.
+        (1, base, "a"), (1, base + dt.timedelta(seconds=10), "b"),
+        (1, base + dt.timedelta(seconds=20), "c"),
+        # u2: step2 lands after the window -> level 1.
+        (2, base, "a"), (2, base + dt.timedelta(seconds=120), "b"),
+        # u3: step2 precedes step1 -> level 1.
+        (3, base, "b"), (3, base + dt.timedelta(seconds=5), "a"),
+        # u4: no step1 -> absent.
+        (4, base, "b"), (4, base + dt.timedelta(seconds=1), "c"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(
+            events,
+            ["event_type = 'a'", "event_type = 'b'", "event_type = 'c'"],
+            window_seconds=60,
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_retention_oracle(spark):
+    events = load_table(spark, SF_DIR, "events")
+    conds = [
+        "event_type = 'signup'",
+        "event_type = 'click'",
+        "event_type = 'purchase'",
+    ]
+    out = retention_flags(events, conds)
+    _assert_matches(
+        out,
+        """
+        SELECT user_id,
+               max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r2,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r3
+        FROM events GROUP BY user_id
+        """,
+    )
+
+
+def test_retention_summary_consistent(spark):
+    events = load_table(spark, SF_DIR, "events")
+    conds = ["event_type = 'signup'", "event_type = 'purchase'"]
+    flags = retention_flags(events, conds)
+    summary = retention_summary(events, conds).first()
+    assert summary.n_r1 == flags.agg(F.sum("r1")).first()[0]
+    assert summary.n_r2 == flags.agg(F.sum("r2")).first()[0]
+    assert summary.n_r2 <= summary.n_r1
+
+
+def test_sessionize_gap_semantics(spark):
+    """Events exactly at the gap boundary stay in the same session;
+    one tick past starts a new one."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base),
+        (1, 2, base + dt.timedelta(minutes=30)),          # == gap: same
+        (1, 3, base + dt.timedelta(minutes=60, seconds=1)),  # > gap: new
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    got = {r.event_id: r.session_id for r in sessionize(events).collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
