@@ -7,3 +7,7 @@ from clickhouse_etl_spark.sinks.bucketed import (  # noqa: F401
     write_bucketed_table,
 )
 from clickhouse_etl_spark.sinks.compaction import compact_dataset  # noqa: F401
+from clickhouse_etl_spark.sinks.zorder import (  # noqa: F401
+    write_zordered,
+    zorder_value,
+)
