@@ -12,3 +12,8 @@ from clickhouse_etl_spark.sources.documents import (  # noqa: F401
     read_document_collection,
 )
 from clickhouse_etl_spark.sources.federated import register_jdbc_catalog  # noqa: F401
+from clickhouse_etl_spark.sources.quarantine import (  # noqa: F401
+    read_csv_quarantined,
+    read_jsonl_quarantined,
+    write_quarantine,
+)
