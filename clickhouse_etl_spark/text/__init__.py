@@ -48,3 +48,7 @@ from clickhouse_etl_spark.text.bpe import (  # noqa: F401
     train_bpe,
     word_counts,
 )
+from clickhouse_etl_spark.text.curation import (  # noqa: F401
+    CurationResult,
+    curate_corpus,
+)

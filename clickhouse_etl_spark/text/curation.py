@@ -1,0 +1,151 @@
+"""End-to-end corpus curation: the composed LLM training-data pipeline.
+
+Every stage exists as a standalone operator elsewhere in ``text/``;
+this module is the canonical COMPOSITION — the order and plumbing a
+real curation run uses — plus the per-stage accounting (the "data
+card") that makes a corpus auditable:
+
+    exact dedup → near-dup cluster removal → duplicated-span cutting →
+    heuristic quality filter → optional model filter → PII scrub →
+    deterministic split assignment
+
+Stage order is load-bearing and documented per stage below (e.g. span
+cutting runs AFTER document-level dedup so the keep-first policy
+doesn't waste its one kept copy on a document that is then dropped as
+an exact duplicate; the quality filter runs AFTER cutting because
+cutting shortens documents below the length floor).
+
+Scale: the composition adds nothing to the operators' own costs — each
+stage consumes the previous stage's DataFrame lazily; only the data
+card forces one count per stage (skippable with ``with_report=False``
+for fire-and-forget runs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.text.analysis import PII_PATTERNS, corpus_quality_filter
+from clickhouse_etl_spark.text.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    neardup_clusters,
+)
+from clickhouse_etl_spark.text.scoring import filter_by_score
+from clickhouse_etl_spark.text.spans import cut_duplicated_spans
+from clickhouse_etl_spark.operators.sampling import assign_splits
+
+
+@dataclass
+class CurationResult:
+    """Final corpus + the per-stage data card."""
+
+    corpus: DataFrame
+    report: dict[str, int] = field(default_factory=dict)
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_k: int = 8,
+    minhash_threshold: float = 0.7,
+    min_tokens: int = 5,
+    score_threshold: float | None = None,
+    split_weights: dict[str, float] | None = None,
+    with_report: bool = True,
+) -> CurationResult:
+    """Run the full curation chain; see module doc for stage order.
+
+    ``score_threshold=None`` skips the model filter (the stub classifier
+    is a placeholder — inject a real model by calling
+    :func:`text.scoring.filter_by_score` yourself between stages).
+    Returns the curated corpus (original columns + ``n_redactions`` +
+    ``split``) and, when ``with_report``, document counts after every
+    stage.
+    """
+    report: dict[str, int] = {}
+
+    def note(stage: str, d: DataFrame) -> DataFrame:
+        if with_report:
+            report[stage] = d.count()
+        return d
+
+    note("input", df)
+
+    # 1. Exact dedup: keep each byte-identical text's canonical (min id)
+    #    copy. Digest-only shuffle.
+    keep = exact_dedup(df, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    cur = note("exact_dedup", df.join(keep, on=id_col, how="left_semi"))
+
+    # 2. Near-dup removal: MinHash-LSH pairs → transitive clusters →
+    #    drop every non-representative member. Runs on the exact-deduped
+    #    corpus so identical texts don't re-cluster.
+    pairs = minhash_near_duplicates(
+        cur, text_col=text_col, id_col=id_col, jaccard_threshold=minhash_threshold
+    )
+    clusters = neardup_clusters(pairs)
+    # The cluster representative IS the cluster id (minimum member —
+    # dedup_keep_list's keep_id); every other member drops.
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    cur = note("near_dedup", cur.join(drop, on=id_col, how="left_anti"))
+
+    # 3. Substring dedup: cut every non-first duplicated >=k-token span
+    #    (each repeated passage survives once corpus-wide). After
+    #    document-level dedup so kept copies anchor the spans.
+    cur = note(
+        "span_cut",
+        cut_duplicated_spans(cur, k=span_k, id_col=id_col, text_col=text_col),
+    )
+
+    # 4. Heuristic quality filter — after cutting (cutting shortens
+    #    documents; the length floor must see the final text).
+    decisions = corpus_quality_filter(cur, text_col=text_col, min_tokens=min_tokens)
+    cur = note(
+        "quality_filter",
+        cur.join(
+            decisions.filter(F.col("keep")).select(id_col),
+            on=id_col,
+            how="left_semi",
+        ),
+    )
+
+    # 5. Optional model-based filter (batch-inference seam).
+    if score_threshold is not None:
+        cur = note(
+            "model_filter",
+            filter_by_score(
+                cur, score_threshold, id_col=id_col, text_col=text_col
+            ),
+        )
+
+    # 6. PII scrub — last text rewrite, so redaction placeholders can't
+    #    perturb dedup hashes or quality token counts. Same pattern
+    #    chain as analysis.pii_scrub, applied in place (all original
+    #    columns ride through — no projection, no join).
+    scrubbed = F.col(text_col)
+    n_hits = F.lit(0)
+    for pat, tag in PII_PATTERNS:
+        n_hits = n_hits + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    # n_redactions FIRST: both expressions read text_col, and withColumn
+    # resolves against the frame it is applied to — replacing the text
+    # before counting would count zero.
+    cur = cur.withColumn("n_redactions", n_hits.cast("int")).withColumn(
+        text_col, scrubbed
+    )
+
+    # 7. Deterministic split assignment (documents never leak between
+    #    train and eval across reruns).
+    cur = note(
+        "final",
+        assign_splits(cur, key_cols=[id_col], weights=split_weights),
+    )
+    return CurationResult(corpus=cur, report=report)

@@ -1,0 +1,65 @@
+"""End-to-end corpus curation — composition invariants + data card."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.text.curation import curate_corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_full_chain_on_documents(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    res = curate_corpus(docs)
+    r = res.report
+    # Monotone shrinkage through the drop stages.
+    assert r["input"] == 500
+    assert r["input"] >= r["exact_dedup"] >= r["near_dedup"]
+    assert r["near_dedup"] == r["span_cut"]  # cutting rewrites, never drops
+    assert r["span_cut"] >= r["quality_filter"] >= r["final"] > 0
+    # This corpus has no byte-identical texts but does carry near-dups
+    # (the ns_minhash_neardup fixture pairs) -> that stage bites.
+    assert r["near_dedup"] < r["exact_dedup"]
+
+    out = res.corpus
+    # Final schema: original columns + scrub count + split.
+    assert set(docs.columns) <= set(out.columns)
+    assert {"n_redactions", "split"} <= set(out.columns)
+    # No exact duplicates survive.
+    n_texts = out.select("text").distinct().count()
+    assert n_texts == r["final"]
+    # Splits cover the corpus.
+    splits = {row.split for row in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_determinism(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = curate_corpus(docs, with_report=False).corpus
+    b = curate_corpus(docs, with_report=False).corpus
+    sa = {tuple(r) for r in a.select("doc_id", "text", "split").collect()}
+    sb = {tuple(r) for r in b.select("doc_id", "text", "split").collect()}
+    assert sa == sb
+
+
+def test_model_filter_stage(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with_model = curate_corpus(docs, score_threshold=0.45)
+    without = curate_corpus(docs)
+    assert "model_filter" in with_model.report
+    assert "model_filter" not in without.report
+    assert with_model.report["final"] <= without.report["final"]
+
+
+def test_no_report_skips_counts(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    res = curate_corpus(docs, with_report=False)
+    assert res.report == {}
+    assert res.corpus.count() > 0
