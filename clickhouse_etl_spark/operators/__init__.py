@@ -38,6 +38,7 @@ from clickhouse_etl_spark.operators.sketches import frequent_items  # noqa: F401
 from clickhouse_etl_spark.operators.events import (  # noqa: F401
     retention_flags,
     retention_summary,
+    sequence_match,
     sessionize,
     window_funnel,
 )

@@ -107,6 +107,27 @@ def window_funnel(
     )
 
 
+def sequence_match(
+    events: DataFrame,
+    steps: Sequence[Column | str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch``-style boolean per user: did the full
+    ordered step chain occur within the window? Exactly
+    :func:`window_funnel` reaching the last level — one row per user
+    with a step-1 event, ``matched`` true iff the whole chain completed
+    (same greedy-from-earliest anchor and semantics)."""
+    n = len(list(steps))
+    levels = window_funnel(
+        events, steps, window_seconds, user_col=user_col, ts_col=ts_col
+    )
+    return levels.select(
+        user_col, (F.col("funnel_level") == n).alias("matched")
+    )
+
+
 def retention_flags(
     events: DataFrame,
     conds: Sequence[Column | str],

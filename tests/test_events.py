@@ -15,6 +15,7 @@ from clickhouse_etl_spark.catalog import load_table
 from clickhouse_etl_spark.operators.events import (
     retention_flags,
     retention_summary,
+    sequence_match,
     sessionize,
     window_funnel,
 )
@@ -130,6 +131,23 @@ def test_window_funnel_micro(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_sequence_match_is_full_funnel(spark):
+    events = load_table(spark, SF_DIR, "events")
+    steps = ["event_type = 'signup'", "event_type = 'view'",
+             "event_type = 'purchase'"]
+    matched = {
+        r.user_id: r.matched
+        for r in sequence_match(events, steps, 86400).collect()
+    }
+    levels = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(events, steps, 86400).collect()
+    }
+    assert set(matched) == set(levels)
+    assert all(matched[u] == (lv == 3) for u, lv in levels.items())
+    assert any(matched.values()) and not all(matched.values())
 
 
 def test_retention_oracle(spark):
