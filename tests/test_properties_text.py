@@ -1,0 +1,126 @@
+"""Property-based invariants for the text tier (spans, BPE, mixing).
+
+Same regime as test_properties.py: hypothesis generates tiny random
+corpora, each property runs a handful of Spark jobs, and the invariant
+is checked against an independent Python computation of the same
+quantity (not a re-run of the Spark code).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clickhouse_etl_spark.text.bpe import train_bpe, word_counts
+from clickhouse_etl_spark.text.spans import (
+    cut_duplicated_spans,
+    duplicated_spans,
+)
+
+_SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Tiny alphabet + short docs force collisions (duplicated shingles /
+# mergeable pairs appear often).
+words = st.text(alphabet="abc", min_size=1, max_size=3)
+docs = st.lists(
+    st.lists(words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+K = 2
+
+
+def _ref_duplicated_positions(texts: list[str], k: int) -> dict[int, set[int]]:
+    """Independent reference: duplicated k-shingle start positions."""
+    from collections import Counter
+
+    grams: Counter = Counter()
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        lst = []
+        if len(toks) >= k:
+            for p in range(len(toks) - k + 1):
+                g = " ".join(toks[p : p + k])
+                grams[g] += 1
+                lst.append((p, g))
+        per_doc[i] = lst
+    return {
+        i: {p for p, g in lst if grams[g] >= 2} for i, lst in per_doc.items()
+    }
+
+
+@_SLOW
+@given(docs)
+def test_spans_cover_exactly_duplicated_shingles(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    spans = duplicated_spans(df, k=K).collect()
+    ref = _ref_duplicated_positions(texts, K)
+    # Every span: inside the doc, length >= k, all k-windows duplicated.
+    covered: dict[int, set[int]] = {i: set() for i in ref}
+    for r in spans:
+        assert r.span_tokens == r.span_end - r.span_start >= K
+        for p in range(r.span_start, r.span_end - K + 1):
+            assert p in ref[r.doc_id], (r, sorted(ref[r.doc_id]))
+            covered[r.doc_id].add(p)
+    # And all duplicated positions are covered (nothing missed).
+    assert covered == ref
+    # Spans within a doc are disjoint and non-adjacent (maximal merge).
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for sp in by_doc.values():
+        sp.sort()
+        assert all(b0 < e0 <= b1 for (b0, e0), (b1, _) in zip(sp, sp[1:]))
+
+
+@_SLOW
+@given(docs)
+def test_cut_preserves_non_span_tokens(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    cut = {r.doc_id: r for r in cut_duplicated_spans(df, k=K).collect()}
+    spans = duplicated_spans(df, k=K, mark="non_first").collect()
+    drop: dict[int, set[int]] = {}
+    for r in spans:
+        drop.setdefault(r.doc_id, set()).update(range(r.span_start, r.span_end))
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        kept = [w for p, w in enumerate(toks) if p not in drop.get(i, set())]
+        assert cut[i].text == " ".join(kept)
+        assert cut[i].removed_tokens == len(drop.get(i, set()))
+
+
+@_SLOW
+@given(docs, st.integers(min_value=1, max_value=6))
+def test_bpe_merges_shrink_and_round_trip(spark, texts, n_merges):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    vocab = word_counts(df)
+    if vocab.count() == 0:  # all-empty corpus
+        return
+    merges, symtab = train_bpe(vocab, n_merges)
+    rows = symtab.collect()
+    for r in rows:
+        # Lossless: symbols always concatenate back to the word.
+        assert "".join(r.syms) == r.word
+        # Monotone: never more symbols than characters.
+        assert 1 <= len(r.syms) <= len(r.word)
+    # Each applied merge had corpus support >= 2 (min_count default).
+    wc = {r.word: r.n for r in vocab.collect()}
+    if merges:
+        a, b = merges[0]
+        support = 0
+        for w, n in wc.items():
+            syms = list(w)
+            p = 0
+            while p < len(syms) - 1:
+                if syms[p] == a and syms[p + 1] == b:
+                    support += n
+                    p += 2
+                else:
+                    p += 1
+        assert support >= 2
