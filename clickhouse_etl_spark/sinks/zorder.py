@@ -84,10 +84,22 @@ def zorder_value(
     cut_map: dict[str, Sequence[float]] = {}
     for c in cols:
         if boundaries is not None and c in boundaries:
-            cut_map[c] = list(boundaries[c])
-        else:
-            probs = [i / n_buckets for i in range(1, n_buckets)]
-            cut_map[c] = df.approxQuantile(c, probs, 0.01)
+            cuts = list(boundaries[c])
+            if len(cuts) > n_buckets - 1:
+                # _morton drops bits above `bits`, which would silently
+                # fold high buckets onto low ones — corrupt clustering,
+                # not an error. Refuse instead.
+                raise ValueError(
+                    f"boundaries[{c!r}] has {len(cuts)} cut points; max is "
+                    f"2**bits - 1 = {n_buckets - 1} (raise bits or thin the cuts)"
+                )
+            cut_map[c] = cuts
+    missing = [c for c in cols if c not in cut_map]
+    if missing:
+        # One multi-column approxQuantile = one scan for every column.
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        for c, cuts in zip(missing, df.approxQuantile(missing, probs, 0.01)):
+            cut_map[c] = cuts
     indices = [_bucket_index(c, cut_map[c]) for c in cols]
     return df.withColumn(out_col, _morton(indices, bits))
 

@@ -35,10 +35,21 @@ CORRUPT_COL = "_corrupt_record"
 
 @dataclass
 class QuarantinedBatch:
-    """One ingested batch, split into clean and dead-letter rows."""
+    """One ingested batch, split into clean and dead-letter rows.
+
+    ``parsed`` is the cached one-parse frame both sides read from; call
+    :meth:`unpersist` once the batch is consumed — a long-running ingest
+    loop that never releases it accumulates executor storage.
+    """
 
     clean: DataFrame
     quarantine: DataFrame
+    parsed: DataFrame
+
+    def unpersist(self) -> None:
+        """Release the batch's parse cache (call after consuming both
+        sides)."""
+        self.parsed.unpersist()
 
 
 def _split(parsed: DataFrame, schema: T.StructType) -> QuarantinedBatch:
@@ -59,7 +70,7 @@ def _split(parsed: DataFrame, schema: T.StructType) -> QuarantinedBatch:
         F.col("__source_file").alias("source_file"),
         F.current_timestamp().alias("quarantined_at"),
     )
-    return QuarantinedBatch(clean=clean, quarantine=quarantine)
+    return QuarantinedBatch(clean=clean, quarantine=quarantine, parsed=parsed)
 
 
 def read_csv_quarantined(

@@ -266,24 +266,34 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def pii_scrub_exprs(text_col: str = "text") -> tuple[Column, Column]:
+    """(scrubbed_text, n_hits) column pair for the PII redaction chain.
+
+    Shared by :func:`pii_scrub` and ``curation.curate_corpus`` so the
+    pattern ordering invariant (emails first, so their digits can't be
+    re-matched as phones) lives in exactly one place.
+    """
+    scrubbed = F.col(text_col)
+    n_hits: Column = F.lit(0)
+    for pat, tag in PII_PATTERNS:
+        n_hits = n_hits + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return scrubbed, n_hits.cast("int")
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / IPv4 addresses / phone-shaped digit runs.
 
     The standard pre-training scrub pass: every match is replaced with a
     typed placeholder token and ``n_redactions`` counts what was removed
     (the corpus-health metric a scrubbing job reports). A chain of three
-    JVM ``regexp_replace`` — narrow, codegen, no shuffle; order matters
-    (emails first so their digits can't be re-matched as phones).
+    JVM ``regexp_replace`` — narrow, codegen, no shuffle.
     """
-    scrubbed = F.col(text_col)
-    n_hits = F.lit(0)
-    for pat, tag in PII_PATTERNS:
-        n_hits = n_hits + F.regexp_count(scrubbed, F.lit(pat))
-        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    scrubbed, n_hits = pii_scrub_exprs(text_col)
     return df.select(
         "doc_id",
         scrubbed.alias("scrubbed_text"),
-        n_hits.cast("int").alias("n_redactions"),
+        n_hits.alias("n_redactions"),
     )
 
 

@@ -116,6 +116,7 @@ def train_bpe(
     tokenizer-training job; the corpus itself is never re-read.
     """
     symtab = materialize(_init_symbols(vocab))
+    prev = symtab
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         top = (
@@ -130,7 +131,14 @@ def train_bpe(
         merges.append((a, b))
         symtab = _apply_merge(symtab, a, b)
         if (i + 1) % materialize_every == 0:
-            symtab = materialize(symtab)
+            # Fixed-point loop: the plan deepens by one fold per merge,
+            # so the periodic materialize must TRUNCATE lineage
+            # (cut_lineage escalates persist to a checkpoint), or
+            # Catalyst re-analyzes an ever-growing tree each iteration.
+            # The superseded cache is released (no-op for checkpoints).
+            symtab = materialize(symtab, cut_lineage=True)
+            prev.unpersist()
+            prev = symtab
     return merges, symtab
 
 

@@ -28,7 +28,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clickhouse_etl_spark.text.analysis import PII_PATTERNS, corpus_quality_filter
+from clickhouse_etl_spark.text.analysis import (
+    corpus_quality_filter,
+    pii_scrub_exprs,
+)
 from clickhouse_etl_spark.text.dedup import (
     exact_dedup,
     minhash_near_duplicates,
@@ -107,11 +110,16 @@ def curate_corpus(
 
     # 4. Heuristic quality filter — after cutting (cutting shortens
     #    documents; the length floor must see the final text).
-    decisions = corpus_quality_filter(cur, text_col=text_col, min_tokens=min_tokens)
+    #    corpus_quality_filter/text_stats emit a fixed 'doc_id' column,
+    #    so rename through when the caller uses a different id.
+    qin = cur if id_col == "doc_id" else cur.withColumnRenamed(id_col, "doc_id")
+    decisions = corpus_quality_filter(qin, text_col=text_col, min_tokens=min_tokens)
     cur = note(
         "quality_filter",
         cur.join(
-            decisions.filter(F.col("keep")).select(id_col),
+            decisions.filter(F.col("keep")).select(
+                F.col("doc_id").alias(id_col)
+            ),
             on=id_col,
             how="left_semi",
         ),
@@ -127,20 +135,13 @@ def curate_corpus(
         )
 
     # 6. PII scrub — last text rewrite, so redaction placeholders can't
-    #    perturb dedup hashes or quality token counts. Same pattern
-    #    chain as analysis.pii_scrub, applied in place (all original
-    #    columns ride through — no projection, no join).
-    scrubbed = F.col(text_col)
-    n_hits = F.lit(0)
-    for pat, tag in PII_PATTERNS:
-        n_hits = n_hits + F.regexp_count(scrubbed, F.lit(pat))
-        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    #    perturb dedup hashes or quality token counts. Applied in place
+    #    (all original columns ride through — no projection, no join).
+    scrubbed, n_hits = pii_scrub_exprs(text_col)
     # n_redactions FIRST: both expressions read text_col, and withColumn
     # resolves against the frame it is applied to — replacing the text
     # before counting would count zero.
-    cur = cur.withColumn("n_redactions", n_hits.cast("int")).withColumn(
-        text_col, scrubbed
-    )
+    cur = cur.withColumn("n_redactions", n_hits).withColumn(text_col, scrubbed)
 
     # 7. Deterministic split assignment (documents never leak between
     #    train and eval across reruns).

@@ -31,26 +31,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Fixed weights of the default (stub) classifier:
-# logit = W0 + W_TOK * min(n_tokens, 256) + W_UPPER * upper_fraction
-_W0 = -1.5
-_W_TOK = 0.02
-_W_UPPER = -2.0
-
-
-def _default_model(texts: pd.Series) -> pd.Series:
-    """STUB classifier: logistic over (token count, uppercase fraction).
-
-    Deterministic and SQL-expressible on purpose — it stands in for a
-    real quality model while keeping the inference path value-hash
-    checkable. Replace via ``model_fn``.
-    """
-    n_tok = texts.str.split(" ").map(len).clip(upper=256)
-    n_char = texts.str.len()
-    n_upper = texts.str.count(r"[A-Z]")
-    upper_frac = (n_upper / n_char.where(n_char > 0)).fillna(0.0)
-    logit = _W0 + _W_TOK * n_tok + _W_UPPER * upper_frac
-    return 1.0 / (1.0 + (-logit).map(math.exp))
+# The default (stub) classifier lives as a nested function inside
+# score_documents (cloudpickle ships nested functions BY VALUE, so bare
+# executors don't need this package importable — a module-level default
+# would pickle by reference and break there). Its contract:
+#   logit = -1.5 + 0.02 * min(n_tokens, 256) + -2.0 * upper_fraction
+#   score = sigmoid(logit);  null text scores as empty text
+# Deterministic and SQL-expressible on purpose — the DuckDB oracle in
+# tests/test_scoring.py mirrors exactly these literals.
 
 
 def score_documents(
@@ -74,9 +62,9 @@ def score_documents(
     id for the full row. Output: ``(id_col, score_col)``.
     """
     if model_fn is None:
-        # Nested copy: cloudpickle serializes nested functions by value,
-        # so bare executors don't need this package importable.
+        # Nested on purpose — see the module-level note on pickling.
         def model_fn(texts: pd.Series) -> pd.Series:
+            texts = texts.fillna("")  # null text scores as empty text
             n_tok = texts.str.split(" ").map(len).clip(upper=256)
             n_char = texts.str.len()
             n_upper = texts.str.count(r"[A-Z]")

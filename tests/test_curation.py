@@ -58,6 +58,18 @@ def test_model_filter_stage(spark):
     assert with_model.report["final"] <= without.report["final"]
 
 
+def test_custom_id_column(spark):
+    """The whole chain honors a non-default id column (the quality
+    stage's fixed 'doc_id' contract is bridged internally)."""
+    docs = load_table(spark, SF_DIR, "documents").withColumnRenamed(
+        "doc_id", "document_key"
+    )
+    res = curate_corpus(docs, id_col="document_key")
+    assert res.report["final"] > 0
+    assert "document_key" in res.corpus.columns
+    assert "doc_id" not in res.corpus.columns
+
+
 def test_no_report_skips_counts(spark):
     docs = load_table(spark, SF_DIR, "documents")
     res = curate_corpus(docs, with_report=False)

@@ -74,6 +74,17 @@ def test_filter_by_score(spark):
     assert 0 < len(got) < len(scores), "threshold should split the corpus"
 
 
+def test_null_text_scores_as_empty(spark):
+    """A null text must not kill the job — it scores like empty text."""
+    df = spark.createDataFrame(
+        [(1, "Hello world"), (2, None), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.score for r in score_documents(df).collect()}
+    assert len(rows) == 3
+    assert rows[2] == rows[3]
+    assert all(0.0 < s < 1.0 for s in rows.values())
+
+
 def test_scan_pruned_to_model_inputs(spark):
     """Only (id, text) reach Python — the parquet scan must not read
     the other document columns."""

@@ -116,6 +116,22 @@ def test_write_zordered_roundtrip(spark, tmp_path):
     assert len(glob.glob(f"{path}/part-*.parquet")) == 8
 
 
+def test_too_many_boundaries_rejected(spark):
+    """Cut lists past 2**bits - 1 would silently fold high buckets onto
+    low ones in the Morton code — refused instead."""
+    import pytest
+
+    orders = load_table(spark, SF_DIR, "orders")
+    with pytest.raises(ValueError, match="cut points"):
+        zorder_value(
+            orders,
+            ["o_custkey", "o_totalprice"],
+            bits=BITS,
+            boundaries={"o_custkey": [float(i) for i in range(30)],
+                        "o_totalprice": CUTS_PRICE},
+        )
+
+
 def test_zorder_plan_no_python(spark):
     orders = load_table(spark, SF_DIR, "orders")
     plan = (
