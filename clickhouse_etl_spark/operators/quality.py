@@ -64,13 +64,22 @@ def profile_columns(
     wide = df.agg(*aggs)
     # Pivot the single wide row to one row per column — a stack() over
     # literal column references, still one job.
+    # Column names are interpolated into SQL text: escape quote chars in
+    # the string literal and backticks in identifiers (a name like
+    # "student's_score" is legal in Spark and must not break the parse).
+    def lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def ident(s: str) -> str:
+        return "`" + s.replace("`", "``") + "`"
+
     parts = []
     for c in cols:
-        mean = f"`__mean_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
-        std = f"`__std_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mean = ident(f"__mean_{c}") if c in numeric else "CAST(NULL AS DOUBLE)"
+        std = ident(f"__std_{c}") if c in numeric else "CAST(NULL AS DOUBLE)"
         parts.append(
-            f"'{c}', `__null_{c}`, `__dist_{c}`, `__min_{c}`, `__max_{c}`, "
-            f"{mean}, {std}"
+            f"{lit(c)}, {ident(f'__null_{c}')}, {ident(f'__dist_{c}')}, "
+            f"{ident(f'__min_{c}')}, {ident(f'__max_{c}')}, {mean}, {std}"
         )
     stacked = wide.selectExpr(
         "__n AS n_rows",

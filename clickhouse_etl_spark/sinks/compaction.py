@@ -89,8 +89,17 @@ def compact_dataset(
     # Deterministic salt in [0, __files): spreads each partition over
     # exactly its file budget. monotonically_increasing_id cycles through
     # pmod classes within every input split, so the spread is even.
+    # Null-SAFE join keys: hive reads __HIVE_DEFAULT_PARTITION__ back as
+    # NULL, and a null-unsafe `on=parts` would drop those rows from the
+    # rewrite — silent data loss in a pure physical compaction.
+    bcast = F.broadcast(budget_df)
+    cond = None
+    for p in parts:
+        c = df[p].eqNullSafe(budget_df[p])
+        cond = c if cond is None else cond & c
     salted = (
-        df.join(F.broadcast(budget_df), on=parts, how="inner")
+        df.join(bcast, on=cond, how="inner")
+        .drop(*[budget_df[p] for p in parts])
         .withColumn(_SALT, F.pmod(F.monotonically_increasing_id(), F.col("__files")))
         .drop("__files")
     )

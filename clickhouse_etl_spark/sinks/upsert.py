@@ -65,14 +65,9 @@ def merge_upsert(
     tagged_cur = current.withColumn("__src", F.lit(0))
     tagged_del = delta.withColumn("__src", F.lit(1))
     merged = tagged_cur.unionByName(tagged_del)
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-        F.col(order_col).desc(), F.col("__src").desc()
-    )
-    return (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
+    return latest_row_per_key(
+        merged, keys, order_col, tiebreak=["__src"]
+    ).drop("__src")
 
 
 def merge_upsert_with_deletes(
@@ -170,7 +165,11 @@ def scd2_apply(
         touched_log.unionByName(new_log), key_cols, ts_col, attr_cols
     )
     untouched = history.join(affected, on=key_cols, how="left_anti")
-    return untouched.unionByName(rebuilt.select(*untouched.columns))
+    # Output the canonical SCD2 schema (keys + ts + attrs + validity).
+    # A history carrying extra change-log columns (CDC op, metadata)
+    # cannot rebuild them for re-windowed keys, so they are dropped for
+    # BOTH sides rather than resolving to an AnalysisException.
+    return untouched.select(*rebuilt.columns).unionByName(rebuilt)
 
 
 def snapshot_at(

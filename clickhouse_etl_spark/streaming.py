@@ -186,10 +186,15 @@ def first_seen_per_key(
     micro-batches and suppress later re-emissions).
 
     ``applyInPandasWithState``: per-key Arrow-batched Python with an
-    explicit GroupState; one boolean per key, so state size is O(keys),
-    bounded and eviction-friendly. Batch twin: groupBy(min_by) — asserted
-    equal in tests; cross-batch suppression asserted with a 2-file source
-    at maxFilesPerTrigger=1.
+    explicit GroupState; one boolean per key, so state size is
+    O(distinct keys). The op runs with ``NoTimeout`` — exact first-seen
+    semantics require remembering every key for the stream's lifetime,
+    so entries are NEVER evicted; over an unbounded key space swap in
+    ``GroupStateTimeout.EventTimeTimeout`` + ``setTimeoutTimestamp`` to
+    forget keys idle past the watermark (trade-off: a key silent longer
+    than the horizon re-emits as first-seen). Batch twin:
+    groupBy(min_by) — asserted equal in tests; cross-batch suppression
+    asserted with a 2-file source at maxFilesPerTrigger=1.
     """
     import pandas as pd
 
@@ -287,9 +292,13 @@ def foreach_batch_upsert(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # ONLY a missing _CURRENT pointer means "first batch, no table
+        # yet". Any other read failure (corrupt footer, FS hiccup,
+        # permissions) must propagate — merging against an empty table
+        # and re-publishing would silently discard every accumulated row.
         try:
             current = read_current(spark, table_root)
-        except Exception:
+        except FileNotFoundError:
             current = None
         if current is None:
             merged = merge_upsert(

@@ -55,7 +55,12 @@ def pack_contiguous(
         .orderBy(F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_tokens = F.size(F.split(F.col(text_col), " "))
+    # NULL text must not poison the stream: size(split(NULL)) is -1
+    # (legacy sizeOfNull), which would DECREMENT every later document's
+    # offset. Null/empty documents contribute 0 tokens.
+    n_tokens = F.when(
+        F.col(text_col).isNull() | (F.col(text_col) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.col(text_col), " ")))
     base = df.select(
         *( [F.col(shard_col)] if shard_col else [] ),
         F.col(id_col),

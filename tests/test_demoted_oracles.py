@@ -515,3 +515,15 @@ def test_frequent_items_equals_exact_vocab(spark):
     got = [(r["word"], r["n"]) for r in sketched.collect()]
     want = [(r["word"], r["n"]) for r in exact.collect()]
     assert got == want
+
+
+def test_pack_contiguous_null_text_contributes_zero(spark):
+    """NULL/empty text must not decrement later documents' offsets."""
+    from clickhouse_etl_spark.text.packing import pack_contiguous
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, ""), (4, "d e")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in pack_contiguous(df, seq_len=4).collect()}
+    assert rows[2].n_tokens == 0 and rows[3].n_tokens == 0
+    assert rows[4].stream_offset == 3  # only doc 1's tokens precede it

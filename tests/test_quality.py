@@ -121,3 +121,16 @@ def test_expectations_on_real_table(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     with pytest.raises(ExpectationError, match="unique"):
         enforce_expectations(li, [unique("l_orderkey", "l_linenumber")])
+
+
+def test_profile_handles_quoted_column_names(spark):
+    """Names with quotes/backticks are legal in Spark and must not break
+    the stack() SQL."""
+    from clickhouse_etl_spark.operators.quality import profile_columns
+
+    df = spark.range(5).selectExpr(
+        "id AS `student's_score`", "id * 2 AS plain"
+    )
+    rows = {r.column: r for r in profile_columns(df).collect()}
+    assert set(rows) == {"student's_score", "plain"}
+    assert rows["student's_score"].n_rows == 5

@@ -163,3 +163,19 @@ def test_compact_dataset_partitioned(spark, tmp_path):
     assert (
         back.selectExpr("sum(id)").first()[0] == df.selectExpr("sum(id)").first()[0]
     )
+
+
+def test_compact_dataset_null_partition_rows_survive(spark, tmp_path):
+    """Hive reads __HIVE_DEFAULT_PARTITION__ back as NULL; the budget
+    join must be null-safe or those rows vanish from the rewrite."""
+    from clickhouse_etl_spark.sinks.compaction import compact_dataset
+
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None)], ["id", "part"]
+    )
+    df.write.partitionBy("part").parquet(src)
+    stats = compact_dataset(spark, src, dest, partition_by=["part"])
+    back = spark.read.parquet(dest)
+    assert back.count() == 4 == stats["rows"]
+    assert back.filter("part IS NULL").count() == 2

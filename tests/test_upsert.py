@@ -210,3 +210,28 @@ def test_snapshot_at(spark):
         (1, "alice", "gold"),
         (2, "bob", "silver"),
     }
+
+
+def test_scd2_apply_drops_extra_history_columns(spark):
+    """A history carrying extra change-log columns (CDC op, metadata)
+    applies cleanly: output is the canonical SCD2 schema."""
+    from clickhouse_etl_spark.sinks.upsert import scd2_apply, scd2_history
+
+    log = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a", "ins"),
+         (1, "2024-02-01 00:00:00", "b", "upd"),
+         (2, "2024-01-15 00:00:00", "x", "ins")],
+        ["k", "ts", "attr", "op"],
+    ).selectExpr("k", "CAST(ts AS timestamp) ts", "attr", "op")
+    hist = scd2_history(log, ["k"], "ts", ["attr"])
+    assert "op" in hist.columns
+    changes = spark.createDataFrame(
+        [(1, "2024-03-01 00:00:00", "c")], ["k", "ts", "attr"]
+    ).selectExpr("k", "CAST(ts AS timestamp) ts", "attr")
+    out = scd2_apply(hist, changes, ["k"], "ts", ["attr"])
+    assert "op" not in out.columns
+    k1 = sorted(
+        (r.attr, r.is_current) for r in out.filter("k = 1").collect()
+    )
+    assert k1 == [("a", False), ("b", False), ("c", True)]
+    assert out.filter("k = 2").count() == 1
