@@ -42,3 +42,4 @@ from clickhouse_etl_spark.operators.events import (  # noqa: F401
     sessionize,
     window_funnel,
 )
+from clickhouse_etl_spark.operators.fuzzy import fuzzy_self_pairs  # noqa: F401

@@ -1,0 +1,90 @@
+"""Fuzzy edit-distance pairs — brute-force DuckDB oracle + edge cases."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.operators.fuzzy import fuzzy_self_pairs
+from tools.oracle_check import canon_rows
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _oracle_pairs(sql_rel, col, k):
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW t AS {sql_rel}")
+        cur = con.execute(
+            f"""
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.{col} AS {col}_a, b.{col} AS {col}_b,
+                   levenshtein(a.{col}, b.{col}) AS distance
+            FROM t a JOIN t b ON a.id < b.id
+            WHERE levenshtein(a.{col}, b.{col}) <= {k}
+            """
+        )
+        return [d[0] for d in cur.description], cur.fetchall()
+    finally:
+        con.close()
+
+
+def test_matches_bruteforce_oracle_on_customers(spark):
+    """Candidate filtering + verify == the n2 ground truth (completeness
+    of the q-gram/short-bucket split, not just precision)."""
+    customer = load_table(spark, SF_DIR, "customer")
+    df = customer.select("c_custkey", "c_name")
+    out = fuzzy_self_pairs(df, "c_name", max_distance=2, id_col="c_custkey")
+    dcols, drows = _oracle_pairs(
+        f"SELECT c_custkey AS id, c_name FROM '{SF_DIR}/customer.parquet'",
+        "c_name",
+        2,
+    )
+    sc, sr = canon_rows(
+        ["id_a", "id_b", "c_name_a", "c_name_b", "distance"],
+        [tuple(r) for r in out.collect()],
+    )
+    dc, dr = canon_rows(dcols, drows)
+    assert len(sr) == len(dr) and sr == dr
+    assert len(sr) > 0, "fixture should contain near-miss names"
+
+
+def test_short_and_boundary_strings(spark):
+    """Strings below the q-gram completeness floor still pair — incl.
+    short-vs-long pairs across the boundary band."""
+    rows = [
+        (1, "ab"), (2, "ac"),            # short-short, distance 1
+        (3, "abcdefgh"), (4, "abcdefghx"),  # long-long, distance 1
+        (5, "abcde"), (6, "abcdef"),     # boundary band (floor=6, k=1)
+        (7, "zzzz"),                     # no partner
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_self_pairs(df, "s", max_distance=1).collect()
+        if r.distance > 0
+    }
+    assert got == {(1, 2): 1, (3, 4): 1, (5, 6): 1}
+
+
+def test_exact_match_k0(spark):
+    rows = [(1, "same"), (2, "same"), (3, "longer string here"),
+            (4, "longer string here"), (5, "other")]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    got = {(r.id_a, r.id_b) for r in
+           fuzzy_self_pairs(df, "s", max_distance=0).collect()}
+    assert got == {(1, 2), (3, 4)}
+
+
+def test_no_python_in_plan(spark):
+    customer = load_table(spark, SF_DIR, "customer")
+    plan = (
+        fuzzy_self_pairs(customer, "c_name", 1, id_col="c_custkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
