@@ -71,6 +71,17 @@ def hierarchical_rollup(
         else child_edges
     )
 
+    # Parents with children but none eligible → NULL value. Loop-
+    # invariant (eligibility never changes), and disjoint from the
+    # childless depth-0 set — resolve them ONCE up front instead of
+    # re-planning the anti-joins on every iteration.
+    starved_parents = parents_with_children.join(
+        eligible_children.select(F.col(parent_col).alias(id_col)).distinct(),
+        on=id_col,
+        how="left_anti",
+    ).withColumn("value", F.lit(None).cast("double"))
+    resolved = resolved.unionByName(starved_parents)
+
     for _ in range(max_depth):
         # A parent is computable only when EVERY eligible child is already
         # in `resolved` (a resolved child may still carry a NULL value —
@@ -96,28 +107,34 @@ def hierarchical_rollup(
             .drop("__missing")
             .join(resolved.select(id_col), on=id_col, how="left_anti")
         )
-        # Parents with children but none eligible → NULL value.
-        starved_parents = (
-            parents_with_children.join(
-                eligible_children.select(F.col(parent_col).alias(id_col)).distinct(),
-                on=id_col,
-                how="left_anti",
-            )
-            .join(resolved.select(id_col), on=id_col, how="left_anti")
-            .withColumn("value", F.lit(None).cast("double"))
-        )
         # Materialize the level ONCE (isEmpty below would otherwise
         # recompute it, and the union would recompute it again), with
         # cut_lineage: the fixed-point loop's plans would stack up each
         # iteration under a lazy persist.
-        new_rows = materialize(
-            candidate_parents.unionByName(starved_parents), cut_lineage=True
-        )
+        new_rows = materialize(candidate_parents, cut_lineage=True)
         if new_rows.isEmpty():
+            # No progress: either everything resolved, or a parentId
+            # CYCLE whose members can never resolve (they stay absent —
+            # the documented cycle-termination contract).
             break
         resolved = materialize(
             resolved.unionByName(new_rows), cut_lineage=True
         )
+    else:
+        # Loop exhausted WITH progress still pending: a legitimate tree
+        # deeper than max_depth. Silently returning a truncated result
+        # would read as "unscored" downstream — refuse instead (cycles
+        # never reach here; they stop via the no-progress break).
+        unresolved = nodes.join(
+            resolved.select(id_col), on=id_col, how="left_anti"
+        )
+        if not unresolved.isEmpty():
+            nodes.unpersist()
+            raise RuntimeError(
+                f"hierarchy deeper than max_depth={max_depth}: unresolved "
+                "nodes remain — raise max_depth (the cap exists to bound "
+                "cycle-free recursion, not to truncate valid trees)"
+            )
 
     nodes.unpersist()
     return resolved

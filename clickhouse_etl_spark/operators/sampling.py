@@ -100,7 +100,11 @@ def stratified_deterministic_sample(
     ).drop(rates[strata_col])
     return (
         joined.withColumn("__rate", F.coalesce("__rate", F.lit(default_fraction)))
-        .filter(bucket < (F.col("__rate") * _BUCKETS).cast("long"))
+        # round() before the cast: Spark's cast TRUNCATES (0.3 * 1e6 =
+        # 299999.99999999994 -> 299999, one bucket short), while the
+        # sibling operators round driver-side and DuckDB's CAST rounds —
+        # rounding keeps all thresholds bit-identical across the three.
+        .filter(bucket < F.round(F.col("__rate") * _BUCKETS).cast("long"))
         .drop("__rate")
     )
 

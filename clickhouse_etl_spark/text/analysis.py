@@ -227,7 +227,9 @@ def corpus_quality_filter(
     )
 
 
-ROLLING_BASE = 31  # Java-style 64-bit polynomial hash, natural wraparound
+# Java-style 64-bit polynomial hash base — re-exported from the
+# canonical definition next to dedup's 'poly' fold.
+from clickhouse_etl_spark.text.dedup import POLY_FOLD_BASE as ROLLING_BASE  # noqa: E402
 
 
 def rolling_hash(text: str) -> F.Column:
@@ -240,10 +242,11 @@ def rolling_hash(text: str) -> F.Column:
     primitive for content-defined chunking / shingle windows at ingest.
     ``text`` is the column NAME (the lambda is SQL-built).
     """
-    return F.expr(
-        f"aggregate(split({text}, ''), CAST(0 AS BIGINT), "
-        f"(acc, ch) -> acc * {ROLLING_BASE} + ascii(ch))"
-    )
+    from clickhouse_etl_spark.text.dedup import _POLY_FOLD
+
+    # Same fold as dedup's MinHash/SimHash 'poly' base — ONE definition
+    # keeps the SQL-oracle bit-for-bit claims true everywhere.
+    return F.expr(_POLY_FOLD.format(s=text))
 
 
 def document_rolling_fingerprint(

@@ -80,7 +80,15 @@ def poly_affine_constants(i: int) -> tuple[int, int]:
     return a, b
 
 
-_POLY_FOLD = "aggregate(split({s}, ''), CAST(0 AS BIGINT), (acc, ch) -> acc * 31 + ascii(ch))"
+# Base-31 Java-style polynomial char fold — THE canonical definition.
+# analysis.rolling_hash and the queries/* oracle SQL strings mirror this
+# exact form; change it only in lockstep with those (the docstrings'
+# bit-for-bit-oracle claims depend on all copies agreeing).
+POLY_FOLD_BASE = 31
+_POLY_FOLD = (
+    "aggregate(split({s}, ''), CAST(0 AS BIGINT), "
+    f"(acc, ch) -> acc * {POLY_FOLD_BASE} + ascii(ch))"
+)
 
 
 def minhash_signature(
@@ -265,7 +273,10 @@ def _simhash64(texts: pd.Series) -> pd.Series:
         sig = 0
         for b in np.nonzero(acc > 0)[0]:
             sig |= 1 << int(b)
-        out[i] = np.int64(sig - (1 << 63)) if sig >= (1 << 63) else np.int64(sig)
+        # Two's-complement into int64: subtract the FULL 2^64 modulus
+        # (subtracting 2^63 would merely clear bit 63 and corrupt every
+        # Hamming distance involving a bit-63-set signature).
+        out[i] = np.int64(sig - (1 << 64)) if sig >= (1 << 63) else np.int64(sig)
     return pd.Series(out)
 
 

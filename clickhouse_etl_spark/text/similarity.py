@@ -27,6 +27,31 @@ def _as_double(col: str) -> str:
     return f"transform({col}, x -> CAST(x AS DOUBLE))"
 
 
+def _rank_topk(
+    scored: DataFrame, k: int, query_id_col: str, id_col: str
+) -> DataFrame:
+    """Shared top-k projection for the three search operators.
+
+    Ranks on the UNROUNDED ``__cos_raw`` (matching the oracle's ORDER
+    BY) with the id as the deterministic tie-break; rounds only in the
+    final projection — rounding first can flip near-tie ranks.
+    """
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos_raw").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("__cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+
 def normalize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -36,17 +61,27 @@ def normalize_embeddings(
     this, cosine similarity IS the dot product, which halves the per-pair
     work in every downstream ANN/dedup pass). Zero vectors pass through
     unchanged (norm guard). Pure JVM higher-order functions."""
-    v = _as_double(vec_col)
-    norm = _NORM.format(a=v)
-    unit = (
-        f"CASE WHEN ({norm}) > 0"
-        f" THEN transform({v}, x -> x / ({norm}))"
-        f" ELSE {v} END"
+    # The norm is projected as its own column FIRST: referencing the
+    # aggregate inside the transform lambda would re-evaluate the O(d)
+    # fold once per element (O(d^2) per row) — Spark does not hoist
+    # loop-invariant expressions out of higher-order-function lambdas,
+    # and CollapseProject keeps this multi-referenced aggregate from
+    # being re-inlined.
+    base = df.select(
+        F.col(id_col), F.expr(_as_double(vec_col)).alias("__v")
     )
-    return df.select(
+    with_norm = base.select(
+        id_col, "__v", F.expr(_NORM.format(a="__v")).alias("l2_norm")
+    )
+    unit = (
+        "CASE WHEN l2_norm > 0"
+        " THEN transform(__v, x -> x / l2_norm)"
+        " ELSE __v END"
+    )
+    return with_norm.select(
         F.col(id_col),
         F.expr(unit).alias("unit_vec"),
-        F.expr(norm).alias("l2_norm"),
+        F.col("l2_norm"),
     )
 
 
@@ -80,19 +115,7 @@ def brute_force_cosine_topk(
         .filter(F.col(query_id_col) != F.col(id_col))
         .withColumn("__cos_raw", F.expr(f"({dot}) / (({qn}) * ({cn}))"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__cos_raw").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("__cos_raw", 6).alias("cosine"),
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k, query_id_col, id_col)
 
 
 def _plane_signs(plane: int, dims: int) -> list[int]:
@@ -251,19 +274,7 @@ def ivf_ann_topk(
         .filter(F.col(query_id_col) != F.col(id_col))
         .withColumn("__cos_raw", F.expr(f"({dot}) / (({qn}) * ({cn2}))"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__cos_raw").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("__cos_raw", 6).alias("cosine"),
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k, query_id_col, id_col)
 
 
 def embedding_cosine_neardup(
@@ -369,16 +380,4 @@ def lsh_ann_topk(
         .dropDuplicates([query_id_col, id_col])
         .withColumn("__cos_raw", F.expr(f"({dot}) / (({qn}) * ({cn}))"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__cos_raw").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("__cos_raw", 6).alias("cosine"),
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k, query_id_col, id_col)

@@ -78,3 +78,24 @@ def test_infeasible_demand_raises(spark):
                     total=5000, max_epochs=2)
     with pytest.raises(ValueError, match="sum to 1.0"):
         mix_corpora(srcs, {"web": 0.5, "books": 0.2}, ["doc_id"])
+
+
+def test_stratified_threshold_rounds_not_truncates(spark):
+    """fraction*1e6 that lands on x.9999... must round UP (0.3 -> bucket
+    threshold 300000, matching DuckDB CAST and the driver-side round)."""
+    from clickhouse_etl_spark.operators.sampling import (
+        stratified_deterministic_sample,
+    )
+
+    df = spark.range(1_000_000).selectExpr(
+        "id", "'s' AS grp", "CAST(id AS BIGINT) AS bucket"
+    )
+    out = stratified_deterministic_sample(
+        df,
+        strata_col="grp",
+        fractions={"s": 0.3},
+        key_cols=["id"],
+        bucket_expr=F.col("bucket"),
+    )
+    # bucket values are 0..999999 directly: exact count proves threshold.
+    assert out.count() == 300_000

@@ -112,3 +112,17 @@ def test_child_type_filter_starves_parent(spark):
         ).collect()
     }
     assert out["p"] is None
+
+
+def test_deep_tree_past_max_depth_raises(spark):
+    """A legitimate tree deeper than max_depth raises instead of
+    silently returning a truncated result."""
+    # chain: n0 <- n1 <- ... <- n5 (n5 is the leaf), max_depth=3.
+    edges = [(f"n{i}", f"n{i-1}" if i else "na", "x") for i in range(6)]
+    evals = spark.createDataFrame(edges, ["evaluationId", "parentId", "type"])
+    scores = spark.createDataFrame([("n5", 10.0)], ["evaluationId", "score"])
+    with pytest.raises(RuntimeError, match="max_depth"):
+        hierarchical_rollup(evals, scores, max_depth=3)
+    # Same tree resolves fully with enough depth.
+    out = hierarchical_rollup(evals, scores, max_depth=8)
+    assert {r.evaluationId for r in out.collect()} == {f"n{i}" for i in range(6)}

@@ -205,3 +205,32 @@ def test_ann_is_subset_of_bruteforce_universe(spark):
         key = (r["query_id"], r["vec_id"])
         assert key in exact_map
         assert r["cosine"] == pytest.approx(exact_map[key], abs=1e-6)
+
+
+def test_simhash_pandas_twos_complement(spark):
+    """The pandas SimHash must map bit-63-set signatures to the correct
+    NEGATIVE int64 (subtracting 2^63 instead of 2^64 cleared bit 63 and
+    corrupted Hamming distances) — pinned against a Python reference."""
+    import hashlib
+
+    from clickhouse_etl_spark.text.dedup import simhash_signatures
+
+    def ref_sig(text):
+        acc = [0] * 64
+        for w in text.split():
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if acc[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    # Enough distinct words that some signature sets bit 63.
+    rows = [(i, f"w{i}a w{i}b w{i}c common tokens here") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(df, impl="pandas").collect()
+    }
+    expect = {i: ref_sig(t) for i, t in rows}
+    assert got == expect
+    assert any(v < 0 for v in expect.values()), "fixture must exercise bit 63"
