@@ -9,8 +9,16 @@ etl_student_scores_subject_month_to_clickhouse.py:590 →
 Parquet analog: write the new snapshot to a versioned staging directory,
 then flip a tiny ``_CURRENT`` pointer file — readers resolve the pointer
 and always see a complete snapshot; the previous version stays on disk for
-instant rollback. On object stores the pointer write is the only operation
-that needs atomicity (single small file), which S3/GCS give.
+instant rollback.
+
+POINTER I/O IS LOCAL-FILESYSTEM ONLY in this implementation (pathlib +
+``os.replace``): ``table_root`` must be a path visible to the driver
+(local disk, NFS, a fuse mount). An ``s3a://``/``gs://`` root would
+write the PARQUET to the object store but the pointer to a bogus local
+path — guarded below. The object-store port swaps the three pointer
+touch points for the Hadoop FileSystem API (a single-object PUT, which
+S3/GCS make atomic); the snapshot layout and swap protocol are
+unchanged.
 """
 
 from __future__ import annotations
@@ -24,6 +32,19 @@ from pyspark.sql import DataFrame, SparkSession
 CURRENT_MARKER = "_CURRENT"
 
 
+def _require_local_root(table_root: str) -> None:
+    """Pointer I/O uses pathlib/os.replace — driver-local paths only
+    (see module doc). An object-store URI would silently write the
+    pointer to a bogus local directory."""
+    if "://" in table_root:
+        raise ValueError(
+            f"table_root {table_root!r} is a URI: the _CURRENT pointer "
+            "is managed with local-filesystem I/O — use a driver-visible "
+            "path, or port the pointer ops to the Hadoop FileSystem API "
+            "for object stores"
+        )
+
+
 def publish_snapshot(
     df: DataFrame,
     table_root: str,
@@ -32,6 +53,7 @@ def publish_snapshot(
 ) -> str:
     """Write ``df`` as ``{table_root}/v={version}`` and atomically point
     ``_CURRENT`` at it. Returns the snapshot path."""
+    _require_local_root(table_root)
     snap = f"{table_root}/v={version}"
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -48,6 +70,7 @@ def publish_snapshot(
 
 def read_current(spark: SparkSession, table_root: str) -> DataFrame:
     """Resolve the ``_CURRENT`` pointer and read that snapshot."""
+    _require_local_root(table_root)
     pointer = Path(table_root) / CURRENT_MARKER
     version_dir = pointer.read_text().strip()
     return spark.read.parquet(f"{table_root}/{version_dir}")
@@ -60,6 +83,7 @@ def list_versions(table_root: str) -> list[str]:
 
 def rollback(table_root: str, version: str) -> None:
     """Point ``_CURRENT`` back at an existing older snapshot."""
+    _require_local_root(table_root)
     root = Path(table_root)
     if not (root / f"v={version}").is_dir():
         raise FileNotFoundError(f"no snapshot v={version} under {table_root}")

@@ -39,6 +39,16 @@ def mongo_projection_columns(
     """
     if isinstance(projection, Mapping):
         paths = [p for p, keep in projection.items() if keep]
+        if not paths and projection:
+            # Mongo EXCLUSION projections ({'_id': 0} = "everything but
+            # _id") have no inclusion list to translate — silently
+            # returning zero columns would drop every field. Callers
+            # should select over the landing-zone schema and drop.
+            raise ValueError(
+                "exclusion-only Mongo projections are not supported: "
+                "list the fields to KEEP (inclusion form), or select "
+                "all columns and .drop() the exclusions"
+            )
     else:
         paths = list(projection)
     cols = []

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_etl_spark.sources.watermark import WatermarkLedger
+from clickhouse_etl_spark.util import materialize
 
 
 def read_parquet_table(
@@ -78,7 +79,14 @@ def incremental_read(
     with :func:`commit_watermark` *after* the batch lands.
     """
     wm = ledger.get(pipeline)
-    return df.filter(F.col(ts_col) > F.lit(wm).cast("timestamp"))
+    filtered = df.filter(F.col(ts_col) > F.lit(wm).cast("timestamp"))
+    # Materialize (lazy cache): the batch is consumed TWICE — the sink
+    # write and commit_watermark's max() — and each action on an
+    # uncached plan re-scans the LIVE source. A row arriving between
+    # the two scans would then be covered by the committed watermark
+    # without ever having been written, and lost forever. With the
+    # cache, both actions read the same snapshot.
+    return materialize(filtered)
 
 
 def commit_watermark(
@@ -88,6 +96,10 @@ def commit_watermark(
 
     Deliberate fix of the reference's extract/commit race
     (…etl_students_to_clickhouse.py:24-25 commits ``datetime.now()``).
+    ``batch`` must be the (materialized) frame the sink actually wrote —
+    :func:`incremental_read` returns it cached for exactly this reason;
+    an uncached plan would re-scan the live source here and could
+    commit past rows the write never saw.
     """
     row = batch.agg(F.max(ts_col).alias("wm")).collect()[0]
     if row["wm"] is None:

@@ -73,12 +73,17 @@ def duplicated_spans(
     """Maximal duplicated token spans per document.
 
     Returns one row per (document, span): ``(id_col, span_start,
-    span_end, span_tokens)`` where the span covers token positions
-    ``[span_start, span_end)`` and every k-window inside it occurs >= 2
-    times in the corpus (within-document repeats count). Documents with
-    no duplicated span are absent — anti-join to get the clean set, or
-    aggregate ``span_tokens`` against the document token count for a
-    dup-fraction cut.
+    span_end, span_tokens)``. A span is a maximal merged run of
+    duplicated k-token windows: every TOKEN in ``[span_start,
+    span_end)`` belongs to at least one k-window that occurs >= 2 times
+    in the corpus (within-document repeats count), and the spans'
+    token coverage is exactly the union of all duplicated windows.
+    (Adjacent duplicated windows merge too, so an interior k-window of
+    a span need not itself be duplicated — the guarantee is per token,
+    which is what cutting needs.) Documents with no duplicated span are
+    absent — anti-join to get the clean set, or aggregate
+    ``span_tokens`` against the document token count for a dup-fraction
+    cut.
 
     ``mark`` picks the occurrence policy:
 

@@ -57,26 +57,29 @@ def _ref_duplicated_positions(texts: list[str], k: int) -> dict[int, set[int]]:
 
 @_SLOW
 @given(docs)
-def test_spans_cover_exactly_duplicated_shingles(spark, texts):
+def test_spans_cover_exactly_duplicated_tokens(spark, texts):
+    """Span TOKEN coverage == the union of duplicated k-windows (the
+    per-token guarantee cutting relies on; an interior window of a
+    merged span need not itself be duplicated — adjacent windows merge)."""
     df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
     spans = duplicated_spans(df, k=K).collect()
     ref = _ref_duplicated_positions(texts, K)
-    # Every span: inside the doc, length >= k, all k-windows duplicated.
-    covered: dict[int, set[int]] = {i: set() for i in ref}
+    ref_tokens = {
+        i: {t for p in ps for t in range(p, p + K)} for i, ps in ref.items()
+    }
+    got_tokens: dict[int, set[int]] = {i: set() for i in ref}
     for r in spans:
         assert r.span_tokens == r.span_end - r.span_start >= K
-        for p in range(r.span_start, r.span_end - K + 1):
-            assert p in ref[r.doc_id], (r, sorted(ref[r.doc_id]))
-            covered[r.doc_id].add(p)
-    # And all duplicated positions are covered (nothing missed).
-    assert covered == ref
-    # Spans within a doc are disjoint and non-adjacent (maximal merge).
+        got_tokens[r.doc_id].update(range(r.span_start, r.span_end))
+    assert got_tokens == ref_tokens
+    # Spans within a doc are disjoint AND separated by a gap (maximal
+    # merge: touching runs would have been fused).
     by_doc: dict[int, list] = {}
     for r in spans:
         by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
     for sp in by_doc.values():
         sp.sort()
-        assert all(b0 < e0 <= b1 for (b0, e0), (b1, _) in zip(sp, sp[1:]))
+        assert all(e0 < b1 for (_, e0), (b1, _) in zip(sp, sp[1:]))
 
 
 @_SLOW
@@ -109,18 +112,16 @@ def test_bpe_merges_shrink_and_round_trip(spark, texts, n_merges):
         assert "".join(r.syms) == r.word
         # Monotone: never more symbols than characters.
         assert 1 <= len(r.syms) <= len(r.word)
-    # Each applied merge had corpus support >= 2 (min_count default).
+    # Each applied merge had corpus support >= 2 (min_count default),
+    # counting OVERLAPPING adjacent pairs — canonical BPE get_stats
+    # semantics ('aaa' contributes (a,a) twice).
     wc = {r.word: r.n for r in vocab.collect()}
     if merges:
         a, b = merges[0]
-        support = 0
-        for w, n in wc.items():
-            syms = list(w)
-            p = 0
-            while p < len(syms) - 1:
-                if syms[p] == a and syms[p + 1] == b:
-                    support += n
-                    p += 2
-                else:
-                    p += 1
+        support = sum(
+            n
+            for w, n in wc.items()
+            for p in range(len(w) - 1)
+            if (w[p], w[p + 1]) == (a, b)
+        )
         assert support >= 2

@@ -179,3 +179,76 @@ def test_compact_dataset_null_partition_rows_survive(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == 4 == stats["rows"]
     assert back.filter("part IS NULL").count() == 2
+
+
+def test_migration_ledger_survives_mid_run_failure(spark, tmp_path):
+    """File 1's application is recorded even when file 2 fails, so a
+    retry never re-executes file 1."""
+    import pytest
+
+    from clickhouse_etl_spark.sinks.migrations import MigrationRunner
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_ok.sql").write_text(
+        "CREATE TABLE IF NOT EXISTS mig_t1 (x INT) USING PARQUET "
+        f"LOCATION '{tmp_path / 'mig_t1'}'"
+    )
+    (mdir / "002_bad.sql").write_text("THIS IS NOT SQL")
+    runner = MigrationRunner(spark, str(mdir), str(tmp_path / "ledger.json"))
+    with pytest.raises(Exception):
+        runner.run()
+    assert runner._applied() == {"001_ok.sql"}
+    # Retry with 002 fixed applies ONLY 002.
+    (mdir / "002_bad.sql").write_text("SELECT 1")
+    assert runner.run() == ["002_bad.sql"]
+
+
+def test_migration_semicolon_inside_literal(spark, tmp_path):
+    """Statements containing ';' in a string literal are not split."""
+    from clickhouse_etl_spark.sinks.migrations import MigrationRunner
+
+    assert MigrationRunner._statements("SELECT 'a;b' AS c; SELECT 2") == [
+        "SELECT 'a;b' AS c",
+        " SELECT 2",
+    ]
+    assert MigrationRunner._statements("SELECT 'it''s;ok'") == [
+        "SELECT 'it''s;ok'"
+    ]
+
+
+def test_incremental_read_returns_cached_batch(spark, tmp_path):
+    """The batch is materialized so the sink write and the watermark max
+    read the SAME snapshot (no second live-source scan)."""
+    from clickhouse_etl_spark.sources.readers import incremental_read
+    from clickhouse_etl_spark.sources.watermark import WatermarkLedger
+
+    ledger = WatermarkLedger(str(tmp_path / "wm"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")], ["id", "updatedAt"]
+    ).selectExpr("id", "CAST(updatedAt AS timestamp) updatedAt")
+    batch = incremental_read(df, ledger, "p1")
+    assert batch.storageLevel.useMemory or batch.storageLevel.useDisk
+    assert batch.count() == 1
+
+
+def test_staging_rejects_object_store_uri(spark):
+    """Pointer I/O is local-only; URI roots must fail loudly, not write
+    the pointer to a bogus local path."""
+    import pytest
+
+    from clickhouse_etl_spark.sinks.staging import publish_snapshot
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="URI"):
+        publish_snapshot(df, "s3a://bucket/table", "v1")
+
+
+def test_mongo_exclusion_projection_rejected(spark):
+    import pytest
+
+    from clickhouse_etl_spark.sources.documents import mongo_projection_columns
+
+    with pytest.raises(ValueError, match="exclusion"):
+        mongo_projection_columns({"_id": 0})
+    assert len(mongo_projection_columns({"name": 1})) == 1
