@@ -52,11 +52,16 @@ def weighted_average(
 ) -> DataFrame:
     """A3 — Σ(value×coe)/Σ(coe) with coe≤0 (or NULL) defaulting to 1.
 
-    reference: …etl_student_scores_subject_month_to_clickhouse.py:284-302
+    NULL values are excluded from BOTH sums: SUM skips the NULL
+    numerator term automatically, and counting the row's weight in the
+    denominator anyway would silently deflate the average (the
+    reference iterates scored evaluations only, so an unscored row
+    contributes neither — …:284-302).
     """
     w = weighted_coe(F.col(weight))
+    w_eff = F.when(F.col(value).isNotNull(), w)
     return df.groupBy(*keys).agg(
-        (F.sum(F.col(value) * w) / F.sum(w)).alias(alias)
+        (F.sum(F.col(value) * w) / F.sum(w_eff)).alias(alias)
     )
 
 

@@ -289,9 +289,15 @@ def copy_entity(
 
 def _score_order(markedAt="markedAt", scoreId="scoreId") -> F.Column:
     """Total order for representative-score selection: latest markedAt,
-    scoreId tiebreak — one BIGINT so arg_max is expressible identically
-    in the DuckDB oracle. (scoreId < 1e8 at every driver scale factor.)"""
-    return F.unix_timestamp(F.col(markedAt)) * F.lit(100_000_000) + F.col(scoreId)
+    ``scoreId`` tiebreak, as ONE fixed-width sortable string
+    (``%012d%012d`` of epoch seconds and id) — lexicographic equals
+    numeric for non-negative components, with no overflow bound: the
+    previous BIGINT packing (epoch*1e8 + id) silently corrupted the
+    order once ids crossed the multiplier. DuckDB mirrors it with
+    lpad, so arg_max stays expressible identically in the oracle."""
+    return F.format_string(
+        "%012d%012d", F.unix_timestamp(F.col(markedAt)), F.col(scoreId)
+    )
 
 
 def _per_eval_base(scores: DataFrame, null_as_zero: bool) -> DataFrame:
@@ -376,9 +382,14 @@ def _custom_agg_both(scores: DataFrame, customs: DataFrame) -> DataFrame:
         "__rep_ord",
     ).withColumn("g", grade_band(F.col("pct_a1")))
     w = weighted_coe(F.col("coe"))
+    # NULL-pct evals (all-NULL scores) contribute to NEITHER sum — the
+    # numerator skips them via SUM's null handling, and their weight
+    # must not stay in the denominator (operators.weighted_average has
+    # the same symmetry; the oracle SQL mirrors it).
+    w_eff = F.when(F.col("pct_a1").isNotNull(), w)
     return materialize(
         recs.groupBy("subjectEvaluationId", "studentId").agg(
-            (F.sum(F.col("pct_a1") * w) / F.sum(w)).alias("agg_percentage"),
+            (F.sum(F.col("pct_a1") * w) / F.sum(w_eff)).alias("agg_percentage"),
             F.to_json(
                 F.sort_array(
                     F.collect_list(
@@ -926,10 +937,12 @@ def student_transcript(
     # 0 when missing — …student_transcript/…:409-412).
     credit = F.col("detail.credit")
     gpa = F.col("detail.gpa")
-    scorer_ord = (
-        F.unix_timestamp(F.col("markedAt")) * F.lit(100_000) + F.col("scorerId")
+    # Same overflow-free string packing as _score_order (the previous
+    # 1e5 multiplier corrupted the order for scorerId >= 100 000).
+    scorer_ord = F.format_string(
+        "%012d%012d", F.unix_timestamp(F.col("markedAt")), F.col("scorerId")
     )
-    totals = detail_base.groupBy(*group_keys).agg(
+    total_aggs = [
         F.sum(credit).alias("totalCredits"),
         F.when(
             F.sum(credit) > 0, F.sum(credit * gpa) / F.sum(credit)
@@ -942,10 +955,10 @@ def student_transcript(
         F.min_by("subjectSchoolId", F.col("detail.subjectEvaluationId")).alias(
             "schoolId"
         ),
-    )
+    ]
 
     if not include_details:
-        return totals.select(
+        return detail_base.groupBy(*group_keys).agg(*total_aggs).select(
             "studentId",
             "structureRecordId",
             F.col("totalCredits"),
@@ -953,13 +966,19 @@ def student_transcript(
             F.col("subjectCount"),
         )
 
-    details = detail_base.groupBy(*group_keys).agg(
-        F.sort_array(F.collect_list("detail")).alias("subjectDetails")
+    # ONE groupBy computes the nested details AND the A6 totals: a
+    # separate details aggregation joined back on the group keys was
+    # both an extra shuffle and a NULL-key dropper (two of the group
+    # keys are nullable dim attributes, and an inner equi-join on a
+    # NULL key silently deletes that student's transcript row).
+    totals = detail_base.groupBy(*group_keys).agg(
+        F.sort_array(F.collect_list("detail")).alias("subjectDetails"),
+        *total_aggs,
     )
 
-    # per-student joins: both sides are already partitioned by the group
-    # keys from their aggregations — plain join, AQE decides strategy.
-    assembled = details.join(totals, on=group_keys, how="inner").join(
+    # per-student join: the aggregate side is already partitioned by
+    # the group keys — plain join, AQE decides strategy.
+    assembled = totals.join(
         students.select(
             "studentId",
             F.col("firstName").alias("studentFirstName"),

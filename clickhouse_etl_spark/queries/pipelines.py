@@ -40,7 +40,10 @@ _GENDER_SQL = """CASE WHEN lower({g}) IN ('m', 'male') THEN 'male'
                 WHEN lower({g}) IN ('f', 'female') THEN 'female'
                 ELSE {g} END"""
 
-_ORD = "epoch({m})::BIGINT * 100000000 + {s}"
+# Fixed-width sortable string (epoch seconds || id): lexicographic ==
+# numeric for non-negative components, no multiplier overflow. Mirrors
+# reference_etl._score_order exactly.
+_ORD = "lpad(epoch({m})::BIGINT::VARCHAR, 12, '0') || lpad({s}::VARCHAR, 12, '0')"
 
 _WAREHOUSE_SQL = """
 students AS (
@@ -202,7 +205,8 @@ custom_json AS (
 ),
 aggregated AS (
   SELECT subjectEvaluationId, studentId,
-         SUM(custom_pct * w) / SUM(w) AS percentage,
+         SUM(custom_pct * w)
+           / SUM(CASE WHEN custom_pct IS NOT NULL THEN w END) AS percentage,
          'aggregated' AS scoreSource
   FROM (
     SELECT *, CASE WHEN coe IS NULL OR coe <= 0 THEN 1.0
@@ -478,9 +482,9 @@ def pl_transcript_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT studentId, structureRecordId,
              arg_min(subjectSchoolId, subjectEvaluationId) AS schoolId,
              arg_max(scorerId,
-                     epoch(markedAt)::BIGINT * 100000 + scorerId) AS recScorerId,
+                     {_ORD.format(m="markedAt", s="scorerId")}) AS recScorerId,
              arg_max(markedAt,
-                     epoch(markedAt)::BIGINT * 100000 + scorerId) AS recMarkedAt
+                     {_ORD.format(m="markedAt", s="scorerId")}) AS recMarkedAt
       FROM t_detail GROUP BY 1, 2
     )
     SELECT d.studentId, d.structureRecordId, d.structureRecordName,

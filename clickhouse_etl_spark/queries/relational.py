@@ -11,7 +11,7 @@ ratios/averages are rounded to 6 places on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_etl_spark.catalog import load_table
@@ -34,7 +34,6 @@ from clickhouse_etl_spark.operators.joins import (
     candidate_expansion,
     semi_join_pushdown,
 )
-from clickhouse_etl_spark.operators.rollup import hierarchical_rollup
 from clickhouse_etl_spark.queries import register
 
 
@@ -129,7 +128,9 @@ def a12_avg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a3_weighted_avg",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * w) / SUM(w), 6) AS weighted_price
+           ROUND(SUM(l_extendedprice * w)
+                 / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN w END),
+                 6) AS weighted_price
     FROM (
       SELECT l_returnflag, l_extendedprice,
              CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1.0
@@ -368,10 +369,12 @@ def a4_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (A6 credit totals / weighted GPA — reference
 # …etl_student_transcript_to_clickhouse.py:409-412,440-442 — is
-# registry-covered by pl_transcript_totals (the same operators.credit_totals
-# inside its lifecycle) and oracle-checked standalone in
-# tests/test_demoted_oracles.py: registry capped at the driver's 50-query
-# correctness window.)
+# registry-covered by pl_transcript_totals, whose lifecycle computes the
+# same A6 semantics INLINE (fused with the details aggregation; its
+# zero-credit guard returns 0.0 where the standalone
+# operators.credit_totals divides to NULL — both oracle-checked, the
+# standalone one in tests/test_demoted_oracles.py: registry capped at
+# the driver's 50-query correctness window.)
 
 
 # ---------------------------------------------------------------------------
@@ -408,16 +411,10 @@ def a7_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a5_hierarchical_rollup",
     oracle="""
-    WITH leaf AS (
-      SELECT 'c' || c.c_custkey AS id, 'n' || c.c_nationkey AS parent,
-             AVG(COALESCE(o.o_totalprice, 0)) AS v
-      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_custkey, c.c_nationkey
-    ),
-    -- customers with no orders have one NULL o_totalprice row → avg(coalesce)=0?
-    -- no: LEFT JOIN yields a row with NULL which coalesces to 0; the engine's
-    -- leaf (no scores → NULL) differs, so exclude orderless customers here too
-    leaf_real AS (
+    -- leaf averages come from orders only (not customer LEFT JOIN
+    -- orders): a customer with no orders must be NULL like the engine's
+    -- unscored leaf, not avg(coalesce(NULL,0)) = 0.
+    WITH leaf_real AS (
       SELECT 'c' || o.o_custkey AS id,
              AVG(COALESCE(o.o_totalprice, 0)) AS v
       FROM orders o GROUP BY o.o_custkey
