@@ -23,13 +23,26 @@ _LEGACY_RE = r"\((\d{4}-\d{2}-\d{2})\)"
 
 
 def iso_timestamp(col: Column) -> Column:
-    """ISO-8601 with/without millis, with/without 'Z' → timestamp."""
+    """ISO-8601 with/without fractional seconds, with/without 'Z' →
+    timestamp.
+
+    Python's ``%f`` (the reference parser) accepts 1-6 fraction digits;
+    Spark's ``S`` patterns each match an EXACT digit count, so the
+    fraction is normalized first: pad/truncate to millis via regex,
+    then parse with the fixed patterns. Invalid inputs → NULL.
+    """
+    # '.1' -> '.100', '.123456' -> '.123'; no-op without a fraction.
+    # Sub-millisecond digits truncate. ($100/$10 = group 1 + literal
+    # zeros: Java replacement parsing stops at the largest valid group.)
+    trunc = F.regexp_replace(col, r"(\.\d{1,3})\d*", r"$1")
+    pad1 = F.regexp_replace(trunc, r"\.(\d)(?=[^\d]|$)", r".$100")
+    norm = F.regexp_replace(pad1, r"\.(\d\d)(?=[^\d]|$)", r".$10")
     return F.coalesce(
-        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
-        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
-        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss"),
-        F.to_timestamp(col, "yyyy-MM-dd HH:mm:ss"),
+        F.to_timestamp(norm, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+        F.to_timestamp(norm, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.to_timestamp(norm, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+        F.to_timestamp(norm, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.to_timestamp(norm, "yyyy-MM-dd HH:mm:ss"),
     )
 
 

@@ -53,7 +53,14 @@ def last_write_wins(
     deviation: deterministic instead of arbitrary.
     """
     if order_col is None:
-        order_col = "updatedAt" if "updatedAt" in df.columns else df.columns[-1]
+        if "updatedAt" not in df.columns:
+            raise ValueError(
+                "last_write_wins needs an explicit order_col when the "
+                "frame has no 'updatedAt' column — guessing one (e.g. "
+                "the last column) would make an arbitrary payload decide "
+                "which rows survive dedup"
+            )
+        order_col = "updatedAt"
     return latest_row_per_key(df, [key], order_col)
 
 
@@ -62,6 +69,7 @@ def representative_latest(
     keys: Sequence[str],
     payload_cols: Sequence[str],
     order_col: str,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """W2 — per-key payload values taken from the max-``order_col`` row.
 
@@ -69,9 +77,19 @@ def representative_latest(
     etl_student_transcript_to_clickhouse.py:296-301,330-332 keeps the score
     with the latest ``markedAt`` as the representative scorer. ``max_by``
     is the single-agg form — one shuffle, no window, no self-join.
+
+    ``max_by`` on a tied order value picks an arbitrary row, so pass
+    ``tiebreak`` columns (folded into a struct order) whenever
+    ``order_col`` is not a total order per key — same determinism policy
+    as :func:`latest_row_per_key`.
     """
+    order = (
+        F.struct(F.col(order_col), *[F.col(c) for c in tiebreak])
+        if tiebreak
+        else F.col(order_col)
+    )
     return df.groupBy(*keys).agg(
-        *[F.max_by(c, order_col).alias(c) for c in payload_cols],
+        *[F.max_by(c, order).alias(c) for c in payload_cols],
         F.max(order_col).alias(order_col),
     )
 

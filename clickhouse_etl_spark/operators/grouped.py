@@ -87,13 +87,25 @@ def mad_outliers_jvm(
     med = clean.groupBy(*keys_l).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("group_median")
     )
-    with_med = clean.join(med, on=keys_l)
+
+    # Null-SAFE key equality: groupBy keeps a NULL key as its own group
+    # (as does the applyInPandas twin), so the join back must match it
+    # too — a null-unsafe `on=keys` would silently drop NULL-keyed rows
+    # and break the pinned twin equality.
+    def nulljoin(left: DataFrame, right: DataFrame) -> DataFrame:
+        cond = None
+        for k in keys_l:
+            c = left[k].eqNullSafe(right[k])
+            cond = c if cond is None else cond & c
+        return left.join(right, on=cond).drop(*[right[k] for k in keys_l])
+
+    with_med = nulljoin(clean, med)
     mad = with_med.groupBy(*keys_l).agg(
         F.expr(f"percentile(abs({value_col} - group_median), 0.5)").alias(
             "group_mad"
         )
     )
-    flagged = with_med.join(mad, on=keys_l)
+    flagged = nulljoin(with_med, mad)
     return flagged.select(
         *keys_l,
         F.col(value_col).cast("double").alias(value_col),

@@ -102,23 +102,30 @@ def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Document fingerprints — md5 (content-address) + Rabin-Karp rolling hash
+from clickhouse_etl_spark.text.dedup import poly_affine_constants  # noqa: E402
+
+_M64 = "18446744073709551616::HUGEINT"
+
+# Canonical SQL mirror of dedup._POLY_FOLD (base-31 wrapping fold) —
+# defined ONCE; ns_fingerprint and the MinHash/SimHash oracles all use it.
+_POLY_FOLD_SQL = (
+    "list_reduce(list_prepend(0::HUGEINT,"
+    " list_transform(string_split({s}, ''), c -> ascii(c)::HUGEINT)),"
+    f" (acc, ch) -> (acc * 31 + ch) % {_M64})"
+)
+
 # (incrementally composable) in one pass. Oracle emulates Spark's wrapping
 # int64 arithmetic with a HUGEINT fold mod 2^64.
 # ---------------------------------------------------------------------------
 @register(
     "ns_fingerprint",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, md5(lower(text)) AS fingerprint,
            CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-                     THEN u - 18446744073709551616::HUGEINT
+                     THEN u - {_M64}
                      ELSE u END AS BIGINT) AS rolling_fp
     FROM (
-      SELECT doc_id, text,
-             list_reduce(
-               list_prepend(0::HUGEINT,
-                 list_transform(string_split(text, ''), c -> ascii(c)::HUGEINT)),
-               (acc, ch) -> (acc * 31 + ch) % 18446744073709551616::HUGEINT
-             ) AS u
+      SELECT doc_id, text, {_POLY_FOLD_SQL.format(s="text")} AS u
       FROM documents
     )
     """,
@@ -341,15 +348,7 @@ def ns_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_text_recall.py — the banding math is identical under both.
 # ---------------------------------------------------------------------------
 
-from clickhouse_etl_spark.text.dedup import poly_affine_constants  # noqa: E402
-
-_M64 = "18446744073709551616::HUGEINT"
-
-_POLY_FOLD_SQL = (
-    "list_reduce(list_prepend(0::HUGEINT,"
-    " list_transform(string_split({s}, ''), c -> ascii(c)::HUGEINT)),"
-    f" (acc, ch) -> (acc * 31 + ch) % {_M64})"
-)
+# (_M64/_POLY_FOLD_SQL moved above ns_fingerprint — single definition.)
 
 _SIGNED_SQL = (
     "CASE WHEN {v} >= 9223372036854775808::HUGEINT"

@@ -62,3 +62,37 @@ def test_a9_exact_distinct(spark):
     )
     assert exact_distinct(df, ["k"]).count() == 1
     assert exact_distinct(df).count() == 2
+
+
+def test_last_write_wins_requires_order(spark):
+    import pytest
+    """No updatedAt and no explicit order_col -> error, not an
+    arbitrary-payload ordering."""
+    df = spark.createDataFrame([(1, True), (1, False)], ["k", "flag"])
+    with pytest.raises(ValueError, match="order_col"):
+        last_write_wins(df, "k")
+
+
+def test_representative_latest_tiebreak(spark):
+    """Tied order values resolve deterministically via the tiebreak."""
+    from clickhouse_etl_spark.operators.dedup import representative_latest
+
+    rows = [(1, 10, 5, "a"), (1, 10, 9, "b"), (2, 7, 1, "c")]
+    df = spark.createDataFrame(rows, ["k", "ord", "tie", "payload"])
+    out = {r.k: r.payload for r in representative_latest(
+        df, ["k"], ["payload"], "ord", tiebreak=["tie"]).collect()}
+    assert out == {1: "b", 2: "c"}
+
+
+def test_mad_outliers_jvm_keeps_null_keys(spark):
+    from pyspark.sql import functions as F
+    """NULL group keys form their own group (twin parity), never drop."""
+    from clickhouse_etl_spark.operators.grouped import mad_outliers_jvm
+
+    rows = [(None, 1.0), (None, 1.1), (None, 99.0), (7, 2.0), (7, 2.1)]
+    df = spark.createDataFrame(rows, ["user_id", "value"])
+    out = mad_outliers_jvm(df, ["user_id"], "value")
+    assert out.count() == 5
+    nulls = out.filter(F.col("user_id").isNull())
+    assert nulls.count() == 3
+    assert nulls.filter(F.col("is_outlier")).count() == 1

@@ -67,3 +67,27 @@ def test_roundtrip_to_iso_string(spark):
     )
     out = df.select(timestamp_to_iso_string(F.col("ts")).alias("s")).collect()
     assert out[0]["s"] == "2024-03-05T10:20:30"
+
+
+def test_iso_timestamp_fraction_digit_zoo(spark):
+    """%f accepts 1-6 fraction digits; each variant must parse (pad to
+    millis, truncate past them) instead of silently going NULL."""
+    from clickhouse_etl_spark.functions.timestamps import iso_timestamp
+
+    rows = [
+        (1, "2021-05-01T10:00:00.1Z"),
+        (2, "2021-05-01T10:00:00.12Z"),
+        (3, "2021-05-01T10:00:00.123Z"),
+        (4, "2021-05-01T10:00:00.123456Z"),
+        (5, "2021-05-01T10:00:00Z"),
+        (6, "not a timestamp"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {r.id: r.ts for r in
+           df.select("id", iso_timestamp(F.col("s")).alias("ts")).collect()}
+    assert got[6] is None
+    assert got[5].microsecond == 0
+    assert got[1].microsecond == 100_000
+    assert got[2].microsecond == 120_000
+    assert got[3].microsecond == 123_000
+    assert got[4].microsecond == 123_000  # sub-milli truncates
