@@ -194,7 +194,36 @@ def main() -> int:
         out["host"] = host
     if failed:
         out["failed"] = failed
-    print(json.dumps(out))
+
+    # Full result (with the prose fields) goes to a dedicated artifact
+    # file; the stdout line stays COMPACT so the driver's tail-capture
+    # can never start mid-object (BENCH_r03 was lost to exactly that:
+    # a >4KB line truncated from the front parsed as null).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json"),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+
+    compact = {
+        k: v
+        for k, v in out.items()
+        if k not in ("timing_model", "fused_from_r2")
+    }
+    # Stop Spark BEFORE printing: no late JVM/py4j output can interleave
+    # after the JSON line, which must be the last thing on stdout.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stdout.flush()
+    sys.stdout.write(json.dumps(compact, separators=(",", ":")) + "\n")
+    sys.stdout.flush()
     return 1 if failed else 0
 
 

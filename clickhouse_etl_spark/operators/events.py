@@ -49,12 +49,14 @@ def sessionize(
     unique id. One shuffle (window on user), codegen throughout.
     """
     gap_sec = F.expr(f"INTERVAL {gap}")
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    prev_ts = F.lag(ts_col).over(w)
-    new_session = (
-        prev_ts.isNull()
-        | (F.col(ts_col).cast("timestamp") > prev_ts + gap_sec)
-    ).cast("int")
+    # Cast ONCE up front and build both the ordering and the lag from the
+    # same timestamp expression — lagging the raw column would compare a
+    # timestamp against string+interval (nulls out or misorders the gap
+    # test on string-typed ts columns).
+    ts = F.col(ts_col).cast("timestamp")
+    w = Window.partitionBy(user_col).orderBy(ts)
+    prev_ts = F.lag(ts).over(w)
+    new_session = (prev_ts.isNull() | (ts > prev_ts + gap_sec)).cast("int")
     return events.withColumn(
         session_col,
         F.sum(new_session).over(

@@ -93,22 +93,40 @@ def fuzzy_self_pairs(
         .distinct()
     )
 
-    # SHORT path: bounded bucket, pairwise inside it. Includes the
+    # SHORT path: too few grams for the bound — pair at the VALUE level
+    # (the distinct short strings, a set bounded by alphabet^length, not
+    # by corpus rows), verify levenshtein there, then join the surviving
+    # value pairs back to ids. A million rows of "Jo" cost ONE distinct
+    # value in the cross join, not 10^12 crossed rows. Includes the
     # boundary band [long_floor, short_ceil] so short-vs-long pairs
     # (length gap <= k) are covered by one path or the other.
     shorts = base.filter(F.col("__len") <= short_ceil)
-    s2 = shorts.select(
-        F.col("__id").alias("__id_b"),
-        F.col("__s").alias("__s_b"),
-        F.col("__len").alias("__len_b"),
+    vals = shorts.select("__s", "__len").distinct()
+    v2 = vals.select(
+        F.col("__s").alias("__s_b"), F.col("__len").alias("__len_b")
     )
-    short_cand = (
-        shorts.crossJoin(s2)
+    val_pairs = (
+        vals.crossJoin(v2)
         .filter(
-            (F.col("__id") < F.col("__id_b"))
+            (F.col("__s") <= F.col("__s_b"))
             & (F.abs(F.col("__len") - F.col("__len_b")) <= k)
+            & (F.levenshtein("__s", "__s_b") <= k)
         )
-        .select("__id", "__s", "__id_b", "__s_b")
+        .select("__s", "__s_b")
+    )
+    ids_a = shorts.select(F.col("__id").alias("__ia"), F.col("__s").alias("__va"))
+    ids_b = shorts.select(F.col("__id").alias("__ib"), F.col("__s").alias("__vb"))
+    a_first = F.col("__ia") < F.col("__ib")
+    short_cand = (
+        val_pairs.join(ids_a, val_pairs["__s"] == ids_a["__va"])
+        .join(ids_b, val_pairs["__s_b"] == ids_b["__vb"])
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(
+            F.when(a_first, F.col("__ia")).otherwise(F.col("__ib")).alias("__id"),
+            F.when(a_first, F.col("__va")).otherwise(F.col("__vb")).alias("__s"),
+            F.when(a_first, F.col("__ib")).otherwise(F.col("__ia")).alias("__id_b"),
+            F.when(a_first, F.col("__vb")).otherwise(F.col("__va")).alias("__s_b"),
+        )
     )
 
     cand = long_cand.unionByName(short_cand).distinct()

@@ -294,9 +294,18 @@ def _score_order(markedAt="markedAt", scoreId="scoreId") -> F.Column:
     numeric for non-negative components, with no overflow bound: the
     previous BIGINT packing (epoch*1e8 + id) silently corrupted the
     order once ids crossed the multiplier. DuckDB mirrors it with
-    lpad, so arg_max stays expressible identically in the oracle."""
-    return F.format_string(
-        "%012d%012d", F.unix_timestamp(F.col(markedAt)), F.col(scoreId)
+    lpad, so arg_max stays expressible identically in the oracle.
+
+    NULL ``markedAt`` must propagate to a NULL order key: format_string
+    would render the NULL epoch as the literal text "null", making the
+    key non-NULL, so keys where EVERY row is unmarked would pick a
+    max-id representative while the oracle's lpad(epoch(...)) yields
+    NULL and arg_max skips them — a silent engine/oracle divergence."""
+    return F.when(
+        F.col(markedAt).isNotNull(),
+        F.format_string(
+            "%012d%012d", F.unix_timestamp(F.col(markedAt)), F.col(scoreId)
+        ),
     )
 
 

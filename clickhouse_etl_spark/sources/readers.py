@@ -80,13 +80,15 @@ def incremental_read(
     """
     wm = ledger.get(pipeline)
     filtered = df.filter(F.col(ts_col) > F.lit(wm).cast("timestamp"))
-    # Materialize (lazy cache): the batch is consumed TWICE — the sink
-    # write and commit_watermark's max() — and each action on an
-    # uncached plan re-scans the LIVE source. A row arriving between
-    # the two scans would then be covered by the committed watermark
-    # without ever having been written, and lost forever. With the
-    # cache, both actions read the same snapshot.
-    return materialize(filtered)
+    # Snapshot the batch: it is consumed TWICE — the sink write and
+    # commit_watermark's max() — and each action on an unsnapshotted
+    # plan re-scans the LIVE source. A row arriving between the two
+    # scans would then be covered by the committed watermark without
+    # ever having been written, and lost forever. A lazy cache is NOT
+    # enough: evicted/lost blocks silently recompute from the live
+    # source, reopening the race — cut_lineage=True escalates to an
+    # eager checkpoint so recovery replays the snapshot, not the source.
+    return materialize(filtered, cut_lineage=True)
 
 
 def commit_watermark(

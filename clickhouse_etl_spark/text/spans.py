@@ -164,10 +164,14 @@ def cut_duplicated_spans(
     """Substring-dedup surgery: remove every non-first duplicated span.
 
     Rewrites ``text_col`` with the tokens of ``mark="non_first"`` spans
-    deleted, so each repeated passage survives exactly once corpus-wide
-    (its canonical lowest-``(id, pos)`` occurrence). Adds
-    ``removed_tokens`` with the per-document cut size. Documents without
-    duplicated spans pass through untouched.
+    deleted. The keep-first guarantee is PER SHINGLE, applied per token:
+    each duplicated k-shingle's canonical lowest-``(id, pos)`` occurrence
+    is spared from ITS OWN span set, but a token of a spared shingle can
+    still be cut when it also lies inside a marked non-first span of a
+    *different* shingle (overlapping duplicated regions) — so a kept
+    passage may be partially trimmed where distinct repeats overlap it.
+    Adds ``removed_tokens`` with the per-document cut size. Documents
+    without duplicated spans pass through untouched.
 
     The rewrite is JVM-side: the span list joins back per document
     (span counts per doc are small — they merge overlaps by

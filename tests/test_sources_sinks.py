@@ -218,8 +218,10 @@ def test_migration_semicolon_inside_literal(spark, tmp_path):
 
 
 def test_incremental_read_returns_cached_batch(spark, tmp_path):
-    """The batch is materialized so the sink write and the watermark max
-    read the SAME snapshot (no second live-source scan)."""
+    """The batch is an EAGER lineage-cut snapshot so the sink write and
+    the watermark max read the SAME data even under cache eviction or
+    executor loss — a lazy cache would recompute lost blocks from the
+    live source, reopening the lost-row race."""
     from clickhouse_etl_spark.sources.readers import incremental_read
     from clickhouse_etl_spark.sources.watermark import WatermarkLedger
 
@@ -228,7 +230,11 @@ def test_incremental_read_returns_cached_batch(spark, tmp_path):
         [(1, "2024-01-02 00:00:00")], ["id", "updatedAt"]
     ).selectExpr("id", "CAST(updatedAt AS timestamp) updatedAt")
     batch = incremental_read(df, ledger, "p1")
-    assert batch.storageLevel.useMemory or batch.storageLevel.useDisk
+    # Lineage truncated: the analyzed plan is a materialized RDD scan,
+    # not the original source expression tree.
+    plan = batch._jdf.queryExecution().optimizedPlan().toString()
+    cached = batch.storageLevel.useMemory or batch.storageLevel.useDisk
+    assert cached or ("LogicalRDD" in plan or "Scan ExistingRDD" in plan)
     assert batch.count() == 1
 
 
