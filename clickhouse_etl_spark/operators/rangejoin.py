@@ -11,6 +11,7 @@ equi-shuffle Catalyst handles like any other join.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -27,6 +28,7 @@ def range_join_binned(
     end_col: str = "end",
     bin_seconds: int = 3600,
     how: str = "inner",
+    key_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Join events to intervals with ``start <= ts < end`` via time bins.
 
@@ -37,9 +39,18 @@ def range_join_binned(
 
     ``how``: 'inner', 'left' (keep unmatched events), or 'right' (keep
     unmatched intervals). The outer variants re-attach unmatched rows via
-    an anti join on the preserved side's full column set (null-safe), so
-    a row matching in one bin never also surfaces null-extended from
-    another bin — the preserved side's rows should be unique.
+    an anti join against the matched set, so a row matching in one bin
+    never also surfaces null-extended from another bin. The inner path
+    pays none of this machinery. The anti-join key is, in order of
+    preference:
+
+    - ``key_cols`` — caller-declared unique key of the preserved side
+      (e.g. an interval id). Cheapest: the matched-key set is a narrow
+      distinct + single-key anti join, no snapshotting needed.
+    - else a surrogate ``monotonically_increasing_id`` stamped on the
+      preserved side. The stamped frame is snapshotted (lazy persist) so
+      the join branch and the anti branch see the SAME ids — surrogate
+      ids are only stable within one evaluation of one plan.
 
     Bin boundaries: the upper bin is the *un-decremented*
     ``floor(unix_timestamp(end) / bin_seconds)`` — ``unix_timestamp``
@@ -53,6 +64,22 @@ def range_join_binned(
     """
     if how not in ("inner", "left", "right"):
         raise ValueError(f"range_join_binned supports inner/left/right, got {how!r}")
+    if key_cols is not None and not key_cols:
+        raise ValueError("key_cols must be None or non-empty")
+
+    surrogate = how != "inner" and key_cols is None
+    if surrogate:
+        # Snapshot so both consumers (join side + anti side) see the same
+        # surrogate ids — see docstring.
+        stamped = materialize(
+            (events if how == "left" else intervals).withColumn(
+                "__pid", F.monotonically_increasing_id()
+            )
+        )
+        if how == "left":
+            events = stamped
+        else:
+            intervals = stamped
 
     lo_bin = F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds).cast("long")
     hi_bin = F.floor(F.unix_timestamp(F.col(end_col)) / bin_seconds).cast("long")
@@ -76,13 +103,19 @@ def range_join_binned(
     # rather than re-running the binned join per consumer.
     matched = materialize(matched)
     preserved = events if how == "left" else intervals
-    # Null-safe anti join on the preserved side's own columns: rows that
-    # produced at least one match are excluded; the rest come back
-    # null-extended exactly once (hence the uniqueness requirement).
-    matched_keys = matched.select(*preserved.columns).distinct()
+    keys = list(key_cols) if key_cols is not None else ["__pid"]
+    # Anti join on the (unique) preserved-side key: rows that produced at
+    # least one match are excluded; the rest come back null-extended
+    # exactly once. Keying avoids the old full-column null-safe
+    # condition, whose wide distinct + comparison chain dominated the
+    # outer path's cost.
+    matched_keys = matched.select(*keys).distinct()
+    # eqNullSafe (still hash-joinable) so a NULL key matching in one bin
+    # can't ALSO come back null-extended.
     cond = reduce(
         lambda a, b: a & b,
-        [preserved[c].eqNullSafe(matched_keys[c]) for c in preserved.columns],
+        [preserved[c].eqNullSafe(matched_keys[c]) for c in keys],
     )
     unmatched = preserved.join(matched_keys, on=cond, how="left_anti")
-    return matched.unionByName(unmatched, allowMissingColumns=True)
+    out = matched.unionByName(unmatched, allowMissingColumns=True)
+    return out.drop("__pid") if surrogate else out

@@ -223,12 +223,29 @@ def ext_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") + F.expr("INTERVAL 15 HOURS 30 MINUTES")).alias("end"),
         )
     )
-    joined = range_join_binned(
-        events.select("ts", "value"), intervals, bin_seconds=3600, how="right"
+    # Aggregation pushed BELOW the outer join: the INNER binned join
+    # (which skips all outer machinery) aggregates first, then the tiny
+    # interval dim left-joins onto the ≤|intervals| aggregate rows to
+    # re-attach unmatched windows with count 0 / sum NULL — identical to
+    # the oracle's LEFT JOIN + GROUP BY, without paying a row-level
+    # outer reattachment over the full match set. At 100 TB this is the
+    # only sane shape: outer semantics on 60 aggregate rows, not 10^11
+    # match rows.
+    matched = range_join_binned(
+        events.select("ts", "value"), intervals, bin_seconds=3600, how="inner"
     )
-    return joined.groupBy("interval_id").agg(
+    agg = matched.groupBy("interval_id").agg(
         F.count("ts").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return (
+        intervals.select("interval_id")
+        .join(agg, on="interval_id", how="left")
+        .select(
+            "interval_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "sum_value",
+        )
     )
 
 

@@ -230,3 +230,34 @@ def test_range_join_left_outer(spark):
     out = range_join_binned(events, intervals, bin_seconds=3600, how="left")
     rows = {r["tag"]: r["interval_id"] for r in out.collect()}
     assert rows == {"hit": "win", "miss": None}
+
+
+def test_range_join_outer_key_cols(spark):
+    """key_cols anti-joins on the declared unique key (no surrogate
+    snapshot): a multi-bin matched interval surfaces once per match and
+    never ALSO null-extended; unmatched intervals come back exactly once."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.rangejoin import range_join_binned
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    events = spark.createDataFrame(
+        [(t(2), "a"), (t(4), "b")], ["ts", "tag"]
+    )
+    intervals = spark.createDataFrame(
+        [(t(1), t(5), "wide"),      # spans 4 bins, matches both events
+         (t(10), t(11), "empty")],
+        ["start", "end", "interval_id"],
+    )
+    out = range_join_binned(
+        events, intervals, bin_seconds=3600, how="right",
+        key_cols=["interval_id"],
+    )
+    got = sorted((r["interval_id"], r["tag"]) for r in out.collect())
+    assert got == [("empty", None), ("wide", "a"), ("wide", "b")]
+
+    try:
+        range_join_binned(events, intervals, how="right", key_cols=[])
+        raise AssertionError("expected ValueError for empty key_cols")
+    except ValueError:
+        pass
