@@ -19,9 +19,9 @@ non-AQE environment) — the classic salting construction:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,3 +91,64 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     out = big_s.join(small_s, on=keys + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def cap_bucket_membership(
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    order_col: str,
+    max_bucket_size: int,
+    log_fn: Callable[[str], None] | None = None,
+) -> DataFrame:
+    """Bound every bucket to its ``max_bucket_size`` lowest-``order_col``
+    members — the guard that keeps LSH-style bucket SELF-JOINS from going
+    quadratic on a degenerate key.
+
+    A flood of identical/empty documents lands in ONE (band, hash)
+    bucket; its self-join is |bucket|² pairs regardless of how good the
+    hash family is. Capping membership bounds any bucket's pair count at
+    cap², making total cost ∝ corpus + cap²·(oversized buckets) instead
+    of unbounded. Dropped members lose only DIRECT pairing within that
+    bucket — with OR-amplified tables/bands a near-duplicate flood still
+    pairs through its other (capped) buckets, and cluster transitivity
+    recovers group membership downstream.
+
+    Shape: one map-side-combinable count over ``df``, a BROADCAST of the
+    oversized-bucket list (≤ |df|/cap rows by construction), and a
+    row_number window restricted to ONLY the oversized buckets' rows —
+    normal buckets stream through untouched, no global sort.
+
+    ``log_fn``: when provided, the oversized buckets are counted EAGERLY
+    (one job over ``df`` — callers materialize it first) and a summary
+    line ``capped N buckets, dropped M memberships`` is passed to it;
+    when None the cap still applies, lazily, with no extra job.
+    """
+    if max_bucket_size < 1:
+        raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
+    bcols = list(bucket_cols)
+    sizes = df.groupBy(*bcols).agg(F.count(F.lit(1)).alias("__bsz"))
+    big = sizes.filter(F.col("__bsz") > max_bucket_size)
+    if log_fn is not None:
+        stats = big.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__bsz") - max_bucket_size).alias("dropped"),
+        ).collect()[0]
+        log_fn(
+            f"cap_bucket_membership: capped {stats['n'] or 0} buckets over "
+            f"{max_bucket_size}, dropped {stats['dropped'] or 0} memberships"
+        )
+    flagged = df.join(
+        F.broadcast(big.select(*bcols, F.lit(True).alias("__big"))),
+        on=bcols,
+        how="left",
+    )
+    small_part = flagged.filter(F.col("__big").isNull()).drop("__big")
+    w = Window.partitionBy(*bcols).orderBy(order_col)
+    big_part = (
+        flagged.filter(F.col("__big").isNotNull())
+        .drop("__big")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
+    )
+    return small_part.unionByName(big_part)

@@ -318,7 +318,8 @@ def _per_eval_base(scores: DataFrame, null_as_zero: bool) -> DataFrame:
     structurePath/scorerId/markedAt/description always come from the
     same physical score, and because ``_score_order`` is a TOTAL order,
     the representative of any coarser regrouping (custom children → the
-    parent subject) is exactly ``max_by(__rep, __rep_ord)``.
+    parent subject) is exactly ``max_by`` over the order key re-derived
+    from the winning payload's own (markedAt, scoreId).
 
     BOTH null semantics (A1 null-dropped for the wide fact, A2
     null-as-zero for the transcript) are computed in the same
@@ -337,7 +338,6 @@ def _per_eval_base(scores: DataFrame, null_as_zero: bool) -> DataFrame:
         "studentId",
         F.col(chosen).alias("avg_score"),
         "__rep",
-        "__rep_ord",
     )
 
 
@@ -345,12 +345,18 @@ def _per_eval_both(scores: DataFrame) -> DataFrame:
     """The shared grouped plan behind :func:`_per_eval_base` — callers
     materialize THIS (variant-independent) shape so both lifecycles
     cache-share it."""
-    payload = F.struct("structurePath", "scorerId", "markedAt", "description")
+    # scoreId rides inside the payload so the coarser custom→subject
+    # re-aggregation can DERIVE the order key from the winning struct
+    # (_score_order on __rep fields) instead of carrying a separate
+    # max(ord) aggregate + 24-byte order column through the shuffle,
+    # the cache, and every downstream projection.
+    payload = F.struct(
+        "structurePath", "scorerId", "markedAt", "description", "scoreId"
+    )
     return scores.groupBy("evaluationId", "studentId").agg(
         F.avg("score").alias("avg_null_dropped"),
         F.avg(F.coalesce(F.col("score"), F.lit(0.0))).alias("avg_null_as_zero"),
         F.max_by(payload, _score_order()).alias("__rep"),
-        F.max(_score_order()).alias("__rep_ord"),
     )
 
 
@@ -388,7 +394,6 @@ def _custom_agg_both(scores: DataFrame, customs: DataFrame) -> DataFrame:
         percentage(F.col("avg_null_as_zero"), F.col("maxScore")).alias("pct_a2"),
         F.col("__rep.description").alias("description"),
         "__rep",
-        "__rep_ord",
     ).withColumn("g", grade_band(F.col("pct_a1")))
     w = weighted_coe(F.col("coe"))
     # NULL-pct evals (all-NULL scores) contribute to NEITHER sum — the
@@ -419,7 +424,9 @@ def _custom_agg_both(scores: DataFrame, customs: DataFrame) -> DataFrame:
             ).alias("customEvaluations"),
             F.count(F.lit(1)).cast("int").alias("customEvaluationCount"),
             F.avg("pct_a2").alias("custom_mean_pct"),
-            F.max_by("__rep", "__rep_ord").alias("__crep"),
+            F.max_by(
+                "__rep", _score_order("__rep.markedAt", "__rep.scoreId")
+            ).alias("__crep"),
         )
     )
 
@@ -518,36 +525,42 @@ def monthly_subject_fact(
 
     # precedence: direct wins (but still carries its subject's custom-eval
     # JSON details, like the reference's direct records); aggregated-only
-    # pairs fill the rest. The anti-join's right side is the direct FACT's
-    # key set — it grows with the data, so no forced broadcast (AQE still
-    # broadcasts while it fits under the threshold, shuffle-joins beyond).
-    merged_cols = [
-        "subjectEvaluationId", "studentId", "percentage", "scoreSource",
-        "__rep", "customEvaluations", "customEvaluationCount",
-    ]
-    direct_full = direct.join(
-        custom_agg.select(
-            "subjectEvaluationId", "studentId",
-            "customEvaluations", "customEvaluationCount",
-        ),
-        on=["subjectEvaluationId", "studentId"],
-        how="left",
-    ).select(*merged_cols)
-    aggregated_only = anti_join(
-        custom_agg.select(
-            "subjectEvaluationId",
-            "studentId",
-            F.col("agg_percentage").alias("percentage"),
-            F.lit("aggregated").alias("scoreSource"),
-            F.col("__crep").alias("__rep"),
+    # pairs fill the rest. ONE full-outer join expresses all three cases
+    # (both/direct-only/custom-only) in a single co-partitioned pass —
+    # the previous left-join + anti-join + union shape scanned the custom
+    # aggregate twice and shuffled the pair keys three times. Both sides
+    # grow with the data, so no forced broadcast (AQE picks the
+    # strategy); the full outer is the §2.8 precedence merge itself.
+    keys = ["subjectEvaluationId", "studentId"]
+    has_direct = F.col("scoreSource").isNotNull()  # lit on every direct row
+    merged = (
+        direct.join(
+            custom_agg.select(
+                *keys,
+                "agg_percentage",
+                "customEvaluations",
+                "customEvaluationCount",
+                "__crep",
+            ),
+            on=keys,
+            how="full",
+        )
+        .select(
+            *keys,
+            # direct keeps its percentage even when NULL (all-NULL scores)
+            F.when(has_direct, F.col("percentage"))
+            .otherwise(F.col("agg_percentage"))
+            .alias("percentage"),
+            F.coalesce("scoreSource", F.lit("aggregated")).alias("scoreSource"),
+            # same for the representative: a direct row with no orderable
+            # score keeps NULL rather than borrowing the custom rep
+            F.when(has_direct, F.col("__rep"))
+            .otherwise(F.col("__crep"))
+            .alias("__rep"),
             "customEvaluations",
             "customEvaluationCount",
-        ),
-        direct.select("subjectEvaluationId", "studentId"),
-        on=["subjectEvaluationId", "studentId"],
-        broadcast=False,
-    ).select(*merged_cols)
-    merged = direct_full.unionByName(aggregated_only)
+        )
+    )
 
     graded = merged.withColumn("g", grade_band(F.col("percentage"))).select(
         "subjectEvaluationId",
@@ -813,33 +826,44 @@ def student_transcript(
         "subjectEvaluationId",
         "studentId",
         "custom_mean_pct",
-        F.col("__crep").alias("__rep"),
+        "__crep",
     )
 
-    c_scored = broadcast_dim_join(
-        anti_join(
-            custom_rolled,
-            direct.select("subjectEvaluationId", "studentId"),
-            on=["subjectEvaluationId", "studentId"],
-            broadcast=False,
-        ),
-        subject_evals.select(
-            F.col("evaluationId").alias("subjectEvaluationId"),
-            F.col("maxScore").alias("subjectMaxScore"),
-        ),
-        on="subjectEvaluationId",
-        how="inner",
-    ).select(
-        "subjectEvaluationId",
-        "studentId",
-        F.lit("aggregated").alias("scoreSource"),
-        "subjectMaxScore",
-        score_from_percentage(F.col("custom_mean_pct"), F.col("subjectMaxScore"))
-        .alias("final_score"),
-        F.col("custom_mean_pct").alias("pct"),
-        "__rep",
+    # §2.8 precedence as ONE full-outer join (same shape as the fact):
+    # direct wins, custom-only rows fill in from the rolled-up mean.
+    # Custom-only rows still need the SUBJECT's maxScore to rescale the
+    # mean percentage into a score — a broadcast dim join, not the old
+    # anti-join + union double pass. Custom-only rows whose parent
+    # subject doesn't exist keep a NULL max here and are dropped by the
+    # with_subject inner join below, exactly where direct rows without a
+    # subject would fall out too.
+    keys = ["subjectEvaluationId", "studentId"]
+    has_direct = F.col("scoreSource").isNotNull()
+    merged = (
+        direct.join(custom_rolled, on=keys, how="full")
+        .join(
+            F.broadcast(
+                subject_evals.select(
+                    F.col("evaluationId").alias("subjectEvaluationId"),
+                    F.col("maxScore").alias("__smax"),
+                )
+            ),
+            on="subjectEvaluationId",
+            how="left",
+        )
+        .select(
+            *keys,
+            F.coalesce("scoreSource", F.lit("aggregated")).alias("scoreSource"),
+            F.coalesce("subjectMaxScore", "__smax").alias("subjectMaxScore"),
+            F.when(has_direct, F.col("final_score"))
+            .otherwise(score_from_percentage(F.col("custom_mean_pct"), F.col("__smax")))
+            .alias("final_score"),
+            F.when(has_direct, F.col("pct"))
+            .otherwise(F.col("custom_mean_pct"))
+            .alias("pct"),
+            F.when(has_direct, F.col("__rep")).otherwise(F.col("__crep")).alias("__rep"),
+        )
     )
-    merged = direct.unionByName(c_scored)
 
     graded = merged.withColumn("g", grade_band(F.col("pct"))).select(
         "*",

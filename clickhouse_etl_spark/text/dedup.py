@@ -148,6 +148,8 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = 1000,
+    log_fn=None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs with exact verification.
 
@@ -157,6 +159,15 @@ def minhash_near_duplicates(
     proportional to collisions, not n². ``hash_family='poly'`` makes the
     whole candidate generation SQL-reproducible (oracle-checkable); see
     :func:`minhash_signature`.
+
+    ``max_bucket_size`` bounds any single (band, hash) bucket's
+    membership (lowest ids kept, deterministic) so a degenerate flood —
+    millions of identical documents hashing into one bucket — cannot
+    make the self-join quadratic; each oversized bucket costs at most
+    cap² pairs and the flood still pairs via its other bands. ``None``
+    disables the cap (exact LSH semantics, e.g. for oracle mirroring).
+    ``log_fn`` (optional) receives a capped-bucket summary, at the price
+    of one eager count job.
     """
     if num_hashes % bands:
         raise ValueError(
@@ -187,6 +198,12 @@ def minhash_near_duplicates(
     # below references it twice and Spark broadcasts one side rather than
     # reusing the exchange, which would recompute every MinHash signature.
     banded = materialize(banded)
+    if max_bucket_size is not None:
+        from clickhouse_etl_spark.operators.skew import cap_bucket_membership
+
+        banded = cap_bucket_membership(
+            banded, ["band", "band_hash"], id_col, max_bucket_size, log_fn
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (

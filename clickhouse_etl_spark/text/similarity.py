@@ -284,6 +284,8 @@ def embedding_cosine_neardup(
     num_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 1000,
+    log_fn=None,
 ) -> DataFrame:
     """Embedding-space near-duplicate PAIRS: cosine ≥ threshold.
 
@@ -293,19 +295,31 @@ def embedding_cosine_neardup(
     there are no false positives; recall follows the OR-amplified
     (1-(1-p^planes)^tables) curve, which is steep near cosine 1 where
     near-duplicates live. Pairs emit once (id_a < id_b).
+
+    Scale shape: the bucket table and its self-join carry IDS ONLY —
+    vectors re-attach to the (much smaller) candidate set via semi-join,
+    so a 1k-dim embedding never rides the candidate shuffle (the same
+    candidates-then-payload shape as the MinHash shingle path).
+    ``max_bucket_size`` bounds any (table, bucket) membership so a
+    degenerate flood (identical vectors) cannot make the self-join
+    quadratic; ``None`` disables (exact LSH semantics for oracles).
     """
     dims = _probe_dims(corpus, vec_col)
-    c = corpus.select(
-        F.col(id_col), F.expr(_as_double(vec_col)).alias("__v")
-    ).select(
+    vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
+    buckets = vecs.select(
         id_col,
-        "__v",
         F.posexplode(_table_buckets("__v", num_planes, num_tables, dims)).alias(
             "__table", "__bucket"
         ),
-    ).transform(materialize)  # self-joined below; hash planes once
+    ).transform(materialize)  # self-joined below; hash planes once; ids+ints only
+    if max_bucket_size is not None:
+        from clickhouse_etl_spark.operators.skew import cap_bucket_membership
 
-    l, r = c.alias("l"), c.alias("r")
+        buckets = cap_bucket_membership(
+            buckets, ["__table", "__bucket"], id_col, max_bucket_size, log_fn
+        )
+
+    l, r = buckets.alias("l"), buckets.alias("r")
     pairs = (
         l.join(
             r,
@@ -316,16 +330,37 @@ def embedding_cosine_neardup(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.__v").alias("__va"),
-            F.col("r.__v").alias("__vb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()
+        # consumed three times below (two id projections + the verify
+        # join) — materialize the (small) pair list once
+        .transform(materialize)
     )
+    candidate_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_vecs = vecs.join(
+        F.broadcast(candidate_ids), on=id_col, how="left_semi"
+    ).transform(materialize)
     dot = _DOT.format(a="__va", b="__vb")
     na = _NORM.format(a="__va")
     nb = _NORM.format(a="__vb")
     return (
-        pairs.withColumn("__cos", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+        pairs.join(
+            cand_vecs.select(
+                F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+            ),
+            on="id_a",
+        )
+        .join(
+            cand_vecs.select(
+                F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+            ),
+            on="id_b",
+        )
+        .withColumn("__cos", F.expr(f"({dot}) / (({na}) * ({nb}))"))
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
     )

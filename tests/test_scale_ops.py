@@ -198,3 +198,94 @@ def test_nested_transcript_write_roundtrip(spark, tmp_path):
     # schoolId comes from the subject evaluations: 'sch0'/'sch1')
     one_school = back.filter(F.col("schoolId") == "sch0")
     assert 0 < one_school.count() < back.count()
+
+
+# --- LSH bucket-skew guard -------------------------------------------------
+
+def test_cap_bucket_membership_semantics(spark):
+    """Oversized buckets keep exactly the cap lowest members; normal
+    buckets pass untouched; log_fn reports the drop count."""
+    from clickhouse_etl_spark.operators.skew import cap_bucket_membership
+
+    rows = [("hot", i) for i in range(10)] + [("cold", 100), ("cold", 101)]
+    df = spark.createDataFrame(rows, ["bucket", "id"])
+    msgs = []
+    out = cap_bucket_membership(df, ["bucket"], "id", 3, log_fn=msgs.append)
+    got = sorted((r.bucket, r.id) for r in out.collect())
+    assert got == [("cold", 100), ("cold", 101), ("hot", 0), ("hot", 1), ("hot", 2)]
+    assert msgs == [
+        "cap_bucket_membership: capped 1 buckets over 3, dropped 7 memberships"
+    ]
+    # no-op when nothing is oversized, and cap >= 1 is enforced
+    assert cap_bucket_membership(df, ["bucket"], "id", 10).count() == 12
+    with pytest.raises(ValueError):
+        cap_bucket_membership(df, ["bucket"], "id", 0)
+
+
+def test_minhash_flood_stays_bounded(spark):
+    """Adversarial skew: thousands of IDENTICAL documents land in one
+    (band, hash) bucket per band. With the cap the self-join pairs at
+    most cap^2 ids instead of n^2 — the candidate pair set (and hence
+    runtime) is bounded by the cap, not the flood size."""
+    import time
+
+    from clickhouse_etl_spark.text.dedup import minhash_near_duplicates
+
+    n = 4000
+    flood = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same flood document body repeated").alias("text"),
+    )
+    distinct = spark.createDataFrame(
+        [(900001, "an unrelated document about entirely different things"),
+         (900002, "yet another unique body with its own shingles")],
+        ["doc_id", "text"],
+    )
+    docs = flood.unionByName(distinct)
+    msgs = []
+    t0 = time.perf_counter()
+    pairs = minhash_near_duplicates(
+        docs, max_bucket_size=50, log_fn=msgs.append
+    )
+    got = pairs.collect()
+    took = time.perf_counter() - t0
+    # every surviving pair is flood x flood among the 50 kept ids
+    cap_ids = set(range(50))
+    assert got, "flood must still produce near-dup pairs"
+    assert all(r.doc_a in cap_ids and r.doc_b in cap_ids for r in got)
+    assert len(got) <= 50 * 49 // 2
+    assert msgs and "dropped" in msgs[0]
+    # uncapped would verify ~8M pairs; the capped run is a small job.
+    # Generous wall bound: this is a smoke guard against the quadratic
+    # path, not a microbenchmark.
+    assert took < 120, f"capped flood run took {took:.1f}s"
+
+
+def test_embedding_flood_stays_bounded(spark):
+    """Same adversarial shape for the hyperplane-LSH pair generator:
+    identical vectors collide in every table's bucket; the cap bounds
+    the candidate set and the verify join carries ids only."""
+    from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
+
+    n = 3000
+    flood = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(1.0, 0.5, 0.25, 0.125)").alias("embedding"),
+    )
+    other = spark.createDataFrame(
+        [(900001, [0.0, 1.0, 0.0, 0.0])],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+    msgs = []
+    pairs = embedding_cosine_neardup(
+        flood.unionByName(other), threshold=0.99,
+        max_bucket_size=40, log_fn=msgs.append,
+    ).collect()
+    cap_ids = set(range(40))
+    assert pairs, "identical vectors must pair"
+    assert all(r.id_a in cap_ids and r.id_b in cap_ids for r in pairs)
+    assert len(pairs) <= 40 * 39 // 2
+    assert msgs and "capped" in msgs[0]
