@@ -53,6 +53,24 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def sample_vocabulary(vocab: DataFrame, top_n: int) -> DataFrame:
+    """Deterministic training sample: the ``top_n`` highest-count words
+    (count desc, word asc tiebreak — a total order, so retries are
+    stable).
+
+    The standard corpus-scale practice: a 100 TB corpus has hundreds of
+    millions of distinct words, but merge statistics are dominated by
+    the vocabulary head — tokenizers train on a capped word table.
+    Encoding stays TOTAL either way: words outside the sample fall back
+    toward characters (tests pin losslessness for OOV words). The
+    sampled path keeps bit-exact equivalence with the pure-Python
+    reference trained on the same sample.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    return vocab.orderBy(F.col("n").desc(), F.col("word")).limit(top_n)
+
+
 def _init_symbols(vocab: DataFrame) -> DataFrame:
     """Split each word into single-character symbols."""
     return vocab.select(
@@ -98,11 +116,41 @@ def _apply_merge(symtab: DataFrame, a: str, b: str) -> DataFrame:
     return symtab.select("word", "n", fold.alias("syms"))
 
 
+def _apply_merge_batch(
+    symtab: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """One left-to-right fold applying a batch of SYMBOL-DISJOINT merges.
+
+    Disjointness (no symbol appears in two pairs) makes the single scan
+    equivalent to applying the pairs sequentially in any order: no pair
+    can create, destroy, or overlap an occurrence of another, and a
+    just-merged symbol (a+b) can never match a batch pair (batch pairs
+    are pairs of pre-round symbols). Asserted against sequential
+    application in tests.
+    """
+    merged = {p: p[0] + p[1] for p in pairs}
+
+    def step(acc, x):
+        last = F.element_at(acc, -1)
+        expr = None
+        for (a, b) in pairs:
+            cond = (F.size(acc) > 0) & (last == F.lit(a)) & (x == F.lit(b))
+            repl = F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged[(a, b)]))
+            )
+            expr = F.when(cond, repl) if expr is None else expr.when(cond, repl)
+        return expr.otherwise(F.concat(acc, F.array(x)))
+
+    fold = F.aggregate(F.col("syms"), F.array().cast("array<string>"), step)
+    return symtab.select("word", "n", fold.alias("syms"))
+
+
 def train_bpe(
     vocab: DataFrame,
     n_merges: int,
     min_count: int = 2,
     materialize_every: int = 8,
+    batch_size: int = 1,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a (word, n) vocabulary.
 
@@ -111,27 +159,62 @@ def train_bpe(
     Ties break deterministically: highest count, then lexicographic
     (a, b) — pinned against the Python reference in tests.
 
-    Each iteration launches one vocab-scale Spark job (pair argmax) —
-    at 1M distinct words and 32k merges that is the standard overnight
-    tokenizer-training job; the corpus itself is never re-read.
+    ``batch_size=1`` (default) is CANONICAL BPE: one vocab-scale Spark
+    job (pair argmax) per merge — at 1M distinct words and 32k merges
+    that is a 32k-round driver loop, the textbook sequential algorithm.
+
+    ``batch_size>1`` is FREQUENCY-BATCHED BPE, the corpus-scale
+    contract: each round takes one pair-count snapshot and merges up to
+    ``batch_size`` of the top pairs that are mutually SYMBOL-DISJOINT,
+    in one fold pass — ~``batch_size``× fewer Spark rounds. Within a
+    round the merges are recorded in canonical (count desc, pair)
+    order, and disjointness makes the batch equal to applying them
+    sequentially; the sequence can deviate from canonical ONLY where a
+    pair emerging mid-batch would have outranked a later batch member
+    (the standard fast-trainer tradeoff; segmentations stay valid and
+    encoding stays lossless either way). Combine with
+    :func:`sample_vocabulary` for the full at-scale recipe: cap the
+    word table, batch the merge rounds.
     """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     symtab = materialize(_init_symbols(vocab))
     prev = symtab
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    since_cut = 0
+    while len(merges) < n_merges:
+        want = n_merges - len(merges)
+        take = min(batch_size, want)
+        # Over-fetch so the disjointness filter usually fills the batch
+        # from one snapshot; a short batch just means an extra round.
         top = (
             _pair_counts(symtab)
+            .filter(F.col("count") >= min_count)
             .orderBy(F.col("count").desc(), F.col("a"), F.col("b"))
-            .limit(1)
+            .limit(take * 4 if take > 1 else 1)
             .collect()
         )
-        if not top or top[0]["count"] < min_count:
+        if not top:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        symtab = _apply_merge(symtab, a, b)
-        if (i + 1) % materialize_every == 0:
-            # Fixed-point loop: the plan deepens by one fold per merge,
+        batch: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            a, b = row["a"], row["b"]
+            if a in used or b in used:
+                continue
+            batch.append((a, b))
+            used.update((a, b))
+            if len(batch) == take:
+                break
+        merges.extend(batch)
+        symtab = (
+            _apply_merge(symtab, *batch[0])
+            if len(batch) == 1
+            else _apply_merge_batch(symtab, batch)
+        )
+        since_cut += len(batch)
+        if since_cut >= materialize_every:
+            # Fixed-point loop: the plan deepens by one fold per round,
             # so the periodic materialize must TRUNCATE lineage
             # (cut_lineage escalates persist to a checkpoint), or
             # Catalyst re-analyzes an ever-growing tree each iteration.
@@ -139,6 +222,7 @@ def train_bpe(
             symtab = materialize(symtab, cut_lineage=True)
             prev.unpersist()
             prev = symtab
+            since_cut = 0
     return merges, symtab
 
 

@@ -108,3 +108,74 @@ def test_min_count_stops_early(spark):
     merges, symtab = train_bpe(vocab, N_MERGES, min_count=10**9)
     assert merges == []
     assert all(len(r.syms) == len(r.word) for r in symtab.collect())
+
+
+def _ref_apply(symtab: dict, wc: dict, merges):
+    """Apply a merge list sequentially with the reference scanner."""
+    symtab = {w: list(s) for w, s in symtab.items()}
+    for a, b in merges:
+        for w, syms in symtab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            symtab[w] = out
+    return symtab
+
+
+def test_sampled_vocabulary_training_matches_reference(spark):
+    """The at-scale recipe caps the word table; equivalence with the
+    Python reference holds bit-exactly ON THE SAMPLE (count desc, word
+    asc is a total order, so the sample itself is deterministic)."""
+    from clickhouse_etl_spark.text.bpe import sample_vocabulary
+
+    _, vocab, wc = _corpus_wc(spark)
+    top_n = 20
+    top = sample_vocabulary(vocab, top_n)
+    sampled_wc = {r.word: r.n for r in top.collect()}
+    assert len(sampled_wc) == top_n
+    # the sample is the vocabulary head: deterministic (count, word) cut
+    expect = dict(sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n])
+    assert sampled_wc == expect
+    merges, symtab = train_bpe(top, N_MERGES)
+    ref_merges, ref_symtab = _ref_train(sampled_wc, N_MERGES)
+    assert merges == ref_merges
+    assert {r.word: list(r.syms) for r in symtab.collect()} == ref_symtab
+
+
+def test_batched_training_contract(spark):
+    """Frequency-batched training: each round's batch is symbol-disjoint,
+    applying the returned merge list SEQUENTIALLY with the reference
+    scanner reproduces the final symbol table exactly (the disjointness
+    equivalence), the first merge is the canonical argmax, and encoding
+    with the batched ranking is lossless."""
+    _, vocab, wc = _corpus_wc(spark)
+    n = 3 * N_MERGES  # 3x the canonical test's merges, ~batch_size fewer rounds
+    merges, symtab = train_bpe(vocab, n, batch_size=8)
+    assert len(merges) == len(set(merges)) > 0
+    # canonical first merge
+    ref_merges, _ = _ref_train(wc, 1)
+    assert merges[0] == ref_merges[0]
+    # batch application == sequential application of the recorded order
+    got = {r.word: list(r.syms) for r in symtab.collect()}
+    init = {w: list(w) for w in wc}
+    assert got == _ref_apply(init, wc, merges)
+    # encoding with the batched ranking stays lossless
+    for r in encode_words(vocab.select("word").limit(50), merges).collect():
+        assert "".join(r.tokens) == r.word
+
+
+def test_batched_rejects_bad_sizes(spark):
+    import pytest
+
+    from clickhouse_etl_spark.text.bpe import sample_vocabulary
+
+    _, vocab, _ = _corpus_wc(spark)
+    with pytest.raises(ValueError):
+        train_bpe(vocab, 5, batch_size=0)
+    with pytest.raises(ValueError):
+        sample_vocabulary(vocab, 0)
