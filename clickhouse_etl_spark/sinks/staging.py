@@ -90,3 +90,35 @@ def rollback(table_root: str, version: str) -> None:
     tmp = root / f"{CURRENT_MARKER}.tmp"
     tmp.write_text(f"v={version}")
     os.replace(tmp, root / CURRENT_MARKER)
+
+
+def delete_versions_older_than(
+    table_root: str, keep_latest: int = 2
+) -> list[str]:
+    """G4 retention: drop all but the newest ``keep_latest`` snapshots.
+
+    The engine analog of the reference's log-retention DAG
+    (apps/airflow/dags/cleanup/clean_logs.py:21-24 — delete artifacts
+    older than a horizon, keep the recent tail). Versions sort
+    lexicographically (timestamps/zero-padded counters — the publish
+    convention), the ``_CURRENT`` target is never deleted regardless of
+    age, and the pointer file is untouched. Returns the deleted version
+    names (``v=...``).
+    """
+    _require_local_root(table_root)
+    if keep_latest < 1:
+        raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
+    root = Path(table_root)
+    versions = list_versions(table_root)
+    pointer = root / CURRENT_MARKER
+    current = pointer.read_text().strip() if pointer.exists() else None
+    doomed = [
+        v
+        for v in versions[: max(0, len(versions) - keep_latest)]
+        if v != current
+    ]
+    import shutil
+
+    for v in doomed:
+        shutil.rmtree(root / v)
+    return doomed

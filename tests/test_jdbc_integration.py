@@ -1,0 +1,98 @@
+"""Live JDBC execution against embedded Derby (the one real database on
+the sandbox JVM — pyspark ships derby*.jar for the Hive metastore).
+
+Every other JDBC test exercises option plumbing against landing zones;
+this one round-trips rows through an ACTUAL JDBC driver so the URL /
+dbtable / partition-option wiring, the dialect type mapping, and the
+V1 JDBC pushdown all execute for real. The reference's S1/S2 scans
+(…etl_students_to_clickhouse.py:48-51) run through Postgres the same
+way — swap the URL and driver, nothing else changes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.sources.readers import read_jdbc_table
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "jdbcdb"
+    url = f"jdbc:derby:{db};create=true"
+    seed = spark.range(0, 100).select(
+        F.col("id").cast("long").alias("student_id"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+        (F.col("id") % 5).cast("int").alias("school"),
+    )
+    (
+        seed.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "students")
+        .option("driver", DRIVER)
+        # Derby's default StringType mapping is CLOB, which its SQL layer
+        # refuses to compare/filter — pin VARCHAR like a real schema.
+        .option("createTableColumnTypes", "name VARCHAR(64)")
+        .mode("overwrite")
+        .save()
+    )
+    return url
+
+
+def test_jdbc_roundtrip_and_pushdown(spark, derby_url):
+    """S1: the filtered scan returns exactly the matching rows AND the
+    predicate reaches the JDBC source (PushedFilters in the scan node),
+    so the database — not Spark — does the filtering."""
+    df = read_jdbc_table(
+        spark,
+        derby_url,
+        "students",
+        predicates=["school = 2"],
+        properties={"driver": DRIVER},
+    )
+    rows = df.select("student_id", "name", "school").collect()
+    assert len(rows) == 20
+    assert all(r.school == 2 for r in rows)
+    assert all(r.name == f"name-{r.student_id}" for r in rows)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "school" in plan.split("PushedFilters", 1)[1]
+
+
+def test_jdbc_parallel_partitioned_scan(spark, derby_url):
+    """S2: partitionColumn options produce N parallel cursors (one task
+    per bound-range) and the union still reads every row exactly once."""
+    df = read_jdbc_table(
+        spark,
+        derby_url,
+        "students",
+        partition_options={
+            "partitionColumn": "student_id",
+            "lowerBound": "0",
+            "upperBound": "100",
+            "numPartitions": "4",
+        },
+        properties={"driver": DRIVER},
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+    assert sorted(r.student_id for r in df.select("student_id").collect()) == list(
+        range(100)
+    )
+
+
+def test_jdbc_column_pruning(spark, derby_url):
+    """Projection reaches the JDBC SELECT list: a 1-column read's scan
+    schema contains only that column (the generated SQL asks Derby for
+    it alone, not SELECT *)."""
+    df = read_jdbc_table(
+        spark, derby_url, "students", properties={"driver": DRIVER}
+    ).select("school")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "JDBCRelation" in l)
+    assert "school" in scan_line.lower()
+    assert "name" not in scan_line.lower().replace("jdbcrelation", "")
+    assert df.count() == 100

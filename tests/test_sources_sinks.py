@@ -258,3 +258,30 @@ def test_mongo_exclusion_projection_rejected(spark):
     with pytest.raises(ValueError, match="exclusion"):
         mongo_projection_columns({"_id": 0})
     assert len(mongo_projection_columns({"name": 1})) == 1
+
+
+def test_snapshot_retention_keeps_tail_and_current(spark, tmp_path):
+    """G4: old snapshots are pruned, the newest keep_latest and the
+    _CURRENT target always survive, and the pointer still resolves."""
+    import pytest
+
+    from clickhouse_etl_spark.sinks.staging import (
+        delete_versions_older_than,
+        list_versions,
+        publish_snapshot,
+        read_current,
+        rollback,
+    )
+
+    root = str(tmp_path / "snaps")
+    for v in ("20240101", "20240102", "20240103", "20240104"):
+        publish_snapshot(spark.range(3), root, v)
+    # roll back so _CURRENT points at an OLD version, then retain 2
+    rollback(root, "20240102")
+    deleted = delete_versions_older_than(root, keep_latest=2)
+    assert deleted == ["v=20240101"]  # 20240102 is old but is _CURRENT
+    assert list_versions(root) == ["v=20240102", "v=20240103", "v=20240104"]
+    assert read_current(spark, root).count() == 3
+
+    with pytest.raises(ValueError):
+        delete_versions_older_than(root, keep_latest=0)
