@@ -6,6 +6,7 @@ from clickhouse_etl_spark.pipelines.reference_etl import (
     monthly_subject_fact,
     monthly_subject_fact_incremental,
     student_transcript,
+    student_transcript_incremental,
     synthetic_warehouse,
 )
 
@@ -16,5 +17,6 @@ __all__ = [
     "monthly_subject_fact",
     "monthly_subject_fact_incremental",
     "student_transcript",
+    "student_transcript_incremental",
     "synthetic_warehouse",
 ]

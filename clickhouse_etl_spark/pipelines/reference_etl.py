@@ -765,6 +765,45 @@ def monthly_subject_fact_incremental(
     return untouched.unionByName(slice_fact).select(*slice_fact.columns)
 
 
+def student_transcript_incremental(
+    evaluations: DataFrame,
+    all_scores: DataFrame,
+    new_scores: DataFrame,
+    prev_transcript: DataFrame,
+    students: DataFrame,
+    structures: DataFrame,
+    subject_dim: DataFrame,
+    include_details: bool = True,
+) -> DataFrame:
+    """Incremental transcript maintenance: recompute ONLY the students a
+    new score batch touches.
+
+    The reference rebuilds every transcript daily
+    (…etl_student_transcript_to_clickhouse.py:177-457); the incremental
+    twin of :func:`monthly_subject_fact_incremental` with a coarser
+    slice: the transcript's grain is (studentId, structureRecordId),
+    and the structureRecord a subject lands in comes from the W2
+    REPRESENTATIVE's structurePath — one new score can move a subject
+    between structure records, touching both the old and the new
+    transcript row. Per-STUDENT scoping makes that safe by
+    construction: every transcript row derives solely from its
+    student's scores + dims, so rebuilding the affected students'
+    transcripts in full re-resolves representatives, precedence flips,
+    and record moves at once. Cost ∝ |affected students|, not |corpus|;
+    equivalence with the full rebuild is pinned in tests.
+    """
+    affected = materialize(new_scores.select("studentId").distinct())
+    scoped = all_scores.join(affected, on="studentId", how="left_semi")
+    slice_t = student_transcript(
+        evaluations, scoped, students, structures, subject_dim,
+        include_details=include_details,
+    )
+    untouched = anti_join(
+        prev_transcript, affected, on=["studentId"], broadcast=False
+    ).select(*prev_transcript.columns)
+    return untouched.unionByName(slice_t).select(*slice_t.columns)
+
+
 # ---------------------------------------------------------------------------
 # Lifecycle 3 — student_transcript (§3.3 nested, full 18-field tuple)
 # ---------------------------------------------------------------------------

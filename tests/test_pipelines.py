@@ -259,3 +259,35 @@ def test_document_source_as_pipeline_extract(spark, landing_zone):
 
     out = pipe.run({})["out"]
     assert out.count() == 2
+
+
+def test_transcript_incremental_matches_full_rebuild(spark):
+    """Per-student slice recompute + splice == full rebuild, including
+    precedence flips (a new direct score superseding a custom-only
+    subject) and representative-driven structureRecord moves."""
+    from clickhouse_etl_spark.pipelines.reference_etl import (
+        student_transcript,
+        student_transcript_incremental,
+    )
+
+    wh = synthetic_warehouse(spark, SF_SMOKE)
+    scores = wh["scores"]
+    # the held-out batch includes DIRECT subject scores (linenumber%3==0
+    # rows have 'su' evaluations), so precedence flips are exercised
+    old = scores.filter(F.col("scoreId") % 3 != 0)
+    new = scores.filter(F.col("scoreId") % 3 == 0)
+    assert new.count() > 0
+    assert new.filter(F.col("evaluationId").startswith("su")).count() > 0
+
+    args = (wh["students"], wh["structures"], wh["subject_dim"])
+    prev = student_transcript(wh["evaluations"], old, *args)
+    incremental = student_transcript_incremental(
+        wh["evaluations"], scores, new, prev, *args
+    )
+    full = student_transcript(wh["evaluations"], scores, *args)
+
+    def canon(df):
+        return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+    assert incremental.columns == full.columns
+    assert canon(incremental) == canon(full)
