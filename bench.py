@@ -122,7 +122,10 @@ def main() -> int:
     # passes, so every pass recomputes every query's full plan at the
     # target SF (within a pass, queries still share materialized
     # intermediates by design — same as a warm production session).
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    # 3 passes: the box's interference is bursty (observed 3x swings on
+    # IDENTICAL plans within minutes); min-of-3 recovers the true cost
+    # far more reliably than min-of-2 for ~1 extra minute of bench time.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     cpu0 = _cpu_sample()
     per_query: dict[str, float] = {}
     failed: dict[str, str] = {}
