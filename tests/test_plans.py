@@ -109,3 +109,65 @@ def test_whole_stage_codegen_covers_q1(spark):
     plan = _explain(q1_pricing_summary(spark, SF_SMOKE), mode="codegen")
     # "Found N WholeStageCodegen subtrees" — the whole agg pipeline codegens.
     assert "WholeStageCodegen" in plan
+
+
+def test_fact_precedence_is_single_full_outer_join(spark):
+    """The direct-vs-aggregated precedence merge is ONE full-outer
+    SortMergeJoin — not the old left-join + anti-join + union double
+    pass (two SMJs, custom aggregate scanned twice)."""
+    from clickhouse_etl_spark.pipelines.reference_etl import (
+        monthly_subject_fact,
+        synthetic_warehouse,
+    )
+
+    wh = synthetic_warehouse(spark, SF_SMOKE)
+    fact = monthly_subject_fact(
+        wh["evaluations"], wh["scores"], wh["students"],
+        wh["structures"], wh["subject_dim"],
+    )
+    plan = _explain(fact, "simple")
+    assert "FullOuter" in plan
+    assert "LeftAnti" not in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
+def test_range_join_query_has_no_row_level_outer_pass(spark):
+    """ext_range_join_windows pushes aggregation below the outer join:
+    the plan carries no anti join and no nested-loop/cartesian — the
+    binned equi-join plus a left join on the aggregate rows."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ext_range_join_windows"](spark, SF_SMOKE)
+    plan = _explain(df, "simple")
+    assert "LeftAnti" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_self_join_carries_ids_only(spark):
+    """The LSH bucket self-join's inputs are (id, table, bucket) — the
+    embedding vector must NOT ride the candidate exchange (it re-attaches
+    to verified candidates via semi-join)."""
+    from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = embedding_cosine_neardup(emb, threshold=0.35)
+    plan = _explain(df, "formatted")
+    # the join/exchange nodes over (__table, __bucket) must not carry the
+    # vector column in their attribute lists (the Generate node that
+    # COMPUTES buckets from __v is the one legitimate consumer)
+    shuffle_blocks = [
+        b
+        for b in plan.split("\n\n")
+        if ("__table" in b and "__bucket" in b)
+        and b.lstrip("(0123456789) ").startswith(
+            ("Exchange", "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "Sort")
+        )
+    ]
+    assert shuffle_blocks, "bucket self-join machinery not found in plan"
+    assert all("__v" not in b for b in shuffle_blocks), (
+        "vector column rides the bucket self-join"
+    )
+    spark.catalog.clearCache()
