@@ -1,0 +1,81 @@
+"""Distributed prefix sums — global running totals without a global window.
+
+A naive ``sum() OVER (ORDER BY k)`` is a SINGLE-partition window: the
+whole corpus funnels through one task, which is exactly the shape that
+dies first at 100 TB. The classic two-level construction here keeps
+every stage parallel:
+
+1. range-repartition on the order key (partition i's keys all sort
+   before partition i+1's),
+2. per-partition partial sums — ONE row per partition — collected to
+   the driver and turned into cumulative partition offsets,
+3. a within-partition window adds the local running sum to the
+   broadcast offset.
+
+The only driver-side state is #partitions rows (the same footprint as
+``sinks/compaction``'s per-partition summaries), and no task ever sees
+more than its own partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.util import materialize
+
+
+def running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_total",
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` in ``order_col`` order.
+
+    Each row's ``out_col`` is the sum of every strictly-earlier row's
+    value (first row gets 0) — the running-offset shape packing and
+    shard planning need. ``order_col`` should be unique: equal keys get
+    a valid but arbitrary relative order (range partitioning may split
+    ties across partitions).
+
+    The ranged frame is snapshotted with a lineage cut: the partition
+    offsets are collected from one evaluation, and a recomputation that
+    re-sampled range boundaries differently would silently shift rows
+    between partitions out from under those offsets.
+    """
+    spark = df.sparkSession
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = materialize(
+        df.repartitionByRange(n, F.col(order_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        cut_lineage=True,
+    )
+    parts = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__psum")).collect()
+    if not parts:
+        return df.withColumn(out_col, F.lit(0))
+    acc = 0
+    offsets = []
+    for r in sorted(parts, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += r["__psum"] or 0
+    off_type = "double" if any(isinstance(o[1], float) for o in offsets) else "long"
+    if off_type == "double":
+        offsets = [(pid, float(off)) for pid, off in offsets]
+    off_df = spark.createDataFrame(offsets, f"__pid int, __poff {off_type}")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast(off_type)
+    return (
+        ranged.join(F.broadcast(off_df), on="__pid")
+        .withColumn(
+            out_col,
+            F.col("__poff") + F.coalesce(F.sum(value_col).over(w), zero),
+        )
+        .drop("__pid", "__poff")
+    )

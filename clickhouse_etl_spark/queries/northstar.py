@@ -161,6 +161,46 @@ def ns_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Size-budgeted training-shard planning: consecutive docs (deterministic
+# id order) fill each shard to the token budget. The engine computes the
+# global running offset with the two-level distributed prefix sum (no
+# single-partition window); the oracle is the equivalent SQL window.
+# ---------------------------------------------------------------------------
+@register(
+    "ns_shard_plan",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN 0
+                  ELSE len(string_split(text, ' ')) END AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS stream_offset
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(stream_offset AS BIGINT) AS stream_offset,
+           CAST(FLOOR(stream_offset / 4096.0) AS BIGINT) AS shard
+    FROM o
+    """,
+)
+def ns_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.packing import plan_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_shards(docs, tokens_per_shard=4096)
+    return plan.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("stream_offset").cast("long").alias("stream_offset"),
+        "shard",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-user median/MAD outlier flags. The registered path is the JVM
 # two-pass (two percentile aggregations + joins — pure codegen, no
 # Python); operators.grouped.mad_outliers keeps the applyInPandas

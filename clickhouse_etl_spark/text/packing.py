@@ -40,32 +40,40 @@ def pack_contiguous(
     lands in), ``n_seqs`` (how many sequences it spans — >1 means the
     document is split across examples).
 
-    Scale: the running offset is ONE cumulative-sum window. With
-    ``shard_col`` the window partitions by shard — embarrassingly
-    parallel, the 100 TB form (each shard packs its own stream, which is
-    exactly how multi-file tokenized corpora are produced). Without it
-    the stream is global: a single-partition window, only for
-    small/medium corpora where one global order is genuinely required.
+    Scale: with ``shard_col`` the running offset is one cumulative-sum
+    window PER SHARD — embarrassingly parallel, the 100 TB form (each
+    shard packs its own stream, which is exactly how multi-file
+    tokenized corpora are produced; :func:`plan_shards` produces the
+    assignment). Without it the stream is global, computed with the
+    two-level distributed prefix sum (``operators.prefix.running_total``)
+    — parallel at every stage, no single-partition window anywhere.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    shard = F.col(shard_col) if shard_col else F.lit(0)
-    w = (
-        Window.partitionBy(shard)
-        .orderBy(F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     # NULL text must not poison the stream: size(split(NULL)) is -1
     # (legacy sizeOfNull), which would DECREMENT every later document's
     # offset. Null/empty documents contribute 0 tokens.
     n_tokens = F.when(
         F.col(text_col).isNull() | (F.col(text_col) == ""), F.lit(0)
     ).otherwise(F.size(F.split(F.col(text_col), " ")))
-    base = df.select(
+    counted = df.select(
         *( [F.col(shard_col)] if shard_col else [] ),
         F.col(id_col),
         n_tokens.alias("n_tokens"),
-    ).withColumn("stream_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    )
+    if shard_col:
+        w = (
+            Window.partitionBy(F.col(shard_col))
+            .orderBy(F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        base = counted.withColumn(
+            "stream_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+    else:
+        from clickhouse_etl_spark.operators.prefix import running_total
+
+        base = running_total(counted, id_col, "n_tokens", out_col="stream_offset")
     return base.select(
         *( [shard_col] if shard_col else [] ),
         id_col,
@@ -80,6 +88,47 @@ def pack_contiguous(
             - F.floor(F.col("stream_offset") / seq_len)
             + 1
         ).cast("int").alias("n_seqs"),
+    )
+
+
+def plan_shards(
+    df: DataFrame,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Size-budgeted shard assignment: consecutive documents (in
+    deterministic ``id_col`` order) fill each shard to ``tokens_per_shard``
+    tokens before the next one starts.
+
+    Output per document: ``n_tokens``, ``stream_offset`` (exclusive
+    prefix sum), ``shard`` (= offset // budget). A document is assigned
+    by its START offset, so a shard can overrun the budget by at most
+    one document — the standard training-shard contract (webdataset/
+    tokenized-corpus exports do the same). Feed the result to
+    :func:`pack_contiguous` with ``shard_col='shard'`` for the fully
+    parallel per-shard packing pass, or to a partitioned writer.
+
+    Scale: one distributed prefix sum (two-level, no global window) +
+    pure column arithmetic. Deterministic: same corpus → same shards,
+    retry-stable.
+    """
+    if tokens_per_shard <= 0:
+        raise ValueError(
+            f"tokens_per_shard must be positive, got {tokens_per_shard}"
+        )
+    from clickhouse_etl_spark.operators.prefix import running_total
+
+    n_tokens = F.when(
+        F.col(text_col).isNull() | (F.col(text_col) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.col(text_col), " ")))
+    counted = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    planned = running_total(counted, id_col, "n_tokens", out_col="stream_offset")
+    return planned.select(
+        id_col,
+        "n_tokens",
+        "stream_offset",
+        F.floor(F.col("stream_offset") / tokens_per_shard).alias("shard"),
     )
 
 

@@ -289,3 +289,73 @@ def test_embedding_flood_stays_bounded(spark):
     assert all(r.id_a in cap_ids and r.id_b in cap_ids for r in pairs)
     assert len(pairs) <= 40 * 39 // 2
     assert msgs and "capped" in msgs[0]
+
+
+# --- distributed prefix sum ------------------------------------------------
+
+def test_running_total_matches_global_window(spark):
+    """Two-level prefix sum == the single-partition window oracle, across
+    many partitions and unordered input."""
+    from clickhouse_etl_spark.operators.prefix import running_total
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 7919 % 5000).alias("k"),  # permuted order key
+        ((F.col("id") % 13) + 1).alias("v"),
+    )
+    out = running_total(df, "k", "v", partitions=16)
+    got = {r.k: r.running_total for r in out.collect()}
+    rows = sorted((r.k, r.v) for r in df.collect())
+    acc, expect = 0, {}
+    for k, v in rows:
+        expect[k] = acc
+        acc += v
+    assert got == expect
+
+
+def test_running_total_double_values_and_empty(spark):
+    from clickhouse_etl_spark.operators.prefix import running_total
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 1.25), (3, 2.0)], ["k", "v"]
+    )
+    got = {r.k: r.running_total for r in running_total(df, "k", "v").collect()}
+    assert got == {1: 0.0, 2: 0.5, 3: 1.75}
+
+    empty = df.filter("k < 0")
+    assert running_total(empty, "k", "v").count() == 0
+
+
+def test_plan_shards_budget_contract(spark):
+    """Every shard's token total stays under budget + its last document
+    (assignment by start offset), shards are contiguous in id order, and
+    the planner feeds pack_contiguous's parallel per-shard path."""
+    from clickhouse_etl_spark.text.packing import pack_contiguous, plan_shards
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_shards(docs, tokens_per_shard=2000)
+    rows = sorted(
+        (r.doc_id, r.n_tokens, r.stream_offset, r.shard) for r in plan.collect()
+    )
+    assert rows, "empty plan"
+    # contiguity + budget
+    for (d1, n1, o1, s1), (d2, n2, o2, s2) in zip(rows, rows[1:]):
+        assert o2 == o1 + n1  # exclusive prefix sum
+        assert s2 >= s1  # shards are contiguous runs
+    import collections
+
+    per_shard = collections.Counter()
+    last_doc = {}
+    for d, n, o, s in rows:
+        per_shard[s] += n
+        last_doc[s] = n
+    for s, tot in per_shard.items():
+        assert tot < 2000 + last_doc[s] + 1
+    # composes with the per-shard packing pass
+    packed = pack_contiguous(
+        plan.withColumnRenamed("n_tokens", "nt").join(
+            docs.select("doc_id", "text"), on="doc_id"
+        ),
+        seq_len=256,
+        shard_col="shard",
+    )
+    assert packed.count() == len(rows)
