@@ -687,3 +687,49 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return ivf_ann_topk(emb, queries, k=5, hash_family="poly")
+
+
+# ---------------------------------------------------------------------------
+# Cluster assignment (the k-means inference path): argmin L2 distance to
+# k deterministic centroids (the k lowest-id vectors — train_kmeans's
+# init). The full Lloyd trainer is iterative (pytest-pinned vs numpy in
+# tests/test_kmeans.py); the assignment pass — the part that runs at
+# corpus scale — is value-hash-checked here. Lowest cluster wins ties.
+# ---------------------------------------------------------------------------
+
+def _cluster_oracle(k=6) -> str:
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+      FROM emb ORDER BY vec_id LIMIT {k}
+    ),
+    d AS (
+      SELECT e.vec_id, c.cluster,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS sq
+      FROM emb e CROSS JOIN cent c
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           ROUND(sq, 6) AS sq_dist
+    FROM (
+      SELECT vec_id, cluster, sq,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sq ASC, cluster ASC) AS rk
+      FROM d
+    ) WHERE rk = 1
+    """
+
+
+@register("ns_cluster_assign", oracle=_cluster_oracle())
+def ns_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.kmeans import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(6).select("embedding").collect()
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    return assign_clusters(emb, centroids).select(
+        "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")
+    )

@@ -1,0 +1,120 @@
+"""Distributed k-means (Lloyd's) over embedding columns.
+
+The clustering primitive behind semantic dedup, corpus bucketing for
+curriculum mixing, and trained-centroid IVF indexes (the IVF search in
+:mod:`text.similarity` probes FIXED sampled centroids; this module
+LEARNS them).
+
+Scale decomposition — the whole design:
+
+- Each Lloyd iteration is ONE corpus pass: centroids (k x dims doubles,
+  kilobytes) ride the closure as a broadcast literal array; assignment
+  is an argmin over JVM higher-order functions (zip_with/aggregate), no
+  Python in the row path.
+- The centroid update collapses corpus-scale data to k x dims rows
+  BEFORE the driver sees anything: posexplode to (cluster, dim, value),
+  groupBy average (map-side combined), collect k x dims scalars.
+- Empty clusters keep their previous centroid (the standard Lloyd
+  fallback) so k never silently shrinks.
+
+Initialization is deterministic (the k lowest-id vectors): no RNG, so
+runs/retries/oracles agree. Pinned step-for-step against a numpy
+reference in tests/test_kmeans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.text.similarity import _as_double
+
+
+def _sq_dist_expr(vec: str, centroid: list[float]) -> str:
+    arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec}, {arr}, (x, c) -> (x - c) * (x - c)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, sq_dist): nearest centroid per vector (L2, argmin,
+    lowest cluster id wins ties). Centroids are literals in the plan —
+    kilobytes of codegen, zero shuffle."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    base = df.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
+    dists = base.select(
+        id_col,
+        "__v",
+        F.array(
+            *[F.expr(_sq_dist_expr("__v", c)) for c in centroids]
+        ).alias("__d"),
+    )
+    return dists.select(
+        id_col,
+        "__v",
+        (F.expr("array_position(__d, array_min(__d))") - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.expr("array_min(__d)").alias("sq_dist"),
+    )
+
+
+def train_kmeans(
+    df: DataFrame,
+    k: int,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means. Returns (centroids, assignments).
+
+    ``assignments`` is ``(id_col, cluster, sq_dist)`` under the FINAL
+    centroids. Stops early when every centroid moves less than ``tol``
+    (max absolute coordinate change) in an iteration.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
+    init_rows = base.orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} but corpus has only {len(init_rows)} vectors")
+    centroids = [list(r["__v"]) for r in init_rows]
+    dims = len(centroids[0])
+
+    for _ in range(max_iters):
+        assigned = assign_clusters(base, centroids, id_col=id_col, vec_col="__v")
+        new_rows = (
+            assigned.select(
+                "cluster", F.posexplode("__v").alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty-cluster fallback
+        by_cluster: dict[int, list[float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], [0.0] * dims)[r["dim"]] = r["mean"]
+        for cid, vec in by_cluster.items():
+            new_centroids[cid] = vec
+        moved = max(
+            abs(a - b)
+            for old, new in zip(centroids, new_centroids)
+            for a, b in zip(old, new)
+        )
+        centroids = new_centroids
+        if moved < tol:
+            break
+    final = assign_clusters(base, centroids, id_col=id_col, vec_col="__v").select(
+        id_col, "cluster", F.round("sq_dist", 9).alias("sq_dist")
+    )
+    return centroids, final

@@ -1,0 +1,86 @@
+"""Distributed Lloyd's k-means pinned against a numpy reference."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from clickhouse_etl_spark.catalog import load_table
+from clickhouse_etl_spark.text.kmeans import assign_clusters, train_kmeans
+from tests.conftest import SF_SMOKE
+
+K = 6
+ITERS = 5
+
+
+def _ref_kmeans(ids, vecs, k, iters, tol=1e-6):
+    """Same init (k lowest ids), same argmin tiebreak (lowest cluster),
+    same empty-cluster fallback, same stop rule."""
+    order = np.argsort(ids)
+    X = vecs[order]
+    centroids = X[:k].copy()
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes the first (lowest) index
+        new = centroids.copy()
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        moved = np.abs(new - centroids).max()
+        centroids = new
+        if moved < tol:
+            break
+    d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return centroids, d.argmin(axis=1), d.min(axis=1)
+
+
+def _load(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    vecs = np.array([[float(x) for x in r.embedding] for r in rows])
+    return emb, ids, vecs
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    emb, ids, vecs = _load(spark)
+    centroids, assigned = train_kmeans(emb, K, max_iters=ITERS)
+    ref_c, ref_a, ref_d = _ref_kmeans(ids, vecs, K, ITERS)
+
+    assert np.allclose(np.array(centroids), ref_c, atol=1e-8)
+    got = {r.vec_id: (r.cluster, r.sq_dist) for r in assigned.collect()}
+    ref = {
+        int(i): (int(a), float(d)) for i, a, d in zip(ids, ref_a, ref_d)
+    }
+    assert set(got) == set(ref)
+    for vid, (cl, dist) in got.items():
+        assert cl == ref[vid][0], f"cluster mismatch for {vid}"
+        assert abs(dist - ref[vid][1]) < 1e-6
+
+    # every cluster is non-trivial on the fixture corpus
+    sizes = [r["count"] for r in assigned.groupBy("cluster").count().collect()]
+    assert len(sizes) == K and min(sizes) >= 1
+
+
+def test_kmeans_converges_and_stops_early(spark):
+    """tol large enough that Lloyd stops after the first stable pass —
+    the returned assignment is a fixed point (re-assigning under the
+    returned centroids changes nothing)."""
+    emb, _, _ = _load(spark)
+    centroids, assigned = train_kmeans(emb, K, max_iters=50, tol=1e-3)
+    again = assign_clusters(emb, centroids)
+    a = {r.vec_id: r.cluster for r in assigned.collect()}
+    b = {r.vec_id: r.cluster for r in again.collect()}
+    assert a == b
+
+
+def test_kmeans_validates_inputs(spark):
+    import pytest
+
+    emb, _, _ = _load(spark)
+    with pytest.raises(ValueError):
+        train_kmeans(emb, 0)
+    with pytest.raises(ValueError):
+        train_kmeans(emb.limit(3), 10)
+    with pytest.raises(ValueError):
+        assign_clusters(emb, [])
