@@ -160,44 +160,10 @@ def ns_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=40, overlap_tokens=8)
 
 
-# ---------------------------------------------------------------------------
-# Size-budgeted training-shard planning: consecutive docs (deterministic
-# id order) fill each shard to the token budget. The engine computes the
-# global running offset with the two-level distributed prefix sum (no
-# single-partition window); the oracle is the equivalent SQL window.
-# ---------------------------------------------------------------------------
-@register(
-    "ns_shard_plan",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             CASE WHEN text IS NULL OR text = '' THEN 0
-                  ELSE len(string_split(text, ' ')) END AS n_tokens
-      FROM documents
-    ), o AS (
-      SELECT doc_id, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS stream_offset
-      FROM t
-    )
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(stream_offset AS BIGINT) AS stream_offset,
-           CAST(FLOOR(stream_offset / 4096.0) AS BIGINT) AS shard
-    FROM o
-    """,
-)
-def ns_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_etl_spark.text.packing import plan_shards
-
-    docs = load_table(spark, sf_dir, "documents")
-    plan = plan_shards(docs, tokens_per_shard=4096)
-    return plan.select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("stream_offset").cast("long").alias("stream_offset"),
-        "shard",
-    )
+# ns_shard_plan (token-budget shard planning over the distributed prefix
+# sum) lives in tests/test_demoted_oracles.py — the registry is capped at
+# 50 so every entry gets a driver CORRECTNESS row; the SQL-window oracle
+# rigor is identical there.
 
 
 # ---------------------------------------------------------------------------
@@ -689,47 +655,7 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=5, hash_family="poly")
 
 
-# ---------------------------------------------------------------------------
-# Cluster assignment (the k-means inference path): argmin L2 distance to
-# k deterministic centroids (the k lowest-id vectors — train_kmeans's
-# init). The full Lloyd trainer is iterative (pytest-pinned vs numpy in
-# tests/test_kmeans.py); the assignment pass — the part that runs at
-# corpus scale — is value-hash-checked here. Lowest cluster wins ties.
-# ---------------------------------------------------------------------------
-
-def _cluster_oracle(k=6) -> str:
-    return f"""
-    WITH emb AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
-      FROM emb ORDER BY vec_id LIMIT {k}
-    ),
-    d AS (
-      SELECT e.vec_id, c.cluster,
-             list_sum(list_transform(range(1, len(e.v) + 1),
-               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS sq
-      FROM emb e CROSS JOIN cent c
-    )
-    SELECT vec_id, CAST(cluster AS INT) AS cluster,
-           ROUND(sq, 6) AS sq_dist
-    FROM (
-      SELECT vec_id, cluster, sq,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-               ORDER BY sq ASC, cluster ASC) AS rk
-      FROM d
-    ) WHERE rk = 1
-    """
-
-
-@register("ns_cluster_assign", oracle=_cluster_oracle())
-def ns_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_etl_spark.text.kmeans import assign_clusters
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    init = emb.orderBy("vec_id").limit(6).select("embedding").collect()
-    centroids = [[float(x) for x in r.embedding] for r in init]
-    return assign_clusters(emb, centroids).select(
-        "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")
-    )
+# ns_cluster_assign (k-means inference: argmin L2 to deterministic
+# centroids) lives in tests/test_demoted_oracles.py for the same
+# registry-cap reason; the Lloyd trainer itself is iterative and is
+# pinned against numpy in tests/test_kmeans.py.

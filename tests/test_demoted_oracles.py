@@ -527,3 +527,78 @@ def test_pack_contiguous_null_text_contributes_zero(spark):
     rows = {r.doc_id: r for r in pack_contiguous(df, seq_len=4).collect()}
     assert rows[2].n_tokens == 0 and rows[3].n_tokens == 0
     assert rows[4].stream_offset == 3  # only doc 1's tokens precede it
+
+
+def test_shard_plan_oracle(spark):
+    """Token-budget shard planning (distributed prefix sum) vs the SQL
+    window oracle — the registry-cap demotion of ns_shard_plan."""
+    from clickhouse_etl_spark.text.packing import plan_shards
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_shards(docs, tokens_per_shard=4096).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("stream_offset").cast("long").alias("stream_offset"),
+        "shard",
+    )
+    _assert_matches_oracle(
+        plan,
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR text = '' THEN 0
+                      ELSE len(string_split(text, ' ')) END AS n_tokens
+          FROM documents
+        ), o AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS stream_offset
+          FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(stream_offset AS BIGINT) AS stream_offset,
+               CAST(FLOOR(stream_offset / 4096.0) AS BIGINT) AS shard
+        FROM o
+        """,
+    )
+
+
+def test_cluster_assign_oracle(spark):
+    """k-means inference path (argmin L2 to the deterministic lowest-id
+    centroids, lowest cluster wins ties) vs a cross-join argmin oracle —
+    the registry-cap demotion of ns_cluster_assign."""
+    from clickhouse_etl_spark.text.kmeans import assign_clusters
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    init = emb.orderBy("vec_id").limit(6).select("embedding").collect()
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    out = assign_clusters(emb, centroids).select(
+        "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")
+    )
+    _assert_matches_oracle(
+        out,
+        """
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+          FROM emb ORDER BY vec_id LIMIT 6
+        ),
+        d AS (
+          SELECT e.vec_id, c.cluster,
+                 list_sum(list_transform(range(1, len(e.v) + 1),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS sq
+          FROM emb e CROSS JOIN cent c
+        )
+        SELECT vec_id, CAST(cluster AS INT) AS cluster,
+               ROUND(sq, 6) AS sq_dist
+        FROM (
+          SELECT vec_id, cluster, sq,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sq ASC, cluster ASC) AS rk
+          FROM d
+        ) WHERE rk = 1
+        """,
+    )
