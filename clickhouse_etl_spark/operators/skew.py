@@ -113,10 +113,12 @@ def cap_bucket_membership(
     pairs through its other (capped) buckets, and cluster transitivity
     recovers group membership downstream.
 
-    Shape: one map-side-combinable count over ``df``, a BROADCAST of the
-    oversized-bucket list (≤ |df|/cap rows by construction), and a
-    row_number window restricted to ONLY the oversized buckets' rows —
-    normal buckets stream through untouched, no global sort.
+    Shape: ONE row_number window hash-partitioned by the bucket key —
+    fully parallel (this is a per-bucket window, never a global sort),
+    one exchange of the same magnitude the downstream self-join pays
+    anyway. A flood bucket sorts its members in one task (n log n),
+    which is precisely the trade: linear-ish sort instead of the n²
+    pair join those members would otherwise generate.
 
     ``log_fn``: when provided, the oversized buckets are counted EAGERLY
     (one job over ``df`` — callers materialize it first) and a summary
@@ -126,29 +128,24 @@ def cap_bucket_membership(
     if max_bucket_size < 1:
         raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
     bcols = list(bucket_cols)
-    sizes = df.groupBy(*bcols).agg(F.count(F.lit(1)).alias("__bsz"))
-    big = sizes.filter(F.col("__bsz") > max_bucket_size)
     if log_fn is not None:
-        stats = big.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("__bsz") - max_bucket_size).alias("dropped"),
-        ).collect()[0]
+        stats = (
+            df.groupBy(*bcols)
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__bsz") - max_bucket_size).alias("dropped"),
+            )
+            .collect()[0]
+        )
         log_fn(
             f"cap_bucket_membership: capped {stats['n'] or 0} buckets over "
             f"{max_bucket_size}, dropped {stats['dropped'] or 0} memberships"
         )
-    flagged = df.join(
-        F.broadcast(big.select(*bcols, F.lit(True).alias("__big"))),
-        on=bcols,
-        how="left",
-    )
-    small_part = flagged.filter(F.col("__big").isNull()).drop("__big")
     w = Window.partitionBy(*bcols).orderBy(order_col)
-    big_part = (
-        flagged.filter(F.col("__big").isNotNull())
-        .drop("__big")
-        .withColumn("__rn", F.row_number().over(w))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_bucket_size)
         .drop("__rn")
     )
-    return small_part.unionByName(big_part)

@@ -201,6 +201,9 @@ def minhash_near_duplicates(
     if max_bucket_size is not None:
         from clickhouse_etl_spark.operators.skew import cap_bucket_membership
 
+        # no extra snapshot: the cap is one window over the cached band
+        # table — cheaper to re-run per self-join side than to fill a
+        # second cache (measured).
         banded = cap_bucket_membership(
             banded, ["band", "band_hash"], id_col, max_bucket_size, log_fn
         )

@@ -315,6 +315,8 @@ def embedding_cosine_neardup(
     if max_bucket_size is not None:
         from clickhouse_etl_spark.operators.skew import cap_bucket_membership
 
+        # no extra snapshot: one window over the cached bucket table,
+        # cheaper to re-run per self-join side than a second cache fill
         buckets = cap_bucket_membership(
             buckets, ["__table", "__bucket"], id_col, max_bucket_size, log_fn
         )
