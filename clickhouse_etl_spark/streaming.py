@@ -261,6 +261,50 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts_col: str,
+    right_ts_col: str,
+    within: str = "1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join: right rows whose timestamp
+    falls in ``[left_ts, left_ts + within]`` for the same key — the
+    canonical attribution shape (impression → conversion within an
+    hour), here as a real two-stream join.
+
+    State stays BOUNDED because both sides carry watermarks AND the join
+    condition bounds right_ts relative to left_ts: Spark derives state
+    eviction for each side from the watermark + range (the documented
+    stream-stream inner-join requirement; without the time bound, both
+    sides' state would grow forever).
+
+    Column names across the two inputs must be disjoint (rename before
+    joining — attribution joins need role-specific names anyway). The
+    SAME code path runs on batch frames (``withWatermark`` is a no-op
+    there), which is how tests pin batch ≡ stream equivalence.
+    """
+    if set(left.columns) & set(right.columns):
+        clash = sorted(set(left.columns) & set(right.columns))
+        raise ValueError(
+            f"left/right column names must be disjoint, both have: {clash}"
+        )
+    lw = left.withWatermark(left_ts_col, watermark)
+    rw = right.withWatermark(right_ts_col, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts_col) >= F.col(left_ts_col))
+        & (
+            F.col(right_ts_col)
+            <= F.col(left_ts_col) + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def foreach_batch_upsert(
     streaming_df: DataFrame,
     table_root: str,

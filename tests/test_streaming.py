@@ -10,7 +10,10 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from clickhouse_etl_spark import streaming as st
+from clickhouse_etl_spark.catalog import load_table
 from clickhouse_etl_spark.queries.streaming_batch import (
     stream_session_30m,
     stream_sliding_2h,
@@ -246,3 +249,47 @@ def test_foreach_batch_upsert_incremental_merge(spark, tmp_path):
     }
     # one snapshot version per micro-batch, all kept for rollback
     assert len(list_versions(table_root)) == 2
+
+
+def _attribution_sides(df):
+    """views → later purchases by the same user within 1 hour; disjoint
+    role-specific column names (the operator's contract)."""
+    views = df.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = df.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return views, buys
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """The two-stream attribution join (bounded state via watermark +
+    time-range condition) produces exactly the batch interval join."""
+    events = load_table(spark, SF_SMOKE, "events")
+    bv, bp = _attribution_sides(events)
+    batch = rows_set(
+        st.stream_interval_join(bv, bp, "v_user", "p_user", "v_ts", "p_ts")
+    )
+    assert batch, "fixture produces no attribution pairs — widen the window"
+
+    s = st.read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
+    sv, sp = _attribution_sides(s)
+    joined = st.stream_interval_join(sv, sp, "v_user", "p_user", "v_ts", "p_ts")
+    assert joined.isStreaming
+    out = st.run_stream_to_memory(
+        spark, joined, "attr_join", str(tmp_path / "attr"), output_mode="append"
+    )
+    assert rows_set(out) == batch
+
+
+def test_stream_interval_join_rejects_column_clash(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    import pytest
+
+    with pytest.raises(ValueError, match="disjoint"):
+        st.stream_interval_join(events, events, "user_id", "user_id", "ts", "ts")
