@@ -35,14 +35,9 @@ def _cpu_sample() -> tuple[int, int] | None:
         return None
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
-    except ValueError:
-        sf = None
-
+def build_bench_session(cpus: int):
+    """The bench session config — ONE definition, shared with
+    tools/timeq.py so ad-hoc timings always match the driver's bench."""
     from pyspark.sql import SparkSession
 
     spark = (
@@ -78,20 +73,35 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
-
-    # Warm up the JVM/codegen path AND the Python worker pool once so the
-    # first timed query isn't charged for session infrastructure startup
-    # (Arrow workers take ~2s to spin; they're reused across queries).
+def warm_session(spark) -> None:
+    """Warm the JVM/codegen path AND the Python worker pool once so the
+    first timed query isn't charged for session infrastructure startup
+    (Arrow workers take ~2s to spin; they're reused across queries)."""
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     def _identity(it):
         yield from it
 
     spark.range(1_000).mapInPandas(_identity, schema="id long").count()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    spark = build_bench_session(cpus)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    warm_session(spark)
 
     # Per-query JIT warmup at the smallest scale factor (sf0.001): run
     # every registered query once so Catalyst analysis, whole-stage

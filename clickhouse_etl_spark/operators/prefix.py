@@ -53,24 +53,46 @@ def running_total(
         ),
         cut_lineage=True,
     )
-    parts = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__psum")).collect()
+    partials = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
+    # The offset column reuses the SUM's own Spark type (long for ints,
+    # double for floats, decimal(p+10, s) for decimals) so every numeric
+    # value column works without lossy coercion.
+    psum_type = partials.schema["__psum"].dataType
+    parts = partials.collect()
     if not parts:
-        return df.withColumn(out_col, F.lit(0))
-    acc = 0
+        return df.withColumn(out_col, F.lit(0).cast(psum_type))
+    import decimal as _dec
+
+    acc: int | float | _dec.Decimal = 0
     offsets = []
     for r in sorted(parts, key=lambda r: r["__pid"]):
         offsets.append((r["__pid"], acc))
         acc += r["__psum"] or 0
-    off_type = "double" if any(isinstance(o[1], float) for o in offsets) else "long"
-    if off_type == "double":
-        offsets = [(pid, float(off)) for pid, off in offsets]
-    off_df = spark.createDataFrame(offsets, f"__pid int, __poff {off_type}")
+    from pyspark.sql import types as T
+
+    def _coerce(v):
+        if isinstance(psum_type, T.DecimalType):
+            return _dec.Decimal(v) if not isinstance(v, _dec.Decimal) else v
+        if isinstance(psum_type, (T.DoubleType, T.FloatType)):
+            return float(v)
+        return int(v)
+
+    offsets = [(pid, _coerce(off)) for pid, off in offsets]
+    off_df = spark.createDataFrame(
+        offsets,
+        T.StructType(
+            [
+                T.StructField("__pid", T.IntegerType()),
+                T.StructField("__poff", psum_type),
+            ]
+        ),
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    zero = F.lit(0).cast(off_type)
+    zero = F.lit(0).cast(psum_type)
     return (
         ranged.join(F.broadcast(off_df), on="__pid")
         .withColumn(

@@ -70,11 +70,16 @@ def range_join_binned(
     surrogate = how != "inner" and key_cols is None
     if surrogate:
         # Snapshot so both consumers (join side + anti side) see the same
-        # surrogate ids — see docstring.
+        # surrogate ids — see docstring. cut_lineage: a lazy cache is not
+        # enough, because an evicted block would recompute
+        # monotonically_increasing_id from the live plan with
+        # potentially different partition ordering, silently
+        # double-surfacing or dropping preserved rows.
         stamped = materialize(
             (events if how == "left" else intervals).withColumn(
                 "__pid", F.monotonically_increasing_id()
-            )
+            ),
+            cut_lineage=True,
         )
         if how == "left":
             events = stamped

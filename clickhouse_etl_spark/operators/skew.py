@@ -99,19 +99,32 @@ def cap_bucket_membership(
     order_col: str,
     max_bucket_size: int,
     log_fn: Callable[[str], None] | None = None,
+    order: str = "lowest",
 ) -> DataFrame:
-    """Bound every bucket to its ``max_bucket_size`` lowest-``order_col``
-    members — the guard that keeps LSH-style bucket SELF-JOINS from going
-    quadratic on a degenerate key.
+    """Bound every bucket to ``max_bucket_size`` members — the guard that
+    keeps LSH-style bucket SELF-JOINS from going quadratic on a
+    degenerate key.
 
     A flood of identical/empty documents lands in ONE (band, hash)
     bucket; its self-join is |bucket|² pairs regardless of how good the
     hash family is. Capping membership bounds any bucket's pair count at
     cap², making total cost ∝ corpus + cap²·(oversized buckets) instead
-    of unbounded. Dropped members lose only DIRECT pairing within that
-    bucket — with OR-amplified tables/bands a near-duplicate flood still
-    pairs through its other (capped) buckets, and cluster transitivity
-    recovers group membership downstream.
+    of unbounded. The honest recall contract: a member dropped from a
+    bucket loses its pairings IN THAT BUCKET — a flood far larger than
+    the cap can never be fully paired (that is the point; exact dedup
+    upstream is the companion that collapses identical floods first).
+
+    ``order`` picks WHICH members survive:
+
+    - ``"lowest"`` (default): the cap-lowest ``order_col`` values —
+      deterministic and predictable, but for multi-bucket LSH every
+      bucket of a flood keeps the SAME members, so coverage stops at
+      one cap's worth of docs.
+    - ``"hashed"``: deterministic per-bucket order
+      ``xxhash64(bucket_cols…, order_col)`` — each band/table keeps a
+      DIFFERENT survivor subset, so an OR-amplified scheme pairs up to
+      bands×cap flood members and downstream cluster transitivity links
+      their groups. Use for banded near-dup paths.
 
     Shape: ONE row_number window hash-partitioned by the bucket key —
     fully parallel (this is a per-bucket window, never a global sort),
@@ -127,6 +140,8 @@ def cap_bucket_membership(
     """
     if max_bucket_size < 1:
         raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
+    if order not in ("lowest", "hashed"):
+        raise ValueError(f"order must be 'lowest' or 'hashed', got {order!r}")
     bcols = list(bucket_cols)
     if log_fn is not None:
         stats = (
@@ -143,7 +158,14 @@ def cap_bucket_membership(
             f"cap_bucket_membership: capped {stats['n'] or 0} buckets over "
             f"{max_bucket_size}, dropped {stats['dropped'] or 0} memberships"
         )
-    w = Window.partitionBy(*bcols).orderBy(order_col)
+    if order == "hashed":
+        sort_cols = [
+            F.xxhash64(*[F.col(c) for c in bcols], F.col(order_col)),
+            F.col(order_col),  # total order even under hash collisions
+        ]
+    else:
+        sort_cols = [F.col(order_col)]
+    w = Window.partitionBy(*bcols).orderBy(*sort_cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_bucket_size)

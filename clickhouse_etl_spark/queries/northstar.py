@@ -467,8 +467,11 @@ def _simhash_oracle(max_hamming=3, bands=4) -> str:
 @register("ns_minhash_neardup", oracle=_minhash_oracle())
 def ns_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # max_bucket_size=None: the DuckDB oracle computes the EXACT uncapped
+    # pair set, so the oracle-checked query must opt out of the flood
+    # guard (which is a production default, not an oracle semantics).
     return minhash_near_duplicates(
-        docs, jaccard_threshold=0.2, hash_family="poly"
+        docs, jaccard_threshold=0.2, hash_family="poly", max_bucket_size=None
     )
 
 
@@ -593,7 +596,8 @@ def ns_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ns_emb_neardup", oracle=_emb_neardup_oracle())
 def ns_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_neardup(emb, threshold=0.35)
+    # max_bucket_size=None: exact oracle mirroring (see ns_minhash_neardup)
+    return embedding_cosine_neardup(emb, threshold=0.35, max_bucket_size=None)
 
 
 # ---------------------------------------------------------------------------

@@ -145,6 +145,27 @@ def _apply_merge_batch(
     return symtab.select("word", "n", fold.alias("syms"))
 
 
+def _select_batch(
+    ranked: list[tuple[str, str]], take: int
+) -> list[tuple[str, str]]:
+    """Greedy prefix of mutually NON-CONFLICTING pairs from the ranked
+    candidate list. Conflict covers each pair's symbols AND its merged
+    output: pre-round symbols can alias a merged string via a different
+    split (e.g. [('abc','d'), ('ab','c')] — folding 'ab','c' yields
+    'abc', which the first pair would then cascade on, breaking the
+    batch == sequential-application equivalence)."""
+    batch: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for a, b in ranked:
+        if a in used or b in used or (a + b) in used:
+            continue
+        batch.append((a, b))
+        used.update((a, b, a + b))
+        if len(batch) == take:
+            break
+    return batch
+
+
 def train_bpe(
     vocab: DataFrame,
     n_merges: int,
@@ -196,16 +217,7 @@ def train_bpe(
         )
         if not top:
             break
-        batch: list[tuple[str, str]] = []
-        used: set[str] = set()
-        for row in top:
-            a, b = row["a"], row["b"]
-            if a in used or b in used:
-                continue
-            batch.append((a, b))
-            used.update((a, b))
-            if len(batch) == take:
-                break
+        batch = _select_batch([(row["a"], row["b"]) for row in top], take)
         merges.extend(batch)
         symtab = (
             _apply_merge(symtab, *batch[0])

@@ -161,11 +161,14 @@ def minhash_near_duplicates(
     :func:`minhash_signature`.
 
     ``max_bucket_size`` bounds any single (band, hash) bucket's
-    membership (lowest ids kept, deterministic) so a degenerate flood —
-    millions of identical documents hashing into one bucket — cannot
-    make the self-join quadratic; each oversized bucket costs at most
-    cap² pairs and the flood still pairs via its other bands. ``None``
-    disables the cap (exact LSH semantics, e.g. for oracle mirroring).
+    membership (a deterministic per-bucket hash order, so each band
+    keeps a DIFFERENT survivor subset) — a degenerate flood of
+    near-identical documents cannot make the self-join quadratic; each
+    oversized bucket costs at most cap² pairs, up to bands×cap flood
+    members still pair somewhere, and members beyond that lose pairing
+    (the honest cap contract — run exact dedup first to collapse
+    identical floods). ``None`` disables the cap (exact LSH semantics,
+    e.g. for oracle mirroring).
     ``log_fn`` (optional) receives a capped-bucket summary, at the price
     of one eager count job.
     """
@@ -203,9 +206,11 @@ def minhash_near_duplicates(
 
         # no extra snapshot: the cap is one window over the cached band
         # table — cheaper to re-run per self-join side than to fill a
-        # second cache (measured).
+        # second cache (measured). order='hashed': each band keeps a
+        # DIFFERENT survivor subset so a flood pairs across bands.
         banded = cap_bucket_membership(
-            banded, ["band", "band_hash"], id_col, max_bucket_size, log_fn
+            banded, ["band", "band_hash"], id_col, max_bucket_size, log_fn,
+            order="hashed",
         )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -234,8 +239,10 @@ def minhash_near_duplicates(
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    # candidate_ids grows with the corpus (fact-derived) — no forced
+    # broadcast; AQE broadcasts while it fits, shuffle-joins beyond.
     shingle_sets = (
-        rebalance_for_compute(df.join(F.broadcast(candidate_ids), on=id_col, how="left_semi"))
+        rebalance_for_compute(df.join(candidate_ids, on=id_col, how="left_semi"))
         .select(
             F.col(id_col),
             F.array_distinct(_shingles(text_col, shingle_k)).alias("__set"),

@@ -38,15 +38,15 @@ def _sq_dist_expr(vec: str, centroid: list[float]) -> str:
     )
 
 
-def assign_clusters(
+def _assign_with_vec(
     df: DataFrame,
     centroids: list[list[float]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """(id, cluster, sq_dist): nearest centroid per vector (L2, argmin,
-    lowest cluster id wins ties). Centroids are literals in the plan —
-    kilobytes of codegen, zero shuffle."""
+    """assign_clusters + the (internal) double vector column ``__v`` —
+    the trainer's centroid update needs the vectors; public callers get
+    the narrow contract below."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
     base = df.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
@@ -65,6 +65,18 @@ def assign_clusters(
         .alias("cluster"),
         F.expr("array_min(__d)").alias("sq_dist"),
     )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, cluster, sq_dist)``: nearest centroid per vector (L2,
+    argmin, lowest cluster id wins ties). Centroids are literals in the
+    plan — kilobytes of codegen, zero shuffle."""
+    return _assign_with_vec(df, centroids, id_col, vec_col).drop("__v")
 
 
 def train_kmeans(
@@ -91,7 +103,7 @@ def train_kmeans(
     dims = len(centroids[0])
 
     for _ in range(max_iters):
-        assigned = assign_clusters(base, centroids, id_col=id_col, vec_col="__v")
+        assigned = _assign_with_vec(base, centroids, id_col, "__v")
         new_rows = (
             assigned.select(
                 "cluster", F.posexplode("__v").alias("dim", "val")
@@ -118,3 +130,6 @@ def train_kmeans(
         id_col, "cluster", F.round("sq_dist", 9).alias("sq_dist")
     )
     return centroids, final
+
+
+__all__ = ["assign_clusters", "train_kmeans"]

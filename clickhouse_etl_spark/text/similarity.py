@@ -300,9 +300,12 @@ def embedding_cosine_neardup(
     vectors re-attach to the (much smaller) candidate set via semi-join,
     so a 1k-dim embedding never rides the candidate shuffle (the same
     candidates-then-payload shape as the MinHash shingle path).
-    ``max_bucket_size`` bounds any (table, bucket) membership so a
-    degenerate flood (identical vectors) cannot make the self-join
-    quadratic; ``None`` disables (exact LSH semantics for oracles).
+    ``max_bucket_size`` bounds any (table, bucket) membership (hashed
+    per-bucket order — each table keeps a different survivor subset) so
+    a degenerate flood of near-identical vectors cannot make the
+    self-join quadratic; members beyond tables×cap coverage lose
+    pairing (the honest cap contract). ``None`` disables (exact LSH
+    semantics for oracles).
     """
     dims = _probe_dims(corpus, vec_col)
     vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
@@ -316,9 +319,11 @@ def embedding_cosine_neardup(
         from clickhouse_etl_spark.operators.skew import cap_bucket_membership
 
         # no extra snapshot: one window over the cached bucket table,
-        # cheaper to re-run per self-join side than a second cache fill
+        # cheaper to re-run per self-join side than a second cache fill.
+        # order='hashed': each table keeps a different survivor subset.
         buckets = cap_bucket_membership(
-            buckets, ["__table", "__bucket"], id_col, max_bucket_size, log_fn
+            buckets, ["__table", "__bucket"], id_col, max_bucket_size, log_fn,
+            order="hashed",
         )
 
     l, r = buckets.alias("l"), buckets.alias("r")
@@ -343,8 +348,10 @@ def embedding_cosine_neardup(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # candidate_ids is fact-derived (grows with the corpus) — no forced
+    # broadcast; AQE elects the strategy.
     cand_vecs = vecs.join(
-        F.broadcast(candidate_ids), on=id_col, how="left_semi"
+        candidate_ids, on=id_col, how="left_semi"
     ).transform(materialize)
     dot = _DOT.format(a="__va", b="__vb")
     na = _NORM.format(a="__va")

@@ -179,3 +179,21 @@ def test_batched_rejects_bad_sizes(spark):
         train_bpe(vocab, 5, batch_size=0)
     with pytest.raises(ValueError):
         sample_vocabulary(vocab, 0)
+
+
+def test_select_batch_blocks_merged_output_aliasing():
+    """A batch pair whose merged output equals another pair's symbol
+    would cascade in the single fold (folding 'ab','c' yields 'abc',
+    which ('abc','d') would then consume — diverging from sequential
+    application). The selection must skip such pairs."""
+    from clickhouse_etl_spark.text.bpe import _select_batch
+
+    ranked = [("abc", "d"), ("ab", "c"), ("x", "y")]
+    assert _select_batch(ranked, 3) == [("abc", "d"), ("x", "y")]
+    # reverse ranking: same protection in the other direction
+    assert _select_batch([("ab", "c"), ("abc", "d"), ("x", "y")], 3) == [
+        ("ab", "c"),
+        ("x", "y"),
+    ]
+    # plain symbol sharing still conflicts
+    assert _select_batch([("a", "b"), ("b", "c"), ("c", "d")], 3) == [("a", "b"), ("c", "d")]

@@ -220,6 +220,32 @@ def test_cap_bucket_membership_semantics(spark):
     assert cap_bucket_membership(df, ["bucket"], "id", 10).count() == 12
     with pytest.raises(ValueError):
         cap_bucket_membership(df, ["bucket"], "id", 0)
+    with pytest.raises(ValueError):
+        cap_bucket_membership(df, ["bucket"], "id", 3, order="bogus")
+
+
+def test_cap_hashed_order_varies_survivors_per_bucket(spark):
+    """order='hashed': the same members capped in two different buckets
+    keep DIFFERENT survivor subsets (the multi-band LSH requirement),
+    deterministically across calls."""
+    from clickhouse_etl_spark.operators.skew import cap_bucket_membership
+
+    rows = [(b, i) for b in ("b1", "b2", "b3") for i in range(200)]
+    df = spark.createDataFrame(rows, ["bucket", "id"])
+    out = cap_bucket_membership(df, ["bucket"], "id", 20, order="hashed")
+    kept = {}
+    for r in out.collect():
+        kept.setdefault(r.bucket, set()).add(r.id)
+    assert all(len(s) == 20 for s in kept.values())
+    assert kept["b1"] != kept["b2"] != kept["b3"]
+    # union coverage strictly exceeds one bucket's worth
+    assert len(kept["b1"] | kept["b2"] | kept["b3"]) > 20
+    # deterministic
+    again = cap_bucket_membership(df, ["bucket"], "id", 20, order="hashed")
+    kept2 = {}
+    for r in again.collect():
+        kept2.setdefault(r.bucket, set()).add(r.id)
+    assert kept == kept2
 
 
 def test_minhash_flood_stays_bounded(spark):
@@ -249,11 +275,12 @@ def test_minhash_flood_stays_bounded(spark):
     )
     got = pairs.collect()
     took = time.perf_counter() - t0
-    # every surviving pair is flood x flood among the 50 kept ids
-    cap_ids = set(range(50))
+    # every surviving pair is flood x flood; the candidate set is bounded
+    # by bands x C(cap, 2) regardless of flood size (hashed order keeps a
+    # DIFFERENT survivor subset per band, so coverage spans > one cap)
     assert got, "flood must still produce near-dup pairs"
-    assert all(r.doc_a in cap_ids and r.doc_b in cap_ids for r in got)
-    assert len(got) <= 50 * 49 // 2
+    assert all(r.doc_a < n and r.doc_b < n for r in got)
+    assert len(got) <= 4 * (50 * 49 // 2)
     assert msgs and "dropped" in msgs[0]
     # uncapped would verify ~8M pairs; the capped run is a small job.
     # Generous wall bound: this is a smoke guard against the quadratic
@@ -284,10 +311,9 @@ def test_embedding_flood_stays_bounded(spark):
         flood.unionByName(other), threshold=0.99,
         max_bucket_size=40, log_fn=msgs.append,
     ).collect()
-    cap_ids = set(range(40))
     assert pairs, "identical vectors must pair"
-    assert all(r.id_a in cap_ids and r.id_b in cap_ids for r in pairs)
-    assert len(pairs) <= 40 * 39 // 2
+    assert all(r.id_a < n and r.id_b < n for r in pairs)
+    assert len(pairs) <= 6 * (40 * 39 // 2)  # tables x C(cap, 2)
     assert msgs and "capped" in msgs[0]
 
 
@@ -359,3 +385,19 @@ def test_plan_shards_budget_contract(spark):
         shard_col="shard",
     )
     assert packed.count() == len(rows)
+
+
+def test_running_total_decimal_values(spark):
+    """Decimal value columns keep their exact type through the offset
+    table (the partial-sum dtype is reused, not guessed)."""
+    from decimal import Decimal
+
+    from clickhouse_etl_spark.operators.prefix import running_total
+
+    df = spark.createDataFrame(
+        [(1, Decimal("1.10")), (2, Decimal("2.25")), (3, Decimal("0.65"))],
+        "k int, v decimal(18,2)",
+    )
+    out = running_total(df, "k", "v", partitions=2)
+    got = {r.k: r.running_total for r in out.collect()}
+    assert got == {1: Decimal("0"), 2: Decimal("1.10"), 3: Decimal("3.35")}

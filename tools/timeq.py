@@ -1,5 +1,6 @@
-"""Time individual registered queries at a given SF with the bench.py
-session settings (warm JVM, cache-cleared passes, min-of-passes).
+"""Time individual registered queries at a given SF with bench.py's
+EXACT session settings (same builder, same warmup — imported, not
+copied), cache-cleared min-of-N passes.
 
     python tools/timeq.py <sf_dir> <query> [query ...]
 """
@@ -12,41 +13,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import build_bench_session, warm_session
+
 
 def main() -> int:
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("timeq")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
-        )
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = build_bench_session(cpus)
 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-
-    def _identity(it):
-        yield from it
-
-    spark.range(1_000).mapInPandas(_identity, schema="id long").count()
+    warm_session(spark)
 
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
     if warm_dir and os.path.isdir(warm_dir) and warm_dir != sf_dir:
