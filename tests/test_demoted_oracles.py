@@ -602,3 +602,37 @@ def test_cluster_assign_oracle(spark):
         ) WHERE rk = 1
         """,
     )
+
+
+def test_interval_join_batch_oracle(spark):
+    """The stream-stream interval join's BATCH semantics (same code path,
+    watermark a no-op) vs a DuckDB theta join — view → purchase by the
+    same user within 1 hour, inclusive bounds."""
+    from clickhouse_etl_spark import streaming as st
+
+    events = load_table(spark, SF_DIR, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = st.stream_interval_join(
+        views, buys, "v_user", "p_user", "v_ts", "p_ts"
+    )
+    _assert_matches_oracle(
+        out,
+        """
+        SELECT v.user_id AS v_user, v.ts AS v_ts, v.event_id AS view_id,
+               p.user_id AS p_user, p.ts AS p_ts, p.event_id AS purchase_id
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        """,
+    )
