@@ -240,3 +240,70 @@ def test_scd2_intervals_partition_time(spark, changes):
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from  # contiguous, disjoint
             assert a.attr != b.attr            # no-op collapsed
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_running_total_equals_sequential_sum(spark, rows, partitions):
+    """Two-level prefix sum == the sequential definition for any unique
+    key set and any partition count (including partitions > rows)."""
+    from clickhouse_etl_spark.operators.prefix import running_total
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: r.running_total
+        for r in running_total(df, "k", "v", partitions=partitions).collect()
+    }
+    acc, expect = 0, {}
+    for k, v in sorted(rows):
+        expect[k] = acc
+        acc += v
+    assert got == expect
+
+
+@_SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["b1", "b2", "b3"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from(["lowest", "hashed"]),
+)
+def test_cap_bucket_membership_invariants(spark, rows, cap, order):
+    """For any bucket layout, cap, and order mode: every bucket keeps
+    min(size, cap) members, kept rows are a subset of the input, and
+    'lowest' keeps exactly the cap-smallest order values per bucket."""
+    import collections
+
+    from clickhouse_etl_spark.operators.skew import cap_bucket_membership
+
+    df = spark.createDataFrame(rows, ["bucket", "id"])
+    out = cap_bucket_membership(df, ["bucket"], "id", cap, order=order)
+    kept = collections.defaultdict(set)
+    for r in out.collect():
+        kept[r.bucket].add(r.id)
+    sizes = collections.Counter(b for b, _ in rows)
+    for b, n in sizes.items():
+        assert len(kept[b]) == min(n, cap), (b, n, cap)
+    assert all((b, i) in set(rows) for b, s in kept.items() for i in s)
+    if order == "lowest":
+        for b in sizes:
+            expect = set(sorted(i for bb, i in rows if bb == b)[:cap])
+            assert kept[b] == expect
