@@ -23,9 +23,10 @@ chain, mirroring the reference's (surprising but real) semantics:
 
 Representative-score policy: the reference picks ``score_list[0]``
 ("assuming chronological order" — nondeterministic dict/list order). The
-engine's named policy is W2 latest-marked with an explicit total-order
-tiebreak (markedAt, then scoreId), applied identically in the DuckDB
-oracles: ``arg_max(row, epoch(markedAt)*1e8 + scoreId)``.
+engine's named policy is W2 latest-marked with an explicit order key
+(markedAt, scoreId, then the payload fields — total over distinct
+payloads; see ``_score_order``), applied identically in the DuckDB
+oracles via the mirrored fixed-width order string.
 
 ``synthetic_warehouse`` derives deterministic warehouse-shaped fixtures
 (students / evaluation tree / scores / structure records / the
@@ -287,14 +288,25 @@ def copy_entity(
 # Shared pieces of the two analytical lifecycles
 # ---------------------------------------------------------------------------
 
-def _score_order(markedAt="markedAt", scoreId="scoreId") -> F.Column:
-    """Total order for representative-score selection: latest markedAt,
-    ``scoreId`` tiebreak, as ONE fixed-width sortable string
-    (``%012d%012d`` of epoch seconds and id) — lexicographic equals
-    numeric for non-negative components, with no overflow bound: the
-    previous BIGINT packing (epoch*1e8 + id) silently corrupted the
-    order once ids crossed the multiplier. DuckDB mirrors it with
-    lpad, so arg_max stays expressible identically in the oracle.
+def _score_order(
+    markedAt="markedAt",
+    scoreId="scoreId",
+    scorerId="scorerId",
+    structurePath="structurePath",
+    description="description",
+) -> F.Column:
+    """Representative-score order: latest markedAt, then scoreId, then
+    the remaining payload fields (scorerId, structurePath, description)
+    as ONE sortable string — fixed-width ``%012d`` numeric components
+    (lexicographic == numeric, no multiplier overflow) plus the payload
+    tail separated by ``|``.
+
+    The payload tail exists because scoreId is NOT unique in the driver
+    fixtures at sf>=0.1 (lineitem carries duplicate (orderkey,
+    linenumber) rows): an exact order tie lets Spark's max_by and
+    DuckDB's arg_max pick DIFFERENT physical rows. With the payload in
+    the key, order is total over distinct payloads — rows that still
+    tie are byte-identical, so the pick cannot diverge.
 
     NULL ``markedAt`` must propagate to a NULL order key: format_string
     would render the NULL epoch as the literal text "null", making the
@@ -303,8 +315,16 @@ def _score_order(markedAt="markedAt", scoreId="scoreId") -> F.Column:
     NULL and arg_max skips them — a silent engine/oracle divergence."""
     return F.when(
         F.col(markedAt).isNotNull(),
-        F.format_string(
-            "%012d%012d", F.unix_timestamp(F.col(markedAt)), F.col(scoreId)
+        F.concat(
+            F.format_string(
+                "%012d%012d%012d",
+                F.unix_timestamp(F.col(markedAt)),
+                F.col(scoreId),
+                F.col(scorerId),
+            ),
+            F.coalesce(F.col(structurePath), F.lit("")),
+            F.lit("|"),
+            F.coalesce(F.col(description), F.lit("")),
         ),
     )
 
@@ -394,7 +414,7 @@ def _custom_agg_both(scores: DataFrame, customs: DataFrame) -> DataFrame:
         percentage(F.col("avg_null_as_zero"), F.col("maxScore")).alias("pct_a2"),
         F.col("__rep.description").alias("description"),
         "__rep",
-    ).withColumn("g", grade_band(F.col("pct_a1")))
+    ).withColumn("g", grade_band(F.round("pct_a1", 6)))
     w = weighted_coe(F.col("coe"))
     # NULL-pct evals (all-NULL scores) contribute to NEITHER sum — the
     # numerator skips them via SUM's null handling, and their weight
@@ -425,7 +445,14 @@ def _custom_agg_both(scores: DataFrame, customs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("customEvaluationCount"),
             F.avg("pct_a2").alias("custom_mean_pct"),
             F.max_by(
-                "__rep", _score_order("__rep.markedAt", "__rep.scoreId")
+                "__rep",
+                _score_order(
+                    "__rep.markedAt",
+                    "__rep.scoreId",
+                    "__rep.scorerId",
+                    "__rep.structurePath",
+                    "__rep.description",
+                ),
             ).alias("__crep"),
         )
     )
@@ -562,7 +589,7 @@ def monthly_subject_fact(
         )
     )
 
-    graded = merged.withColumn("g", grade_band(F.col("percentage"))).select(
+    graded = merged.withColumn("g", grade_band(F.round("percentage", 6))).select(
         "subjectEvaluationId",
         "studentId",
         "percentage",
@@ -904,7 +931,7 @@ def student_transcript(
         )
     )
 
-    graded = merged.withColumn("g", grade_band(F.col("pct"))).select(
+    graded = merged.withColumn("g", grade_band(F.round("pct", 6))).select(
         "*",
         F.col("__rep.structurePath").alias("structurePath"),
         F.col("__rep.scorerId").alias("scorerId"),

@@ -5,7 +5,8 @@ Each lifecycle runs over the deterministic synthetic warehouse
 mirror the whole chain — fixture derivation included — in pure SQL.
 
 The oracles re-express every engine policy exactly:
-- W2 representative score = arg_max over epoch(markedAt)*1e8 + scoreId
+- W2 representative score = arg_max over the fixed-width
+  epoch||scoreId||scorerId||path||description order string
 - J7 last-write-wins subject info = ROW_NUMBER by version DESC
 - A1 (fact) vs A2 (transcript) averaging denominators
 - A3 coe-weighted (fact) vs A4 unweighted (transcript) custom rollups
@@ -40,10 +41,23 @@ _GENDER_SQL = """CASE WHEN lower({g}) IN ('m', 'male') THEN 'male'
                 WHEN lower({g}) IN ('f', 'female') THEN 'female'
                 ELSE {g} END"""
 
-# Fixed-width sortable string (epoch seconds || id): lexicographic ==
-# numeric for non-negative components, no multiplier overflow. Mirrors
+# Fixed-width sortable string (epoch seconds || scoreId || scorerId ||
+# structurePath || '|' || description): lexicographic == numeric for the
+# padded components, no multiplier overflow. The payload fields extend
+# the tiebreak because scoreId is NOT unique in the fixtures at sf>=0.1
+# (duplicate (orderkey, linenumber) lineitem rows) — without them,
+# arg_max vs max_by resolve exact ties differently per engine. Mirrors
 # reference_etl._score_order exactly.
-_ORD = "lpad(epoch({m})::BIGINT::VARCHAR, 12, '0') || lpad({s}::VARCHAR, 12, '0')"
+_ORD = (
+    "lpad(epoch({m})::BIGINT::VARCHAR, 12, '0') || lpad({s}::VARCHAR, 12, '0')"
+    " || lpad({sc}::VARCHAR, 12, '0') || COALESCE({sp}, '') || '|'"
+    " || COALESCE({d}, '')"
+)
+# scorer-level order (detail representative): payload == order fields, so
+# exact ties are pick-irrelevant and the short form stays total enough.
+_SCORER_ORD = (
+    "lpad(epoch({m})::BIGINT::VARCHAR, 12, '0') || lpad({s}::VARCHAR, 12, '0')"
+)
 
 _WAREHOUSE_SQL = """
 students AS (
@@ -145,9 +159,10 @@ reps AS (
   )
   GROUP BY 1, 2, 3
 )
-""".format(ord=_ORD.format(m="s.markedAt", s="s.scoreId"))
-# NOTE on reps: arg_max per column is safe here because ord is a TOTAL
-# order (scoreId unique) — every arg_max resolves to the same score row.
+""".format(ord=_ORD.format(m="s.markedAt", s="s.scoreId", sc="s.scorerId", sp="s.structurePath", d="s.description"))
+# NOTE on reps: arg_max per column is safe because ord is total over
+# DISTINCT payloads (epoch+scoreId+scorerId+path+description) — rows that
+# still tie are byte-identical, so every arg_max picks the same values.
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +184,7 @@ direct AS (
 ),
 custom_desc AS (
   SELECT s.evaluationId, s.studentId,
-         arg_max(s.description, {_ORD.format(m="s.markedAt", s="s.scoreId")})
+         arg_max(s.description, {_ORD.format(m="s.markedAt", s="s.scoreId", sc="s.scorerId", sp="s.structurePath", d="s.description")})
            AS description
   FROM scores s JOIN cust c ON s.evaluationId = c.evaluationId
   GROUP BY 1, 2
@@ -194,9 +209,9 @@ custom_json AS (
            score := ROUND(avg_score, 6),
            maxScore := maxScore,
            percentage := ROUND(custom_pct, 6),
-           grade := {grade_band_sql("custom_pct")},
-           gpa := CAST({grade_gpa_sql("custom_pct")} AS DOUBLE),
-           meaning := {grade_meaning_sql("custom_pct")},
+           grade := {grade_band_sql("ROUND(custom_pct, 6)")},
+           gpa := CAST({grade_gpa_sql("ROUND(custom_pct, 6)")} AS DOUBLE),
+           meaning := {grade_meaning_sql("ROUND(custom_pct, 6)")},
            coe := coe,
            description := description
          )))) AS customEvaluations,
@@ -223,9 +238,9 @@ merged AS (
                       AND d.studentId = a.studentId)
 ),
 graded AS (
-  SELECT m.*, {grade_band_sql("m.percentage")} AS grade,
-         CAST({grade_gpa_sql("m.percentage")} AS DOUBLE) AS gpa,
-         {grade_meaning_sql("m.percentage")} AS meaning
+  SELECT m.*, {grade_band_sql("ROUND(m.percentage, 6)")} AS grade,
+         CAST({grade_gpa_sql("ROUND(m.percentage, 6)")} AS DOUBLE) AS gpa,
+         {grade_meaning_sql("ROUND(m.percentage, 6)")} AS meaning
   FROM merged m
 ),
 fact AS (
@@ -347,9 +362,9 @@ t_detail AS (
          ROUND(m.final_score, 6) AS score,
          m.subjectMaxScore AS maxScore,
          ROUND(m.pct, 6) AS percentage,
-         {grade_band_sql("m.pct")} AS grade,
-         {grade_meaning_sql("m.pct")} AS meaning,
-         CAST({grade_gpa_sql("m.pct")} AS DOUBLE) AS gpa,
+         {grade_band_sql("ROUND(m.pct, 6)")} AS grade,
+         {grade_meaning_sql("ROUND(m.pct, 6)")} AS meaning,
+         CAST({grade_gpa_sql("ROUND(m.pct, 6)")} AS DOUBLE) AS gpa,
          COALESCE(pe.name, '') AS subjectParentName,
          pe.evaluationId AS subjectParentEvaluationId,
          COALESCE(pe.type, '') AS subjectParentType,
@@ -482,9 +497,9 @@ def pl_transcript_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT studentId, structureRecordId,
              arg_min(subjectSchoolId, subjectEvaluationId) AS schoolId,
              arg_max(scorerId,
-                     {_ORD.format(m="markedAt", s="scorerId")}) AS recScorerId,
+                     {_SCORER_ORD.format(m="markedAt", s="scorerId")}) AS recScorerId,
              arg_max(markedAt,
-                     {_ORD.format(m="markedAt", s="scorerId")}) AS recMarkedAt
+                     {_SCORER_ORD.format(m="markedAt", s="scorerId")}) AS recMarkedAt
       FROM t_detail GROUP BY 1, 2
     )
     SELECT d.studentId, d.structureRecordId, d.structureRecordName,
