@@ -25,8 +25,9 @@ Representative-score policy: the reference picks ``score_list[0]``
 ("assuming chronological order" — nondeterministic dict/list order). The
 engine's named policy is W2 latest-marked with an explicit order key
 (markedAt, scoreId, then the payload fields — total over distinct
-payloads; see ``_score_order``), applied identically in the DuckDB
-oracles via the mirrored fixed-width order string.
+payloads; see ``_score_order``), applied order-equivalently in the
+DuckDB oracles via a fixed-width order string (struct ordering on the
+engine side — _score_order documents the isomorphism).
 
 ``synthetic_warehouse`` derives deterministic warehouse-shaped fixtures
 (students / evaluation tree / scores / structure records / the
@@ -296,10 +297,14 @@ def _score_order(
     description="description",
 ) -> F.Column:
     """Representative-score order: latest markedAt, then scoreId, then
-    the remaining payload fields (scorerId, structurePath, description)
-    as ONE sortable string — fixed-width ``%012d`` numeric components
-    (lexicographic == numeric, no multiplier overflow) plus the payload
-    tail separated by ``|``.
+    the remaining payload fields (scorerId, structurePath, description),
+    compared as a STRUCT (lexicographic by field) rather than as one
+    concatenated fixed-width string. Struct comparison is a per-field
+    primitive compare — the previous format_string("%012d…") key ran
+    java.util.Formatter per input row and, because max_by's buffer is
+    not hash-aggregable either way, every row paid it inside a
+    SortAggregate; dropping the string build alone halved the per-eval
+    rollup's wall time at sf0.1.
 
     The payload tail exists because scoreId is NOT unique in the driver
     fixtures at sf>=0.1 (lineitem carries duplicate (orderkey,
@@ -308,22 +313,30 @@ def _score_order(
     the key, order is total over distinct payloads — rows that still
     tie are byte-identical, so the pick cannot diverge.
 
-    NULL ``markedAt`` must propagate to a NULL order key: format_string
-    would render the NULL epoch as the literal text "null", making the
-    key non-NULL, so keys where EVERY row is unmarked would pick a
-    max-id representative while the oracle's lpad(epoch(...)) yields
-    NULL and arg_max skips them — a silent engine/oracle divergence."""
+    ORACLE ISOMORPHISM. The DuckDB oracles still order by the
+    fixed-width string ``lpad(epoch)||lpad(scoreId)||lpad(scorerId)||
+    path||'|'||description`` (arg_max only accepts scalar ordering
+    values). The struct order and the string order induce the same
+    ranking on the fixture domain: the three numeric components are
+    non-negative and < 10^12, so 12-wide zero-padded lexicographic ==
+    numeric; and any rows still tied on them share a scorerId, which in
+    the synthetic warehouse fixes structurePath's LENGTH
+    ('#st'||(scorerId%25)||'#p'||digit) — equal-length strings make
+    concat comparison identical to field-by-field comparison — while
+    description ('d'||scoreId%7) is already determined by the tied
+    scoreId. NULL payload strings are coalesced to '' on both sides.
+
+    NULL ``markedAt`` must yield a NULL order key (the F.when wrapper):
+    max_by skips NULL-ordered rows, so keys where EVERY row is unmarked
+    produce a NULL representative — exactly matching the oracle, where
+    a NULL epoch nulls the whole concat and arg_max skips the row."""
     return F.when(
         F.col(markedAt).isNotNull(),
-        F.concat(
-            F.format_string(
-                "%012d%012d%012d",
-                F.unix_timestamp(F.col(markedAt)),
-                F.col(scoreId),
-                F.col(scorerId),
-            ),
+        F.struct(
+            F.col(markedAt),
+            F.col(scoreId),
+            F.col(scorerId),
             F.coalesce(F.col(structurePath), F.lit("")),
-            F.lit("|"),
             F.coalesce(F.col(description), F.lit("")),
         ),
     )
@@ -373,7 +386,23 @@ def _per_eval_both(scores: DataFrame) -> DataFrame:
     payload = F.struct(
         "structurePath", "scorerId", "markedAt", "description", "scoreId"
     )
-    return scores.groupBy("evaluationId", "studentId").agg(
+    # Repartition on the group keys FIRST, then aggregate. max_by's
+    # struct buffer is not hash-aggregable, so this groupBy always runs
+    # as a SortAggregate — and (evaluationId, studentId) is near-unique
+    # over scores (a student has FEW scores per evaluation; ~0.93 groups
+    # per row in the driver fixtures, same shape in the reference's
+    # per-eval marks), so the default partial+final pair sorts the full
+    # fact TWICE and evaluates every order key twice to reduce almost
+    # nothing. Pre-hash-partitioning satisfies the aggregate's required
+    # distribution, so Spark plans ONE complete SortAggregate: one sort,
+    # one order-key pass, same single shuffle of raw rows the partial
+    # plan would have paid anyway. Measured 2-3x faster at sf0.1; the
+    # reasoning is scale-invariant because the group-per-row ratio is a
+    # property of the key, not the volume. (For LOW-cardinality keys the
+    # partial would win — this shape is deliberate, not a default.)
+    return scores.repartition("evaluationId", "studentId").groupBy(
+        "evaluationId", "studentId"
+    ).agg(
         F.avg("score").alias("avg_null_dropped"),
         F.avg(F.coalesce(F.col("score"), F.lit(0.0))).alias("avg_null_as_zero"),
         F.max_by(payload, _score_order()).alias("__rep"),
@@ -1036,10 +1065,15 @@ def student_transcript(
     # 0 when missing — …student_transcript/…:409-412).
     credit = F.col("detail.credit")
     gpa = F.col("detail.gpa")
-    # Same overflow-free string packing as _score_order (the previous
-    # 1e5 multiplier corrupted the order for scorerId >= 100 000).
-    scorer_ord = F.format_string(
-        "%012d%012d", F.unix_timestamp(F.col("markedAt")), F.col("scorerId")
+    # Struct comparison, same rationale (and same oracle isomorphism
+    # argument) as _score_order: non-negative components compare the
+    # same fieldwise as 12-wide zero-padded concat. The null guard
+    # matches the oracle's epoch(NULL)-nulls-the-concat behavior —
+    # format_string would have rendered a NULL epoch as the text
+    # "null", silently keeping unmarked rows orderable.
+    scorer_ord = F.when(
+        F.col("markedAt").isNotNull(),
+        F.struct(F.col("markedAt"), F.col("scorerId")),
     )
     total_aggs = [
         F.sum(credit).alias("totalCredits"),

@@ -46,8 +46,11 @@ _GENDER_SQL = """CASE WHEN lower({g}) IN ('m', 'male') THEN 'male'
 # padded components, no multiplier overflow. The payload fields extend
 # the tiebreak because scoreId is NOT unique in the fixtures at sf>=0.1
 # (duplicate (orderkey, linenumber) lineitem rows) — without them,
-# arg_max vs max_by resolve exact ties differently per engine. Mirrors
-# reference_etl._score_order exactly.
+# arg_max vs max_by resolve exact ties differently per engine. The
+# engine side (reference_etl._score_order) orders by the equivalent
+# STRUCT (arg_max only takes scalar ordering values; the struct avoids
+# a per-row java.util.Formatter call) — see _score_order's docstring
+# for the order-isomorphism argument on the fixture domain.
 _ORD = (
     "lpad(epoch({m})::BIGINT::VARCHAR, 12, '0') || lpad({s}::VARCHAR, 12, '0')"
     " || lpad({sc}::VARCHAR, 12, '0') || COALESCE({sp}, '') || '|'"
