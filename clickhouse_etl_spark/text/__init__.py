@@ -13,6 +13,8 @@ from clickhouse_etl_spark.text.analysis import (  # noqa: F401
 )
 from clickhouse_etl_spark.text.packing import (  # noqa: F401
     contamination_check,
+    decontaminate,
+    ngram_contamination,
     pack_contiguous,
 )
 from clickhouse_etl_spark.text.dedup import (  # noqa: F401
@@ -35,6 +37,7 @@ from clickhouse_etl_spark.text.spans import (  # noqa: F401
     span_dedup_stats,
 )
 from clickhouse_etl_spark.text.index import (  # noqa: F401
+    bm25_topk,
     inverted_index,
     tf_idf,
 )

@@ -300,15 +300,39 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Within-document repetition: duplicate-token and duplicate-3-gram
-    fractions.
+def _top_run(sorted_arr: Column) -> Column:
+    """Count of the most frequent value in an array, computed as the
+    longest run of equal adjacent values in its SORTED form — one O(g)
+    fold after the sort, entirely inside codegen. The explode +
+    groupBy(doc, gram) alternative shuffles one row per n-gram
+    OCCURRENCE (~corpus size × n) to answer a per-row question."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
 
-    The cheap repetition signal used to drop degenerate/boilerplate
-    documents from pretraining corpora (high duplicate-n-gram fraction =
-    looped or templated text). Pure array expressions over one
-    tokenization — narrow, JVM, no shuffle; thresholding is the
-    caller's policy (compose with ``corpus_quality_filter``).
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition: duplicate-token, duplicate-3-gram,
+    and top-3-gram fractions.
+
+    The cheap repetition signals used to drop degenerate/boilerplate
+    documents from pretraining corpora (the Gopher-rule family:
+    duplicate-n-gram fraction catches looped/templated text; the
+    top-n-gram fraction catches a single phrase dominating the
+    document). Pure array expressions over one tokenization — narrow,
+    JVM, no shuffle; thresholding is the caller's policy (compose with
+    ``corpus_quality_filter``).
     """
     from clickhouse_etl_spark.text.dedup import _shingles
 
@@ -323,4 +347,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             1 - F.size(F.array_distinct(grams)) / F.size(grams), 6
         ).alias("dup_3gram_ratio"),
+        F.round(
+            _top_run(F.array_sort(grams)).cast("double") / F.size(grams), 6
+        ).alias("top_3gram_ratio"),
     )

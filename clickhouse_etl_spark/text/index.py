@@ -70,6 +70,63 @@ def inverted_index(
     return out
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 (Robertson/
+    Sparck Jones probabilistic ranking — the standard keyword-retrieval
+    scorer; tf_idf above is the embedding-era weighting, BM25 the
+    ranked-search one).
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` (the +1 form —
+    never negative for terms in more than half the corpus).
+
+    Plan shape: document LENGTHS and the global (N, avgdl) need the full
+    corpus (one per-doc aggregate + one scalar aggregate), but term
+    statistics are filtered to the QUERY terms before any join — the
+    per-term df/tf join only ever carries |query| terms per doc, and the
+    final ranking is a TakeOrdered top-k, not a global sort. Scores are
+    rounded to 6 decimals and tie-broken by ascending id so the result
+    set is deterministic across partitionings.
+
+    Output: ``(id_col, score)``, k rows (fewer if fewer docs match).
+    """
+    terms = [t for t in query_terms if t]
+    if not terms:
+        raise ValueError("query_terms must contain at least one non-empty term")
+    td = _doc_terms(df, id_col, text_col)
+    # full-corpus statistics (lengths include non-query terms!)
+    doc_len = td.groupBy(id_col).agg(F.sum("tf").alias("__len"))
+    corpus = doc_len.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__len").alias("__avgdl")
+    )
+    qt = td.filter(F.col("term").isin(terms))
+    df_t = qt.groupBy("term").agg(F.countDistinct(F.col(id_col)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__len") / F.col("__avgdl")
+    )
+    scored = (
+        qt.join(F.broadcast(df_t), on="term")
+        .join(doc_len, on=id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf * F.lit(k1 + 1.0) / norm), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def tf_idf(
     df: DataFrame,
     id_col: str = "doc_id",

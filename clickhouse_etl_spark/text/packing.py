@@ -8,7 +8,9 @@ and a training run:
   all documents are joined into one token stream and sliced into
   fixed-length training sequences).
 - :func:`contamination_check` flags training documents that share word
-  n-grams with an evaluation/benchmark set (train-test leakage scan).
+  n-grams with an evaluation/benchmark set (train-test leakage scan);
+  :func:`ngram_contamination` grades the same overlap as a per-document
+  fraction and :func:`decontaminate` thresholds it.
 
 Both are pure DataFrame plans — window + higher-order functions, no
 Python in the row path — and both have exact DuckDB oracles
@@ -165,3 +167,75 @@ def contamination_check(
         F.countDistinct("gram").alias("overlap_ngrams"),
         F.countDistinct("bench_id").alias("bench_docs"),
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination FRACTION against the benchmark's
+    n-gram set — the graded complement to :func:`contamination_check`'s
+    binary flag (standard n-gram decontamination methodology: overlap
+    measured per document, then thresholded).
+
+    ``contamination_frac`` = (n-gram occurrences also present in the
+    benchmark's distinct n-gram set) / (total n-gram occurrences).
+    Occurrences keep multiplicity on the DOCUMENT side — a doc
+    repeating a leaked answer ten times is 10× as contaminated — while
+    the benchmark side is a set. Every document is emitted (zero rows
+    are data here, not absence); docs whose text yields no n-grams
+    report NULL.
+
+    Scale: same broadcast shape as contamination_check — the corpus
+    explodes narrowly inside its scan stage, the only shuffle is the
+    per-doc count keyed by doc id. For benchmark sets beyond broadcast
+    size the documented refinement is a bloom-filter pre-pass built
+    over the benchmark grams, filtering occurrences before a shuffled
+    join instead of shuffling the non-matching majority.
+
+    Output: ``(id_col, n_ngrams, matched_ngrams, contamination_frac)``.
+    """
+    b_grams = benchmark.select(
+        F.explode(F.array_distinct(_shingles(text_col, n))).alias("gram")
+    ).distinct()
+    occ = docs.select(
+        F.col(id_col),
+        F.explode_outer(_shingles(text_col, n)).alias("gram"),
+    )
+    marked = occ.join(
+        F.broadcast(b_grams.select("gram", F.lit(1).alias("__hit"))),
+        on="gram",
+        how="left",
+    )
+    out = marked.groupBy(id_col).agg(
+        F.count("gram").alias("n_ngrams"),
+        F.count("__hit").alias("matched_ngrams"),
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "matched_ngrams",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.round(F.col("matched_ngrams") / F.col("n_ngrams"), 6),
+        ).alias("contamination_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    max_frac: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents whose contamination fraction exceeds ``max_frac``
+    (default: ANY overlap at the standard decontamination n=8 kills the
+    doc). Returns the surviving input rows unchanged."""
+    c = ngram_contamination(docs, benchmark, n, id_col, text_col)
+    dirty = c.filter(F.col("contamination_frac") > max_frac).select(id_col)
+    return docs.join(dirty, on=id_col, how="left_anti")

@@ -75,3 +75,46 @@ def test_no_report_skips_counts(spark):
     res = curate_corpus(docs, with_report=False)
     assert res.report == {}
     assert res.corpus.count() > 0
+
+
+def test_decontaminate_drops_leaked_docs(spark):
+    """A training doc containing a benchmark 8-gram verbatim is dropped;
+    clean docs and too-short docs survive; survivors keep their rows."""
+    from clickhouse_etl_spark.text.packing import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog tonight suffix"),
+            (2, "completely unrelated content about distributed query engines"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = decontaminate(train, bench, n=8)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [2, 3]
+    # threshold relaxation keeps partially-overlapping docs
+    kept_lax = decontaminate(train, bench, n=8, max_frac=0.99)
+    assert sorted(r.doc_id for r in kept_lax.collect()) == [1, 2, 3]
+
+
+def test_top_ngram_ratio_flags_loops(spark):
+    """top_3gram_ratio separates a looped doc (one gram dominating) from
+    a diverse one; the fold agrees with a hand count."""
+    from clickhouse_etl_spark.text.analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ha ha ha ha ha ha ha ha"),      # 6 grams, all "ha ha ha"
+            (2, "one two three four five six"),  # 4 grams, all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[1].top_3gram_ratio == 1.0
+    assert rows[2].top_3gram_ratio == 0.25
+    assert rows[1].dup_3gram_ratio > rows[2].dup_3gram_ratio

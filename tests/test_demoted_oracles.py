@@ -458,7 +458,10 @@ def test_pii_scrub(spark):
 
 
 def test_repetition_stats(spark):
-    """Duplicate-token / duplicate-3-gram fractions vs DuckDB list ops."""
+    """Duplicate-token / duplicate-3-gram / top-3-gram fractions vs
+    DuckDB list ops (the top-gram count cross-checked by an explicit
+    unnest + groupBy max — the engine computes it as a longest-run fold
+    over the sorted gram array instead)."""
     from clickhouse_etl_spark.text.analysis import repetition_stats
 
     docs = load_table(spark, SF_DIR, "documents")
@@ -470,13 +473,94 @@ def test_repetition_stats(spark):
           SELECT doc_id, string_split(text, ' ') AS toks,
                  {_DUCK_GRAMS3.replace("list_distinct(", "", 1)[:-1]} AS grams
           FROM documents
+        ),
+        top AS (
+          SELECT doc_id, MAX(c) AS topc FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(grams) AS g FROM t)
+            GROUP BY doc_id, g
+          ) GROUP BY doc_id
         )
-        SELECT doc_id, len(toks) AS n_tokens,
+        SELECT t.doc_id, len(toks) AS n_tokens,
                ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
                  AS dup_token_ratio,
                ROUND(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
-                 AS dup_3gram_ratio
-        FROM t
+                 AS dup_3gram_ratio,
+               ROUND(CAST(top.topc AS DOUBLE) / len(grams), 6)
+                 AS top_3gram_ratio
+        FROM t JOIN top ON t.doc_id = top.doc_id
+        """,
+    )
+
+
+def test_ngram_contamination_fraction(spark):
+    """Multiplicity-weighted contamination fraction vs a DuckDB
+    unnest-join: benchmark = every 37th document, 3-grams. Every doc is
+    emitted (zero matches included)."""
+    from clickhouse_etl_spark.text.packing import ngram_contamination
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    out = ngram_contamination(train, bench, n=3)
+    _assert_matches_oracle(
+        out,
+        f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 {_DUCK_GRAMS3.replace("list_distinct(", "", 1)[:-1]} AS grams
+          FROM documents
+        ),
+        occ AS (SELECT doc_id, unnest(grams) AS gram FROM sh
+                WHERE doc_id % 37 <> 0),
+        b AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+              WHERE doc_id % 37 = 0)
+        SELECT occ.doc_id,
+               COUNT(*) AS n_ngrams,
+               COUNT(b.gram) AS matched_ngrams,
+               ROUND(CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*), 6)
+                 AS contamination_frac
+        FROM occ LEFT JOIN b ON occ.gram = b.gram
+        GROUP BY occ.doc_id
+        """,
+    )
+
+
+def test_bm25_topk(spark):
+    """BM25 ranked retrieval vs the formula spelled out in DuckDB SQL
+    (same k1/b, same +1-smoothed idf, same rounding and id tiebreak)."""
+    from clickhouse_etl_spark.text.index import bm25_topk
+
+    docs = load_table(spark, SF_DIR, "documents")
+    terms = ["the", "data", "pipeline"]
+    out = bm25_topk(docs, terms, k=15, k1=1.2, b=0.75)
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    _assert_matches_oracle(
+        out,
+        f"""
+        WITH td AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+          ) WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, SUM(tf) AS len FROM td GROUP BY doc_id),
+        corpus AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM dl),
+        dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM td
+                WHERE term IN ({term_list}) GROUP BY term)
+        SELECT td.doc_id,
+               ROUND(SUM(
+                 ln(1 + (corpus.n - dft.df + 0.5) / (dft.df + 0.5))
+                 * td.tf * 2.2
+                 / (td.tf + 1.2 * (0.25 + 0.75 * dl.len / corpus.avgdl))
+               ), 6) AS score
+        FROM td
+        JOIN dft ON td.term = dft.term
+        JOIN dl ON td.doc_id = dl.doc_id
+        CROSS JOIN corpus
+        GROUP BY td.doc_id
+        ORDER BY score DESC, td.doc_id ASC
+        LIMIT 15
         """,
     )
 

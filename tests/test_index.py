@@ -92,3 +92,39 @@ def test_index_plan_no_python(spark):
     for op in (inverted_index(docs), tf_idf(docs)):
         plan = op._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_ranks_relevance(spark):
+    """A doc dense in rare query terms outranks one with a single common
+    term; docs without any query term never appear; k bounds the rows;
+    the plan stays Python-free (TakeOrdered top-k, no global sort)."""
+    from clickhouse_etl_spark.text.index import bm25_topk
+
+    rows = [
+        (1, "spark engine spark engine spark"),
+        (2, "the the the the the engine"),
+        (3, "nothing relevant here at all"),
+        (4, "spark once among many other words entirely unrelated"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, ["spark", "engine"], k=3)
+    got = out.collect()
+    ids = [r.doc_id for r in got]
+    assert ids[0] == 1  # rare-term-dense doc wins
+    assert 3 not in ids  # no query term -> excluded
+    assert len(ids) == 3
+    assert got[0].score > got[1].score >= got[2].score
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_requires_terms(spark):
+    from clickhouse_etl_spark.text.index import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    try:
+        bm25_topk(docs, [])
+        raise AssertionError("empty query must raise")
+    except ValueError:
+        pass
