@@ -125,3 +125,56 @@ def test_bpe_merges_shrink_and_round_trip(spark, texts, n_merges):
             if (w[p], w[p + 1]) == (a, b)
         )
         assert support >= 2
+
+
+@_SLOW
+@given(docs)
+def test_repetition_top_gram_matches_counter(spark, texts):
+    """The longest-run fold over the sorted 3-gram array equals an
+    independent Counter-based most-common count, and the dup fraction
+    equals 1 - distinct/total, for arbitrary small-alphabet docs."""
+    from collections import Counter
+
+    from clickhouse_etl_spark.text.analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n = max(len(toks) - 3, 0) + 1
+        grams = [" ".join(toks[p : p + 3]) for p in range(n)]
+        c = Counter(grams)
+        assert got[i].top_3gram_ratio == round(max(c.values()) / len(grams), 6)
+        assert got[i].dup_3gram_ratio == round(1 - len(c) / len(grams), 6)
+
+
+@_SLOW
+@given(docs, docs)
+def test_contamination_fraction_matches_reference(spark, train_texts, bench_texts):
+    """ngram_contamination equals a pure-Python per-doc overlap count:
+    multiplicity on the train side, set semantics on the benchmark."""
+    from clickhouse_etl_spark.text.packing import ngram_contamination
+
+    n = 2
+    def grams_of(t):
+        toks = t.split(" ")
+        m = max(len(toks) - n, 0) + 1
+        return [" ".join(toks[p : p + n]) for p in range(m)]
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    bench_set = {g for t in bench_texts for g in grams_of(t)}
+    got = {r.doc_id: r for r in ngram_contamination(train, bench, n=n).collect()}
+    assert set(got) == set(range(len(train_texts)))
+    for i, t in enumerate(train_texts):
+        gs = grams_of(t)
+        matched = sum(1 for g in gs if g in bench_set)
+        assert got[i].n_ngrams == len(gs)
+        assert got[i].matched_ngrams == matched
+        assert got[i].contamination_frac == round(matched / len(gs), 6)
