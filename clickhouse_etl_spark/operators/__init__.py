@@ -35,6 +35,11 @@ from clickhouse_etl_spark.operators.sampling import (  # noqa: F401
     stratified_deterministic_sample,
 )
 from clickhouse_etl_spark.operators.sketches import frequent_items  # noqa: F401
+from clickhouse_etl_spark.operators.grouped import (  # noqa: F401
+    histogram_fixed,
+    mad_outliers_jvm,
+    top_k_per_group,
+)
 from clickhouse_etl_spark.operators.events import (  # noqa: F401
     retention_flags,
     retention_summary,

@@ -1,6 +1,8 @@
-"""Grouped-map (applyInPandas) operators — per-group Python where the
-whole group must be in hand at once — and their JVM twins where the
-"non-algebraic" aggregate is in fact expressible with built-ins.
+"""Per-group analytics: grouped-map (applyInPandas) operators — with
+JVM twins where the "non-algebraic" aggregate is in fact expressible
+with built-ins — plus the ClickHouse-dialect grouped aggregates the
+reference's warehouse serves (:func:`top_k_per_group` ≙ topK,
+:func:`histogram_fixed` ≙ histogram).
 
 Median/MAD robust outlier flagging ships in BOTH forms:
 
@@ -116,4 +118,101 @@ def mad_outliers_jvm(
             & (F.abs(F.col(value_col) - F.col("group_median"))
                > threshold * F.col("group_mad"))
         ).alias("is_outlier"),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-group top-k most frequent values — the exact form of
+    ClickHouse's ``topK(k)(col)`` (the reference's warehouse dialect;
+    ClickHouse's version is approximate Filtered-Space-Saving, this one
+    is exact with a deterministic (count desc, value asc) tiebreak).
+
+    Plan: groupBy(group, value) count — the map-side partial collapses
+    hot values per partition, so Zipf-headed columns shuffle one row
+    per distinct (group, value) pair, not per occurrence — then one
+    ranking window per group over the (much smaller) count table.
+    NULL values are ignored (ClickHouse topK skips NULLs too).
+
+    Output: ``(*group_cols, value_col, n, rank)``, ≤k rows per group.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    counted = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    group_cols: Sequence[str] = (),
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram with EXACT counts — the engine's analog of
+    ClickHouse ``histogram(bins)(col)`` (that one adapts bin edges per
+    stream; fixed edges are the honest distributed form — adaptive
+    edges depend on merge order, so two runs of the same query could
+    disagree).
+
+    With ``lo``/``hi`` given the plan is ONE aggregation pass. When
+    omitted they come from a global min/max scalar aggregate first
+    (a second, cheap pass — broadcast into the binning expression).
+    Values land in ``floor((v - lo) / width)`` clamped to [0, bins-1]
+    (the top edge closes the last bin, ClickHouse-style); NULLs and
+    NaNs are dropped. Out-of-range values under explicit bounds are
+    CLAMPED into the edge bins (so the histogram always accounts for
+    every non-null row — the count invariant tests rely on it).
+
+    Output: ``(*group_cols, bin, bin_lo, bin_hi, n)`` — only non-empty
+    bins are emitted (a dense grid at 100 TB × many groups is mostly
+    zeros; densify with a sequence() cross join when a consumer needs
+    it).
+    """
+    if bins <= 0:
+        raise ValueError("bins must be positive")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & ~F.isnan(v))
+    if lo is None or hi is None:
+        bounds = base.agg(
+            F.min(v).alias("__lo"), F.max(v).alias("__hi")
+        )
+        base = base.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(bins)
+    raw = F.when(width > 0, F.floor((v - lo_c) / width)).otherwise(F.lit(0))
+    bin_idx = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        base.groupBy(*group_cols, bin_idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(lo_c).alias("__lo0"),
+            F.first(width).alias("__w"),
+        )
+        .select(
+            *group_cols,
+            "bin",
+            (F.col("__lo0") + F.col("bin") * F.col("__w")).alias("bin_lo"),
+            (F.col("__lo0") + (F.col("bin") + 1) * F.col("__w")).alias("bin_hi"),
+            "n",
+        )
     )

@@ -720,3 +720,73 @@ def test_interval_join_batch_oracle(spark):
         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         """,
     )
+
+
+def test_top_k_per_group(spark):
+    """Exact per-group topK (the ClickHouse topK analog) vs a DuckDB
+    count + ROW_NUMBER window with the same (n desc, value asc) tiebreak."""
+    from clickhouse_etl_spark.operators.grouped import top_k_per_group
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = top_k_per_group(li, ["l_returnflag"], "l_quantity", k=3)
+    _assert_matches_oracle(
+        out,
+        """
+        SELECT l_returnflag, l_quantity, n, rank FROM (
+          SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                    ORDER BY COUNT(*) DESC, l_quantity ASC)
+                   AS rank
+          FROM lineitem WHERE l_quantity IS NOT NULL
+          GROUP BY l_returnflag, l_quantity
+        ) WHERE rank <= 3
+        """,
+    )
+
+
+def test_histogram_fixed_grouped(spark):
+    """Equal-width histogram (ClickHouse histogram analog), grouped by
+    event_type with auto min/max bounds, vs DuckDB floor-binning. The
+    per-row bin arithmetic is spelled out identically on both sides."""
+    from clickhouse_etl_spark.operators.grouped import histogram_fixed
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = histogram_fixed(ev, "value", bins=8, group_cols=["event_type"])
+    _assert_matches_oracle(
+        out,
+        """
+        WITH base AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+        ),
+        b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM base),
+        binned AS (
+          SELECT event_type,
+                 CAST(LEAST(GREATEST(
+                   CASE WHEN (b.hi - b.lo) / 8 > 0
+                        THEN FLOOR((v - b.lo) / ((b.hi - b.lo) / 8))
+                        ELSE 0 END, 0), 7) AS INT) AS bin,
+                 b.lo AS lo, (b.hi - b.lo) / 8 AS w
+          FROM base CROSS JOIN b
+        )
+        SELECT event_type, bin,
+               lo + bin * w AS bin_lo,
+               lo + (bin + 1) * w AS bin_hi,
+               COUNT(*) AS n
+        FROM binned GROUP BY event_type, bin, lo, w
+        """,
+    )
+
+
+def test_histogram_count_invariant(spark):
+    """Clamping invariant: with ANY explicit bounds, every non-null
+    non-NaN row lands in exactly one bin (edge bins absorb outliers)."""
+    from clickhouse_etl_spark.operators.grouped import histogram_fixed
+
+    ev = load_table(spark, SF_DIR, "events")
+    total = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    ).count()
+    out = histogram_fixed(ev, "value", bins=5, lo=0.0, hi=1.0)
+    assert out.agg(F.sum("n")).collect()[0][0] == total
+    assert out.filter((F.col("bin") < 0) | (F.col("bin") > 4)).count() == 0
