@@ -235,3 +235,99 @@ def test_scd2_apply_drops_extra_history_columns(spark):
     )
     assert k1 == [("a", False), ("b", False), ("c", True)]
     assert out.filter("k = 2").count() == 1
+
+
+def test_summing_merge_incremental_equals_full(spark):
+    """SummingMergeTree invariant: merging day-2 raw rows into the day-1
+    snapshot equals aggregating both days at once — sums, mins, maxes,
+    new keys on either side, and all-NULL measure keys included."""
+    from clickhouse_etl_spark.sinks.upsert import summing_merge
+
+    schema = "k string, amount int, lo int, hi int"
+    d1 = spark.createDataFrame(
+        [("a", 1, 5, 5), ("a", 2, 3, 9), ("b", None, None, None),
+         ("c", 10, 1, 1)],
+        schema,
+    )
+    d2 = spark.createDataFrame(
+        [("a", 4, 2, 20), ("b", None, None, None), ("d", 7, 7, 7),
+         ("c", None, 0, None)],
+        schema,
+    )
+    args = dict(keys=["k"], sum_cols=["amount"], min_cols=["lo"], max_cols=["hi"])
+    incr = summing_merge(summing_merge(None, d1, **args), d2, **args)
+    full = summing_merge(None, d1.unionByName(d2), **args)
+    assert rows_set(incr) == rows_set(full)
+    got = {r.k: (r.amount, r.lo, r.hi) for r in incr.collect()}
+    assert got == {
+        "a": (7, 2, 20),
+        "b": (None, None, None),   # all-NULL stays NULL, never 0
+        "c": (10, 0, 1),
+        "d": (7, 7, 7),
+    }
+
+
+def test_summing_merge_oracle(spark):
+    """State merge vs DuckDB: snapshot(lineitem half 1) + delta(half 2)
+    must equal a plain GROUP BY over the whole table."""
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.sinks.upsert import summing_merge
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    h1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    h2 = li.filter(F.col("l_orderkey") % 2 == 1)
+    snap = summing_merge(None, h1, keys=["l_returnflag"],
+                         sum_cols=["l_quantity"], max_cols=["l_extendedprice"])
+    merged = summing_merge(snap, h2, keys=["l_returnflag"],
+                           sum_cols=["l_quantity"], max_cols=["l_extendedprice"])
+    out = merged.select(
+        "l_returnflag",
+        F.round("l_quantity", 3).alias("total_qty"),
+        F.round("l_extendedprice", 3).alias("max_price"),
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            "'/root/testdata/sf0.001/lineitem.parquet'"
+        )
+        drows = con.execute(
+            """
+            SELECT l_returnflag, ROUND(SUM(l_quantity), 3) AS total_qty,
+                   ROUND(MAX(l_extendedprice), 3) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    assert rows_set(out) == {tuple(r) for r in drows}
+
+
+def test_summing_merge_plan_no_broadcast(spark):
+    """Both merge sides grow with the data: the full-outer state join
+    must not be broadcast-forced, and nothing python-evaluates."""
+    from clickhouse_etl_spark.sinks.upsert import summing_merge
+
+    big1 = spark.range(10_000).selectExpr("id % 100 AS k", "id AS v")
+    big2 = spark.range(10_000).selectExpr("id % 100 AS k", "id AS v")
+    merged = summing_merge(
+        summing_merge(None, big1, keys=["k"], sum_cols=["v"]),
+        big2, keys=["k"], sum_cols=["v"],
+    )
+    opt = merged._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "FullOuter" in line:
+            assert "broadcast" not in line.lower()
+    phys = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+
+
+def test_summing_merge_validates(spark):
+    from clickhouse_etl_spark.sinks.upsert import summing_merge
+
+    d = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError):
+        summing_merge(None, d, keys=["k"], sum_cols=[])
+    snap = summing_merge(None, d, keys=["k"], sum_cols=["v"])
+    with pytest.raises(ValueError):
+        summing_merge(snap.drop("v"), d, keys=["k"], sum_cols=["v"])
