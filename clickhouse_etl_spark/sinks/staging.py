@@ -76,6 +76,17 @@ def read_current(spark: SparkSession, table_root: str) -> DataFrame:
     return spark.read.parquet(f"{table_root}/{version_dir}")
 
 
+def current_version(table_root: str) -> str | None:
+    """The version ``_CURRENT`` points at, or None when unpublished.
+    Consumers that need replay idempotence (additive streaming merges)
+    compare this against their batch id before applying."""
+    _require_local_root(table_root)
+    pointer = Path(table_root) / CURRENT_MARKER
+    if not pointer.exists():
+        return None
+    return pointer.read_text().strip().removeprefix("v=")
+
+
 def list_versions(table_root: str) -> list[str]:
     root = Path(table_root)
     return sorted(p.name for p in root.glob("v=*") if p.is_dir())

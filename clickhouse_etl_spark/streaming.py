@@ -370,6 +370,102 @@ def foreach_batch_upsert(
     return q
 
 
+def _apply_summing_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_root: str,
+    keys: list[str],
+    sum_cols: list[str],
+    min_cols: tuple = (),
+    max_cols: tuple = (),
+) -> bool:
+    """One micro-batch of :func:`foreach_batch_summing` (module-level so
+    tests can drive replay directly). Returns False when the batch was
+    SKIPPED as already applied.
+
+    Replay guard: unlike merge_upsert (last-write-wins, replay-
+    idempotent by construction), an additive merge DOUBLE-COUNTS a
+    replayed batch. foreachBatch replays with the same batch_id after a
+    failure between the snapshot publish and the checkpoint commit, so
+    each applied batch publishes its id as the snapshot version and a
+    batch whose id is <= the published version is skipped.
+    """
+    from clickhouse_etl_spark.sinks.staging import (
+        current_version,
+        publish_snapshot,
+        read_current,
+    )
+    from clickhouse_etl_spark.sinks.upsert import summing_merge
+
+    spark = batch_df.sparkSession
+    ver = current_version(table_root)
+    if ver is not None:
+        try:
+            applied = int(ver)
+        except ValueError:
+            raise RuntimeError(
+                f"snapshot store {table_root!r} carries non-batch version "
+                f"{ver!r}: foreach_batch_summing must own its table_root "
+                "(mixed writers break the replay guard)"
+            )
+        if applied >= batch_id:
+            return False  # replayed batch — already folded in
+        current = read_current(spark, table_root)
+    else:
+        current = None
+    merged = summing_merge(
+        current, batch_df, keys, sum_cols, min_cols, max_cols
+    )
+    # Materialize BEFORE publishing: the merge reads the _CURRENT
+    # snapshot it is about to supersede.
+    merged = merged.localCheckpoint(eager=True)
+    publish_snapshot(merged, table_root, version=f"{batch_id:020d}")
+    return True
+
+
+def foreach_batch_summing(
+    streaming_df: DataFrame,
+    table_root: str,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    min_cols: tuple = (),
+    max_cols: tuple = (),
+    timeout_sec: int = 120,
+):
+    """Continuous incremental AGGREGATE maintenance: each micro-batch
+    folds its per-key sum/min/max states into a versioned snapshot
+    (sinks.staging + sinks.upsert.summing_merge under ``foreachBatch``)
+    — the streaming form of a SummingMergeTree table, with an explicit
+    replay guard because additive merges are not replay-idempotent
+    (see :func:`_apply_summing_batch`).
+
+    Unlike a windowed streaming aggregation this carries NO watermark
+    state in the engine: per-key running totals live in the snapshot,
+    so key cardinality is bounded by the TABLE, not by state-store
+    memory, and late rows simply fold in whenever they arrive.
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _apply_summing_batch(
+            batch_df, batch_id, table_root, keys, sum_cols, min_cols, max_cols
+        )
+
+    q = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"foreach_batch_summing did not finish within {timeout_sec}s"
+        )
+    return q
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     streaming_df: DataFrame,

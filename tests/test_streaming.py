@@ -293,3 +293,81 @@ def test_stream_interval_join_rejects_column_clash(spark):
 
     with pytest.raises(ValueError, match="disjoint"):
         st.stream_interval_join(events, events, "user_id", "user_id", "ts", "ts")
+
+
+def test_foreach_batch_summing_equals_batch_aggregate(spark, tmp_path):
+    """Streamed per-key running totals equal one batch groupBy over all
+    rows, and a REPLAYED batch id is skipped instead of double-added."""
+    import pyarrow as pa
+
+    from clickhouse_etl_spark import streaming as st
+    from clickhouse_etl_spark.sinks.staging import current_version, read_current
+    from clickhouse_etl_spark.streaming import _apply_summing_batch
+
+    rows = [
+        (1, 1_000_000_000, 10, "a", 1.5, "{}"),
+        (2, 2_000_000_000, 20, "b", 2.0, "{}"),
+        (3, 3_000_000_000, 10, "a", 3.0, "{}"),
+        (4, 4_000_000_000, 30, "c", 4.0, "{}"),
+        (5, 5_000_000_000, 10, "a", 0.5, "{}"),
+    ]
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    zone = tmp_path / "sum_zone"
+    zone.mkdir()
+    cols = list(zip(*rows))
+    # two files -> availableNow may split into micro-batches
+    for i, sl in enumerate((slice(0, 3), slice(3, 5))):
+        tbl = pa.table(
+            {f.name: list(c[sl]) for f, c in zip(schema, cols)}, schema=schema
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, zone / f"part{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(zone))
+    )
+    table_root = str(tmp_path / "sum_table")
+    st.foreach_batch_summing(
+        stream,
+        table_root,
+        keys=["user_id"],
+        sum_cols=["value"],
+        checkpoint_dir=str(tmp_path / "sum_ckpt"),
+    )
+
+    current = read_current(spark, table_root)
+    got = {r.user_id: r.value for r in current.collect()}
+    assert got == {10: 5.0, 20: 2.0, 30: 4.0}
+
+    # Replay: re-apply the LAST batch id — must be skipped, totals frozen.
+    last_id = int(current_version(table_root))
+    batch = spark.createDataFrame(
+        [(10, 100.0)], "user_id long, value double"
+    )
+    applied = _apply_summing_batch(
+        batch, last_id, table_root, ["user_id"], ["value"]
+    )
+    assert applied is False
+    after = {r.user_id: r.value for r in read_current(spark, table_root).collect()}
+    assert after == got
+    # A NEW batch id applies normally.
+    assert _apply_summing_batch(
+        batch, last_id + 1, table_root, ["user_id"], ["value"]
+    )
+    final = {r.user_id: r.value for r in read_current(spark, table_root).collect()}
+    assert final[10] == 105.0
