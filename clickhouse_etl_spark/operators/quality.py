@@ -215,3 +215,84 @@ def enforce_expectations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     if failures:
         raise ExpectationError(failures)
     return report
+
+
+def compare_profiles(
+    baseline: DataFrame,
+    candidate: DataFrame,
+    null_frac_jump: float = 0.05,
+    distinct_ratio_band: tuple[float, float] = (0.5, 2.0),
+    mean_shift_stddevs: float = 3.0,
+) -> DataFrame:
+    """Data-drift report between two :func:`profile_columns` outputs —
+    the monitoring step a scheduled pipeline runs BEFORE publishing a
+    refreshed snapshot (the reference republishes daily with no
+    comparison against yesterday at all).
+
+    One row per column present in either profile, with per-signal drift
+    flags and one rolled-up ``drifted``:
+
+    - ``null_drift`` — null fraction moved more than ``null_frac_jump``
+      (absolute).
+    - ``distinct_drift`` — approx-distinct ratio left
+      ``distinct_ratio_band`` (a collapsed or exploded domain).
+    - ``mean_drift`` — numeric mean moved more than
+      ``mean_shift_stddevs`` baseline standard deviations (NULL-safe:
+      non-numeric columns and zero-stddev baselines never flag here).
+    - ``schema_drift`` — the column exists on only one side.
+
+    Both profiles are tiny (one row per column), so this is a driver-
+    friendly broadcast join whatever the source table's size was.
+    """
+    b = baseline.select(
+        "column",
+        F.col("null_frac").alias("b_null_frac"),
+        F.col("approx_distinct").alias("b_distinct"),
+        F.col("mean").alias("b_mean"),
+        F.col("stddev").alias("b_stddev"),
+    )
+    c = candidate.select(
+        "column",
+        F.col("null_frac").alias("c_null_frac"),
+        F.col("approx_distinct").alias("c_distinct"),
+        F.col("mean").alias("c_mean"),
+    )
+    j = b.join(c, on="column", how="full")
+    in_both = F.col("b_null_frac").isNotNull() & F.col("c_null_frac").isNotNull()
+    null_drift = in_both & (
+        F.abs(F.col("c_null_frac") - F.col("b_null_frac")) > null_frac_jump
+    )
+    ratio = F.col("c_distinct") / F.nullif(F.col("b_distinct"), F.lit(0))
+    lo, hi = distinct_ratio_band
+    distinct_drift = in_both & ratio.isNotNull() & (
+        (ratio < lo) | (ratio > hi)
+    )
+    mean_drift = (
+        in_both
+        & F.col("b_mean").isNotNull()
+        & F.col("c_mean").isNotNull()
+        & (F.col("b_stddev") > 0)
+        & (
+            F.abs(F.col("c_mean") - F.col("b_mean"))
+            > mean_shift_stddevs * F.col("b_stddev")
+        )
+    )
+    schema_drift = ~in_both
+    return j.select(
+        "column",
+        "b_null_frac",
+        "c_null_frac",
+        F.round(ratio, 6).alias("distinct_ratio"),
+        "b_mean",
+        "c_mean",
+        F.coalesce(null_drift, F.lit(False)).alias("null_drift"),
+        F.coalesce(distinct_drift, F.lit(False)).alias("distinct_drift"),
+        F.coalesce(mean_drift, F.lit(False)).alias("mean_drift"),
+        schema_drift.alias("schema_drift"),
+        (
+            F.coalesce(null_drift, F.lit(False))
+            | F.coalesce(distinct_drift, F.lit(False))
+            | F.coalesce(mean_drift, F.lit(False))
+            | schema_drift
+        ).alias("drifted"),
+    )

@@ -49,3 +49,63 @@ def write_mergetree_mapped(
     if order_by:
         out = out.sortWithinPartitions(*parts, *order_by)
     out.write.mode(mode).partitionBy(*parts).parquet(path)
+
+
+def align_to_schema(
+    df: DataFrame,
+    target,
+    add_missing_nullable: bool = True,
+    drop_extra: bool = True,
+) -> DataFrame:
+    """Project ``df`` onto a declared sink schema — the schema-evolution
+    half of the typed-write contract.
+
+    The warehouse schema is FIXED at the sink (the reference's ClickHouse
+    DDL; the engine's catalog StructTypes) while upstream extracts drift:
+    new service fields appear, optional fields go missing, numeric widths
+    change. Alignment rules, strictest-first:
+
+    - column in both: cast to the target type (Spark cast semantics;
+      an impossible cast raises here, at plan time, not mid-write).
+    - column only in target: filled with typed NULL when it is nullable
+      and ``add_missing_nullable`` — a missing NON-nullable column always
+      raises (silently inventing values for a required field is how a
+      warehouse rots).
+    - column only in df: dropped under ``drop_extra`` (the DDL is the
+      contract), raised otherwise.
+
+    Purely a projection — no shuffle, composes with
+    :func:`write_mergetree_mapped` as ``align → write``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if not isinstance(target, T.StructType):
+        raise TypeError("target must be a StructType")
+    have = {f.name: f for f in df.schema.fields}
+    extra = [n for n in have if n not in {f.name for f in target.fields}]
+    if extra and not drop_extra:
+        raise ValueError(f"df carries columns not in the target schema: {extra}")
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            src = have[f.name]
+            if src.dataType == f.dataType:
+                cols.append(F.col(f.name))
+            else:
+                try:
+                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                except Exception as e:  # uncastable type pair
+                    raise ValueError(
+                        f"column {f.name!r}: cannot cast "
+                        f"{src.dataType.simpleString()} -> "
+                        f"{f.dataType.simpleString()}"
+                    ) from e
+        elif f.nullable and add_missing_nullable:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(
+                f"target column {f.name!r} is missing from df and is "
+                + ("non-nullable" if not f.nullable else "not auto-fillable")
+            )
+    return df.select(*cols)

@@ -134,3 +134,42 @@ def test_profile_handles_quoted_column_names(spark):
     rows = {r.column: r for r in profile_columns(df).collect()}
     assert set(rows) == {"student's_score", "plain"}
     assert rows["student's_score"].n_rows == 5
+
+
+def test_compare_profiles_flags_drift(spark):
+    """Null jump, domain collapse, mean shift, and schema add/drop all
+    flag; an unchanged column stays clean."""
+    from clickhouse_etl_spark.operators.quality import (
+        compare_profiles,
+        profile_columns,
+    )
+
+    base = spark.range(1000).selectExpr(
+        "CAST(id AS DOUBLE) AS stable",
+        "CAST(id % 100 AS DOUBLE) AS collapsing",
+        "CAST(id AS DOUBLE) AS shifting",
+        "CASE WHEN id % 100 = 0 THEN NULL ELSE id END AS nulling",
+        "id AS dropped",
+    )
+    cand = spark.range(1000).selectExpr(
+        "CAST(id AS DOUBLE) AS stable",
+        "CAST(id % 3 AS DOUBLE) AS collapsing",          # 100 -> 3 distinct
+        "CAST(id + 100000 AS DOUBLE) AS shifting",       # >> 3 stddevs
+        "CASE WHEN id % 2 = 0 THEN NULL ELSE id END AS nulling",  # 1% -> 50%
+        "id AS added_col",
+    )
+    rep = {
+        r.column: r
+        for r in compare_profiles(
+            profile_columns(base), profile_columns(cand)
+        ).collect()
+    }
+    assert not rep["stable"].drifted
+    assert rep["collapsing"].distinct_drift
+    assert rep["shifting"].mean_drift
+    assert rep["nulling"].null_drift
+    assert rep["dropped"].schema_drift and rep["added_col"].schema_drift
+    assert all(
+        rep[c].drifted for c in ("collapsing", "shifting", "nulling",
+                                 "dropped", "added_col")
+    )

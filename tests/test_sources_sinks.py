@@ -285,3 +285,37 @@ def test_snapshot_retention_keeps_tail_and_current(spark, tmp_path):
 
     with pytest.raises(ValueError):
         delete_versions_older_than(root, keep_latest=0)
+
+
+def test_align_to_schema_rules(spark):
+    """Casts compatible columns, NULL-fills missing nullable ones, drops
+    extras, and raises on a missing required column or kept extras."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.sinks.writers import align_to_schema
+
+    df = spark.createDataFrame(
+        [(1, "9.5", "x")], "id int, score string, junk string"
+    )
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=False),
+            T.StructField("score", T.DoubleType(), nullable=True),
+            T.StructField("note", T.StringType(), nullable=True),
+        ]
+    )
+    out = align_to_schema(df, target)
+    assert [f.name for f in out.schema.fields] == ["id", "score", "note"]
+    row = out.collect()[0]
+    assert (row.id, row.score, row.note) == (1, 9.5, None)
+    assert dict((f.name, f.dataType) for f in out.schema.fields) == {
+        "id": T.LongType(), "score": T.DoubleType(), "note": T.StringType()
+    }
+
+    with pytest.raises(ValueError, match="junk"):
+        align_to_schema(df, target, drop_extra=False)
+
+    required = T.StructType([T.StructField("absent", T.LongType(), False)])
+    with pytest.raises(ValueError, match="non-nullable"):
+        align_to_schema(df, required)
