@@ -172,58 +172,19 @@ def _table_buckets(
     return F.expr(f"array({', '.join(buckets)})")
 
 
-def ivf_ann_topk(
-    corpus: DataFrame,
+def _ivf_probe(
+    c: DataFrame,
+    centroids: DataFrame,
     queries: DataFrame,
-    k: int = 5,
-    num_centroids: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    hash_family: str = "xxhash64",
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
 ) -> DataFrame:
-    """IVF-style ANN: partition the corpus into centroid cells, probe only
-    the query's ``nprobe`` nearest cells.
-
-    The data-dependent alternative to random-hyperplane LSH: cells adapt
-    to the embedding distribution, so recall per candidate examined is
-    higher on clustered data. Centroids here are a deterministic hash
-    sample of the corpus (training-free, reproducible); a k-means|| fit
-    would slot into ``centroids`` without touching the probe path. At
-    scale the cell assignment is one narrow pass (corpus × tiny broadcast
-    centroid set) and each query examines ~corpus×nprobe/num_centroids
-    vectors instead of the full corpus.
-
-    ``hash_family``: the centroid-sample order key — ``'xxhash64'``
-    (default, best mixing) or ``'poly'`` (the wrapping-int64 affine
-    permutation of the id; bit-identical in a SQL oracle, same pattern
-    as MinHash/SimHash — with it the whole IVF result is value-hash
-    checkable).
-    """
-    c = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv"))
-
-    if hash_family == "poly":
-        from clickhouse_etl_spark.text.dedup import _signed64, poly_affine_constants
-
-        a, b = poly_affine_constants(0)
-        order_h = F.expr(
-            f"{id_col} * CAST({a} AS BIGINT) + CAST({_signed64(b)} AS BIGINT)"
-        )
-    else:
-        order_h = F.xxhash64(F.col(id_col))
-
-    # Deterministic pseudo-random centroid sample: smallest hash wins.
-    centroids = (
-        c.withColumn("__h", order_h)
-        .orderBy("__h")
-        .limit(num_centroids)
-        .select(
-            F.col(id_col).alias("__cent_id"), F.col("__cv").alias("__cent_vec")
-        )
-        .transform(materialize)  # tiny; reused by both assignments
-    )
-
+    """Shared IVF probe path: corpus→nearest cell, query→nprobe cells,
+    candidates scored within probed cells, top-k. ``c`` carries
+    (id_col, __cv); ``centroids`` carries (__cent_id, __cent_vec)."""
     dot_cc = _DOT.format(a="__cv", b="__cent_vec")
     cn = _NORM.format(a="__cv")
     centn = _NORM.format(a="__cent_vec")
@@ -275,6 +236,76 @@ def ivf_ann_topk(
         .withColumn("__cos_raw", F.expr(f"({dot}) / (({qn}) * ({cn2}))"))
     )
     return _rank_topk(scored, k, query_id_col, id_col)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    hash_family: str = "xxhash64",
+    trained_centroids: list | None = None,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, probe only
+    the query's ``nprobe`` nearest cells.
+
+    The data-dependent alternative to random-hyperplane LSH: cells adapt
+    to the embedding distribution, so recall per candidate examined is
+    higher on clustered data. Default centroids are a deterministic hash
+    sample of the corpus (training-free, reproducible); pass
+    ``trained_centroids`` — the ``list[list[float]]`` that
+    ``text.kmeans.train_kmeans`` returns — for the trained-IVF form
+    (same probe path, cells shaped by the data's actual clusters; the
+    composition is pinned in ``test_kmeans.py``). At
+    scale the cell assignment is one narrow pass (corpus × tiny broadcast
+    centroid set) and each query examines ~corpus×nprobe/num_centroids
+    vectors instead of the full corpus.
+
+    ``hash_family``: the centroid-sample order key — ``'xxhash64'``
+    (default, best mixing) or ``'poly'`` (the wrapping-int64 affine
+    permutation of the id; bit-identical in a SQL oracle, same pattern
+    as MinHash/SimHash — with it the whole IVF result is value-hash
+    checkable). Ignored when ``trained_centroids`` is given.
+    """
+    c = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv"))
+
+    if trained_centroids is not None:
+        if not trained_centroids:
+            raise ValueError("trained_centroids must be non-empty")
+        spark = corpus.sparkSession
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(trained_centroids)],
+            "__cent_id long, __cent_vec array<double>",
+        ).transform(materialize)
+        return _ivf_probe(c, centroids, queries, k, nprobe, id_col, vec_col,
+                          query_id_col)
+
+    if hash_family == "poly":
+        from clickhouse_etl_spark.text.dedup import _signed64, poly_affine_constants
+
+        a, b = poly_affine_constants(0)
+        order_h = F.expr(
+            f"{id_col} * CAST({a} AS BIGINT) + CAST({_signed64(b)} AS BIGINT)"
+        )
+    else:
+        order_h = F.xxhash64(F.col(id_col))
+
+    # Deterministic pseudo-random centroid sample: smallest hash wins.
+    centroids = (
+        c.withColumn("__h", order_h)
+        .orderBy("__h")
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("__cent_id"), F.col("__cv").alias("__cent_vec")
+        )
+        .transform(materialize)  # tiny; reused by both assignments
+    )
+    return _ivf_probe(c, centroids, queries, k, nprobe, id_col, vec_col,
+                      query_id_col)
 
 
 def embedding_cosine_neardup(

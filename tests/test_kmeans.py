@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
+from pyspark.sql import functions as F
 
 from clickhouse_etl_spark.catalog import load_table
 from clickhouse_etl_spark.text.kmeans import assign_clusters, train_kmeans
@@ -84,3 +86,40 @@ def test_kmeans_validates_inputs(spark):
         train_kmeans(emb.limit(3), 10)
     with pytest.raises(ValueError):
         assign_clusters(emb, [])
+
+
+def test_trained_centroid_ivf_retrieves_planted(spark):
+    """train_kmeans centroids slot into ivf_ann_topk (the trained-IVF
+    composition): planted near-identical vectors are still retrieved at
+    rank 1, and the probe path behaves identically to the sampled form."""
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text.kmeans import train_kmeans
+    from clickhouse_etl_spark.text.similarity import ivf_ann_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    planted = queries.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x * (1.0 + 0.001 * sin(i)))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    centroids, _ = train_kmeans(corpus, k=8, max_iters=3)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_ann_topk(
+            corpus, queries, k=5, nprobe=3, trained_centroids=centroids
+        ).collect()
+    }
+    for q in range(3):
+        assert (q, q + 100000) in got, f"trained IVF missed planted dup {q}"
+
+
+def test_trained_centroid_ivf_validates(spark):
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text.similarity import ivf_ann_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError):
+        ivf_ann_topk(emb, emb.limit(1), trained_centroids=[])
