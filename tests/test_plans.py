@@ -171,3 +171,34 @@ def test_embedding_neardup_self_join_carries_ids_only(spark):
         "vector column rides the bucket self-join"
     )
     spark.catalog.clearCache()
+
+
+def test_new_grouped_and_retrieval_ops_plan_clean(spark):
+    """Plan contract sweep for the late-round operators: no cartesian
+    product, no row-Python in any of them."""
+    from clickhouse_etl_spark.operators.grouped import (
+        histogram_fixed,
+        top_k_per_group,
+    )
+    from clickhouse_etl_spark.sinks.upsert import summing_merge
+    from clickhouse_etl_spark.text.index import bm25_topk
+    from clickhouse_etl_spark.text.packing import ngram_contamination
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    plans = {
+        "top_k_per_group": top_k_per_group(li, ["l_returnflag"], "l_quantity"),
+        "histogram_fixed": histogram_fixed(li, "l_quantity", group_cols=["l_returnflag"]),
+        "summing_merge": summing_merge(
+            summing_merge(None, li, ["l_returnflag"], ["l_quantity"]),
+            li, ["l_returnflag"], ["l_quantity"],
+        ),
+        "bm25_topk": bm25_topk(docs, ["the", "data"]),
+        "ngram_contamination": ngram_contamination(docs, bench, n=3),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+        assert "BatchEvalPython" not in plan, f"{name} row-Python"
+        assert "ArrowEvalPython" not in plan, f"{name} arrow-eval in plan"

@@ -307,3 +307,65 @@ def test_cap_bucket_membership_invariants(spark, rows, cap, order):
         for b in sizes:
             expect = set(sorted(i for bb, i in rows if bb == b)[:cap])
             assert kept[b] == expect
+
+
+# --- representative-order isomorphism -----------------------------------
+# The engine orders score representatives by a STRUCT key while the
+# DuckDB oracles order by the fixed-width lpad string; the fixture-domain
+# argument (reference_etl._score_order docstring) is that both induce the
+# same ranking. Pin it directly: random rows shaped like the synthetic
+# warehouse's scores (non-negative ids, structurePath length fixed given
+# scorerId, description determined by scoreId) must pick the SAME
+# representative under both keys.
+
+score_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # markedAt day offset
+        st.integers(min_value=0, max_value=50),         # scoreId
+        st.integers(min_value=0, max_value=5),          # scorerId
+        st.integers(min_value=0, max_value=2),          # partkey%3 analog
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_SLOW
+@given(score_rows)
+def test_struct_order_key_matches_string_order_key(spark, rows):
+    from clickhouse_etl_spark.pipelines.reference_etl import _score_order
+
+    df = spark.createDataFrame(
+        [
+            (
+                "g",
+                f"2024-01-0{1 + m}",
+                sid,
+                scr,
+                f"#st{scr}#p{p}",
+                f"d{sid % 7}",
+            )
+            for (m, sid, scr, p) in rows
+        ],
+        "k string, markedAt string, scoreId long, scorerId long,"
+        " structurePath string, description string",
+    ).withColumn("markedAt", F.col("markedAt").cast("timestamp"))
+    payload = F.struct(
+        "structurePath", "scorerId", "markedAt", "description", "scoreId"
+    )
+    string_key = F.concat(
+        F.format_string(
+            "%012d%012d%012d",
+            F.unix_timestamp(F.col("markedAt")),
+            F.col("scoreId"),
+            F.col("scorerId"),
+        ),
+        F.col("structurePath"),
+        F.lit("|"),
+        F.col("description"),
+    )
+    both = df.groupBy("k").agg(
+        F.max_by(payload, _score_order()).alias("via_struct"),
+        F.max_by(payload, string_key).alias("via_string"),
+    ).collect()[0]
+    assert both["via_struct"] == both["via_string"]
