@@ -1,6 +1,7 @@
 """Pipeline layer: task graph + the reference's three ETL lifecycles."""
 
 from clickhouse_etl_spark.pipelines.graph import Pipeline, Stage
+from clickhouse_etl_spark.pipelines.matview import MaterializedView
 from clickhouse_etl_spark.pipelines.reference_etl import (
     copy_entity,
     monthly_subject_fact,
@@ -11,6 +12,7 @@ from clickhouse_etl_spark.pipelines.reference_etl import (
 )
 
 __all__ = [
+    "MaterializedView",
     "Pipeline",
     "Stage",
     "copy_entity",

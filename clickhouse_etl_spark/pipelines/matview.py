@@ -1,0 +1,178 @@
+"""Materialized views — derived-table maintenance as an engine object.
+
+The reference maintains every derived table by re-running an entire
+Airflow DAG daily: re-extract the source, rebuild the table, swap the
+staging copy in (apps/airflow/dags/student_scores_subject/
+etl_student_scores_subject_month_to_clickhouse.py:590,648 — full
+rebuild regardless of how little changed). ClickHouse itself has the
+better primitive — a MATERIALIZED VIEW folds inserted rows into the
+target incrementally — but the reference never uses it. This module is
+that primitive, Spark-first: a named view = source query + merge
+strategy + snapshot store + watermark, refreshable either way:
+
+- ``refresh_full``  — rebuild from scratch and publish a new snapshot
+  (the reference's behavior, kept for backfills and logic changes).
+- ``refresh_incremental`` — read only source rows past the committed
+  watermark, fold them into the current snapshot with the strategy's
+  merge (``summing_merge`` states or ``merge_upsert`` last-write-wins),
+  publish, then commit max(ts) of the batch actually folded. O(delta +
+  touched keys) per refresh.
+
+The invariant that makes the view trustworthy — pinned in tests —
+is refresh-path equivalence: any interleaving of incremental refreshes
+produces the same published table as one full rebuild over the same
+source state.
+
+Watermark/publish ordering: the snapshot publish happens BEFORE the
+watermark commit, so a crash between the two re-folds the same delta on
+the next refresh. That is idempotent for ``replace`` (last-write-wins)
+but would double-count ``summing`` — so the summing path snapshots the
+batch (see ``incremental_read``'s lineage-cut rationale) and publishes
+the watermark INSIDE the same refresh call, and a re-run after a crash
+re-reads from the OLD watermark against the OLD snapshot only when the
+publish also didn't land (the _CURRENT flip is atomic). A torn refresh
+(published but uncommitted watermark) is repaired by ``repair_check``:
+it detects max(ts-in-snapshot) > watermark and re-commits the watermark
+without re-folding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.sinks.staging import (
+    current_version,
+    publish_snapshot,
+    read_current,
+)
+from clickhouse_etl_spark.sinks.upsert import merge_upsert, summing_merge
+from clickhouse_etl_spark.sources.watermark import WatermarkLedger
+from clickhouse_etl_spark.util import materialize
+
+
+@dataclass
+class MaterializedView:
+    """A named derived table over a source query.
+
+    ``source``: ``(spark) -> DataFrame`` producing the CURRENT full
+    source relation; incremental refreshes filter it by ``ts_col`` >
+    watermark (the predicate pushes down to the source scan, so the
+    "full relation" is never materialized).
+
+    ``strategy``: ``'summing'`` (aggregate states per key:
+    ``sum_cols``/``min_cols``/``max_cols``) or ``'replace'``
+    (last-write-wins row per key ordered by ``ts_col``).
+    """
+
+    name: str
+    table_root: str
+    source: Callable[[SparkSession], DataFrame]
+    keys: Sequence[str]
+    ts_col: str
+    strategy: str = "summing"
+    sum_cols: Sequence[str] = field(default_factory=tuple)
+    min_cols: Sequence[str] = field(default_factory=tuple)
+    max_cols: Sequence[str] = field(default_factory=tuple)
+    ledger: WatermarkLedger | None = None
+
+    def __post_init__(self) -> None:
+        if self.strategy not in ("summing", "replace"):
+            raise ValueError("strategy must be 'summing' or 'replace'")
+        if self.strategy == "summing" and not (
+            self.sum_cols or self.min_cols or self.max_cols
+        ):
+            raise ValueError("summing views need sum/min/max cols")
+        if self.ledger is None:
+            self.ledger = WatermarkLedger(f"{self.table_root}/_watermarks.jsonl")
+
+    # -- internals ---------------------------------------------------------
+
+    def _next_version(self) -> str:
+        ver = current_version(self.table_root)
+        return f"{(int(ver) + 1) if ver is not None else 0:020d}"
+
+    def _merge(self, current: DataFrame | None, delta: DataFrame) -> DataFrame:
+        if self.strategy == "summing":
+            # ts_col is folded as a max state so the view itself records
+            # how far it has seen — repair_check reads it back.
+            max_cols = list(self.max_cols)
+            if self.ts_col not in max_cols:
+                max_cols.append(self.ts_col)
+            return summing_merge(
+                current, delta, self.keys, self.sum_cols, self.min_cols, max_cols
+            )
+        if current is None:
+            return merge_upsert(delta.limit(0), delta, list(self.keys), self.ts_col)
+        return merge_upsert(current, delta, list(self.keys), self.ts_col)
+
+    def _read_current(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return read_current(spark, self.table_root)
+        except FileNotFoundError:
+            return None
+
+    # -- public API --------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The published view (raises until first refresh)."""
+        return read_current(spark, self.table_root)
+
+    def refresh_full(self, spark: SparkSession) -> str:
+        """Rebuild from the full source and publish. Also commits the
+        watermark at max(ts) of the source, so a later incremental
+        refresh continues from here."""
+        src = materialize(self.source(spark), cut_lineage=True)
+        merged = self._merge(None, src)
+        version = self._next_version()
+        publish_snapshot(merged, self.table_root, version=version)
+        wm = src.agg(F.max(self.ts_col)).collect()[0][0]
+        if wm is not None:
+            self.ledger.commit(self.name, wm)
+        return version
+
+    def refresh_incremental(self, spark: SparkSession) -> str | None:
+        """Fold source rows past the watermark into the snapshot.
+        Returns the published version, or None when there was no new
+        data (no snapshot churn, no watermark movement)."""
+        wm = self.ledger.get(self.name)
+        delta = self.source(spark).filter(
+            F.col(self.ts_col) > F.lit(wm).cast("timestamp")
+        )
+        # Snapshot the batch: consumed by the merge AND the watermark
+        # max — an unsnapshotted plan could re-scan a LIVE source
+        # between the two and commit past unfolded rows.
+        delta = materialize(delta, cut_lineage=True)
+        if delta.isEmpty():
+            return None
+        merged = self._merge(self._read_current(spark), delta)
+        version = self._next_version()
+        publish_snapshot(merged, self.table_root, version=version)
+        new_wm = delta.agg(F.max(self.ts_col)).collect()[0][0]
+        if new_wm is not None:
+            self.ledger.commit(self.name, new_wm)
+        return version
+
+    def repair_check(self, spark: SparkSession) -> bool:
+        """Detect (and repair) a torn refresh: snapshot published but
+        watermark commit lost. Summing views carry max(ts) as a state
+        column, so the repair is a watermark re-commit — no re-fold.
+        Returns True when a repair happened. Replace views need no
+        repair (re-folding the same delta is idempotent there)."""
+        if self.strategy != "summing":
+            return False
+        current = self._read_current(spark)
+        if current is None:
+            return False
+        seen = current.agg(F.max(self.ts_col)).collect()[0][0]
+        if seen is None:
+            return False
+        committed = self.ledger.get(self.name)
+        seen_s = seen.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        if seen_s > committed:
+            self.ledger.commit(self.name, seen)
+            return True
+        return False
