@@ -123,3 +123,27 @@ def exact_distinct(df: DataFrame, cols: Sequence[str] | None = None) -> DataFram
     reference: …etl_student_scores_subject_month_to_clickhouse.py:467-468
     """
     return (df.select(*cols) if cols else df).distinct()
+
+
+def limit_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    n: int,
+    order_col: str,
+    descending: bool = True,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """ClickHouse ``LIMIT n BY keys`` — the first ``n`` rows per key in
+    ``order_col`` order (:func:`latest_row_per_key` is the n=1 case).
+    Same single ranking-window shuffle; ``tiebreak`` pins exact-tie
+    order so the cut is reproducible across partitionings."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    cols = [F.col(order_col)] + [F.col(c) for c in tiebreak]
+    order = [c.desc() for c in cols] if descending else [c.asc() for c in cols]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

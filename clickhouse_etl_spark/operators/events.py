@@ -170,3 +170,74 @@ def retention_summary(
     return flags.agg(
         *[F.sum(f"r{i}").alias(f"n_r{i}") for i in range(1, k + 1)]
     )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    ts_col: str,
+    step: str = "1 hour",
+    group_cols: Sequence[str] = (),
+    value_cols: Sequence[str] = (),
+    fill: str = "null",
+) -> DataFrame:
+    """ClickHouse ``ORDER BY ts WITH FILL STEP`` — densify a per-group
+    time series so every ``step`` bucket between the group's first and
+    last observation exists.
+
+    ``df`` must hold one row per (group, bucket) with ``ts_col``
+    already bucket-aligned (build it with ``date_trunc``/``window`` —
+    misaligned timestamps would interleave with the grid instead of
+    merging into it). Missing buckets appear with ``value_cols`` filled
+    by policy: ``'null'`` (ClickHouse default), ``'zero'``, or
+    ``'locf'`` (last observation carried forward — the dashboard
+    gauge/state convention).
+
+    Plan: per-group min/max aggregate → ``sequence(min, max, step)``
+    explode → left join the observations back on (group, bucket). The
+    explode is bounded by time-range/step per group — a property of the
+    CALENDAR, not the data volume — and both shuffles key on the group,
+    so the shape survives any corpus scale with bounded time ranges.
+    """
+    if fill not in ("null", "zero", "locf"):
+        raise ValueError("fill must be 'null', 'zero', or 'locf'")
+    gcols = list(group_cols)
+    ts = F.col(ts_col).cast("timestamp")
+    bounds = df.groupBy(*gcols).agg(
+        F.min(ts).alias("__lo"), F.max(ts).alias("__hi")
+    )
+    grid = bounds.select(
+        *gcols,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+    out = grid.join(df, on=[*gcols, ts_col], how="left")
+    if fill == "zero":
+        out = out.select(
+            *gcols,
+            ts_col,
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c) if c in value_cols
+                else F.col(c)
+                for c in df.columns
+                if c not in gcols and c != ts_col
+            ],
+        )
+    elif fill == "locf":
+        w = (
+            Window.partitionBy(*[F.col(c) for c in gcols])
+            .orderBy(F.col(ts_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.select(
+            *gcols,
+            ts_col,
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                if c in value_cols
+                else F.col(c)
+                for c in df.columns
+                if c not in gcols and c != ts_col
+            ],
+        )
+    return out

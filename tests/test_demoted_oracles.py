@@ -790,3 +790,79 @@ def test_histogram_count_invariant(spark):
     out = histogram_fixed(ev, "value", bins=5, lo=0.0, hi=1.0)
     assert out.agg(F.sum("n")).collect()[0][0] == total
     assert out.filter((F.col("bin") < 0) | (F.col("bin") > 4)).count() == 0
+
+
+def test_limit_by(spark):
+    """ClickHouse LIMIT n BY key vs a DuckDB ROW_NUMBER cut with the same
+    deterministic tiebreak."""
+    from clickhouse_etl_spark.operators.dedup import limit_by
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = limit_by(
+        ev.select("user_id", "event_id", "value"),
+        keys=["user_id"], n=2, order_col="value", tiebreak=["event_id"],
+    )
+    _assert_matches_oracle(
+        out,
+        """
+        SELECT user_id, event_id, value FROM (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn <= 2
+        """,
+    )
+
+
+def test_fill_time_gaps_oracle(spark):
+    """WITH FILL densification (hourly buckets per event_type) vs DuckDB
+    generate_series, all three fill policies value-checked."""
+    from clickhouse_etl_spark.operators.events import fill_time_gaps
+
+    ev = load_table(spark, SF_DIR, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # keep a sparse series: only buckets with >= 3 events survive,
+        # so the fill has real gaps to close
+        .filter(F.col("n") >= 3)
+    )
+    base_sql = """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ),
+        bounds AS (
+          SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+          FROM hourly GROUP BY 1
+        ),
+        grid AS (
+          SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds
+        )
+        SELECT grid.event_type, grid.bucket, {val} AS n
+        FROM grid LEFT JOIN hourly
+          ON grid.event_type = hourly.event_type
+         AND grid.bucket = hourly.bucket
+    """
+    _assert_matches_oracle(
+        fill_time_gaps(hourly, "bucket", "1 hour", ["event_type"], ["n"]),
+        base_sql.format(val="hourly.n"),
+    )
+    _assert_matches_oracle(
+        fill_time_gaps(hourly, "bucket", "1 hour", ["event_type"], ["n"],
+                       fill="zero"),
+        base_sql.format(val="COALESCE(hourly.n, 0)"),
+    )
+    _assert_matches_oracle(
+        fill_time_gaps(hourly, "bucket", "1 hour", ["event_type"], ["n"],
+                       fill="locf"),
+        base_sql.format(
+            val="LAST_VALUE(hourly.n IGNORE NULLS) OVER ("
+            "PARTITION BY grid.event_type ORDER BY grid.bucket "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+    )
