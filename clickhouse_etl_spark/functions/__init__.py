@@ -26,3 +26,6 @@ from clickhouse_etl_spark.functions.timestamps import (  # noqa: F401
     legacy_date_rescue,
     timestamp_to_iso_string,
 )
+from clickhouse_etl_spark.functions.sql_surface import (  # noqa: F401
+    register_sql_functions,
+)

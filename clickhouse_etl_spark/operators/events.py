@@ -200,6 +200,9 @@ def fill_time_gaps(
     """
     if fill not in ("null", "zero", "locf"):
         raise ValueError("fill must be 'null', 'zero', or 'locf'")
+    missing = [c for c in value_cols if c not in df.columns]
+    if missing:  # a typo here would otherwise silently skip the fill
+        raise ValueError(f"value_cols not in df: {missing}")
     gcols = list(group_cols)
     ts = F.col(ts_col).cast("timestamp")
     bounds = df.groupBy(*gcols).agg(

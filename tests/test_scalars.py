@@ -111,3 +111,66 @@ def test_f14_nan_to_null(spark):
     assert got[0] == 1.0
     assert got[1] is None and got[2] is None
     assert not any(isinstance(g, float) and math.isnan(g) for g in got)
+
+
+def test_sql_surface_matches_column_functions(spark):
+    """The SQL-registered functions compile to the same values as the
+    Column API on a value sweep including every edge (band cutoffs, NULL
+    coe, zero max, non-UUID, passthrough gender)."""
+    from clickhouse_etl_spark.functions.grading import grade_band
+    from clickhouse_etl_spark.functions.scalars import (
+        gender_normalize,
+        is_uuid,
+        percentage,
+        weighted_coe,
+    )
+    from clickhouse_etl_spark.functions.sql_surface import register_sql_functions
+
+    names = register_sql_functions(spark)
+    assert "grade_band" in names
+
+    df = spark.createDataFrame(
+        [
+            (85.0, "m", "123e4567-e89b-12d3-a456-426614174000", 2.0),
+            (84.999, "F", "not-a-uuid", 0.0),
+            (40.0, "Female", None, -1.0),
+            (0.0, "x", "123E4567-E89B-12D3-A456-426614174000", None),
+            (None, None, None, 3.5),
+        ],
+        "pct double, g string, u string, coe double",
+    )
+    df.createOrReplaceTempView("sql_surface_probe")
+    via_sql = spark.sql(
+        """
+        SELECT grade_band(pct) AS grade, grade_gpa(pct) AS gpa,
+               pct_of(pct, 100.0) AS p, gender_normalize(g) AS gn,
+               is_uuid(u) AS uu, weighted_coe(coe) AS w
+        FROM sql_surface_probe
+        """
+    ).collect()
+    via_col = df.select(
+        grade_band(F.col("pct")).getField("grade").alias("grade"),
+        grade_band(F.col("pct")).getField("gpa").alias("gpa"),
+        percentage(F.col("pct"), F.lit(100.0)).alias("p"),
+        gender_normalize(F.col("g")).alias("gn"),
+        is_uuid(F.col("u")).alias("uu"),
+        weighted_coe(F.col("coe")).alias("w"),
+    ).collect()
+    assert via_sql == via_col
+
+
+def test_sql_surface_inlines_into_codegen(spark):
+    """SQL-defined functions must INLINE (no python eval, no UDF node) —
+    the whole point of the CREATE FUNCTION form."""
+    from clickhouse_etl_spark.functions.sql_surface import register_sql_functions
+
+    register_sql_functions(spark)
+    plan = (
+        spark.range(10)
+        .selectExpr("grade_band(CAST(id AS DOUBLE)) AS g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CASE WHEN" in plan  # the ladder inlined as an expression
