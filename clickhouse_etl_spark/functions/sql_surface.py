@@ -64,6 +64,39 @@ _FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "DOUBLE",
         "CASE WHEN c IS NULL OR c <= 0 THEN 1.0 ELSE c END",
     ),
+    # F3+F4 — the full timestamp zoo (ISO with 1-6 fraction digits,
+    # with/without Z, space-separated, the legacy date literal; invalid
+    # input → NULL). Mirrors functions/timestamps.py expression by
+    # expression; the value-sweep test pins the two surfaces equal.
+    "parse_ts": (
+        "s STRING",
+        "TIMESTAMP",
+        """coalesce(
+          to_timestamp(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(s, '(\\\\.\\\\d{1,3})\\\\d*', '$1'),
+                '\\\\.(\\\\d)(?=[^\\\\d]|$)', '.$100'),
+              '\\\\.(\\\\d\\\\d)(?=[^\\\\d]|$)', '.$10'),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+          to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          to_timestamp(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(s, '(\\\\.\\\\d{1,3})\\\\d*', '$1'),
+                '\\\\.(\\\\d)(?=[^\\\\d]|$)', '.$100'),
+              '\\\\.(\\\\d\\\\d)(?=[^\\\\d]|$)', '.$10'),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+          to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss"),
+          to_timestamp(s, 'yyyy-MM-dd HH:mm:ss'),
+          CASE WHEN regexp_extract(s, '\\\\((\\\\d{4}-\\\\d{2}-\\\\d{2})\\\\)', 1) <> ''
+               THEN to_timestamp(
+                 regexp_extract(s, '\\\\((\\\\d{4}-\\\\d{2}-\\\\d{2})\\\\)', 1),
+                 'yyyy-MM-dd')
+          END)""",
+    ),
+    # F5 — timestamp → ISO string for JSON boundaries.
+    "iso_str": ("t TIMESTAMP", "STRING", 'date_format(t, "yyyy-MM-dd\'T\'HH:mm:ss")'),
 }
 
 

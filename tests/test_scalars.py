@@ -174,3 +174,40 @@ def test_sql_surface_inlines_into_codegen(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CASE WHEN" in plan  # the ladder inlined as an expression
+
+
+def test_sql_surface_timestamp_zoo_matches_column(spark):
+    """parse_ts / iso_str (SQL surface) == iso_or_legacy_timestamp /
+    timestamp_to_iso_string (Column API) across the full input zoo."""
+    from clickhouse_etl_spark.functions.sql_surface import register_sql_functions
+    from clickhouse_etl_spark.functions.timestamps import (
+        iso_or_legacy_timestamp,
+        timestamp_to_iso_string,
+    )
+
+    register_sql_functions(spark)
+    inputs = [
+        "2024-03-05T10:11:12Z",
+        "2024-03-05T10:11:12.5Z",
+        "2024-03-05T10:11:12.56Z",
+        "2024-03-05T10:11:12.567Z",
+        "2024-03-05T10:11:12.567891Z",
+        "2024-03-05T10:11:12",
+        "2024-03-05T10:11:12.25",
+        "2024-03-05 10:11:12",
+        "datetime.date@version=2(1999-09-09)",
+        "datetime.date@version=2(bogus)",
+        "garbage",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in inputs], "s string")
+    df.createOrReplaceTempView("ts_zoo_probe")
+    via_sql = spark.sql(
+        "SELECT parse_ts(s) AS t, iso_str(parse_ts(s)) AS i FROM ts_zoo_probe"
+    ).collect()
+    via_col = df.select(
+        iso_or_legacy_timestamp(F.col("s")).alias("t"),
+        timestamp_to_iso_string(iso_or_legacy_timestamp(F.col("s"))).alias("i"),
+    ).collect()
+    assert via_sql == via_col
