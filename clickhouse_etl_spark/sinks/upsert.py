@@ -20,6 +20,9 @@ the incremental forms instead:
   semantics: an aggregate SNAPSHOT maintained by folding each delta's
   pre-aggregated states in (sum/min/max; avg = sum+count at read).
   O(delta + touched keys), never O(table).
+- ``collapsing_merge`` — (Versioned)CollapsingMergeTree's ±1 sign
+  collapse in one key-shuffled aggregation; cancels annihilate
+  inserts, net ≤ 0 deletes the key, the latest surviving state wins.
 - ``scd2_history`` / ``scd2_apply`` — type-2 slowly-changing dimension:
   every key keeps a timeline of attribute versions with
   ``valid_from``/``valid_to``/``is_current``. History build is one
@@ -164,6 +167,60 @@ def summing_merge(
         + [fold(c, "max") for c in max_cols]
     )
     return cur.join(dd, on=keys, how="full").select(*keys, *folded)
+
+
+def collapsing_merge(
+    rows: DataFrame,
+    keys: Sequence[str],
+    sign_col: str = "sign",
+    order_col: str | None = None,
+) -> DataFrame:
+    """CollapsingMergeTree's sign collapse, executed eagerly: state rows
+    arrive as ``sign=+1`` (insert/new state) and ``sign=-1`` (cancel of
+    the previously inserted state); per key, cancels annihilate inserts
+    and the surviving latest state row remains — no survivors (net ≤ 0)
+    means the key is deleted.
+
+    ``order_col`` pins WHICH ``+1`` row is "latest" (the
+    VersionedCollapsingMergeTree form — deterministic under any arrival
+    order). Without it, ties fall to the highest-sort row of the whole
+    remaining payload, matching ClickHouse's plain Collapsing engine
+    only up to its own arrival-order caveat — pass ``order_col`` in
+    anything that replays or arrives out of order.
+
+    One aggregation shuffle on ``keys`` (map-side partial folds the
+    ±1 counts early); completes the MergeTree-family set next to
+    ``merge_upsert`` (Replacing) and ``summing_merge`` (Summing).
+    """
+    # Sign validation rides INSIDE the single pass (raise_error folded
+    # into the expression) — a separate pre-scan job just to validate
+    # would double the read at 100 TB.
+    sign = F.when(
+        F.col(sign_col).isin(1, -1), F.col(sign_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{sign_col} must be +1 or -1, got: "),
+                F.col(sign_col).cast("string"),
+            )
+        ).cast("int")
+    )
+    payload_cols = [c for c in rows.columns if c not in keys and c != sign_col]
+    if order_col is not None:
+        order = F.struct(
+            F.col(order_col),
+            *[F.col(c) for c in payload_cols if c != order_col],
+        )
+    else:
+        order = F.struct(*[F.col(c) for c in payload_cols])
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    agg = rows.groupBy(*keys).agg(
+        F.sum(sign).alias("__net"),
+        F.max_by(payload, F.when(sign == 1, order)).alias("__last"),
+    )
+    return agg.filter(F.col("__net") > 0).select(
+        *keys, *[F.col("__last").getField(c).alias(c) for c in payload_cols]
+    )
 
 
 def scd2_history(

@@ -331,3 +331,80 @@ def test_summing_merge_validates(spark):
     snap = summing_merge(None, d, keys=["k"], sum_cols=["v"])
     with pytest.raises(ValueError):
         summing_merge(snap.drop("v"), d, keys=["k"], sum_cols=["v"])
+
+
+def test_collapsing_merge_semantics(spark):
+    """Sign collapse: cancels annihilate inserts, net<=0 keys vanish,
+    the latest +1 state (by order_col) survives, and a bad sign raises
+    inside the pass."""
+    from clickhouse_etl_spark.sinks.upsert import collapsing_merge
+
+    rows = spark.createDataFrame(
+        [
+            # key a: insert v1, cancel v1, insert v2 -> survives as v2
+            ("a", 1, 1, "v1"),
+            ("a", -1, 1, "v1"),
+            ("a", 1, 2, "v2"),
+            # key b: insert then cancel -> deleted
+            ("b", 1, 1, "x"),
+            ("b", -1, 1, "x"),
+            # key c: plain insert
+            ("c", 1, 1, "y"),
+            # key d: stray cancel only -> net<=0, deleted
+            ("d", -1, 1, "z"),
+        ],
+        "k string, sign int, ver int, state string",
+    )
+    out = collapsing_merge(rows, ["k"], order_col="ver")
+    got = {r.k: (r.ver, r.state) for r in out.collect()}
+    assert got == {"a": (2, "v2"), "c": (1, "y")}
+
+    import pyspark.errors
+
+    bad = spark.createDataFrame([("a", 2, 1, "v")], "k string, sign int, ver int, state string")
+    with pytest.raises(Exception) as ei:
+        collapsing_merge(bad, ["k"], order_col="ver").collect()
+    assert "must be +1 or -1" in str(ei.value)
+
+
+def test_collapsing_merge_oracle(spark):
+    """Collapse vs DuckDB: net>0 keys keep the arg_max(+1) state."""
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.sinks.upsert import collapsing_merge
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rows = li.selectExpr(
+        "l_orderkey AS k",
+        "CASE WHEN l_linenumber % 4 = 0 THEN -1 ELSE 1 END AS sign",
+        "l_linenumber AS ver",
+        "l_quantity AS q",
+    )
+    out = collapsing_merge(rows, ["k"], order_col="ver")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            "'/root/testdata/sf0.001/lineitem.parquet'"
+        )
+        drows = con.execute(
+            """
+            WITH r AS (
+              SELECT l_orderkey AS k,
+                     CASE WHEN l_linenumber % 4 = 0 THEN -1 ELSE 1 END AS sign,
+                     l_linenumber AS ver, l_quantity AS q
+              FROM lineitem
+            )
+            , net AS (SELECT k FROM r GROUP BY k HAVING SUM(sign) > 0),
+            last AS (
+              SELECT k, ver, q,
+                     ROW_NUMBER() OVER (PARTITION BY k
+                                        ORDER BY ver DESC, q DESC) AS rn
+              FROM r WHERE sign = 1
+            )
+            SELECT last.k, last.ver, last.q
+            FROM last JOIN net ON last.k = net.k WHERE rn = 1
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    assert rows_set(out) == {tuple(r) for r in drows}
