@@ -39,7 +39,7 @@ the delta actually touches — ``merge_upsert`` accepts a pre-pruned
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -107,6 +107,7 @@ def summing_merge(
     sum_cols: Sequence[str],
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    hll_cols: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Incremental aggregate-snapshot maintenance — ClickHouse's
     SummingMergeTree / AggregatingMergeTree semantics (sum/min/max are
@@ -130,19 +131,30 @@ def summing_merge(
 
     NULL measures contribute nothing (SUM/MIN/MAX null semantics); a
     key whose every value is NULL keeps a NULL state.
+
+    ``hll_cols`` maps ``state_col -> source_col``: the delta's source
+    values fold into a DataSketches HLL sketch per key
+    (``hll_sketch_agg``), snapshots carry the BINARY sketch state, and
+    merges union the registers (``hll_union``) — ClickHouse's
+    ``uniqState``/``uniqMerge`` pair, giving incrementally-maintained
+    approximate distinct counts (register-max union is exactly
+    associative, so incremental == full holds bit-for-bit). Read the
+    estimate with ``F.hll_sketch_estimate(state_col)``.
     """
     keys = list(keys)
+    hll_cols = dict(hll_cols or {})
     aggs = (
         [F.sum(c).alias(c) for c in sum_cols]
         + [F.min(c).alias(c) for c in min_cols]
         + [F.max(c).alias(c) for c in max_cols]
+        + [F.hll_sketch_agg(src).alias(st) for st, src in hll_cols.items()]
     )
     if not aggs:
-        raise ValueError("at least one of sum/min/max cols is required")
+        raise ValueError("at least one of sum/min/max/hll cols is required")
     d = delta.groupBy(*keys).agg(*aggs)
     if current is None:
         return d
-    state_cols = [*sum_cols, *min_cols, *max_cols]
+    state_cols = [*sum_cols, *min_cols, *max_cols, *hll_cols]
     missing = [c for c in state_cols if c not in current.columns]
     if missing:
         raise ValueError(f"current snapshot lacks state columns {missing}")
@@ -159,12 +171,19 @@ def summing_merge(
             return F.when(
                 a.isNull() & b.isNull(), F.lit(None)
             ).otherwise(combined).alias(c)
+        if how == "hll":
+            # union only when both sides exist; hll_union(NULL, x) is
+            # not the identity, so coalesce handles one-sided keys.
+            return F.when(
+                a.isNotNull() & b.isNotNull(), F.hll_union(a, b)
+            ).otherwise(F.coalesce(a, b)).alias(c)
         return (F.least(a, b) if how == "min" else F.greatest(a, b)).alias(c)
 
     folded = (
         [fold(c, "sum") for c in sum_cols]
         + [fold(c, "min") for c in min_cols]
         + [fold(c, "max") for c in max_cols]
+        + [fold(c, "hll") for c in hll_cols]
     )
     return cur.join(dd, on=keys, how="full").select(*keys, *folded)
 

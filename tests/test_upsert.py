@@ -408,3 +408,40 @@ def test_collapsing_merge_oracle(spark):
     finally:
         con.close()
     assert rows_set(out) == {tuple(r) for r in drows}
+
+
+def test_summing_merge_hll_states(spark):
+    """uniqState/uniqMerge analog: HLL sketch states merge across
+    incremental batches to the same estimate as one full aggregation,
+    and the estimate matches the exact distinct count on this scale."""
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.sinks.upsert import summing_merge
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rows = li.selectExpr("l_returnflag AS k", "l_quantity AS v",
+                         "l_partkey AS who")
+    h1 = rows.filter(F.col("who") % 2 == 0)
+    h2 = rows.filter(F.col("who") % 2 == 1)
+    args = dict(keys=["k"], sum_cols=["v"], hll_cols={"uniq_who": "who"})
+    incr = summing_merge(summing_merge(None, h1, **args), h2, **args)
+    full = summing_merge(None, rows, **args)
+
+    def estimates(df):
+        return {
+            r.k: (round(r.v, 3), r.est)
+            for r in df.select(
+                "k", "v",
+                F.hll_sketch_estimate("uniq_who").alias("est"),
+            ).collect()
+        }
+
+    ei, ef = estimates(incr), estimates(full)
+    assert ei == ef  # register-max union is exactly associative
+    exact = {
+        r.k: r.n
+        for r in rows.groupBy("k").agg(
+            F.countDistinct("who").alias("n")
+        ).collect()
+    }
+    for k, (_, est) in ei.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
