@@ -33,9 +33,12 @@ from clickhouse_etl_spark.functions.grading import (
 )
 from clickhouse_etl_spark.functions.scalars import UUID_RE
 
-# name -> (params, return type, body builder). The bodies reuse the SAME
-# SQL generators the DuckDB oracles use, so SQL-surface semantics can
-# never drift from the checked ones.
+# name -> (params, return type, body). The grade_* bodies reuse the SAME
+# SQL generators the DuckDB oracles use; the remaining bodies are
+# hand-mirrored from the Column implementations in scalars.py /
+# timestamps.py — for those, the value-sweep equality tests in
+# tests/test_scalars.py are the drift guard (edit either surface and
+# the sweep breaks).
 _FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "grade_band": ("pct DOUBLE", "STRING", grade_band_sql("pct")),
     "grade_gpa": ("pct DOUBLE", "DOUBLE", grade_gpa_sql("pct")),

@@ -188,6 +188,9 @@ def histogram_fixed(
     """
     if bins <= 0:
         raise ValueError("bins must be positive")
+    if (lo is None) != (hi is None):
+        # a lone bound would be silently ignored below — refuse instead
+        raise ValueError("pass both lo and hi, or neither")
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull() & ~F.isnan(v))
     if lo is None or hi is None:

@@ -246,6 +246,7 @@ def compare_profiles(
     """
     b = baseline.select(
         "column",
+        F.col("n_rows").alias("b_n_rows"),
         F.col("null_frac").alias("b_null_frac"),
         F.col("approx_distinct").alias("b_distinct"),
         F.col("mean").alias("b_mean"),
@@ -253,12 +254,17 @@ def compare_profiles(
     )
     c = candidate.select(
         "column",
+        F.col("n_rows").alias("c_n_rows"),
         F.col("null_frac").alias("c_null_frac"),
         F.col("approx_distinct").alias("c_distinct"),
         F.col("mean").alias("c_mean"),
     )
     j = b.join(c, on="column", how="full")
-    in_both = F.col("b_null_frac").isNotNull() & F.col("c_null_frac").isNotNull()
+    # Presence is keyed on n_rows (count(1) — never NULL for a profiled
+    # column, even over an EMPTY table, where null_frac is 0/0 = NULL);
+    # keying presence on a nullable stat would report an empty snapshot
+    # as whole-schema drift instead of the actual regression.
+    in_both = F.col("b_n_rows").isNotNull() & F.col("c_n_rows").isNotNull()
     null_drift = in_both & (
         F.abs(F.col("c_null_frac") - F.col("b_null_frac")) > null_frac_jump
     )

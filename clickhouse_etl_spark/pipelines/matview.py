@@ -95,6 +95,20 @@ class MaterializedView:
         ver = current_version(self.table_root)
         return f"{(int(ver) + 1) if ver is not None else 0:020d}"
 
+    def _max_ts_string(self, df: DataFrame) -> str | None:
+        """max(ts_col) in the ledger's canonical string form, computed
+        executor-side — every commit site MUST use this one format;
+        mixed formats (str(ts) vs ISO-T) would break the ledger's
+        lexicographic comparisons."""
+        return df.agg(
+            F.max(
+                F.date_format(
+                    F.col(self.ts_col).cast("timestamp"),
+                    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+                )
+            )
+        ).collect()[0][0]
+
     def _merge(self, current: DataFrame | None, delta: DataFrame) -> DataFrame:
         if self.strategy == "summing":
             # ts_col is folded as a max state so the view itself records
@@ -129,7 +143,7 @@ class MaterializedView:
         merged = self._merge(None, src)
         version = self._next_version()
         publish_snapshot(merged, self.table_root, version=version)
-        wm = src.agg(F.max(self.ts_col)).collect()[0][0]
+        wm = self._max_ts_string(src)
         if wm is not None:
             self.ledger.commit(self.name, wm)
         return version
@@ -137,7 +151,14 @@ class MaterializedView:
     def refresh_incremental(self, spark: SparkSession) -> str | None:
         """Fold source rows past the watermark into the snapshot.
         Returns the published version, or None when there was no new
-        data (no snapshot churn, no watermark movement)."""
+        data (no snapshot churn, no watermark movement).
+
+        Runs :meth:`repair_check` FIRST: after a crash between publish
+        and watermark commit, a bare re-run would otherwise re-read the
+        already-folded delta and double-count it in a summing view —
+        recovery must not depend on an operator remembering to repair
+        by hand."""
+        self.repair_check(spark)
         wm = self.ledger.get(self.name)
         delta = self.source(spark).filter(
             F.col(self.ts_col) > F.lit(wm).cast("timestamp")
@@ -151,7 +172,7 @@ class MaterializedView:
         merged = self._merge(self._read_current(spark), delta)
         version = self._next_version()
         publish_snapshot(merged, self.table_root, version=version)
-        new_wm = delta.agg(F.max(self.ts_col)).collect()[0][0]
+        new_wm = self._max_ts_string(delta)
         if new_wm is not None:
             self.ledger.commit(self.name, new_wm)
         return version
@@ -167,12 +188,15 @@ class MaterializedView:
         current = self._read_current(spark)
         if current is None:
             return False
-        seen = current.agg(F.max(self.ts_col)).collect()[0][0]
-        if seen is None:
+        # Collect the max in the LEDGER's canonical string form on the
+        # executor side — a driver-side strftime would crash on string
+        # ts columns and mis-format dates (date has no time component,
+        # so its str() form never matches the committed format).
+        seen_s = self._max_ts_string(current)
+        if seen_s is None:
             return False
         committed = self.ledger.get(self.name)
-        seen_s = seen.strftime("%Y-%m-%dT%H:%M:%S.%f")
         if seen_s > committed:
-            self.ledger.commit(self.name, seen)
+            self.ledger.commit(self.name, seen_s)
             return True
         return False

@@ -66,7 +66,8 @@ def align_to_schema(
     change. Alignment rules, strictest-first:
 
     - column in both: cast to the target type (Spark cast semantics;
-      an impossible cast raises here, at plan time, not mid-write).
+      an impossible type pair fails analysis at the terminal select —
+      still plan time, never mid-write).
     - column only in target: filled with typed NULL when it is nullable
       and ``add_missing_nullable`` — a missing NON-nullable column always
       raises (silently inventing values for a required field is how a
@@ -93,14 +94,10 @@ def align_to_schema(
             if src.dataType == f.dataType:
                 cols.append(F.col(f.name))
             else:
-                try:
-                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-                except Exception as e:  # uncastable type pair
-                    raise ValueError(
-                        f"column {f.name!r}: cannot cast "
-                        f"{src.dataType.simpleString()} -> "
-                        f"{f.dataType.simpleString()}"
-                    ) from e
+                # Column.cast only BUILDS the expression — an uncastable
+                # type pair surfaces as an AnalysisException from the
+                # select below, which is the plan-time failure we want.
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         elif f.nullable and add_missing_nullable:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         else:

@@ -370,6 +370,31 @@ def foreach_batch_upsert(
     return q
 
 
+_SUMMING_MARKER = "_SUMMING_SINK.json"
+
+
+def _read_summing_marker(table_root: str) -> dict | None:
+    import json
+    from pathlib import Path
+
+    p = Path(table_root) / _SUMMING_MARKER
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def _write_summing_marker(table_root: str, checkpoint: str) -> None:
+    import json
+    import os
+    from pathlib import Path
+
+    root = Path(table_root)
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = root / f"{_SUMMING_MARKER}.tmp"
+    tmp.write_text(json.dumps({"checkpoint": checkpoint}))
+    os.replace(tmp, root / _SUMMING_MARKER)  # atomic on POSIX
+
+
 def _apply_summing_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -378,18 +403,35 @@ def _apply_summing_batch(
     sum_cols: list[str],
     min_cols: tuple = (),
     max_cols: tuple = (),
+    checkpoint_dir: str = "",
 ) -> bool:
     """One micro-batch of :func:`foreach_batch_summing` (module-level so
     tests can drive replay directly). Returns False when the batch was
     SKIPPED as already applied.
 
-    Replay guard: unlike merge_upsert (last-write-wins, replay-
-    idempotent by construction), an additive merge DOUBLE-COUNTS a
-    replayed batch. foreachBatch replays with the same batch_id after a
-    failure between the snapshot publish and the checkpoint commit, so
-    each applied batch publishes its id as the snapshot version and a
-    batch whose id is <= the published version is skipped.
+    Replay/ownership guard: unlike merge_upsert (last-write-wins,
+    replay-idempotent by construction), an additive merge DOUBLE-COUNTS
+    a replayed batch. Two mechanisms, split by what each must be atomic
+    with:
+
+    - The APPLIED id is the published snapshot's version (the
+      ``_CURRENT`` flip is atomic with it): ``version >= batch_id`` →
+      replayed batch, skipped. A separate applied-id record would open
+      a crash window between publish and record where a replay
+      re-merges against the already-merged snapshot.
+    - An OWNERSHIP marker (``_SUMMING_SINK.json``, the checkpoint
+      identity) is written before the first publish. A DIFFERENT
+      checkpoint raises: batch ids restart at 0 under a fresh
+      checkpoint while the stream re-reads the whole source, so
+      continuing would either silently drop every restarted batch
+      (id-compare) or double-count the table (no compare) — reuse the
+      original checkpoint or start a fresh table_root. Published
+      snapshots with NO marker also raise (the root belongs to some
+      other writer, e.g. a MaterializedView — integer version numbers
+      alone cannot distinguish it).
     """
+    import os
+
     from clickhouse_etl_spark.sinks.staging import (
         current_version,
         publish_snapshot,
@@ -398,17 +440,27 @@ def _apply_summing_batch(
     from clickhouse_etl_spark.sinks.upsert import summing_merge
 
     spark = batch_df.sparkSession
+    ckpt = os.path.abspath(checkpoint_dir) if checkpoint_dir else ""
+    marker = _read_summing_marker(table_root)
     ver = current_version(table_root)
-    if ver is not None:
-        try:
-            applied = int(ver)
-        except ValueError:
+    if marker is None:
+        if ver is not None:
             raise RuntimeError(
-                f"snapshot store {table_root!r} carries non-batch version "
-                f"{ver!r}: foreach_batch_summing must own its table_root "
-                "(mixed writers break the replay guard)"
+                f"{table_root!r} has published snapshots but no summing-"
+                "sink marker: it belongs to another writer — "
+                "foreach_batch_summing must own its table_root"
             )
-        if applied >= batch_id:
+        _write_summing_marker(table_root, ckpt)
+    elif marker.get("checkpoint") != ckpt:
+        raise RuntimeError(
+            f"summing sink {table_root!r} is owned by checkpoint "
+            f"{marker.get('checkpoint')!r}, not {ckpt!r}: a new "
+            "checkpoint restarts batch ids over a re-read source, "
+            "which cannot be folded additively — reuse the original "
+            "checkpoint or start a fresh table_root"
+        )
+    if ver is not None:
+        if int(ver) >= batch_id:
             return False  # replayed batch — already folded in
         current = read_current(spark, table_root)
     else:
@@ -448,7 +500,8 @@ def foreach_batch_summing(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         _apply_summing_batch(
-            batch_df, batch_id, table_root, keys, sum_cols, min_cols, max_cols
+            batch_df, batch_id, table_root, keys, sum_cols, min_cols, max_cols,
+            checkpoint_dir=checkpoint_dir,
         )
 
     q = (

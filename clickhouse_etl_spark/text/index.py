@@ -98,12 +98,18 @@ def bm25_topk(
 
     Output: ``(id_col, score)``, k rows (fewer if fewer docs match).
     """
+    from clickhouse_etl_spark.util import materialize
+
     terms = [t for t in query_terms if t]
     if not terms:
         raise ValueError("query_terms must contain at least one non-empty term")
-    td = _doc_terms(df, id_col, text_col)
+    # td feeds THREE branches (query-term rows, document lengths, and the
+    # corpus scalars via doc_len) — without a materialize the tokenize +
+    # explode + groupBy shuffle would run once per branch, because the
+    # term filter pushed into one branch breaks exchange reuse.
+    td = materialize(_doc_terms(df, id_col, text_col))
     # full-corpus statistics (lengths include non-query terms!)
-    doc_len = td.groupBy(id_col).agg(F.sum("tf").alias("__len"))
+    doc_len = materialize(td.groupBy(id_col).agg(F.sum("tf").alias("__len")))
     corpus = doc_len.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__len").alias("__avgdl")
     )

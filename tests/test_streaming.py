@@ -355,19 +355,54 @@ def test_foreach_batch_summing_equals_batch_aggregate(spark, tmp_path):
     assert got == {10: 5.0, 20: 2.0, 30: 4.0}
 
     # Replay: re-apply the LAST batch id — must be skipped, totals frozen.
+    import os
+
+    ckpt = os.path.abspath(str(tmp_path / "sum_ckpt"))
     last_id = int(current_version(table_root))
     batch = spark.createDataFrame(
         [(10, 100.0)], "user_id long, value double"
     )
     applied = _apply_summing_batch(
-        batch, last_id, table_root, ["user_id"], ["value"]
+        batch, last_id, table_root, ["user_id"], ["value"], checkpoint_dir=ckpt
     )
     assert applied is False
     after = {r.user_id: r.value for r in read_current(spark, table_root).collect()}
     assert after == got
     # A NEW batch id applies normally.
     assert _apply_summing_batch(
-        batch, last_id + 1, table_root, ["user_id"], ["value"]
+        batch, last_id + 1, table_root, ["user_id"], ["value"],
+        checkpoint_dir=ckpt,
     )
     final = {r.user_id: r.value for r in read_current(spark, table_root).collect()}
     assert final[10] == 105.0
+
+    # A DIFFERENT checkpoint over the same table must refuse outright
+    # (fresh checkpoints restart ids over a re-read source).
+    import pytest
+
+    with pytest.raises(RuntimeError, match="owned by checkpoint"):
+        _apply_summing_batch(
+            batch, 0, table_root, ["user_id"], ["value"],
+            checkpoint_dir=str(tmp_path / "other_ckpt"),
+        )
+
+
+def test_summing_sink_refuses_foreign_table_root(spark, tmp_path):
+    """A table_root with published snapshots but no summing-sink marker
+    (another writer's table) is refused instead of silently merged."""
+    import pytest
+
+    from clickhouse_etl_spark.sinks.staging import publish_snapshot
+    from clickhouse_etl_spark.streaming import _apply_summing_batch
+
+    root = str(tmp_path / "foreign")
+    publish_snapshot(
+        spark.createDataFrame([(1, 2.0)], "user_id long, value double"),
+        root, version="00000000000000000007",
+    )
+    batch = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    with pytest.raises(RuntimeError, match="another writer"):
+        _apply_summing_batch(
+            batch, 0, root, ["user_id"], ["value"],
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
