@@ -188,6 +188,86 @@ def summing_merge(
     return cur.join(dd, on=keys, how="full").select(*keys, *folded)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table: one row
+    per key whose payload changed, with ``change ∈ {'insert',
+    'delete', 'update'}`` — the row-granular complement to
+    ``operators.quality.compare_profiles``'s statistical drift report
+    (that one says "this column moved"; this one says "these keys
+    did"). Key-wise: both sides must be unique per key (merged
+    snapshots are; pre-collapse raw change logs are not — run them
+    through ``merge_upsert`` first).
+
+    Output: ``(*keys, change, <new payload columns>)`` — deletes carry
+    the OLD payload (there is no new one). Payload comparison is
+    null-safe struct equality over the shared non-key columns.
+
+    Plan: one full-outer join on the keys; both sides hash-partition,
+    nothing broadcast — the same merge-shaped shuffle every other
+    incremental op here uses.
+    """
+    keys = list(keys)
+    payload_cols = [c for c in new.columns if c not in keys]
+    shared = [c for c in payload_cols if c in old.columns]
+    o = old.select(
+        *keys,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__old_{c}") for c in shared],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__new_{c}") for c in payload_cols],
+    )
+    j = o.join(n, on=keys, how="full")
+    same = F.lit(True)
+    for c in shared:
+        same = same & F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    out_payload = [
+        F.when(F.col("__in_new").isNull(), F.col(f"__old_{c}"))
+        .otherwise(F.col(f"__new_{c}"))
+        .alias(c)
+        if c in shared
+        else F.col(f"__new_{c}").alias(c)
+        for c in payload_cols
+    ]
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change", *out_payload)
+    )
+
+
+def snapshot_cdc(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    deleted_col: str = "is_deleted",
+) -> DataFrame:
+    """The diff as a CDC batch consumable by
+    :func:`merge_upsert_with_deletes`: inserts/updates carry the new
+    payload, deletes become tombstones. Round-trip invariant (pinned in
+    tests): applying this batch to ``old`` reproduces ``new`` exactly —
+    which is how a pipeline retrofits incremental maintenance onto a
+    source that only exposes periodic full snapshots (the reference's
+    daily re-extracts are exactly that shape)."""
+    d = snapshot_diff(old, new, keys)
+    return d.select(
+        *keys,
+        *[c for c in d.columns if c not in (*keys, "change")],
+        (F.col("change") == "delete").alias(deleted_col),
+    )
+
+
 def collapsing_merge(
     rows: DataFrame,
     keys: Sequence[str],

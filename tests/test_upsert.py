@@ -445,3 +445,54 @@ def test_summing_merge_hll_states(spark):
     }
     for k, (_, est) in ei.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_snapshot_diff_classifies(spark):
+    """insert/update/delete classification, null-safe payload compare,
+    unchanged keys absent."""
+    from clickhouse_etl_spark.sinks.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "id int, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),          # unchanged -> absent
+         (2, "b", None),         # unchanged incl. NULL payload -> absent
+         (3, "c2", 3.0),         # update
+         (5, "e", 5.0)],         # insert; 4 deleted
+        "id int, name string, v double",
+    )
+    got = {r.id: (r.change, r.name) for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {3: ("update", "c2"), 4: ("delete", "d"), 5: ("insert", "e")}
+
+
+def test_snapshot_cdc_round_trip(spark):
+    """Defining invariant: old + snapshot_cdc(old, new) == new, via
+    merge_upsert_with_deletes (retrofitting incremental maintenance
+    onto full-snapshot sources)."""
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.sinks.upsert import (
+        merge_upsert_with_deletes,
+        snapshot_cdc,
+    )
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    old = cust.filter(F.col("c_custkey") % 7 != 0)        # some keys absent
+    new = cust.filter(F.col("c_custkey") % 5 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 1)
+        .otherwise(F.col("c_acctbal")),                   # some updated
+    )
+    cdc = snapshot_cdc(old, new, ["c_custkey"])
+    ver = F.lit(1)
+    merged = merge_upsert_with_deletes(
+        old.withColumn("ver", ver),
+        cdc.withColumn("ver", ver + 1),
+        ["c_custkey"], "ver",
+    ).drop("ver")
+    assert rows_set(merged) == rows_set(new)
+    # and the CDC batch is delta-sized, not table-sized
+    assert cdc.count() < new.count()
