@@ -1,0 +1,81 @@
+"""End-to-end training-corpus preparation — the north-star tier as one
+program over the driver's ``documents``/``embeddings`` tables.
+
+Curate (dedup chain + quality + PII + splits) → repetition and
+contamination screens → retrieval index + BM25 sanity probe →
+embedding near-dup pass → token counting + concat-and-cut packing into
+shard plans. Every stage is an engine API; this file is the composed
+recipe with a per-stage count report.
+
+Run: ``python examples/training_corpus.py [sf_dir]``. Smoke-covered in
+``tests/test_examples.py``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run(spark: SparkSession, sf_dir: str) -> dict:
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text import curate_corpus
+    from clickhouse_etl_spark.text.analysis import repetition_stats
+    from clickhouse_etl_spark.text.index import bm25_topk
+    from clickhouse_etl_spark.text.packing import (
+        decontaminate,
+        pack_contiguous,
+    )
+    from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # 1. The curation chain (exact + MinHash dedup, span cutting,
+    #    heuristics, PII scrub, deterministic splits).
+    cur = curate_corpus(docs, split_weights={"train": 0.95, "val": 0.05})
+    corpus = cur.corpus
+
+    # 2. Repetition screen (Gopher signals) — drop looped docs.
+    loops = repetition_stats(corpus).filter(
+        (F.col("dup_3gram_ratio") > 0.5) | (F.col("top_3gram_ratio") > 0.3)
+    ).select("doc_id")
+    corpus = corpus.join(loops, "doc_id", "left_anti")
+
+    # 3. Contamination screen against a held-out benchmark slice.
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = decontaminate(corpus, bench, n=8)
+
+    # 4. Retrieval sanity probe: the corpus must answer keyword queries.
+    probe = bm25_topk(corpus, ["the", "data"], k=5)
+
+    # 5. Embedding near-dup pass (LSH candidates, exact cosine verify).
+    pairs = embedding_cosine_neardup(emb, threshold=0.95)
+
+    # 6. Pack the survivors into fixed-length training sequences.
+    packed = pack_contiguous(corpus, seq_len=512)
+
+    report = dict(cur.report)
+    report.update(
+        {
+            "post_repetition": corpus.count(),
+            "bm25_probe_rows": probe.count(),
+            "neardup_pairs": pairs.count(),
+            "packed_docs": packed.count(),
+            "train_frac": corpus.filter(F.col("split") == "train").count()
+            / max(corpus.count(), 1),
+        }
+    )
+    return report
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+    from clickhouse_etl_spark import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    s = get_spark(master="local[8]")
+    s.sparkContext.setLogLevel("ERROR")
+    print(run(s, sf))

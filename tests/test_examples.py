@@ -1,0 +1,37 @@
+"""The examples are executable documentation — smoke-run both and
+assert the reports they return are sane (a broken example is worse
+than none: it documents an API that doesn't exist)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_reference_warehouse_example(spark, tmp_path):
+    from examples.reference_warehouse import run
+
+    r = run(spark, SF_DIR, str(tmp_path / "wh"))
+    assert r["students"] > 0
+    assert r["fact_rows"] > 0 and r["fact_cols"] >= 35
+    assert r["transcript_rows"] > 0
+    # the gate runs; fixtures are clean on the hard rules
+    assert r["violations"]["not_null(studentId)"] == 0
+    assert r["violations"]["unique(subjectEvaluationId, studentId)"] == 0
+    assert r["view_schools"] >= 1
+    assert isinstance(r["retention_deleted"], list)
+
+
+def test_training_corpus_example(spark):
+    from examples.training_corpus import run
+
+    r = run(spark, SF_DIR)
+    assert r["input"] == 500
+    assert 0 < r["post_repetition"] <= r["input"]
+    assert r["bm25_probe_rows"] == 5
+    assert r["packed_docs"] == r["post_repetition"]
+    assert 0.8 < r["train_frac"] <= 1.0
