@@ -369,3 +369,53 @@ def test_struct_order_key_matches_string_order_key(spark, rows):
         F.max_by(payload, string_key).alias("via_string"),
     ).collect()[0]
     assert both["via_struct"] == both["via_string"]
+
+
+summing_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),                 # key
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        st.integers(min_value=0, max_value=9),                 # who (hll)
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@_SLOW
+@given(summing_rows, st.integers(min_value=1, max_value=3))
+def test_summing_merge_interleaving_invariant(spark, rows, n_batches):
+    """Any split of the rows into ordered batches folds to the same
+    state as one aggregation — sums, mins, maxes AND HLL estimates
+    (register-max union is associative), with all-NULL keys staying
+    NULL."""
+    from clickhouse_etl_spark.sinks.upsert import summing_merge
+
+    schema = "k int, v int, who int"
+    args = dict(keys=["k"], sum_cols=["v"], min_cols=[], max_cols=[],
+                hll_cols={"u": "who"})
+
+    def df_of(chunk):
+        return spark.createDataFrame(chunk, schema) if chunk else \
+            spark.createDataFrame([], schema)
+
+    size = max(1, (len(rows) + n_batches - 1) // n_batches)
+    chunks = [rows[i : i + size] for i in range(0, max(len(rows), 1), size)]
+    snap = None
+    for ch in chunks:
+        if not ch:
+            continue
+        snap = summing_merge(snap, df_of(ch), **args)
+    if snap is None:
+        return
+    full = summing_merge(None, df_of(rows), **args)
+
+    def canon(df):
+        return {
+            r.k: (r.v, r.est)
+            for r in df.select(
+                "k", "v", F.hll_sketch_estimate("u").alias("est")
+            ).collect()
+        }
+
+    assert canon(snap) == canon(full)
