@@ -77,15 +77,17 @@ class MaterializedView:
     sum_cols: Sequence[str] = field(default_factory=tuple)
     min_cols: Sequence[str] = field(default_factory=tuple)
     max_cols: Sequence[str] = field(default_factory=tuple)
+    #: state_col -> source_col HLL sketch states (see summing_merge)
+    hll_cols: dict | None = None
     ledger: WatermarkLedger | None = None
 
     def __post_init__(self) -> None:
         if self.strategy not in ("summing", "replace"):
             raise ValueError("strategy must be 'summing' or 'replace'")
         if self.strategy == "summing" and not (
-            self.sum_cols or self.min_cols or self.max_cols
+            self.sum_cols or self.min_cols or self.max_cols or self.hll_cols
         ):
-            raise ValueError("summing views need sum/min/max cols")
+            raise ValueError("summing views need sum/min/max/hll cols")
         if self.ledger is None:
             self.ledger = WatermarkLedger(f"{self.table_root}/_watermarks.jsonl")
 
@@ -117,7 +119,8 @@ class MaterializedView:
             if self.ts_col not in max_cols:
                 max_cols.append(self.ts_col)
             return summing_merge(
-                current, delta, self.keys, self.sum_cols, self.min_cols, max_cols
+                current, delta, self.keys, self.sum_cols, self.min_cols,
+                max_cols, self.hll_cols,
             )
         if current is None:
             return merge_upsert(delta.limit(0), delta, list(self.keys), self.ts_col)

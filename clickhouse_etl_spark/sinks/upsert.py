@@ -147,7 +147,10 @@ def summing_merge(
         [F.sum(c).alias(c) for c in sum_cols]
         + [F.min(c).alias(c) for c in min_cols]
         + [F.max(c).alias(c) for c in max_cols]
-        + [F.hll_sketch_agg(src).alias(st) for st, src in hll_cols.items()]
+        # src is a column name or SQL expression (hll_sketch_agg only
+        # accepts int/long/string/binary — cast in the expression, e.g.
+        # "CAST(v AS STRING)", for other types).
+        + [F.hll_sketch_agg(F.expr(src)).alias(st) for st, src in hll_cols.items()]
     )
     if not aggs:
         raise ValueError("at least one of sum/min/max/hll cols is required")

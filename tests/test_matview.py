@@ -135,3 +135,41 @@ def test_view_validation(spark, tmp_path):
             source=lambda s: None, keys=["k"], ts_col="ts",
             strategy="nonsense",
         )
+
+
+def test_summing_view_with_hll_distinct(spark, tmp_path):
+    """A view can maintain approximate distinct counts incrementally:
+    HLL estimates after two incremental folds equal the full rebuild."""
+    batches = [[("a", 1.0, "2024-01-01 10:00:00"), ("a", 2.0, "2024-01-01 11:00:00")]]
+    # reuse (k, v, ts); distinct-count v per k
+    def mk(b):
+        return MaterializedView(
+            name="uniq",
+            table_root=str(tmp_path / f"uniq{id(b)}"),
+            source=_mk_source(spark, b),
+            keys=["k"],
+            ts_col="ts",
+            strategy="summing",
+            sum_cols=[],
+            hll_cols={"u": "CAST(v AS STRING)"},
+        )
+
+    view = mk(batches)
+    view.refresh_full(spark)
+    batches.append([("a", 2.0, "2024-01-02 09:00:00"),  # duplicate value
+                    ("a", 3.0, "2024-01-02 10:00:00"),
+                    ("b", 9.0, "2024-01-02 11:00:00")])
+    view.refresh_incremental(spark)
+
+    full_batches = [b for b in batches]
+    full = mk(full_batches)
+    full.refresh_full(spark)
+
+    est = lambda v: {
+        r.k: r.est
+        for r in v.read(spark).select(
+            "k", F.expr("hll_sketch_estimate(u)").alias("est")
+        ).collect()
+    }
+    assert est(view) == est(full)
+    assert round(est(view)["a"]) == 3 and round(est(view)["b"]) == 1
