@@ -202,3 +202,44 @@ def test_new_grouped_and_retrieval_ops_plan_clean(spark):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
         assert "BatchEvalPython" not in plan, f"{name} row-Python"
         assert "ArrowEvalPython" not in plan, f"{name} arrow-eval in plan"
+
+
+def test_incremental_tier_plans_clean(spark):
+    """Plan sweep for the incremental-maintenance tier: no cartesian, no
+    row-Python, and the merge joins never broadcast a growing side."""
+    from clickhouse_etl_spark.operators.dedup import limit_by
+    from clickhouse_etl_spark.operators.events import fill_time_gaps
+    from clickhouse_etl_spark.sinks.upsert import (
+        collapsing_merge,
+        snapshot_diff,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    signed = li.selectExpr(
+        "l_orderkey AS k",
+        "CASE WHEN l_linenumber % 4 = 0 THEN -1 ELSE 1 END AS sign",
+        "l_linenumber AS ver", "l_quantity AS q",
+    )
+    plans = {
+        "limit_by": limit_by(ev, ["user_id"], 2, "value"),
+        "fill_time_gaps": fill_time_gaps(
+            hourly, "bucket", "1 hour", ["event_type"], ["n"], fill="locf"
+        ),
+        "collapsing_merge": collapsing_merge(signed, ["k"], order_col="ver"),
+        "snapshot_diff": snapshot_diff(
+            li.limit(100), li.limit(200), ["l_orderkey", "l_linenumber"]
+        ),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+        assert "BatchEvalPython" not in plan, f"{name} row-Python"
+    # snapshot_diff's full outer: both sides grow — no broadcast hint
+    opt = plans["snapshot_diff"]._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "FullOuter" in line:
+            assert "broadcast" not in line.lower()
