@@ -413,3 +413,59 @@ def snapshot_at(
     partitioned on the interval columns."""
     t = F.lit(ts).cast("timestamp")
     return history.filter((F.col("valid_from") <= t) & (t < F.col("valid_to")))
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    fact_ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Temporal dimension lookup: join every fact row to the SCD2
+    version valid AT THE FACT'S OWN TIMESTAMP (``valid_from <= ts <
+    valid_to``) — the join every type-2 dimension exists to serve, and
+    the per-row generalization of :func:`snapshot_at`'s single global
+    timestamp.
+
+    Each fact matches AT MOST one version (scd2 intervals partition the
+    key's timeline); facts earlier than the key's first version — or
+    with no key at all — keep NULL dimension columns under ``'left'``
+    or drop under ``'inner'``.
+
+    Plan shape: an EQUI join on the keys with the interval test as a
+    join-level range predicate — the shuffle keys on the dimension key
+    (same co-partitioning as any fact⨝dim join), and the range check
+    runs inside the join, never as a post-join explode: a key's
+    versions are few, so the per-key fan-in stays bounded by history
+    depth, not by table size.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    key_cols = list(keys)
+    # The history keeps its original change-log columns alongside the
+    # validity bookkeeping; any that collide with fact columns (the
+    # change-log ts, typically) would make the joined frame ambiguous —
+    # the FACT side wins and the history's copy is dropped up front.
+    clashes = [
+        c for c in history.columns
+        if c in facts.columns and c not in key_cols
+    ]
+    bad = {"valid_from", "valid_to"} & set(facts.columns)
+    if bad:
+        raise ValueError(
+            f"facts must not carry the validity columns {sorted(bad)}"
+        )
+    history = history.drop(*clashes)
+    # frame-qualified references: keys exist on both sides
+    ts = facts[fact_ts_col].cast("timestamp")
+    cond = (
+        ts.isNotNull()
+        & (history["valid_from"] <= ts)
+        & (ts < history["valid_to"])
+    )
+    for k in key_cols:
+        cond = cond & (facts[k] == history[k])
+    joined = facts.join(history, on=cond, how=how)
+    # drop the dimension side's duplicate key columns
+    return joined.drop(*[history[k] for k in key_cols])

@@ -496,3 +496,67 @@ def test_snapshot_cdc_round_trip(spark):
     assert rows_set(merged) == rows_set(new)
     # and the CDC batch is delta-sized, not table-sized
     assert cdc.count() < new.count()
+
+
+def test_scd2_lookup_temporal_join(spark):
+    """Each fact joins the version valid at ITS OWN timestamp; facts
+    before the first version keep NULLs (left) or drop (inner); at-most-
+    one-match is structural (intervals partition the timeline)."""
+    from clickhouse_etl_spark.sinks.upsert import scd2_history, scd2_lookup
+
+    hist = scd2_history(_changes_df(spark), ["id"], "ts", ["name", "tier"])
+    facts = spark.createDataFrame(
+        [
+            (1, "2024-02-15 00:00:00", 10.0),   # inside alice/gold
+            (1, "2024-03-01 00:00:00", 20.0),   # ON the boundary -> platinum
+            (1, "2023-12-01 00:00:00", 30.0),   # before first version
+            (2, "2024-05-01 00:00:00", 40.0),   # open interval -> bobby
+            (9, "2024-05-01 00:00:00", 50.0),   # unknown key
+        ],
+        "id int, ts string, amount double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    left = scd2_lookup(facts, hist, ["id"], "ts")
+    assert left.count() == facts.count()  # at most one match per fact
+    got = {(r.id, str(r.ts)): r.tier for r in left.collect()}
+    assert got[(1, "2024-02-15 00:00:00")] == "gold"
+    assert got[(1, "2024-03-01 00:00:00")] == "platinum"  # closed lower bound
+    assert got[(1, "2023-12-01 00:00:00")] is None
+    assert got[(2, "2024-05-01 00:00:00")] == "silver"
+    assert got[(9, "2024-05-01 00:00:00")] is None
+
+    inner = scd2_lookup(facts, hist, ["id"], "ts", how="inner")
+    assert inner.count() == 3
+
+    # DuckDB oracle on the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ch(id int, ts timestamp, name varchar, tier varchar)")
+    con.executemany("INSERT INTO ch VALUES (?, ?, ?, ?)",
+                    [list(r) for r in CHANGES_ROWS])
+    con.execute("CREATE TABLE f(id int, ts timestamp, amount double)")
+    con.executemany(
+        "INSERT INTO f VALUES (?, ?, ?)",
+        [[1, "2024-02-15 00:00:00", 10.0], [1, "2024-03-01 00:00:00", 20.0],
+         [1, "2023-12-01 00:00:00", 30.0], [2, "2024-05-01 00:00:00", 40.0],
+         [9, "2024-05-01 00:00:00", 50.0]],
+    )
+    oracle = con.execute(
+        f"""
+        WITH dedup AS (
+          SELECT * FROM (
+            SELECT *, lag((name, tier)) OVER w AS prev
+            FROM ch WINDOW w AS (PARTITION BY id ORDER BY ts)
+          ) WHERE prev IS NULL OR prev IS DISTINCT FROM (name, tier)
+        ),
+        hist AS (
+          SELECT id, name, tier, ts AS valid_from,
+                 coalesce(lead(ts) OVER (PARTITION BY id ORDER BY ts),
+                          TIMESTAMP '{OPEN_END}') AS valid_to
+          FROM dedup
+        )
+        SELECT f.id, f.ts, f.amount, hist.tier
+        FROM f LEFT JOIN hist
+          ON f.id = hist.id AND hist.valid_from <= f.ts AND f.ts < hist.valid_to
+        """
+    ).fetchall()
+    assert rows_set(left.select("id", "ts", "amount", "tier")) == set(oracle)
