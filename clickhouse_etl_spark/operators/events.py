@@ -179,10 +179,13 @@ def fill_time_gaps(
     group_cols: Sequence[str] = (),
     value_cols: Sequence[str] = (),
     fill: str = "null",
+    max_buckets: int = 10_000_000,
 ) -> DataFrame:
     """ClickHouse ``ORDER BY ts WITH FILL STEP`` — densify a per-group
     time series so every ``step`` bucket between the group's first and
-    last observation exists.
+    last observation exists. ``max_buckets`` bounds any single group's
+    grid (the explosion guard raises in-pass instead of OOMing on a
+    mis-sized step).
 
     ``df`` must hold one row per (group, bucket) with ``ts_col``
     already bucket-aligned (build it with ``date_trunc``/``window`` —
@@ -208,10 +211,35 @@ def fill_time_gaps(
     bounds = df.groupBy(*gcols).agg(
         F.min(ts).alias("__lo"), F.max(ts).alias("__hi")
     )
+    # Explosion guard, evaluated in-pass (no extra job): sequence()
+    # builds each group's grid as ONE in-memory array, so a mis-sized
+    # step over a long range (seconds over years) would OOM an executor
+    # before anything downstream could bound it. Estimate the bucket
+    # count from the bounds and the step's actual width and refuse past
+    # max_buckets per group.
+    step_iv = F.expr(f"INTERVAL {step}")
+    step_sec = F.unix_timestamp(F.col("__lo") + step_iv) - F.unix_timestamp(
+        F.col("__lo")
+    )
+    n_buckets = (
+        F.unix_timestamp(F.col("__hi")) - F.unix_timestamp(F.col("__lo"))
+    ) / F.greatest(step_sec, F.lit(1))
+    guard = F.when(
+        n_buckets > max_buckets,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"fill_time_gaps: a group spans > {max_buckets} "
+                    f"'{step}' buckets — widen the step, pre-filter the "
+                    "range, or raise max_buckets"
+                )
+            )
+        ).cast("timestamp"),
+    ).otherwise(F.col("__lo"))
     grid = bounds.select(
         *gcols,
         F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+            F.sequence(guard, F.col("__hi"), step_iv)
         ).alias(ts_col),
     )
     out = grid.join(df, on=[*gcols, ts_col], how="left")

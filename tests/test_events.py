@@ -196,3 +196,23 @@ def test_sessionize_gap_semantics(spark):
     events = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
     got = {r.event_id: r.session_id for r in sessionize(events).collect()}
     assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_fill_time_gaps_explosion_guard(spark):
+    """A mis-sized step over a long range must raise in-pass, not OOM
+    building one giant sequence array."""
+    import pytest
+
+    from clickhouse_etl_spark.operators.events import fill_time_gaps
+
+    df = spark.createDataFrame(
+        [("g", "2020-01-01 00:00:00", 1), ("g", "2024-01-01 00:00:00", 2)],
+        "k string, ts string, n int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(Exception, match="buckets"):
+        fill_time_gaps(
+            df, "ts", "1 second", ["k"], ["n"], max_buckets=1000
+        ).collect()
+    # the same range is fine at a sane step
+    ok = fill_time_gaps(df, "ts", "30 day", ["k"], ["n"])
+    assert ok.count() > 2
