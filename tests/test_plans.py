@@ -243,3 +243,27 @@ def test_incremental_tier_plans_clean(spark):
     for line in opt.splitlines():
         if "FullOuter" in line:
             assert "broadcast" not in line.lower()
+
+
+def test_scd2_lookup_plans_as_equi_join(spark):
+    """The temporal lookup must extract the key equality into a hash/
+    sort-merge join (the interval test rides as a join predicate) — a
+    nested-loop over two growing sides would be the scale-killer."""
+    from clickhouse_etl_spark.sinks.upsert import scd2_history, scd2_lookup
+
+    ch = spark.range(2000).selectExpr(
+        "id % 500 AS k",
+        "timestamp_seconds(1700000000 + id * 3600) AS ts",
+        "CAST(id % 7 AS STRING) AS tier",
+    )
+    hist = scd2_history(ch, ["k"], "ts", ["tier"])
+    facts = spark.range(5000).selectExpr(
+        "id % 500 AS k",
+        "timestamp_seconds(1700000000 + (id % 97) * 3600) AS fts",
+        "CAST(id AS DOUBLE) AS amount",
+    )
+    plan = scd2_lookup(facts, hist, ["k"], "fts")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
