@@ -55,3 +55,8 @@ from clickhouse_etl_spark.text.curation import (  # noqa: F401
     CurationResult,
     curate_corpus,
 )
+from clickhouse_etl_spark.text.lm import (  # noqa: F401
+    perplexity_filter,
+    train_unigram_lm,
+    unigram_logprob_scores,
+)

@@ -866,3 +866,85 @@ def test_fill_time_gaps_oracle(spark):
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
     )
+
+
+def test_unigram_lm_scores_oracle(spark):
+    """CCNet-style unigram LM scoring vs the formula spelled out in
+    DuckDB: train on even-id documents, score odd-id ones, add-1
+    smoothing, OOV bucket derived from min(logprob) identically."""
+    from clickhouse_etl_spark.text.lm import (
+        train_unigram_lm,
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    target = docs.filter(F.col("doc_id") % 2 == 1)
+    lm = train_unigram_lm(ref)
+    out = unigram_logprob_scores(target, lm)
+    _assert_matches_oracle(
+        out,
+        """
+        WITH refw AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+          WHERE doc_id % 2 = 0
+        ),
+        counts AS (
+          SELECT word, COUNT(*) AS n FROM refw WHERE word <> '' GROUP BY word
+        ),
+        tot AS (SELECT SUM(n) AS total, COUNT(*) AS vocab FROM counts),
+        lm AS (
+          SELECT word, ln((n + 1.0) / (tot.total + 1.0 * (tot.vocab + 1)))
+                   AS logprob
+          FROM counts, tot
+        ),
+        bucket AS (SELECT MIN(logprob) + ln(1.0) - ln(2.0) AS oov FROM lm),
+        occ AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id % 2 = 1
+        )
+        SELECT occ.doc_id,
+               COUNT(*) AS n_words,
+               ROUND(AVG(CASE WHEN lm.word IS NULL THEN 1 ELSE 0 END), 6)
+                 AS oov_frac,
+               ROUND(AVG(COALESCE(lm.logprob, bucket.oov)), 6)
+                 AS logprob_per_word
+        FROM occ LEFT JOIN lm ON occ.word = lm.word
+        CROSS JOIN bucket
+        WHERE occ.word <> ''
+        GROUP BY occ.doc_id
+        """,
+    )
+
+
+def test_perplexity_filter_separates_gibberish(spark):
+    """Reference-like docs survive the cut; repeated-OOV gibberish does
+    not; the filter returns original rows."""
+    import math
+
+    from clickhouse_etl_spark.text.lm import (
+        perplexity_filter,
+        train_unigram_lm,
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    gibberish = spark.createDataFrame(
+        [(900001, "zzqx vvrk jjwp qqmz zzqx vvrk jjwp qqmz")],
+        "doc_id long, text string",
+    )
+    sample = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    target = sample.unionByName(gibberish)
+    lm = train_unigram_lm(ref)
+    scored = {r.doc_id: r.logprob_per_word
+              for r in unigram_logprob_scores(target, lm).collect()}
+    # gibberish scores strictly below the natural-doc median
+    nat = sorted(v for k, v in scored.items() if k != 900001)
+    assert scored[900001] < nat[len(nat) // 2]
+    # cut at the gibberish's perplexity: it must drop, most docs stay
+    cut = math.exp(-scored[900001]) * 0.999
+    kept = perplexity_filter(target, ref, max_perplexity=cut)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 900001 not in ids
+    assert len(ids) > len(nat) // 2
