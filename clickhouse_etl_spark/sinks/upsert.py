@@ -443,20 +443,19 @@ def scd2_lookup(
     if how not in ("left", "inner"):
         raise ValueError("how must be 'left' or 'inner'")
     key_cols = list(keys)
-    # The history keeps its original change-log columns alongside the
-    # validity bookkeeping; any that collide with fact columns (the
-    # change-log ts, typically) would make the joined frame ambiguous —
-    # the FACT side wins and the history's copy is dropped up front.
-    clashes = [
-        c for c in history.columns
-        if c in facts.columns and c not in key_cols
-    ]
+    # History columns that collide with fact columns (the change-log
+    # ts, or an attribute sharing a fact metric's name) would make the
+    # joined frame ambiguous. Dropping them would silently lose the
+    # dimension attribute the caller asked for — RENAME to ``dim_<c>``
+    # instead, so both survive unambiguously.
     bad = {"valid_from", "valid_to"} & set(facts.columns)
     if bad:
         raise ValueError(
             f"facts must not carry the validity columns {sorted(bad)}"
         )
-    history = history.drop(*clashes)
+    for c in history.columns:
+        if c in facts.columns and c not in key_cols:
+            history = history.withColumnRenamed(c, f"dim_{c}")
     # frame-qualified references: keys exist on both sides
     ts = facts[fact_ts_col].cast("timestamp")
     cond = (

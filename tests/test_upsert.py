@@ -560,3 +560,20 @@ def test_scd2_lookup_temporal_join(spark):
         """
     ).fetchall()
     assert rows_set(left.select("id", "ts", "amount", "tier")) == set(oracle)
+
+
+def test_scd2_lookup_renames_colliding_history_columns(spark):
+    """A dimension attribute sharing a fact column's name survives as
+    dim_<name> instead of being silently dropped."""
+    from clickhouse_etl_spark.sinks.upsert import scd2_history, scd2_lookup
+
+    ch = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 99.0)], "id int, ts string, amount double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hist = scd2_history(ch, ["id"], "ts", ["amount"])
+    facts = spark.createDataFrame(
+        [(1, "2024-06-01 00:00:00", 5.0)], "id int, fts string, amount double"
+    ).withColumn("fts", F.col("fts").cast("timestamp"))
+    out = scd2_lookup(facts, hist, ["id"], "fts")
+    row = out.collect()[0]
+    assert row.amount == 5.0 and row.dim_amount == 99.0
