@@ -4,6 +4,7 @@ from clickhouse_etl_spark.text.analysis import (  # noqa: F401
     corpus_quality_filter,
     document_fingerprint,
     document_rolling_fingerprint,
+    gopher_quality_stats,
     language_guess,
     pii_scrub,
     repetition_stats,

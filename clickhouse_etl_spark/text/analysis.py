@@ -351,3 +351,49 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             _top_run(F.array_sort(grams)).cast("double") / F.size(grams), 6
         ).alias("top_3gram_ratio"),
     )
+
+
+def gopher_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The remaining Gopher-rule quality signals (Rae et al. 2021,
+    §A1.1) not already covered by :func:`text_stats` (length/stopword)
+    and :func:`repetition_stats` (duplicate/top n-grams):
+
+    - ``mean_word_len`` — outside [3, 10] suggests non-prose.
+    - ``symbol_word_ratio`` — '#' and ellipsis occurrences per word
+      (> 0.1 flags markup/truncation debris).
+    - ``alpha_word_frac`` — fraction of words containing at least one
+      alphabetic character (< 0.8 flags tables/code dumps).
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — fraction of lines
+      starting with a bullet (> 0.9) or ending with an ellipsis (> 0.3).
+
+    One narrow projection — split + higher-order functions, no shuffle,
+    no Python. Thresholding is the caller's policy, same as the other
+    stats (compose with ``corpus_quality_filter``). Documents with no
+    words/lines report NULL for the affected ratios.
+    """
+    words = F.filter(_tokens(F.col(text_col)), lambda w: w != "")
+    n_words = F.size(words)
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
+    n_lines = F.size(lines)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    symbols = F.regexp_count(F.col(text_col), F.lit(r"(#|\.\.\.|…)"))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*([-*•‣▪]|\d+[.)])\s"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    nz_w = n_words > 0
+    nz_l = n_lines > 0
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.when(nz_w, F.round(total_chars / n_words, 6)).alias("mean_word_len"),
+        F.when(nz_w, F.round(symbols / n_words, 6)).alias("symbol_word_ratio"),
+        F.when(nz_w, F.round(alpha_words / n_words, 6)).alias("alpha_word_frac"),
+        F.when(nz_l, F.round(bullet_lines / n_lines, 6)).alias("bullet_line_frac"),
+        F.when(nz_l, F.round(ellipsis_lines / n_lines, 6)).alias(
+            "ellipsis_line_frac"
+        ),
+    )

@@ -948,3 +948,53 @@ def test_perplexity_filter_separates_gibberish(spark):
     ids = {r.doc_id for r in kept.select("doc_id").collect()}
     assert 900001 not in ids
     assert len(ids) > len(nat) // 2
+
+
+def test_gopher_quality_stats_oracle(spark):
+    """Word/line-level Gopher signals vs DuckDB list/regex ops, on docs
+    salted with bullets, ellipses, and symbol runs so every signal has
+    non-trivial values."""
+    from clickhouse_etl_spark.text.analysis import gopher_quality_stats
+
+    salt = (
+        "CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || '- bullet one'"
+        " || chr(10) || '* bullet two' || chr(10) || 'trailing dots...'"
+        " WHEN doc_id % 4 = 1 THEN text || ' ### 12 34'"
+        " ELSE text END"
+    )
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "text", F.expr(salt)
+    )
+    out = gopher_quality_stats(docs)
+    _assert_matches_oracle(
+        out,
+        f"""
+        WITH salted AS (SELECT doc_id, {salt} AS text FROM documents),
+        t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS w,
+                 list_filter(string_split(text, chr(10)), l -> l <> '') AS l
+          FROM salted
+        )
+        SELECT doc_id,
+               len(w) AS n_words,
+               CASE WHEN len(w) > 0 THEN ROUND(
+                 CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                 / len(w), 6) END AS mean_word_len,
+               CASE WHEN len(w) > 0 THEN ROUND(
+                 CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.|…)')) AS DOUBLE)
+                 / len(w), 6) END AS symbol_word_ratio,
+               CASE WHEN len(w) > 0 THEN ROUND(
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / len(w), 6) END AS alpha_word_frac,
+               CASE WHEN len(l) > 0 THEN ROUND(
+                 CAST(len(list_filter(l, x ->
+                   regexp_matches(x, '^\\s*([-*•‣▪]|\\d+[.)])\\s')))
+                      AS DOUBLE) / len(l), 6) END AS bullet_line_frac,
+               CASE WHEN len(l) > 0 THEN ROUND(
+                 CAST(len(list_filter(l, x ->
+                   regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+                      AS DOUBLE) / len(l), 6) END AS ellipsis_line_frac
+        FROM t
+        """,
+    )
