@@ -48,6 +48,13 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = decontaminate(corpus, bench, n=8)
 
+    # 3b. Language-model quality cut: drop the high-perplexity tail
+    #     under a unigram LM trained on a trusted slice (CCNet-style).
+    from clickhouse_etl_spark.text.lm import perplexity_filter
+
+    trusted = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = perplexity_filter(corpus, trusted, max_perplexity=10_000.0)
+
     # 4. Retrieval sanity probe: the corpus must answer keyword queries.
     probe = bm25_topk(corpus, ["the", "data"], k=5)
 
@@ -60,7 +67,7 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     report = dict(cur.report)
     report.update(
         {
-            "post_repetition": corpus.count(),
+            "post_screens": corpus.count(),
             "bm25_probe_rows": probe.count(),
             "neardup_pairs": pairs.count(),
             "packed_docs": packed.count(),

@@ -31,7 +31,7 @@ def test_training_corpus_example(spark):
 
     r = run(spark, SF_DIR)
     assert r["input"] == 500
-    assert 0 < r["post_repetition"] <= r["input"]
+    assert 0 < r["post_screens"] <= r["input"]
     assert r["bm25_probe_rows"] == 5
-    assert r["packed_docs"] == r["post_repetition"]
+    assert r["packed_docs"] == r["post_screens"]
     assert 0.8 < r["train_frac"] <= 1.0
