@@ -217,13 +217,16 @@ def fill_time_gaps(
     # before anything downstream could bound it. Estimate the bucket
     # count from the bounds and the step's actual width and refuse past
     # max_buckets per group.
+    # Step width measured in MICROseconds: whole-second truncation
+    # would under-count buckets 1000x for a '1 millisecond' step and
+    # defeat the guard entirely.
     step_iv = F.expr(f"INTERVAL {step}")
-    step_sec = F.unix_timestamp(F.col("__lo") + step_iv) - F.unix_timestamp(
+    step_us = F.unix_micros(F.col("__lo") + step_iv) - F.unix_micros(
         F.col("__lo")
     )
     n_buckets = (
-        F.unix_timestamp(F.col("__hi")) - F.unix_timestamp(F.col("__lo"))
-    ) / F.greatest(step_sec, F.lit(1))
+        F.unix_micros(F.col("__hi")) - F.unix_micros(F.col("__lo"))
+    ) / F.greatest(step_us, F.lit(1))
     guard = F.when(
         n_buckets > max_buckets,
         F.raise_error(

@@ -191,6 +191,10 @@ def histogram_fixed(
     if (lo is None) != (hi is None):
         # a lone bound would be silently ignored below — refuse instead
         raise ValueError("pass both lo and hi, or neither")
+    if lo is not None and hi is not None and float(lo) >= float(hi):
+        # a negative/zero width would route every row to bin 0 with
+        # descending bin edges — refuse, mirroring the lone-bound check
+        raise ValueError(f"lo must be < hi, got lo={lo} hi={hi}")
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull() & ~F.isnan(v))
     if lo is None or hi is None:

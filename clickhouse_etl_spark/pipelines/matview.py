@@ -94,8 +94,29 @@ class MaterializedView:
     # -- internals ---------------------------------------------------------
 
     def _next_version(self) -> str:
+        self._guard_ownership()
         ver = current_version(self.table_root)
         return f"{(int(ver) + 1) if ver is not None else 0:020d}"
+
+    def _guard_ownership(self) -> None:
+        """Refuse a ``table_root`` owned by a streaming summing sink
+        (``streaming.foreach_batch_summing`` leaves a
+        ``_SUMMING_SINK.json`` marker). A view publishing there would
+        bump the version past upcoming batch ids, and the sink's
+        ``version >= batch_id`` replay guard would then silently skip
+        live batches — data loss. The sink checks one way (it refuses
+        roots with foreign snapshots); this is the other direction."""
+        import os
+
+        marker = os.path.join(self.table_root, "_SUMMING_SINK.json")
+        if os.path.exists(marker):
+            raise RuntimeError(
+                f"{self.table_root!r} is owned by a streaming summing "
+                "sink (_SUMMING_SINK.json present) — a MaterializedView "
+                "publishing here would advance the version past the "
+                "sink's replay guard and lose live batches; use a "
+                "separate table_root"
+            )
 
     def _max_ts_string(self, df: DataFrame) -> str | None:
         """max(ts_col) in the ledger's canonical string form, computed

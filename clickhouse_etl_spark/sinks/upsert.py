@@ -40,6 +40,8 @@ the delta actually touches — ``merge_upsert`` accepts a pre-pruned
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
+from functools import reduce
+from operator import and_
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -163,8 +165,10 @@ def summing_merge(
         raise ValueError(f"current snapshot lacks state columns {missing}")
     cur = current.select(
         *keys, *[F.col(c).alias(f"__cur_{c}") for c in state_cols]
-    )
-    dd = d.select(*keys, *[F.col(c).alias(f"__new_{c}") for c in state_cols])
+    ).alias("__cur")
+    dd = d.select(
+        *keys, *[F.col(c).alias(f"__new_{c}") for c in state_cols]
+    ).alias("__new")
 
     def fold(c: str, how: str) -> F.Column:
         a, b = F.col(f"__cur_{c}"), F.col(f"__new_{c}")
@@ -188,7 +192,22 @@ def summing_merge(
         + [fold(c, "max") for c in max_cols]
         + [fold(c, "hll") for c in hll_cols]
     )
-    return cur.join(dd, on=keys, how="full").select(*keys, *folded)
+    # Null-safe key equality: a NULL-keyed state row must merge with a
+    # NULL-keyed delta row (plain `on=keys` never matches NULLs, so the
+    # snapshot would accumulate duplicate NULL-key rows and break the
+    # incremental == full invariant). EqualNullSafe is still a valid
+    # equi-join key, so this stays a hash-partitioned merge join.
+    # Alias-qualified refs (not cur[k]) — both sides can share lineage
+    # when merges chain, which trips the ambiguous-self-join analyzer.
+    cond = reduce(
+        and_,
+        [F.col(f"__cur.{k}").eqNullSafe(F.col(f"__new.{k}")) for k in keys],
+    )
+    key_out = [
+        F.coalesce(F.col(f"__cur.{k}"), F.col(f"__new.{k}")).alias(k)
+        for k in keys
+    ]
+    return cur.join(dd, cond, "full").select(*key_out, *folded)
 
 
 def snapshot_diff(
@@ -220,13 +239,23 @@ def snapshot_diff(
         *keys,
         F.lit(True).alias("__in_old"),
         *[F.col(c).alias(f"__old_{c}") for c in shared],
-    )
+    ).alias("__o")
     n = new.select(
         *keys,
         F.lit(True).alias("__in_new"),
         *[F.col(c).alias(f"__new_{c}") for c in payload_cols],
+    ).alias("__n")
+    # Same null-safe key treatment as summing_merge: a NULL key present
+    # in both snapshots is the SAME key, not an insert+delete pair.
+    # (Alias-qualified refs: old and new often share lineage.)
+    j = o.join(
+        n,
+        reduce(
+            and_,
+            [F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}")) for k in keys],
+        ),
+        "full",
     )
-    j = o.join(n, on=keys, how="full")
     same = F.lit(True)
     for c in shared:
         same = same & F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
@@ -243,10 +272,14 @@ def snapshot_diff(
         else F.col(f"__new_{c}").alias(c)
         for c in payload_cols
     ]
+    key_out = [
+        F.coalesce(F.col(f"__o.{k}"), F.col(f"__n.{k}")).alias(k)
+        for k in keys
+    ]
     return (
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
-        .select(*keys, "change", *out_payload)
+        .select(*key_out, "change", *out_payload)
     )
 
 

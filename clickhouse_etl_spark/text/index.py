@@ -100,6 +100,13 @@ def bm25_topk(
     """
     from clickhouse_etl_spark.util import materialize
 
+    if isinstance(query_terms, str):
+        # iterating a bare string would score single CHARACTERS and
+        # return plausible-looking but wrong rankings
+        raise TypeError(
+            "query_terms must be a sequence of terms, not a string — "
+            "pass e.g. query.split()"
+        )
     terms = [t for t in query_terms if t]
     if not terms:
         raise ValueError("query_terms must contain at least one non-empty term")

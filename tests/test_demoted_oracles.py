@@ -998,3 +998,17 @@ def test_gopher_quality_stats_oracle(spark):
         FROM t
         """,
     )
+
+
+def test_histogram_fixed_rejects_inverted_bounds(spark):
+    """Explicit lo >= hi would silently produce a negative width and
+    route every row to bin 0 — must raise instead."""
+    import pytest
+
+    from clickhouse_etl_spark.operators.grouped import histogram_fixed
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    with pytest.raises(ValueError, match="lo must be < hi"):
+        histogram_fixed(df, "v", bins=4, lo=10.0, hi=1.0)
+    with pytest.raises(ValueError, match="lo must be < hi"):
+        histogram_fixed(df, "v", bins=4, lo=5.0, hi=5.0)

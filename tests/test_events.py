@@ -216,3 +216,25 @@ def test_fill_time_gaps_explosion_guard(spark):
     # the same range is fine at a sane step
     ok = fill_time_gaps(df, "ts", "30 day", ["k"], ["n"])
     assert ok.count() > 2
+
+
+def test_fill_time_gaps_subsecond_step_guard(spark):
+    """The explosion guard must count buckets at MICROsecond precision:
+    a '50 milliseconds' step over a minute is 1200 buckets, which
+    whole-second truncation would under-count ~50x and wave through."""
+    import pytest
+
+    from clickhouse_etl_spark.operators.events import fill_time_gaps
+
+    df = spark.createDataFrame(
+        [("g", "2024-01-01 00:00:00", 1), ("g", "2024-01-01 00:01:00", 2)],
+        "k string, ts string, n int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(Exception, match="buckets"):
+        fill_time_gaps(
+            df, "ts", "50 milliseconds", ["k"], ["n"], max_buckets=1000
+        ).collect()
+    # sub-second steps still WORK under the cap
+    ok = fill_time_gaps(df, "ts", "500 milliseconds", ["k"], ["n"],
+                        max_buckets=1000)
+    assert ok.count() == 121

@@ -128,3 +128,15 @@ def test_bm25_requires_terms(spark):
         raise AssertionError("empty query must raise")
     except ValueError:
         pass
+
+
+def test_bm25_rejects_bare_string_query(spark):
+    """A bare string would be iterated as characters and silently score
+    single-letter terms — refuse it."""
+    import pytest
+
+    from clickhouse_etl_spark.text.index import bm25_topk
+
+    df = spark.createDataFrame([(1, "the data")], "id int, text string")
+    with pytest.raises(TypeError, match="not a string"):
+        bm25_topk(df, query_terms="the data")

@@ -173,3 +173,32 @@ def test_summing_view_with_hll_distinct(spark, tmp_path):
     }
     assert est(view) == est(full)
     assert round(est(view)["a"]) == 3 and round(est(view)["b"]) == 1
+
+
+def test_matview_refuses_summing_sink_root(spark, tmp_path):
+    """A MaterializedView must refuse a table_root owned by a streaming
+    summing sink: publishing there would bump the version past upcoming
+    batch ids and the sink's replay guard would silently drop batches."""
+    import json
+
+    import pytest
+
+    from clickhouse_etl_spark.pipelines.matview import MaterializedView
+
+    root = tmp_path / "sink_root"
+    root.mkdir()
+    (root / "_SUMMING_SINK.json").write_text(
+        json.dumps({"checkpoint": str(tmp_path / "ckpt")})
+    )
+    view = MaterializedView(
+        name="v",
+        table_root=str(root),
+        source=lambda s: s.createDataFrame(
+            [("a", 1, "2024-01-01 00:00:00")], "k string, v int, ts string"
+        ).selectExpr("k", "v", "CAST(ts AS timestamp) AS ts"),
+        keys=["k"],
+        ts_col="ts",
+        sum_cols=["v"],
+    )
+    with pytest.raises(RuntimeError, match="summing sink"):
+        view.refresh_full(spark)

@@ -577,3 +577,34 @@ def test_scd2_lookup_renames_colliding_history_columns(spark):
     out = scd2_lookup(facts, hist, ["id"], "fts")
     row = out.collect()[0]
     assert row.amount == 5.0 and row.dim_amount == 99.0
+
+
+def test_summing_merge_null_keys_merge(spark):
+    """NULL-keyed state rows must MERGE across batches (null-safe key
+    equality), preserving incremental == full — a plain `on=keys` join
+    would leave duplicate (NULL, x) rows in the snapshot."""
+    from clickhouse_etl_spark.sinks.upsert import summing_merge
+
+    schema = "k string, v int"
+    d1 = spark.createDataFrame([(None, 1), ("a", 10)], schema)
+    d2 = spark.createDataFrame([(None, 2), ("a", 5)], schema)
+    args = dict(keys=["k"], sum_cols=["v"])
+    incr = summing_merge(summing_merge(None, d1, **args), d2, **args)
+    full = summing_merge(None, d1.unionByName(d2), **args)
+    assert rows_set(incr) == rows_set(full) == {(None, 3), ("a", 15)}
+
+
+def test_snapshot_diff_null_keys(spark):
+    """A NULL key present in both snapshots is the SAME key: unchanged
+    payload → no diff row; changed payload → one 'update', never an
+    insert+delete pair."""
+    from clickhouse_etl_spark.sinks.upsert import snapshot_diff
+
+    schema = "k string, v int"
+    old = spark.createDataFrame([(None, 1), ("a", 1)], schema)
+    same = spark.createDataFrame([(None, 1), ("a", 1)], schema)
+    assert snapshot_diff(old, same, ["k"]).count() == 0
+    new = spark.createDataFrame([(None, 2), ("a", 1)], schema)
+    assert rows_set(snapshot_diff(old, new, ["k"]).select("k", "change", "v")) == {
+        (None, "update", 2)
+    }
