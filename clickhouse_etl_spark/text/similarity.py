@@ -328,9 +328,15 @@ def embedding_cosine_neardup(
     near-duplicates live. Pairs emit once (id_a < id_b).
 
     Scale shape: the bucket table and its self-join carry IDS ONLY —
-    vectors re-attach to the (much smaller) candidate set via semi-join,
-    so a 1k-dim embedding never rides the candidate shuffle (the same
-    candidates-then-payload shape as the MinHash shingle path).
+    a 1k-dim embedding never rides the candidate shuffle. Vectors
+    re-attach by joining the (small — bounded by bucket collisions,
+    never corpus-sized) deduped pair list directly back to the corpus
+    twice; AQE elects broadcast of the pair side at runtime, keeping
+    both payload scans map-side. (Round 4 staged this through an
+    explicit candidate-id semi-join; the extra distinct + semi-join +
+    cache stages cost ~1.4× at bench scale with no additional scale
+    safety — the pair list is exactly as broadcastable as the candidate
+    id list was. Adjudicated in round 5, variants timed min-of-4.)
     ``max_bucket_size`` bounds any (table, bucket) membership (hashed
     per-bucket order — each table keeps a different survivor subset) so
     a degenerate flood of near-identical vectors cannot make the
@@ -370,34 +376,20 @@ def embedding_cosine_neardup(
             F.col(f"r.{id_col}").alias("id_b"),
         )
         .distinct()
-        # consumed three times below (two id projections + the verify
-        # join) — materialize the (small) pair list once
-        .transform(materialize)
     )
-    candidate_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    # candidate_ids is fact-derived (grows with the corpus) — no forced
-    # broadcast; AQE elects the strategy.
-    cand_vecs = vecs.join(
-        candidate_ids, on=id_col, how="left_semi"
-    ).transform(materialize)
     dot = _DOT.format(a="__va", b="__vb")
     na = _NORM.format(a="__va")
     nb = _NORM.format(a="__vb")
+    # Pair side is collision-bounded, fact side carries the vectors: no
+    # forced broadcast (pairs are fact-derived), AQE elects at runtime —
+    # in practice the pair list broadcasts and the corpus never shuffles.
     return (
         pairs.join(
-            cand_vecs.select(
-                F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
-            ),
+            vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va")),
             on="id_a",
         )
         .join(
-            cand_vecs.select(
-                F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
-            ),
+            vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")),
             on="id_b",
         )
         .withColumn("__cos", F.expr(f"({dot}) / (({na}) * ({nb}))"))

@@ -149,7 +149,7 @@ def test_range_join_query_has_no_row_level_outer_pass(spark):
 def test_embedding_neardup_self_join_carries_ids_only(spark):
     """The LSH bucket self-join's inputs are (id, table, bucket) — the
     embedding vector must NOT ride the candidate exchange (it re-attaches
-    to verified candidates via semi-join)."""
+    to the deduped pair list via the payload joins)."""
     from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
