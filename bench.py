@@ -5,7 +5,8 @@ Times every registered query at $SPARK_GRAFT_SF_DIR (default
 line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": min_sec, ...}, "spread": {"q1": max-min, ...},
+     "sf": 0.1}
 
 Timing includes the collect() (the driver collects too). Run locally at
 sf0.01 while iterating:
@@ -137,7 +138,7 @@ def main() -> int:
     # far more reliably than min-of-2 for ~1 extra minute of bench time.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     cpu0 = _cpu_sample()
-    per_query: dict[str, float] = {}
+    timings: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
     for p in range(passes):
         spark.catalog.clearCache()
@@ -150,11 +151,16 @@ def main() -> int:
                 except Exception:
                     df.collect()  # fallback for Arrow-unfriendly schemas
                 took = round(time.perf_counter() - t0, 3)
-                per_query[name] = min(per_query.get(name, took), took)
+                timings.setdefault(name, []).append(took)
                 failed.pop(name, None)
             except Exception as e:  # keep benching; a failure is its own signal
-                if name not in per_query:
+                if name not in timings:
                     failed[name] = f"{type(e).__name__}: {e}"[:200]
+    per_query = {n: min(ts) for n, ts in timings.items()}
+    # max-min across passes: lets a reader separate noise from regression
+    # without this box's interference folklore — a query whose spread
+    # rivals its min proves the swing is host noise, not the plan.
+    spread = {n: round(max(ts) - min(ts), 3) for n, ts in timings.items()}
 
     cpu1 = _cpu_sample()
     host: dict[str, float] = {}
@@ -173,6 +179,9 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        # per-query max-min across the cache-cleared passes ("queries"
+        # itself stays the min — the driver's expected shape)
+        "spread": spread,
         "sf": sf,
         "cpus": cpus,
         "n_queries": len(per_query),
