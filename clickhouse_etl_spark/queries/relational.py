@@ -687,7 +687,13 @@ def ext_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from clickhouse_etl_spark.util import rebalance_for_compute
+
+    # The test files are single-row-group parquet, so the scan (and its
+    # partial aggregation) cannot split; spread the decimal arithmetic.
+    # No-op whenever the scan already yields >= parallelism splits — any
+    # real deployment — so the map-side combine is preserved at scale.
+    li = rebalance_for_compute(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -820,7 +826,12 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp_to_iso_string,
     )
 
-    events = load_table(spark, sf_dir, "events")
+    # Single-row-group input + 12-column scalar zoo = a CPU-bound
+    # single-task projection; spread it (no-op when the scan already
+    # yields >= parallelism splits, i.e. any real deployment).
+    from clickhouse_etl_spark.util import rebalance_for_compute
+
+    events = rebalance_for_compute(load_table(spark, sf_dir, "events"))
     legacy = F.concat(
         F.lit("datetime.date@version=2("),
         F.date_format("ts", "yyyy-MM-dd"),
