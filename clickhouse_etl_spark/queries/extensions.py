@@ -305,3 +305,174 @@ def ext_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 registry rotation: operators that previously lived only in
+# tests/test_demoted_oracles.py / tests/test_upsert.py promoted into the
+# driver's 50-query correctness window, in place of near-twin relational
+# rows (j2/a4/w2/o1/j7/set_union — demoted with identical oracles).
+# ---------------------------------------------------------------------------
+
+# BM25 ranked retrieval (text/index.py) — query-term-filtered joins,
+# corpus scalars broadcast, TakeOrdered top-k.
+@register(
+    "ext_bm25_topk",
+    oracle="""
+    WITH td AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      ) WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS len FROM td GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM dl),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM td
+            WHERE term IN ('the', 'data', 'pipeline') GROUP BY term)
+    SELECT td.doc_id,
+           ROUND(SUM(
+             ln(1 + (corpus.n - dft.df + 0.5) / (dft.df + 0.5))
+             * td.tf * 2.2
+             / (td.tf + 1.2 * (0.25 + 0.75 * dl.len / corpus.avgdl))
+           ), 6) AS score
+    FROM td
+    JOIN dft ON td.term = dft.term
+    JOIN dl ON td.doc_id = dl.doc_id
+    CROSS JOIN corpus
+    GROUP BY td.doc_id
+    ORDER BY score DESC, td.doc_id ASC
+    LIMIT 15
+    """,
+)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.index import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["the", "data", "pipeline"], k=15, k1=1.2, b=0.75)
+
+
+# SummingMergeTree state maintenance (sinks/upsert.py): snapshot(half 1)
+# folded with delta(half 2) must equal one GROUP BY over the whole table.
+@register(
+    "ext_summing_merge",
+    oracle="""
+    SELECT l_returnflag, ROUND(SUM(l_quantity), 3) AS total_qty,
+           ROUND(MAX(l_extendedprice), 3) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ext_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.sinks.upsert import summing_merge
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    h2 = li.filter(F.col("l_orderkey") % 2 == 1)
+    args = dict(keys=["l_returnflag"], sum_cols=["l_quantity"],
+                max_cols=["l_extendedprice"])
+    merged = summing_merge(summing_merge(None, h1, **args), h2, **args)
+    return merged.select(
+        "l_returnflag",
+        F.round("l_quantity", 3).alias("total_qty"),
+        F.round("l_extendedprice", 3).alias("max_price"),
+    )
+
+
+# SCD2 temporal lookup (sinks/upsert.py): build a type-2 history of each
+# customer's order-status timeline (ts made unique by adding o_orderkey
+# seconds), then join facts at ts+45 days to the version valid THEN.
+@register(
+    "ext_scd2_lookup",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS id,
+             o_orderdate + o_orderkey * INTERVAL 1 SECOND AS ts,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT id, ts, status, LAG(status) OVER w AS prev
+        FROM ch WINDOW w AS (PARTITION BY id ORDER BY ts)
+      ) WHERE prev IS NULL OR prev IS DISTINCT FROM status
+    ),
+    hist AS (
+      SELECT id, status, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY id ORDER BY ts),
+                      TIMESTAMP '9999-12-31 23:59:59') AS valid_to
+      FROM dedup
+    ),
+    f AS (
+      SELECT o_orderkey AS fact_id, o_custkey AS id,
+             o_orderdate + o_orderkey * INTERVAL 1 SECOND
+               + INTERVAL 45 DAY AS ts,
+             o_totalprice AS amount
+      FROM orders
+    )
+    SELECT f.fact_id, f.id, f.amount, hist.status
+    FROM f LEFT JOIN hist
+      ON f.id = hist.id AND hist.valid_from <= f.ts AND f.ts < hist.valid_to
+    """,
+)
+def ext_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.sinks.upsert import scd2_history, scd2_lookup
+
+    orders = load_table(spark, sf_dir, "orders")
+    uniq_ts = F.expr("timestampadd(SECOND, o_orderkey, o_orderdate)")
+    changes = orders.select(
+        F.col("o_custkey").alias("id"),
+        uniq_ts.alias("ts"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    hist = scd2_history(changes, ["id"], "ts", ["status"])
+    facts = orders.select(
+        F.col("o_orderkey").alias("fact_id"),
+        F.col("o_custkey").alias("id"),
+        F.expr("timestampadd(DAY, 45, timestampadd(SECOND, o_orderkey, "
+               "o_orderdate))").alias("ts"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    out = scd2_lookup(facts, hist, ["id"], "ts")
+    return out.select("fact_id", "id", "amount", "status")
+
+
+# WITH FILL densification (operators/events.py): hourly series per
+# event_type with real gaps, LOCF-filled.
+@register(
+    "ext_fill_time_gaps",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT grid.event_type, grid.bucket,
+           LAST_VALUE(hourly.n IGNORE NULLS) OVER (
+             PARTITION BY grid.event_type ORDER BY grid.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+    FROM grid LEFT JOIN hourly
+      ON grid.event_type = hourly.event_type
+     AND grid.bucket = hourly.bucket
+    """,
+)
+def ext_fill_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.events import fill_time_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # sparse series: only buckets with >= 3 events survive, so the
+        # fill has real gaps to close
+        .filter(F.col("n") >= 3)
+    )
+    return fill_time_gaps(hourly, "bucket", "1 hour", ["event_type"], ["n"],
+                          fill="locf")

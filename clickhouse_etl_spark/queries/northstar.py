@@ -659,7 +659,102 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=5, hash_family="poly")
 
 
-# ns_cluster_assign (k-means inference: argmin L2 to deterministic
-# centroids) lives in tests/test_demoted_oracles.py for the same
-# registry-cap reason; the Lloyd trainer itself is iterative and is
+# ---------------------------------------------------------------------------
+# Round-5 registry rotation (see queries/extensions.py): k-means
+# inference and Gopher quality signals promoted from
+# tests/test_demoted_oracles.py into the driver window.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_K = 6
+
+# k-means inference: argmin L2 to the deterministic lowest-id centroids,
+# lowest cluster wins ties. The Lloyd trainer itself is iterative and is
 # pinned against numpy in tests/test_kmeans.py.
+@register(
+    "ns_cluster_assign",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+      FROM emb ORDER BY vec_id LIMIT {_CLUSTER_K}
+    ),
+    d AS (
+      SELECT e.vec_id, c.cluster,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS sq
+      FROM emb e CROSS JOIN cent c
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           ROUND(sq, 6) AS sq_dist
+    FROM (
+      SELECT vec_id, cluster, sq,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sq ASC, cluster ASC) AS rk
+      FROM d
+    ) WHERE rk = 1
+    """,
+)
+def ns_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.kmeans import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # bounded driver-side reduction: k centroid vectors, never the corpus
+    init = emb.orderBy("vec_id").limit(_CLUSTER_K).select("embedding").collect()
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    return assign_clusters(emb, centroids).select(
+        "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")
+    )
+
+
+_GOPHER_SALT = (
+    "CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || '- bullet one'"
+    " || chr(10) || '* bullet two' || chr(10) || 'trailing dots...'"
+    " WHEN doc_id % 4 = 1 THEN text || ' ### 12 34'"
+    " ELSE text END"
+)
+
+
+# Gopher word/line quality signals (text/analysis.py) over docs salted
+# with bullets, ellipses, and symbol runs so every signal has
+# non-trivial values. All JVM column expressions.
+@register(
+    "ns_gopher_quality",
+    oracle=f"""
+    WITH salted AS (SELECT doc_id, {_GOPHER_SALT} AS text FROM documents),
+    t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS l
+      FROM salted
+    )
+    SELECT doc_id,
+           len(w) AS n_words,
+           CASE WHEN len(w) > 0 THEN ROUND(
+             CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+             / len(w), 6) END AS mean_word_len,
+           CASE WHEN len(w) > 0 THEN ROUND(
+             CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.|…)')) AS DOUBLE)
+             / len(w), 6) END AS symbol_word_ratio,
+           CASE WHEN len(w) > 0 THEN ROUND(
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len(w), 6) END AS alpha_word_frac,
+           CASE WHEN len(l) > 0 THEN ROUND(
+             CAST(len(list_filter(l, x ->
+               regexp_matches(x, '^\\s*([-*•‣▪]|\\d+[.)])\\s')))
+                  AS DOUBLE) / len(l), 6) END AS bullet_line_frac,
+           CASE WHEN len(l) > 0 THEN ROUND(
+             CAST(len(list_filter(l, x ->
+               regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+                  AS DOUBLE) / len(l), 6) END AS ellipsis_line_frac
+    FROM t
+    """,
+)
+def ns_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.analysis import gopher_quality_stats
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_GOPHER_SALT)
+    )
+    return gopher_quality_stats(docs)

@@ -215,17 +215,9 @@ def j1_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J2-J4 — hierarchy hop (child ⨝ parent dim)
 # reference: …etl_student_scores_subject_month_to_clickhouse.py:154-158,356-358
 # ---------------------------------------------------------------------------
-@register(
-    "j2_customers_per_region",
-    oracle="""
-    SELECT r.r_name AS region, count(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-5 registry
+# rotation (near-twin of j1's broadcast dim-join ladder; J2-J4 also pass
+# through pl_monthly_subject_fact's registered row).
 def j2_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -275,8 +267,8 @@ def j9_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # (anti-join negative membership — "if key in processed: continue",
 # reference …etl_student_scores_subject_month_to_clickhouse.py:273-276 —
-# is registry-covered by set_union_anti_merge below and oracle-checked in
-# tests/test_demoted_oracles.py: the registry is capped at the driver's
+# is oracle-checked in tests/test_demoted_oracles.py, both standalone and
+# through set_union_anti_merge: the registry is capped at the driver's
 # 50-query correctness window.)
 
 
@@ -335,18 +327,8 @@ def j10_candidate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A4 — average of averages (two-level groupBy)
 # reference: …etl_student_transcript_to_clickhouse.py:255-265
 # ---------------------------------------------------------------------------
-@register(
-    "a4_avg_of_avgs",
-    oracle="""
-    SELECT c_nationkey AS nationkey,
-           ROUND(AVG(cust_avg), 6) AS avg_customer_order_value
-    FROM (
-      SELECT c.c_nationkey, AVG(o.o_totalprice) AS cust_avg
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_nationkey, o.o_custkey
-    ) GROUP BY c_nationkey
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-5 registry
+# rotation (same two-level average family as a12/a3's registered rows).
 def a4_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -490,14 +472,9 @@ def a5_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W2 — "latest marked" representative via max_by
 # reference: …etl_student_transcript_to_clickhouse.py:296-301,330-332
 # ---------------------------------------------------------------------------
-@register(
-    "w2_latest_marked",
-    oracle="""
-    SELECT user_id, ARG_MAX(event_type, event_id) AS last_event_type,
-           MAX(event_id) AS last_event_id
-    FROM events GROUP BY user_id
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-5 registry
+# rotation (ranking/representative family also registered via
+# p3_latest_event_per_user; tiebreak totality micro-pinned there too).
 def w2_latest_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.operators.dedup import representative_latest
 
@@ -517,15 +494,9 @@ def w2_latest_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference: ORDER BY in extraction SQL, apps/airflow/dags/subject/
 # etl_subjects_to_clickhouse.py:188
 # ---------------------------------------------------------------------------
-@register(
-    "o1_top_orders",
-    oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-5 registry
+# rotation (TakeOrdered top-k also exercised by ext_bm25_topk's ranked
+# cut; the TakeOrdered plan shape is micro-pinned in the demoted test).
 def o1_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -539,18 +510,9 @@ def o1_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.8 — union-with-anti-join merge (direct ∪ custom-only)
 # reference: …etl_student_scores_subject_month_to_clickhouse.py:233-342
 # ---------------------------------------------------------------------------
-@register(
-    "set_union_anti_merge",
-    oracle="""
-    SELECT c_custkey, path FROM (
-      SELECT c_custkey, 'direct' AS path FROM customer
-      WHERE c_mktsegment = 'BUILDING'
-      UNION ALL
-      SELECT c_custkey, 'custom' AS path FROM customer
-      WHERE c_acctbal > 5000 AND c_mktsegment <> 'BUILDING'
-    )
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-5 registry
+# rotation (anti-join membership was already oracle-checked there;
+# the semi-join side keeps its registered row via j9).
 def set_union_anti_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     direct = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
@@ -571,18 +533,9 @@ def set_union_anti_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order column, deterministic).
 # reference: …etl_student_scores_subject_month_to_clickhouse.py:149
 # ---------------------------------------------------------------------------
-@register(
-    "j7_last_write_wins",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
-    FROM (
-      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderkey DESC) AS rn
-      FROM orders
-    ) WHERE rn = 1
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-5 registry
+# rotation (ranking-window dedup family also registered via
+# p3_latest_event_per_user).
 def j7_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.operators.dedup import last_write_wins
 

@@ -1012,3 +1012,128 @@ def test_histogram_fixed_rejects_inverted_bounds(spark):
         histogram_fixed(df, "v", bins=4, lo=10.0, hi=1.0)
     with pytest.raises(ValueError, match="lo must be < hi"):
         histogram_fixed(df, "v", bins=4, lo=5.0, hi=5.0)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 registry rotation: the six near-twin relational rows that gave
+# up their driver slots (to ext_bm25_topk / ext_summing_merge /
+# ext_scd2_lookup / ext_fill_time_gaps / ns_cluster_assign /
+# ns_gopher_quality) keep their exact former oracles here.
+# ---------------------------------------------------------------------------
+
+def test_j2_customers_per_region(spark):
+    from clickhouse_etl_spark.queries.relational import j2_customers_per_region
+
+    _assert_matches_oracle(
+        j2_customers_per_region(spark, SF_DIR),
+        """
+        SELECT r.r_name AS region, count(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """,
+    )
+
+
+def test_a4_avg_of_avgs(spark):
+    from clickhouse_etl_spark.queries.relational import a4_avg_of_avgs
+
+    _assert_matches_oracle(
+        a4_avg_of_avgs(spark, SF_DIR),
+        """
+        SELECT c_nationkey AS nationkey,
+               ROUND(AVG(cust_avg), 6) AS avg_customer_order_value
+        FROM (
+          SELECT c.c_nationkey, AVG(o.o_totalprice) AS cust_avg
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_nationkey, o.o_custkey
+        ) GROUP BY c_nationkey
+        """,
+    )
+
+
+def test_w2_latest_marked(spark):
+    """W2 value-hash oracle + the tiebreak-totality micro-pin: the
+    representative's ordering key must be TOTAL (every tie broken), so
+    repartitioning can never change the winner."""
+    from clickhouse_etl_spark.queries.relational import w2_latest_marked
+
+    _assert_matches_oracle(
+        w2_latest_marked(spark, SF_DIR),
+        """
+        SELECT user_id, ARG_MAX(event_type, event_id) AS last_event_type,
+               MAX(event_id) AS last_event_id
+        FROM events GROUP BY user_id
+        """,
+    )
+    # totality: the same query over a shuffled/differently-partitioned
+    # input yields the identical representative set
+    a = w2_latest_marked(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events").repartition(13, "event_type")
+    from clickhouse_etl_spark.operators.dedup import representative_latest
+
+    b = representative_latest(
+        ev, ["user_id"], payload_cols=["event_type"], order_col="event_id"
+    ).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("event_id").alias("last_event_id"),
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_o1_top_orders(spark):
+    """O1 value-hash oracle + the TakeOrdered plan micro-pin: an ordered
+    LIMIT must plan as TakeOrderedAndProject (per-partition top-k then a
+    k-row driver merge), never a global sort."""
+    from clickhouse_etl_spark.queries.relational import o1_top_orders
+
+    df = o1_top_orders(spark, SF_DIR)
+    _assert_matches_oracle(
+        df,
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+        """,
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    assert "Exchange rangepartitioning" not in phys
+
+
+def test_set_union_anti_merge(spark):
+    from clickhouse_etl_spark.queries.relational import set_union_anti_merge
+
+    _assert_matches_oracle(
+        set_union_anti_merge(spark, SF_DIR),
+        """
+        SELECT c_custkey, path FROM (
+          SELECT c_custkey, 'direct' AS path FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+          UNION ALL
+          SELECT c_custkey, 'custom' AS path FROM customer
+          WHERE c_acctbal > 5000 AND c_mktsegment <> 'BUILDING'
+        )
+        """,
+    )
+
+
+def test_j7_last_write_wins(spark):
+    from clickhouse_etl_spark.queries.relational import j7_last_write_wins
+
+    _assert_matches_oracle(
+        j7_last_write_wins(spark, SF_DIR),
+        """
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+        FROM (
+          SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders
+        ) WHERE rn = 1
+        """,
+    )
