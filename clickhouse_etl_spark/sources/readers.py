@@ -37,6 +37,59 @@ def read_parquet_table(
     return df
 
 
+def dedup_latest_subquery(
+    table: str,
+    keys: Sequence[str],
+    order_col: str,
+    style: str = "row_number",
+) -> str:
+    """W1-at-the-source: a ``dbtable`` subquery that keeps only the
+    latest row per key INSIDE the database, so N source rows arrive as
+    M ≤ N deduped rows instead of shipping N and deduping post-read.
+
+    The reference pushes exactly this into Postgres as ``SELECT DISTINCT
+    ON (id) … ORDER BY id, "updatedAt" DESC`` (reference:
+    apps/airflow/dags/student/etl_students_to_clickhouse.py:38-45).
+    Two portable spellings:
+
+    - ``'row_number'`` — ranking window in a subquery; works on
+      Postgres / MySQL 8 / ClickHouse / SQL Server. Ties on
+      ``order_col`` break arbitrarily (same as DISTINCT ON).
+    - ``'group_max'`` — greatest-n-per-group via a MAX() self-join; pure
+      ANSI-92, runs on engines without window functions (Derby — which
+      is what the integration tests prove it on). A key whose
+      ``order_col`` is tied at the max returns BOTH rows, and NULL keys
+      / NULL order values drop (inner-join semantics) — use
+      ``row_number`` when the source supports it and those edges matter.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("dedup needs at least one key column")
+    # Key/order identifiers are double-quoted (ANSI): Spark's own JDBC
+    # writer creates case-sensitive lowercase columns, and the reference's
+    # Postgres SQL quotes its identifiers the same way
+    # (…etl_students_to_clickhouse.py:38-45). Our synthetic aliases
+    # (etl_*) stay unquoted and deliberately do NOT start with '_' —
+    # Derby rejects leading-underscore names.
+    q = [f'"{k}"' for k in keys]
+    oc = f'"{order_col}"'
+    klist = ", ".join(q)
+    if style == "row_number":
+        return (
+            f"(SELECT * FROM (SELECT t.*, ROW_NUMBER() OVER ("
+            f"PARTITION BY {klist} ORDER BY {oc} DESC) AS etl_rn "
+            f"FROM {table} t) etl_ranked WHERE etl_rn = 1) etl_dedup"
+        )
+    if style == "group_max":
+        on = " AND ".join(f"t.{k} = m.{k}" for k in q)
+        return (
+            f"(SELECT t.* FROM {table} t JOIN (SELECT {klist}, "
+            f"MAX({oc}) AS etl_mx FROM {table} GROUP BY {klist}) m "
+            f"ON {on} AND t.{oc} = m.etl_mx) etl_dedup"
+        )
+    raise ValueError(f"unknown dedup style {style!r}")
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,
@@ -44,6 +97,8 @@ def read_jdbc_table(
     predicates: Sequence[str] | None = None,
     partition_options: dict[str, str] | None = None,
     properties: dict[str, str] | None = None,
+    dedup_latest: tuple[Sequence[str], str] | None = None,
+    dedup_style: str = "row_number",
 ) -> DataFrame:
     """S1/S2/S6 — JDBC scan (Postgres in the reference).
 
@@ -52,7 +107,17 @@ def read_jdbc_table(
     table through a single cursor (single-stream; reference:
     …etl_students_to_clickhouse.py:48-51), which caps at one connection's
     throughput regardless of cluster size.
+
+    ``dedup_latest=(keys, order_col)`` pushes latest-row-per-key dedup
+    INTO the source as a query template (see
+    :func:`dedup_latest_subquery`) — the reference's ``DISTINCT ON``
+    extraction — so the wire carries the deduped row set. Post-read
+    ``operators.dedup.latest_row_per_key`` stays the right call for
+    non-JDBC sources or when the source engine can't afford the window.
     """
+    if dedup_latest is not None:
+        keys, order_col = dedup_latest
+        table = dedup_latest_subquery(table, keys, order_col, dedup_style)
     reader = (
         spark.read.format("jdbc").option("url", url).option("dbtable", table)
     )
@@ -61,6 +126,9 @@ def read_jdbc_table(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     df = reader.load()
+    if dedup_latest is not None:
+        # the row_number template's ranking column is transport detail
+        df = df.drop(*[c for c in df.columns if c.lower() == "etl_rn"])
     for p in predicates or ():
         df = df.filter(p)
     return df

@@ -96,3 +96,70 @@ def test_jdbc_column_pruning(spark, derby_url):
     assert "school" in scan_line.lower()
     assert "name" not in scan_line.lower().replace("jdbcrelation", "")
     assert df.count() == 100
+
+
+@pytest.fixture(scope="module")
+def derby_versions_url(spark, tmp_path_factory):
+    """A change-log shaped table: 3 versions per student, latest wins."""
+    db = tmp_path_factory.mktemp("derby_v") / "jdbcdb"
+    url = f"jdbc:derby:{db};create=true"
+    seed = spark.range(0, 150).select(
+        (F.col("id") % 50).cast("long").alias("student_id"),
+        F.col("id").cast("long").alias("version"),
+        F.concat(F.lit("v"), F.col("id")).alias("name"),
+    )
+    (
+        seed.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "student_log")
+        .option("driver", DRIVER)
+        .option("createTableColumnTypes", "name VARCHAR(64)")
+        .mode("overwrite")
+        .save()
+    )
+    return url
+
+
+def test_jdbc_dedup_latest_pushed_into_source(spark, derby_versions_url):
+    """W1 at the source (the reference's DISTINCT ON extraction,
+    …etl_students_to_clickhouse.py:38-45): the database dedups BEFORE
+    the wire — the scan's relation IS the dedup subquery, no Spark-side
+    window/aggregate appears in the plan, and the deduped row count
+    arrives pre-shrunk (50 rows for 150 stored versions)."""
+    df = read_jdbc_table(
+        spark,
+        derby_versions_url,
+        "student_log",
+        properties={"driver": DRIVER},
+        dedup_latest=(["student_id"], "version"),
+        dedup_style="group_max",  # Derby has no PARTITION BY windows
+    )
+    rows = df.collect()
+    assert len(rows) == 50
+    got = {r.student_id: (r.version, r.name) for r in rows}
+    # latest version per key is id = key + 100 (third copy)
+    assert got[0] == (100, "v100") and got[49] == (149, "v149")
+
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    # dedup ran in the database: the JDBC relation is the subquery...
+    assert "MAX" in phys and "GROUP BY" in phys
+    # ...and Spark added no dedup machinery of its own
+    assert "Window" not in phys and "HashAggregate" not in phys
+
+
+def test_jdbc_dedup_row_number_template_shape():
+    """The window-function spelling (Postgres/MySQL/ClickHouse targets)
+    renders the exact DISTINCT ON-equivalent subquery; Derby can't run
+    it, so the template itself is pinned."""
+    from clickhouse_etl_spark.sources.readers import dedup_latest_subquery
+
+    q = dedup_latest_subquery("students", ["school", "sid"], "updated_at")
+    assert q == (
+        '(SELECT * FROM (SELECT t.*, ROW_NUMBER() OVER ('
+        'PARTITION BY "school", "sid" ORDER BY "updated_at" DESC) AS etl_rn '
+        "FROM students t) etl_ranked WHERE etl_rn = 1) etl_dedup"
+    )
+    with pytest.raises(ValueError):
+        dedup_latest_subquery("students", [], "updated_at")
+    with pytest.raises(ValueError):
+        dedup_latest_subquery("students", ["sid"], "ts", style="nope")
