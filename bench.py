@@ -47,6 +47,10 @@ def build_bench_session(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Full-result Arrow export is part of what the bench times; the
+        # wide-fact result at 10x sf0.1 (BENCH_SCALE) exceeds the 1g
+        # default. The box has 128 GiB.
+        .config("spark.driver.maxResultSize", "8g")
         # G1 keeps pause times sane with 32 executor threads + persisted
         # intermediates sharing one heap (the harness box has 128 GiB).
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
