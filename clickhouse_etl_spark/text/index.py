@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 
 
 def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term, tf) — per-document term frequencies (one shuffle)."""
+    """(id, term, tf) — per-document term frequencies (one shuffle).
+
+    The tokenize + explode is per-row-expensive; spread a byte-small
+    scan first (no-op when the input already has >= parallelism splits
+    — same policy as the MinHash/SimHash shingle paths)."""
+    from clickhouse_etl_spark.util import rebalance_for_compute
+
+    df = rebalance_for_compute(df)
     return (
         df.select(
             F.col(id_col),
