@@ -308,10 +308,26 @@ def ivf_ann_topk(
                       query_id_col)
 
 
+def auto_planes(n_rows: int, target_occupancy: int = 16) -> int:
+    """Hyperplane count that keeps expected bucket occupancy constant as
+    the corpus grows: ``2^planes`` buckets per table fill linearly with
+    the corpus, so a FIXED plane count makes the bucket self-join grow
+    quadratically past the size it was tuned for — the one LSH knob a
+    scale operator must move with the data. Measured on the 1x/3x/10x
+    curve in BENCH_SCALE.md: log2-scaled planes cut emitted candidates
+    4x at 10x. Floor of 4 keeps tiny corpora from degenerating to
+    one-bucket tables; recall per table drops as planes grow (p^planes),
+    so raise ``num_tables`` alongside for recall-critical thresholds.
+    """
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_rows, 1) / target_occupancy)))
+
+
 def embedding_cosine_neardup(
     corpus: DataFrame,
     threshold: float = 0.9,
-    num_planes: int = 8,
+    num_planes: int | str = 8,
     num_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -343,7 +359,16 @@ def embedding_cosine_neardup(
     self-join quadratic; members beyond tables×cap coverage lose
     pairing (the honest cap contract). ``None`` disables (exact LSH
     semantics for oracles).
+
+    ``num_planes='auto'`` sizes the plane count to the corpus via
+    :func:`auto_planes` (one COUNT over the pruned id column) — the
+    BENCH_SCALE.md-measured guard against fixed-bucket-count LSH going
+    quadratic as the corpus outgrows its tuning.
     """
+    if num_planes == "auto":
+        num_planes = auto_planes(corpus.count())
+        if log_fn is not None:
+            log_fn(f"auto_planes -> {num_planes}")
     dims = _probe_dims(corpus, vec_col)
     vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
     buckets = vecs.select(

@@ -234,3 +234,44 @@ def test_simhash_pandas_twos_complement(spark):
     expect = {i: ref_sig(t) for i, t in rows}
     assert got == expect
     assert any(v < 0 for v in expect.values()), "fixture must exercise bit 63"
+
+
+def test_auto_planes_scaling():
+    """Constant expected bucket occupancy: planes grow with log2(n), so
+    2^planes tracks the corpus instead of filling linearly (the
+    BENCH_SCALE-measured quadratic guard)."""
+    from clickhouse_etl_spark.text.similarity import auto_planes
+
+    assert auto_planes(0) == 4 and auto_planes(100) == 4
+    assert auto_planes(2_000) == 7
+    assert auto_planes(20_000) == 11  # 10x corpus -> ~log2(10) more planes
+    assert auto_planes(2_000_000) == 17
+    # occupancy stays in [target, 2*target) at every size
+    for n in (10_000, 100_000, 1_000_000):
+        occ = n / 2 ** auto_planes(n)
+        assert 8 <= occ <= 16.0001
+
+
+def test_embedding_neardup_auto_planes_runs(spark):
+    """num_planes='auto' resolves from the corpus count and the pair set
+    stays a subset of the exhaustive same-params run (LSH only ever
+    DROPS candidates; the cosine verify admits no false positives)."""
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text.similarity import (
+        auto_planes,
+        embedding_cosine_neardup,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    msgs = []
+    got = embedding_cosine_neardup(
+        emb, threshold=0.35, num_planes="auto", log_fn=msgs.append
+    ).collect()
+    n = emb.count()
+    assert msgs and msgs[0] == f"auto_planes -> {auto_planes(n)}"
+    explicit = embedding_cosine_neardup(
+        emb, threshold=0.35, num_planes=auto_planes(n)
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {
+        (r.id_a, r.id_b) for r in explicit
+    }
