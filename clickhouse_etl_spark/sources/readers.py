@@ -42,6 +42,7 @@ def dedup_latest_subquery(
     keys: Sequence[str],
     order_col: str,
     style: str = "row_number",
+    where: Sequence[str] | None = None,
 ) -> str:
     """W1-at-the-source: a ``dbtable`` subquery that keeps only the
     latest row per key INSIDE the database, so N source rows arrive as
@@ -74,17 +75,25 @@ def dedup_latest_subquery(
     q = [f'"{k}"' for k in keys]
     oc = f'"{order_col}"'
     klist = ", ".join(q)
+    # ``where`` predicates apply BEFORE the dedup — the reference's
+    # DISTINCT ON … WHERE order: each key's latest row AMONG the
+    # matching rows, not "latest overall, then filtered" (which would
+    # silently drop a key whose overall-latest row fails the filter).
+    base = table
+    if where:
+        conj = " AND ".join(f"({p})" for p in where)
+        base = f"(SELECT * FROM {table} WHERE {conj})"
     if style == "row_number":
         return (
             f"(SELECT * FROM (SELECT t.*, ROW_NUMBER() OVER ("
             f"PARTITION BY {klist} ORDER BY {oc} DESC) AS etl_rn "
-            f"FROM {table} t) etl_ranked WHERE etl_rn = 1) etl_dedup"
+            f"FROM {base} t) etl_ranked WHERE etl_rn = 1) etl_dedup"
         )
     if style == "group_max":
         on = " AND ".join(f"t.{k} = m.{k}" for k in q)
         return (
-            f"(SELECT t.* FROM {table} t JOIN (SELECT {klist}, "
-            f"MAX({oc}) AS etl_mx FROM {table} GROUP BY {klist}) m "
+            f"(SELECT t.* FROM {base} t JOIN (SELECT {klist}, "
+            f"MAX({oc}) AS etl_mx FROM {base} m0 GROUP BY {klist}) m "
             f"ON {on} AND t.{oc} = m.etl_mx) etl_dedup"
         )
     raise ValueError(f"unknown dedup style {style!r}")
@@ -111,13 +120,23 @@ def read_jdbc_table(
     ``dedup_latest=(keys, order_col)`` pushes latest-row-per-key dedup
     INTO the source as a query template (see
     :func:`dedup_latest_subquery`) — the reference's ``DISTINCT ON``
-    extraction — so the wire carries the deduped row set. Post-read
-    ``operators.dedup.latest_row_per_key`` stays the right call for
-    non-JDBC sources or when the source engine can't afford the window.
+    extraction — so the wire carries the deduped row set. When combined
+    with ``predicates``, the predicates move into the subquery and
+    filter BEFORE the dedup (the reference's ``DISTINCT ON … WHERE``
+    order), which also means they execute in the source's SQL dialect.
+    Post-read ``operators.dedup.latest_row_per_key`` stays the right
+    call for non-JDBC sources or when the source engine can't afford
+    the window.
     """
     if dedup_latest is not None:
         keys, order_col = dedup_latest
-        table = dedup_latest_subquery(table, keys, order_col, dedup_style)
+        # predicates move INTO the subquery (filter-then-dedup, the
+        # reference's DISTINCT ON … WHERE order) and therefore execute
+        # in the SOURCE dialect
+        table = dedup_latest_subquery(
+            table, keys, order_col, dedup_style, where=predicates
+        )
+        predicates = ()
     reader = (
         spark.read.format("jdbc").option("url", url).option("dbtable", table)
     )

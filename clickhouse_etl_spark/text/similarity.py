@@ -365,7 +365,12 @@ def embedding_cosine_neardup(
     BENCH_SCALE.md-measured guard against fixed-bucket-count LSH going
     quadratic as the corpus outgrows its tuning.
     """
-    if num_planes == "auto":
+    if isinstance(num_planes, str):
+        if num_planes != "auto":
+            # fail at the entry, not as a TypeError deep in _table_buckets
+            raise ValueError(
+                f"num_planes must be an int or 'auto', got {num_planes!r}"
+            )
         num_planes = auto_planes(corpus.count())
         if log_fn is not None:
             log_fn(f"auto_planes -> {num_planes}")

@@ -163,3 +163,24 @@ def test_jdbc_dedup_row_number_template_shape():
         dedup_latest_subquery("students", [], "updated_at")
     with pytest.raises(ValueError):
         dedup_latest_subquery("students", ["sid"], "ts", style="nope")
+
+
+def test_jdbc_dedup_filters_before_dedup(spark, derby_versions_url):
+    """predicates + dedup_latest = the reference's DISTINCT ON … WHERE
+    order: each key's latest row AMONG the matching rows. Keys whose
+    overall-latest version fails the filter must fall back to their
+    latest matching version, not vanish."""
+    df = read_jdbc_table(
+        spark,
+        derby_versions_url,
+        "student_log",
+        predicates=['"version" < 100'],  # excludes every key's 3rd copy
+        properties={"driver": DRIVER},
+        dedup_latest=(["student_id"], "version"),
+        dedup_style="group_max",
+    )
+    rows = df.collect()
+    assert len(rows) == 50  # every key still present
+    got = {r.student_id: r.version for r in rows}
+    # latest version UNDER the filter is the second copy (id = key + 50)
+    assert got[0] == 50 and got[49] == 99

@@ -275,3 +275,14 @@ def test_embedding_neardup_auto_planes_runs(spark):
     assert {(r.id_a, r.id_b) for r in got} == {
         (r.id_a, r.id_b) for r in explicit
     }
+
+
+def test_embedding_neardup_rejects_unknown_planes_string(spark):
+    import pytest
+
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="num_planes"):
+        embedding_cosine_neardup(emb, num_planes="Auto")

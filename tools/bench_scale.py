@@ -29,7 +29,10 @@ FACTORS = [
     int(f)
     for f in os.environ.get("SPARK_GRAFT_SCALE_FACTORS", "1,3,10").split(",")
 ]
-PASSES = {1: 3, 3: 3, 10: 2}
+
+
+def _passes(factor: int) -> int:
+    return 3 if factor <= 3 else 2
 
 QUERIES = [
     "pl_copy_students",
@@ -71,20 +74,17 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     qs = {n: entrymod.queries()[n] for n in QUERIES}
+
     # scale-adapted embedding near-dup: planes ~ 8 + log2(factor)
-    scaled = {
-        1: scaled_planes_neardup(8),
-        3: scaled_planes_neardup(10),
-        10: scaled_planes_neardup(11),
-    }
+    def scaled_for(factor: int):
+        return scaled_planes_neardup(8 + max(0, math.ceil(math.log2(factor))))
 
     # codegen/JIT warmup at the driver's smallest SF
-    for fn in qs.values():
+    for fn in [*qs.values(), scaled_for(1)]:
         try:
             fn(spark, "/root/testdata/sf0.001").toArrow()
         except Exception as e:
             print(f"warmup: {e}", file=sys.stderr, flush=True)
-    scaled[1](spark, "/root/testdata/sf0.001").toArrow()
     spark.catalog.clearCache()
 
     results: dict[str, dict[int, float]] = {}
@@ -92,12 +92,23 @@ def main() -> int:
     for factor in FACTORS:
         sf_dir = os.path.join(root, f"gen{factor}")
         todo = dict(qs)
-        todo["ns_emb_neardup_scaledplanes"] = scaled[factor]
-        for p in range(PASSES[factor]):
+        todo["ns_emb_neardup_scaledplanes"] = scaled_for(factor)
+        for p in range(_passes(factor)):
             spark.catalog.clearCache()
             for name, fn in todo.items():
                 t0 = time.perf_counter()
-                out = fn(spark, sf_dir).toArrow()
+                # keep benching on failure — same policy as bench.py; an
+                # OOM at the largest factor must not discard the smaller
+                # factors' timings
+                try:
+                    out = fn(spark, sf_dir).toArrow()
+                except Exception as e:
+                    print(
+                        f"x{factor} pass{p} {name}: FAILED "
+                        f"{type(e).__name__}: {str(e)[:160]}",
+                        file=sys.stderr, flush=True,
+                    )
+                    continue
                 took = round(time.perf_counter() - t0, 3)
                 cur = results.setdefault(name, {})
                 cur[factor] = min(cur.get(factor, took), took)

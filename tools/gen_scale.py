@@ -100,35 +100,39 @@ def generate(out_dir: str, factor: int) -> None:
             f"CROSS JOIN (SELECT unnest(range({factor})) AS i) cp",
         )
 
-    # documents: per-copy word suffix => disjoint shingle spaces
+    # documents: per-copy word suffix => disjoint shingle spaces.
+    # (Offsets computed MAX+1 like the fact tables — a non-default
+    # SPARK_GRAFT_SCALE_SRC must not silently collide ids; empty text
+    # stays empty in every copy, guarded in BOTH branches.)
+    doc_span = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM '{SRC}/documents.parquet'"
+    ).fetchone()[0]
+    suffixed = (
+        "list_aggregate(list_transform(string_split(text, ' '), "
+        "w -> w || 'x' || CAST(cp.i AS VARCHAR)), 'string_agg', ' ')"
+    )
     write(
         "documents",
         f"""
-        SELECT doc_id + cp.i * 5000 AS doc_id,
-               CASE WHEN cp.i = 0 THEN text ELSE
-                 list_aggregate(
-                   list_transform(string_split(text, ' '),
-                                  w -> w || 'x' || CAST(cp.i AS VARCHAR)),
-                   'string_agg', ' ')
-               END AS text,
+        SELECT doc_id + cp.i * {doc_span} AS doc_id,
+               CASE WHEN cp.i = 0 OR text = '' OR text IS NULL THEN text
+                    ELSE {suffixed} END AS text,
                lang, source,
-               CASE WHEN cp.i = 0 THEN n_chars
-                    ELSE length(CASE WHEN text = '' THEN text ELSE
-                      list_aggregate(
-                        list_transform(string_split(text, ' '),
-                                       w -> w || 'x' || CAST(cp.i AS VARCHAR)),
-                        'string_agg', ' ') END)
-               END AS n_chars
+               CASE WHEN cp.i = 0 OR text = '' OR text IS NULL THEN n_chars
+                    ELSE length({suffixed}) END AS n_chars
         FROM '{SRC}/documents.parquet'
         CROSS JOIN (SELECT unnest(range({factor})) AS i) cp
         """,
     )
 
     # embeddings: copy i rotates the vector by i slots
+    vec_span = con.execute(
+        f"SELECT MAX(vec_id) + 1 FROM '{SRC}/embeddings.parquet'"
+    ).fetchone()[0]
     write(
         "embeddings",
         f"""
-        SELECT vec_id + cp.i * 2000 AS vec_id,
+        SELECT vec_id + cp.i * {vec_span} AS vec_id,
                CAST(list_concat(embedding[cp.i + 1:], embedding[:cp.i])
                     AS FLOAT[]) AS embedding,
                label
