@@ -1,0 +1,177 @@
+"""Web-corpus curation: URL canonicalization, URL-level dedup, and
+domain-level statistics/filtering — the CommonCrawl-shaped stages that
+precede text-level dedup in a training-data pipeline (the same
+crawl page fetched via http/https/tracking-link variants is the same
+document; a handful of domains dominate raw crawls and blocklists are
+domain-keyed).
+
+Spark-first: every transform here is a pure JVM column expression
+(regexp + array ops — no UDFs, no parse_url so the semantics are
+engine-independent and a DuckDB oracle reproduces them bit-for-bit in
+tests/test_web.py). Dedup and filtering reuse the engine's existing
+latest-row-per-key and broadcast-join primitives, so the shuffle
+story is the one the rest of the repo already proves: one hash shuffle
+on the canonical key for dedup, broadcast of the (small) domain list
+for filters, the corpus itself never collected or crossed.
+
+Scale notes: canonicalization is a map-only projection (survives any
+corpus size); `domain_stats` is one groupBy on a bounded-cardinality
+key (domains ≪ pages); blocklists are broadcast (they are curated
+lists, thousands of rows, not corpus-derived).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters that never identify content — the common tracker set
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)(=.*)?$"
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an absolute http(s)-style URL, NULL when the
+    value has no ``scheme://host`` shape (relative links, garbage).
+
+    Rules (each one collapses a variant class that crawls actually
+    produce): lowercase scheme + host; strip the fragment; strip the
+    scheme's default port (``:80`` http / ``:443`` https); drop
+    tracking query parameters (:data:`TRACKING_PARAM_RE`); sort the
+    surviving parameters (order never identifies content); collapse
+    trailing slashes on the path (``/a/`` == ``/a``, bare host == /).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    core = F.regexp_replace(u, r"#.*$", "")  # fragment is client-side only
+    scheme = F.lower(
+        F.regexp_extract(core, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    after = F.regexp_replace(core, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(after, r"^[^/?]*([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(after, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    canon_query = F.array_join(params, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), canon_query)
+        ),
+    )
+    return F.when((scheme != "") & (host != ""), canon)
+
+
+def extract_domain(url: Column | str) -> Column:
+    """Lowercased host with any ``www.`` prefix and port stripped —
+    the blocklist/stats key. NULL for non-URLs (same contract as
+    :func:`canonicalize_url`)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)", 1)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(host != "", host)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    order_col: str | None = None,
+    canon_col: str = "canonical_url",
+) -> DataFrame:
+    """One row per canonical URL — the crawl-level dedup that runs
+    BEFORE text-level near-dup (it is exact on the key, so it removes
+    re-fetches for free without touching the text). Keeps the latest
+    row by ``order_col`` when given (W1 ranking-window semantics, total
+    tiebreak on the raw url), else an arbitrary-but-deterministic
+    representative via max_by on the raw url string. Rows whose URL
+    does not canonicalize (NULL) pass through untouched — failing to
+    parse a URL must not silently drop the document.
+
+    One hash shuffle on the canonical key; everything else map-side.
+    """
+    from clickhouse_etl_spark.operators.dedup import latest_row_per_key
+
+    with_canon = df.withColumn(canon_col, canonicalize_url(url_col))
+    parsed = with_canon.filter(F.col(canon_col).isNotNull())
+    unparsed = with_canon.filter(F.col(canon_col).isNull())
+    order = order_col if order_col is not None else url_col
+    deduped = latest_row_per_key(
+        parsed, [canon_col], order_col=order, tiebreak=[url_col]
+    )
+    return deduped.unionByName(unparsed)
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-domain document counts (plus the summed ``weight_col`` —
+    chars, tokens, quality — when given), descending: the report a
+    curator reads before writing a blocklist. NULL-domain rows (non-URL
+    values) aggregate under NULL so corpus totals still reconcile."""
+    cols = [extract_domain(url_col).alias("domain")]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col))
+        aggs.append(F.sum(weight_col).alias(f"sum_{weight_col}"))
+    return (
+        df.select(*cols)
+        .groupBy("domain")
+        .agg(*aggs)
+        .orderBy(F.desc("n_docs"), F.asc_nulls_last("domain"))
+    )
+
+
+def filter_by_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: Sequence[str] | DataFrame | None = None,
+    allowlist: Sequence[str] | DataFrame | None = None,
+) -> DataFrame:
+    """Keep/drop documents by domain. Exactly one of ``blocklist`` /
+    ``allowlist`` must be given; either a Python sequence (inlined as
+    an isin literal — fine for curated lists) or a single-column
+    DataFrame (broadcast anti/semi join — for lists that live in a
+    table). Blocklist semantics keep NULL-domain rows (an unparseable
+    URL is not evidence the document is blocked); allowlist semantics
+    drop them (no domain, no membership)."""
+    if (blocklist is None) == (allowlist is None):
+        raise ValueError("pass exactly one of blocklist / allowlist")
+    dom = extract_domain(url_col)
+    target = blocklist if blocklist is not None else allowlist
+    if isinstance(target, DataFrame):
+        if len(target.columns) != 1:
+            raise ValueError("domain-list DataFrame must have one column")
+        key = target.columns[0]
+        with_dom = df.withColumn("__dom", dom)
+        how = "left_anti" if blocklist is not None else "left_semi"
+        # curated list: small by construction — broadcast, corpus never
+        # shuffles
+        out = with_dom.join(
+            F.broadcast(target.withColumnRenamed(key, "__dom")),
+            on="__dom",
+            how=how,
+        )
+        return out.drop("__dom")
+    domains = [d.lower() for d in target]
+    if blocklist is not None:
+        return df.filter(dom.isNull() | ~dom.isin(domains))
+    return df.filter(dom.isin(domains))

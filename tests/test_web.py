@@ -1,0 +1,231 @@
+"""URL canonicalization / domain curation — golden cases + a DuckDB
+oracle that reproduces the canonicalization rules bit-for-bit over a
+synthesized URL column (same rigor as test_demoted_oracles)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from clickhouse_etl_spark.catalog import TEST_TABLES, load_table
+from clickhouse_etl_spark.text.web import (
+    canonicalize_url,
+    domain_stats,
+    extract_domain,
+    filter_by_domain,
+    url_dedup,
+)
+from tools.oracle_check import canon_rows
+
+SF_DIR = "/root/testdata/sf0.001"
+
+GOLDEN = [
+    # variant -> canonical
+    ("HTTP://Example.COM:80/a/b/?utm_source=x&z=1&a=2#frag",
+     "http://example.com/a/b?a=2&z=1"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/a//", "http://example.com/a"),
+    ("http://example.com/?fbclid=abc&gclid=1", "http://example.com/"),
+    ("http://example.com/?b=2&a=1", "http://example.com/?a=1&b=2"),
+    ("not a url", None),
+    ("/relative/path", None),
+    (None, None),
+]
+
+
+def test_canonicalize_golden(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(GOLDEN)], "i int, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(GOLDEN):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_idempotent(spark):
+    """canon(canon(u)) == canon(u) — canonical forms are fixed points."""
+    df = spark.createDataFrame(
+        [(u,) for u, _ in GOLDEN if u], "url string"
+    ).select(canonicalize_url("url").alias("c1"))
+    twice = df.select("c1", canonicalize_url("c1").alias("c2")).collect()
+    for r in twice:
+        assert r.c2 == r.c1
+
+
+def test_extract_domain(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.Sub.Example.com:8080/x?y#z",),
+         ("http://example.org/",), ("garbage",), (None,)],
+        "url string",
+    )
+    got = [r.d for r in df.select(extract_domain("url").alias("d")).collect()]
+    assert got == ["sub.example.com", "example.org", None, None]
+
+
+def _urls(spark, sf_dir):
+    """Deterministic URL column over documents: scheme/host/path/query
+    variants driven by doc_id so every rule fires, plus non-URL rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            """
+            CASE WHEN doc_id % 11 = 10 THEN 'not a url'
+            ELSE concat(
+              CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END,
+              '://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+              'site', CAST(doc_id % 7 AS STRING), '.com',
+              CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,
+              '/p/', CAST(doc_id % 13 AS STRING),
+              CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+              CASE WHEN doc_id % 5 = 0
+                   THEN '?utm_source=a&b=2&a=1' ELSE '' END,
+              CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+            END
+            """
+        ).alias("url"),
+    )
+
+
+_URL_SQL = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 11 = 10 THEN 'not a url'
+      ELSE concat(
+        CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END,
+        '://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        'site', CAST(doc_id % 7 AS VARCHAR), '.com',
+        CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,
+        '/p/', CAST(doc_id % 13 AS VARCHAR),
+        CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+        CASE WHEN doc_id % 5 = 0 THEN '?utm_source=a&b=2&a=1' ELSE '' END,
+        CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+      END AS url
+    FROM documents
+"""
+
+# the canonicalization rules spelled out in DuckDB — the oracle twin of
+# canonicalize_url (regexps identical, list ops mirror the array ops)
+_CANON_SQL = f"""
+WITH urls AS ({_URL_SQL}),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+               '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(url, '#.*$', ''),
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS after
+  FROM urls
+),
+pieces AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(lower(regexp_extract(after, '^([^/?]*)', 1)), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(lower(regexp_extract(after, '^([^/?]*)', 1)), ':443$', '')
+              ELSE lower(regexp_extract(after, '^([^/?]*)', 1)) END AS host,
+         regexp_replace(regexp_extract(after, '^[^/?]*([^?]*)', 1), '/+$', '') AS path0,
+         regexp_extract(after, '\\?(.*)$', 1) AS query
+  FROM parts
+),
+built AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         list_aggregate(
+           list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)(=.*)?$'))),
+           'string_agg', '&') AS cq
+  FROM pieces
+)
+SELECT doc_id,
+       CASE WHEN scheme <> '' AND host <> ''
+            THEN concat(scheme, '://', host, path,
+                        CASE WHEN cq IS NULL OR cq = '' THEN ''
+                             ELSE concat('?', cq) END)
+       END AS canonical_url
+FROM built
+"""
+
+
+def _oracle(sql):
+    con = duckdb.connect()
+    try:
+        for t in TEST_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        cur = con.execute(sql)
+        return [d[0] for d in cur.description], cur.fetchall()
+    finally:
+        con.close()
+
+
+def test_canonicalize_matches_duckdb_oracle(spark):
+    out = _urls(spark, SF_DIR).select(
+        "doc_id", canonicalize_url("url").alias("canonical_url")
+    )
+    dcols, drows = _oracle(_CANON_SQL)
+    sc, sr = canon_rows(out.columns, [tuple(r) for r in out.collect()])
+    dc, dr = canon_rows(dcols, drows)
+    assert sc == dc and len(sr) == len(dr) and sr == dr
+
+
+def test_url_dedup_latest_and_passthrough(spark):
+    """Variants of one page collapse to the max-order row; unparseable
+    URLs pass through undropped."""
+    df = spark.createDataFrame(
+        [
+            (1, "http://Example.com/a?utm_source=x", 10),
+            (2, "http://example.com:80/a/", 20),
+            (3, "https://example.com/a", 5),   # different scheme: distinct
+            (4, "junk", 1),
+            (5, "more junk", 2),
+        ],
+        "id int, url string, v int",
+    )
+    out = url_dedup(df, "url", order_col="v")
+    ids = sorted(r.id for r in out.collect())
+    assert ids == [2, 3, 4, 5]  # 1 and 2 collapse, junk survives
+    canon = {r.id: r.canonical_url for r in out.collect()}
+    assert canon[2] == "http://example.com/a"
+    assert canon[4] is None
+
+
+def test_domain_stats_and_filter(spark):
+    urls = _urls(spark, SF_DIR)
+    stats = domain_stats(urls, weight_col="doc_id").collect()
+    assert sum(r.n_docs for r in stats) == urls.count()  # totals reconcile
+    doms = {r.domain for r in stats}
+    assert None in doms and "site0.com" in doms
+
+    blocked = filter_by_domain(urls, blocklist=["site0.com"])
+    kept = blocked.select(extract_domain("url").alias("d")).collect()
+    assert all(r.d != "site0.com" for r in kept)
+    assert any(r.d is None for r in kept)  # NULL-domain rows kept
+
+    allowed = filter_by_domain(urls, allowlist=["site1.com", "site2.com"])
+    got = {r.d for r in allowed.select(extract_domain("url").alias("d")).collect()}
+    assert got == {"site1.com", "site2.com"}  # NULL-domain rows dropped
+
+    # DataFrame blocklist: broadcast anti join, no Python in the plan
+    bl = spark.createDataFrame([("site0.com",)], "domain string")
+    out = filter_by_domain(urls, blocklist=bl)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys and "LeftAnti" in phys
+    assert "BatchEvalPython" not in phys
+    assert out.count() == blocked.count()
+
+    with pytest.raises(ValueError):
+        filter_by_domain(urls)
+    with pytest.raises(ValueError):
+        filter_by_domain(urls, blocklist=["a"], allowlist=["b"])
