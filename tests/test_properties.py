@@ -419,3 +419,73 @@ def test_summing_merge_interleaving_invariant(spark, rows, n_batches):
         }
 
     assert canon(snap) == canon(full)
+
+
+# --- URL canonicalization invariances (text/web.py) ------------------------
+
+_hostpart = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1, max_size=8,
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_pathseg = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-",
+    min_size=0, max_size=8,
+)
+_param = st.tuples(
+    st.text(alphabet="abcz", min_size=1, max_size=4),
+    st.text(alphabet="0189", min_size=0, max_size=4),
+)
+
+
+@st.composite
+def _urls_st(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "Https"]))
+    host = ".".join(draw(st.lists(_hostpart, min_size=1, max_size=3)))
+    path = "/".join(draw(st.lists(_pathseg, min_size=0, max_size=3)))
+    params = draw(st.lists(_param, min_size=0, max_size=4))
+    q = "&".join(f"{k}={v}" for k, v in params)
+    return f"{scheme}://{host}/{path}" + (f"?{q}" if q else "")
+
+
+@_SLOW
+@given(st.lists(_urls_st(), min_size=1, max_size=12, unique=True))
+def test_url_canon_variant_invariance(spark, urls):
+    """canon must be invariant under the variant classes it claims to
+    collapse: case of scheme+host, default port, fragments, tracking
+    params, param order, trailing slashes — and idempotent."""
+    import random
+
+    from clickhouse_etl_spark.text.web import canonicalize_url
+
+    rng = random.Random(42)
+
+    def perturb(u):
+        scheme, rest = u.split("://", 1)
+        host, _, tail = rest.partition("/")
+        out = f"{scheme.upper()}://{host.upper()}"
+        if scheme.lower() == "http" and ":" not in host:
+            out += ":80"
+        out += "/" + tail
+        if "?" in out:
+            base, q = out.split("?", 1)
+            params = q.split("&") + ["utm_source=x", "fbclid=1"]
+            rng.shuffle(params)
+            out = base + "?" + "&".join(params)
+        else:
+            out += "?utm_campaign=z" if rng.random() < 0.5 else ""
+        if not out.endswith("/") and "?" not in out:
+            out += "/"
+        return out + "#fragment"
+
+    rows = [(i, u, perturb(u)) for i, u in enumerate(urls)]
+    df = spark.createDataFrame(rows, "i int, url string, variant string")
+    got = df.select(
+        "i",
+        canonicalize_url("url").alias("a"),
+        canonicalize_url("variant").alias("b"),
+        canonicalize_url(canonicalize_url("url")).alias("aa"),
+    ).collect()
+    for r in got:
+        assert r.a is not None
+        assert r.a == r.b, f"variant diverged: {r.a!r} vs {r.b!r}"
+        assert r.aa == r.a, "not idempotent"
