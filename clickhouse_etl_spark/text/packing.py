@@ -239,3 +239,44 @@ def decontaminate(
     c = ngram_contamination(docs, benchmark, n, id_col, text_col)
     dirty = c.filter(F.col("contamination_frac") > max_frac).select(id_col)
     return docs.join(dirty, on=id_col, how="left_anti")
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """The packing story end-to-end: plan token-budget shards, attach
+    the text back, and land ONE parquet file per shard under
+    ``path/shard=N/`` — the layout a training job consumes (each shard
+    is an independent, budget-bounded read unit; hive partitioning
+    makes per-shard reads a directory prune, not a scan).
+
+    One-file-per-shard is achieved by repartitioning on the shard key
+    before a partitionBy write: each shard's rows co-locate in exactly
+    one task, so the writer emits exactly one file per shard dir (the
+    small-files problem a naive partitionBy write creates — every task
+    writing every shard — never happens). Rows inside a file are sorted
+    by ``id_col``, preserving the stream order the offsets encode.
+
+    Returns the shard plan (id, n_tokens, stream_offset, shard) for the
+    caller's manifest.
+
+    Scale: the plan is the distributed prefix sum (no global window);
+    the write adds ONE hash shuffle on the shard key. Shard count is
+    corpus_tokens / tokens_per_shard — size the budget so a shard fits
+    a worker (the same rule any webdataset-style export follows).
+    """
+    plan = plan_shards(df, tokens_per_shard, id_col=id_col, text_col=text_col)
+    joined = df.join(plan, on=id_col, how="inner")
+    (
+        joined.repartition(F.col("shard"))
+        .sortWithinPartitions(id_col)
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+    return plan

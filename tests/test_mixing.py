@@ -99,3 +99,33 @@ def test_stratified_threshold_rounds_not_truncates(spark):
     )
     # bucket values are 0..999999 directly: exact count proves threshold.
     assert out.count() == 300_000
+
+
+def test_write_shards_layout(spark, tmp_path):
+    """One parquet file per shard dir, rows inside sorted by id, and
+    the written corpus reads back complete with correct shard routing."""
+    import glob
+
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text.packing import write_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "shards")
+    plan = write_shards(docs, out, tokens_per_shard=4096)
+    shard_ids = sorted(r.shard for r in plan.select("shard").distinct().collect())
+    assert shard_ids == list(range(len(shard_ids)))  # dense from 0
+    for s in shard_ids:
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, f"shard {s}: {len(files)} files"
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # routing matches the plan
+    got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    want = {r.doc_id: r.shard for r in plan.collect()}
+    assert got == want
+    # in-file order is the stream order
+    import pyarrow.parquet as pq
+
+    f = glob.glob(f"{out}/shard={shard_ids[0]}/*.parquet")[0]
+    ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+    assert ids == sorted(ids)
