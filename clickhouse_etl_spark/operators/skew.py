@@ -20,6 +20,7 @@ non-AQE environment) — the classic salting construction:
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -170,4 +171,60 @@ def cap_bucket_membership(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_bucket_size)
         .drop("__rn")
+    )
+
+
+@dataclass
+class SkewReport:
+    """Output of :func:`skew_report` — read ``ratio`` first: it is
+    max-key-count over mean-key-count, i.e. how many times larger the
+    hottest reducer partition would be than the average one if this key
+    set fed a shuffle. ~1 = uniform; tens-to-thousands = salt the
+    aggregate / split the join before it ships."""
+
+    n_rows: int
+    n_keys: int
+    max_count: int
+    mean_count: float
+    ratio: float
+    #: (key tuple, count) for the ``top`` hottest keys, descending
+    top_keys: list[tuple[tuple, int]]
+
+
+def skew_report(
+    df: DataFrame, keys: Sequence[str], top: int = 10
+) -> SkewReport:
+    """Measure key skew BEFORE choosing a shuffle strategy — the
+    diagnostic companion to :func:`salted_sum_count` / :func:`salted_join`
+    / AQE's runtime skew split (which only sees the skew after the
+    shuffle is already planned).
+
+    Cost: one count-aggregate shuffle on ``keys`` + a bounded driver
+    reduction (a 4-value summary row and ``top`` key rows — never the
+    key set itself), so it is safe to run on the full production input.
+    """
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    summary = counts.agg(
+        F.sum("__n").alias("rows"),
+        F.count(F.lit(1)).alias("nkeys"),
+        F.max("__n").alias("mx"),
+        F.avg("__n").alias("mean"),
+    ).collect()[0]
+    hot = (
+        counts.orderBy(F.desc("__n"), *[F.asc(k) for k in keys])
+        .limit(top)
+        .collect()
+    )
+    n_rows = int(summary["rows"] or 0)
+    n_keys = int(summary["nkeys"] or 0)
+    mx = int(summary["mx"] or 0)
+    mean = float(summary["mean"] or 0.0)
+    return SkewReport(
+        n_rows=n_rows,
+        n_keys=n_keys,
+        max_count=mx,
+        mean_count=round(mean, 3),
+        ratio=round(mx / mean, 3) if mean else 0.0,
+        top_keys=[(tuple(r[k] for k in keys), r["__n"]) for r in hot],
     )

@@ -401,3 +401,25 @@ def test_running_total_decimal_values(spark):
     out = running_total(df, "k", "v", partitions=2)
     got = {r.k: r.running_total for r in out.collect()}
     assert got == {1: Decimal("0"), 2: Decimal("1.10"), 3: Decimal("3.35")}
+
+
+def test_skew_report_detects_hot_key(spark):
+    """The diagnostic must rank the planted hot key first and report a
+    ratio matching the planted distribution."""
+    from clickhouse_etl_spark.operators.skew import skew_report
+
+    # 5000 rows on key 0, 1 row each on keys 1..1000
+    df = spark.range(6000).selectExpr(
+        "CASE WHEN id < 5000 THEN 0 ELSE id - 4999 END AS k"
+    )
+    rep = skew_report(df, ["k"], top=3)
+    assert rep.n_rows == 6000 and rep.n_keys == 1001
+    assert rep.max_count == 5000
+    assert rep.top_keys[0] == ((0,), 5000)
+    assert rep.top_keys[1][1] == 1
+    expected_mean = 6000 / 1001
+    assert abs(rep.mean_count - expected_mean) < 0.01
+    assert abs(rep.ratio - 5000 / expected_mean) < 1
+
+    uniform = spark.range(1000).selectExpr("id % 100 AS k")
+    assert skew_report(uniform, ["k"]).ratio == 1.0
