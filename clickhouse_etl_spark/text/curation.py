@@ -60,6 +60,8 @@ def curate_corpus(
     score_threshold: float | None = None,
     split_weights: dict[str, float] | None = None,
     with_report: bool = True,
+    url_col: str | None = None,
+    domain_blocklist=None,
 ) -> CurationResult:
     """Run the full curation chain; see module doc for stage order.
 
@@ -69,6 +71,11 @@ def curate_corpus(
     Returns the curated corpus (original columns + ``n_redactions`` +
     ``split``) and, when ``with_report``, document counts after every
     stage.
+
+    ``url_col`` turns on the crawl-level stage 0 (text/web.py): domain
+    blocklist filter, then canonical-URL dedup — BEFORE text-level
+    dedup, because URL dedup is exact on the key and removes re-fetches
+    without paying the shingle pass for them.
     """
     report: dict[str, int] = {}
 
@@ -78,6 +85,21 @@ def curate_corpus(
         return d
 
     note("input", df)
+
+    # 0. Crawl-level stage (optional): domain blocklist, then canonical-
+    #    URL dedup. Cheapest cuts first — both run before any shingling.
+    if url_col is not None:
+        from clickhouse_etl_spark.text.web import filter_by_domain, url_dedup
+
+        if domain_blocklist is not None:
+            df = note(
+                "domain_filter",
+                filter_by_domain(df, url_col, blocklist=domain_blocklist),
+            )
+        df = note(
+            "url_dedup",
+            url_dedup(df, url_col, order_col=id_col).drop("canonical_url"),
+        )
 
     # 1. Exact dedup: keep each byte-identical text's canonical (min id)
     #    copy. Digest-only shuffle.

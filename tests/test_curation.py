@@ -118,3 +118,32 @@ def test_top_ngram_ratio_flags_loops(spark):
     assert rows[1].top_3gram_ratio == 1.0
     assert rows[2].top_3gram_ratio == 0.25
     assert rows[1].dup_3gram_ratio > rows[2].dup_3gram_ratio
+
+
+def test_curate_corpus_url_stage(spark):
+    """url_col turns on stage 0: blocked domains drop, canonical-URL
+    re-fetches collapse, and the counts land in the report before
+    exact_dedup's."""
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text import curate_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "url",
+        F.expr(
+            "concat('http://site', CAST(doc_id % 5 AS STRING), "
+            "'.com/d/', CAST(doc_id % 50 AS STRING), "
+            "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END)"
+        ),
+    )
+    out = curate_corpus(
+        docs, url_col="url", domain_blocklist=["site4.com"]
+    )
+    rep = out.report
+    assert list(rep)[:3] == ["input", "domain_filter", "url_dedup"]
+    assert rep["domain_filter"] == docs.filter("doc_id % 5 != 4").count()
+    # canonical URL = (site, d) pair ignoring the utm variant; doc_id%50
+    # determines doc_id%5, so the 50 paths collapse to 50 canonical URLs
+    # of which the 10 with path%5==4 are blocked -> 40
+    assert rep["url_dedup"] == 40
+    assert rep["final"] <= rep["url_dedup"]
+    assert "url" in out.corpus.columns
