@@ -203,8 +203,14 @@ def skew_report(
     reduction (a 4-value summary row and ``top`` key rows — never the
     key set itself), so it is safe to run on the full production input.
     """
+    from clickhouse_etl_spark.util import materialize
+
     keys = list(keys)
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    # two actions below (summary + top-k) — snapshot the counts so the
+    # input scan + aggregate shuffle runs once, as the cost note claims
+    counts = materialize(
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    )
     summary = counts.agg(
         F.sum("__n").alias("rows"),
         F.count(F.lit(1)).alias("nkeys"),
@@ -220,6 +226,7 @@ def skew_report(
     n_keys = int(summary["nkeys"] or 0)
     mx = int(summary["mx"] or 0)
     mean = float(summary["mean"] or 0.0)
+    counts.unpersist()
     return SkewReport(
         n_rows=n_rows,
         n_keys=n_keys,

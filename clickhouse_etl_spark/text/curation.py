@@ -23,6 +23,7 @@ for fire-and-forget runs).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -61,7 +62,7 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     with_report: bool = True,
     url_col: str | None = None,
-    domain_blocklist=None,
+    domain_blocklist: Sequence[str] | DataFrame | None = None,
 ) -> CurationResult:
     """Run the full curation chain; see module doc for stage order.
 
@@ -77,6 +78,9 @@ def curate_corpus(
     dedup, because URL dedup is exact on the key and removes re-fetches
     without paying the shingle pass for them.
     """
+    if domain_blocklist is not None and url_col is None:
+        # silently skipping the blocklist would ship blocked domains
+        raise ValueError("domain_blocklist requires url_col")
     report: dict[str, int] = {}
 
     def note(stage: str, d: DataFrame) -> DataFrame:

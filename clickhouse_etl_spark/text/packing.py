@@ -270,11 +270,22 @@ def write_shards(
     corpus_tokens / tokens_per_shard — size the budget so a shard fits
     a worker (the same rule any webdataset-style export follows).
     """
-    plan = plan_shards(df, tokens_per_shard, id_col=id_col, text_col=text_col)
+    from clickhouse_etl_spark.util import materialize
+
+    # The plan is consumed twice (the write's join and the returned
+    # manifest) — snapshot it so the manifest provably describes the
+    # files actually written, even over nondeterministic upstreams.
+    plan = materialize(
+        plan_shards(df, tokens_per_shard, id_col=id_col, text_col=text_col),
+        cut_lineage=True,
+    )
     joined = df.join(plan, on=id_col, how="inner")
     (
         joined.repartition(F.col("shard"))
-        .sortWithinPartitions(id_col)
+        # 'shard' leads: the partitionBy writer requires rows ordered by
+        # the partition column and would otherwise insert its OWN sort
+        # by shard alone, leaving the id order to sort-stability luck
+        .sortWithinPartitions("shard", id_col)
         .write.partitionBy("shard")
         .mode(mode)
         .parquet(path)

@@ -27,8 +27,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: query parameters that never identify content — the common tracker set
-TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)(=.*)?$"
+#: query parameters that never identify content — the unambiguous tracker
+#: set only (``ref=`` is deliberately NOT here: major sites use it as a
+#: resource selector, and stripping it would collapse distinct pages)
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=.*)?$"
 
 
 def canonicalize_url(url: Column | str) -> Column:
@@ -48,7 +50,12 @@ def canonicalize_url(url: Column | str) -> Column:
         F.regexp_extract(core, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
     )
     after = F.regexp_replace(core, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    # userinfo ('user:pass@host') is stripped BEFORE the port logic — a
+    # classic blocklist-evasion shape ('http://x@blocked.com/') must
+    # still canonicalize to the real host
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(after, r"^([^/?]*)", 1)), r"^[^@]*@", ""
+    )
     host = (
         F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
         .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
@@ -82,9 +89,11 @@ def extract_domain(url: Column | str) -> Column:
     the blocklist/stats key. NULL for non-URLs (same contract as
     :func:`canonicalize_url`)."""
     u = F.col(url) if isinstance(url, str) else url
-    host = F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)", 1)
+    auth = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
     )
+    host = F.regexp_replace(auth, r"^[^@]*@", "")  # strip userinfo first
+    host = F.regexp_replace(host, r":[0-9]*$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     return F.when(host != "", host)
 
@@ -163,15 +172,22 @@ def filter_by_domain(
         key = target.columns[0]
         with_dom = df.withColumn("__dom", dom)
         how = "left_anti" if blocklist is not None else "left_semi"
+        # normalize the LIST the same way extract_domain normalizes the
+        # corpus side — curated blocklists routinely carry case and
+        # 'www.' prefixes, which would otherwise silently never match
+        norm = F.regexp_replace(F.lower(F.col(key)), r"^www\.", "")
         # curated list: small by construction — broadcast, corpus never
         # shuffles
         out = with_dom.join(
-            F.broadcast(target.withColumnRenamed(key, "__dom")),
+            F.broadcast(target.select(norm.alias("__dom"))),
             on="__dom",
             how=how,
         )
         return out.drop("__dom")
-    domains = [d.lower() for d in target]
+    domains = [
+        d.lower()[4:] if d.lower().startswith("www.") else d.lower()
+        for d in target
+    ]
     if blocklist is not None:
         return df.filter(dom.isNull() | ~dom.isin(domains))
     return df.filter(dom.isin(domains))

@@ -35,6 +35,9 @@ GOLDEN = [
     ("http://example.com/a//", "http://example.com/a"),
     ("http://example.com/?fbclid=abc&gclid=1", "http://example.com/"),
     ("http://example.com/?b=2&a=1", "http://example.com/?a=1&b=2"),
+    ("http://user:pw@Example.com:80/a", "http://example.com/a"),
+    ("http://evil@blocked.com/", "http://blocked.com/"),
+    ("http://example.com/?ref=main", "http://example.com/?ref=main"),
     ("not a url", None),
     ("/relative/path", None),
     (None, None),
@@ -126,16 +129,21 @@ parts AS (
                '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS after
   FROM urls
 ),
+hp AS (
+  SELECT *, regexp_replace(lower(regexp_extract(after, '^([^/?]*)', 1)),
+                           '^[^@]*@', '') AS hostport
+  FROM parts
+),
 pieces AS (
   SELECT doc_id, scheme,
          CASE WHEN scheme = 'http'
-              THEN regexp_replace(lower(regexp_extract(after, '^([^/?]*)', 1)), ':80$', '')
+              THEN regexp_replace(hostport, ':80$', '')
               WHEN scheme = 'https'
-              THEN regexp_replace(lower(regexp_extract(after, '^([^/?]*)', 1)), ':443$', '')
-              ELSE lower(regexp_extract(after, '^([^/?]*)', 1)) END AS host,
+              THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
          regexp_replace(regexp_extract(after, '^[^/?]*([^?]*)', 1), '/+$', '') AS path0,
          regexp_extract(after, '\\?(.*)$', 1) AS query
-  FROM parts
+  FROM hp
 ),
 built AS (
   SELECT doc_id, scheme, host,
@@ -143,7 +151,7 @@ built AS (
          list_aggregate(
            list_sort(list_filter(string_split(query, '&'),
              x -> x <> '' AND NOT regexp_matches(x,
-               '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)(=.*)?$'))),
+               '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=.*)?$'))),
            'string_agg', '&') AS cq
   FROM pieces
 )
@@ -229,3 +237,31 @@ def test_domain_stats_and_filter(spark):
         filter_by_domain(urls)
     with pytest.raises(ValueError):
         filter_by_domain(urls, blocklist=["a"], allowlist=["b"])
+
+
+def test_extract_domain_userinfo_and_blocklist_normalization(spark):
+    """userinfo must not let a URL evade the blocklist, and blocklist
+    entries with case/www noise still match."""
+    df = spark.createDataFrame(
+        [(1, "http://anything@blocked.com/page"),
+         (2, "http://u:p@blocked.com/x"),
+         (3, "https://ok.com/")],
+        "id int, url string",
+    )
+    got = {r.id: r.d for r in df.select("id", extract_domain("url").alias("d")).collect()}
+    assert got == {1: "blocked.com", 2: "blocked.com", 3: "ok.com"}
+
+    kept = filter_by_domain(df, blocklist=["WWW.Blocked.COM"])
+    assert [r.id for r in kept.collect()] == [3]
+    bl = spark.createDataFrame([("www.Blocked.com",)], "domain string")
+    kept2 = filter_by_domain(df, blocklist=bl)
+    assert [r.id for r in kept2.collect()] == [3]
+
+
+def test_curate_rejects_blocklist_without_url(spark):
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text import curate_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="url_col"):
+        curate_corpus(docs, domain_blocklist=["x.com"])
