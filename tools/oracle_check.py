@@ -64,12 +64,17 @@ def main() -> int:
     # supplies its own SparkSession, so every query must be self-sufficient
     # (catalog.ensure_runtime_confs applies the semantics-bearing confs at
     # runtime). Round-1 failure mode: session-build-time conf dependence.
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("oracle_check")
         .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
     )
+    # Scale sweeps (e.g. the gen10 dataset) need more than the vanilla
+    # 1g driver heap; the DRIVER-mirroring default stays untouched.
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
