@@ -1,10 +1,11 @@
 """End-to-end training-corpus preparation — the north-star tier as one
 program over the driver's ``documents``/``embeddings`` tables.
 
-Curate (dedup chain + quality + PII + splits) → repetition and
-contamination screens → retrieval index + BM25 sanity probe →
-embedding near-dup pass → token counting + concat-and-cut packing into
-shard plans. Every stage is an engine API; this file is the composed
+Crawl layer (domain blocklist + canonical-URL dedup) → curate (dedup
+chain + quality + PII + splits) → repetition and contamination screens
+→ retrieval index + BM25 sanity probe → embedding near-dup pass →
+token counting + concat-and-cut packing into one-file-per-shard
+parquet. Every stage is an engine API; this file is the composed
 recipe with a per-stage count report.
 
 Run: ``python examples/training_corpus.py [sf_dir]``. Smoke-covered in
@@ -33,10 +34,29 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # 1. The curation chain (exact + MinHash dedup, span cutting,
-    #    heuristics, PII scrub, deterministic splits).
-    cur = curate_corpus(docs, split_weights={"train": 0.95, "val": 0.05})
-    corpus = cur.corpus
+    # 0+1. Crawl layer + curation chain. The driver table carries no
+    #    URL, so the example synthesizes one per document (re-fetch
+    #    variants included) — real crawls arrive with this column.
+    docs = docs.withColumn(
+        "url",
+        F.expr(
+            "concat('https://', source, '.example.com/doc/', "
+            "CAST(doc_id AS STRING), "
+            "CASE WHEN doc_id % 9 = 0 THEN '?utm_source=crawl' ELSE '' END)"
+        ),
+    )
+    cur = curate_corpus(
+        docs,
+        split_weights={"train": 0.95, "val": 0.05},
+        url_col="url",
+        domain_blocklist=["src0.example.com"],
+    )
+    # The curation chain's lineage is long (URL window + shingle joins +
+    # span cuts); cut it here so every later stage and count starts from
+    # a snapshot, not a recompile of the whole chain.
+    from clickhouse_etl_spark.util import materialize
+
+    corpus = materialize(cur.corpus, cut_lineage=True)
 
     # 2. Repetition screen (Gopher signals) — drop looped docs.
     loops = repetition_stats(corpus).filter(
@@ -61,8 +81,15 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     # 5. Embedding near-dup pass (LSH candidates, exact cosine verify).
     pairs = embedding_cosine_neardup(emb, threshold=0.95)
 
-    # 6. Pack the survivors into fixed-length training sequences.
+    # 6. Pack the survivors into fixed-length training sequences, and
+    #    land them as one parquet file per token-budget shard.
     packed = pack_contiguous(corpus, seq_len=512)
+    import tempfile
+
+    from clickhouse_etl_spark.text.packing import write_shards
+
+    shard_dir = tempfile.mkdtemp(prefix="shards_")
+    shard_plan = write_shards(corpus, shard_dir, tokens_per_shard=8192)
 
     report = dict(cur.report)
     report.update(
@@ -71,6 +98,7 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
             "bm25_probe_rows": probe.count(),
             "neardup_pairs": pairs.count(),
             "packed_docs": packed.count(),
+            "n_shards": shard_plan.select("shard").distinct().count(),
             "train_frac": corpus.filter(F.col("split") == "train").count()
             / max(corpus.count(), 1),
         }

@@ -35,3 +35,8 @@ def test_training_corpus_example(spark):
     assert r["bm25_probe_rows"] == 5
     assert r["packed_docs"] == r["post_screens"]
     assert 0.8 < r["train_frac"] <= 1.0
+    # crawl layer ran: blocklist + canonical-URL dedup counts precede
+    # the text stages, and the shard writer landed >= 1 shard
+    assert r["domain_filter"] < r["input"]
+    assert r["url_dedup"] <= r["domain_filter"]
+    assert r["n_shards"] >= 1
