@@ -432,7 +432,7 @@ def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 6,
+    num_planes: int | str = 6,
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -445,7 +445,15 @@ def lsh_ann_topk(
     ANY table (recall = 1-(1-p^planes)^tables for per-plane agreement p).
     At corpus scale the bucket join replaces the full cross product; tune
     planes (precision / bucket size) and tables (recall) independently.
+    ``num_planes='auto'`` sizes to the corpus via :func:`auto_planes`
+    (same fixed-bucket-count rationale as the near-dup path).
     """
+    if isinstance(num_planes, str):
+        if num_planes != "auto":
+            raise ValueError(
+                f"num_planes must be an int or 'auto', got {num_planes!r}"
+            )
+        num_planes = auto_planes(corpus.count())
     dims = _probe_dims(corpus, vec_col)
     c = corpus.select(
         F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv")

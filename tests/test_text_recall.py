@@ -286,3 +286,18 @@ def test_embedding_neardup_rejects_unknown_planes_string(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError, match="num_planes"):
         embedding_cosine_neardup(emb, num_planes="Auto")
+
+
+def test_lsh_ann_auto_planes(spark):
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text.similarity import auto_planes, lsh_ann_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    got = lsh_ann_topk(emb, q, k=3, num_planes="auto").collect()
+    want = lsh_ann_topk(emb, q, k=3, num_planes=auto_planes(emb.count())).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    import pytest
+
+    with pytest.raises(ValueError, match="num_planes"):
+        lsh_ann_topk(emb, q, num_planes="AUTO")

@@ -265,3 +265,27 @@ def test_curate_rejects_blocklist_without_url(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="url_col"):
         curate_corpus(docs, domain_blocklist=["x.com"])
+
+
+def test_url_dedup_matches_duckdb_window(spark):
+    """url_dedup's parsed branch == DuckDB ROW_NUMBER over the SAME
+    canonicalization SQL — the crawl-dedup op gets its own value oracle."""
+    out = url_dedup(_urls(spark, SF_DIR), "url", order_col="doc_id").select(
+        "doc_id", "canonical_url"
+    )
+    dcols, drows = _oracle(f"""
+    WITH canon AS ({_CANON_SQL}),
+    u AS ({_URL_SQL})
+    SELECT doc_id, canonical_url FROM (
+      SELECT u.doc_id, c.canonical_url,
+             ROW_NUMBER() OVER (PARTITION BY c.canonical_url
+                                ORDER BY u.doc_id DESC, u.url DESC) AS rn
+      FROM u JOIN canon c USING (doc_id)
+      WHERE c.canonical_url IS NOT NULL
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, NULL FROM canon WHERE canonical_url IS NULL
+    """)
+    sc, sr = canon_rows(out.columns, [tuple(r) for r in out.collect()])
+    dc, dr = canon_rows(dcols, drows)
+    assert sc == dc and len(sr) == len(dr) and sr == dr
