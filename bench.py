@@ -5,8 +5,12 @@ Times every registered query at $SPARK_GRAFT_SF_DIR (default
 line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1": min_sec, ...}, "spread": {"q1": max-min, ...},
-     "sf": 0.1}
+     "queries": {"q1": min_sec_2dp, ...}, "sf": 0.1}
+
+The stdout line is hard-capped under 1900 chars (the driver's tail
+capture window is 2000 chars — a longer line is captured mid-object and
+parses as null). Per-query spread, host counters, and prose fields go to
+BENCH_OUT.json only.
 
 Timing includes the collect() (the driver collects too). Run locally at
 sf0.01 while iterating:
@@ -236,11 +240,30 @@ def main() -> int:
     except OSError:
         pass
 
+    # The driver's stdout tail-capture window is EXACTLY 2000 chars
+    # (measured in round 5: len(tail)==2000; the r5 line was 2927 chars
+    # because it carried the per-query spread dict, so the capture began
+    # mid-object and BENCH_r05 parsed as null). The compact stdout line
+    # therefore carries ONLY what the driver parses — metric/value/unit/
+    # queries/sf — with times at 2 dp; spread, host, warmup and the prose
+    # fields live in BENCH_OUT.json, which holds the identical full
+    # payload at full precision.
     compact = {
-        k: v
-        for k, v in out.items()
-        if k not in ("timing_model", "fused_from_r2")
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {n: round(t, 2) for n, t in per_query.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(per_query),
+        "bench_passes": passes,
     }
+    if failed:
+        compact["failed"] = {n: msg[:60] for n, msg in failed.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    # Hard guard: a line that outgrows the driver's capture window must
+    # fail LOUDLY here, not silently produce a null BENCH artifact.
+    assert len(line) < 1900, f"bench stdout line {len(line)} chars >= 1900"
     # Stop Spark BEFORE printing: no late JVM/py4j output can interleave
     # after the JSON line, which must be the last thing on stdout.
     try:
@@ -248,7 +271,7 @@ def main() -> int:
     except Exception:
         pass
     sys.stdout.flush()
-    sys.stdout.write(json.dumps(compact, separators=(",", ":")) + "\n")
+    sys.stdout.write(line + "\n")
     sys.stdout.flush()
     return 1 if failed else 0
 
