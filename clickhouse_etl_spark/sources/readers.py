@@ -62,6 +62,13 @@ def dedup_latest_subquery(
       ``order_col`` is tied at the max returns BOTH rows, and NULL keys
       / NULL order values drop (inner-join semantics) — use
       ``row_number`` when the source supports it and those edges matter.
+
+    Cost note for ``group_max`` + ``where``: the template inlines the
+    filtered ``base`` subquery TWICE (the outer scan and the MAX()
+    side), so a source engine without subquery CSE evaluates the filter
+    twice — correct but up to 2× source-side work. ``row_number``
+    references ``base`` once; prefer it whenever the engine has window
+    functions.
     """
     keys = list(keys)
     if not keys:
@@ -108,6 +115,7 @@ def read_jdbc_table(
     properties: dict[str, str] | None = None,
     dedup_latest: tuple[Sequence[str], str] | None = None,
     dedup_style: str = "row_number",
+    source_where: Sequence[str] | None = None,
 ) -> DataFrame:
     """S1/S2/S6 — JDBC scan (Postgres in the reference).
 
@@ -120,23 +128,38 @@ def read_jdbc_table(
     ``dedup_latest=(keys, order_col)`` pushes latest-row-per-key dedup
     INTO the source as a query template (see
     :func:`dedup_latest_subquery`) — the reference's ``DISTINCT ON``
-    extraction — so the wire carries the deduped row set. When combined
-    with ``predicates``, the predicates move into the subquery and
-    filter BEFORE the dedup (the reference's ``DISTINCT ON … WHERE``
-    order), which also means they execute in the source's SQL dialect.
-    Post-read ``operators.dedup.latest_row_per_key`` stays the right
-    call for non-JDBC sources or when the source engine can't afford
-    the window.
+    extraction — so the wire carries the deduped row set. Post-read
+    ``operators.dedup.latest_row_per_key`` stays the right call for
+    non-JDBC sources or when the source engine can't afford the window.
+
+    The two filter parameters have single, fixed meanings:
+
+    - ``predicates`` — Spark-SQL strings applied POST-read with
+      ``df.filter`` (Catalyst may still push simple comparisons down
+      through the JDBC source). With ``dedup_latest`` they therefore
+      filter AFTER the dedup: "each key's latest row, then filtered".
+    - ``source_where`` — SOURCE-dialect SQL fragments interpolated into
+      the pushed query and executed by the database. With
+      ``dedup_latest`` they filter BEFORE the dedup (the reference's
+      ``DISTINCT ON … WHERE`` order: each key's latest row AMONG the
+      matching rows — reference:
+      apps/airflow/dags/student/etl_students_to_clickhouse.py:38-45).
+
+    (Until round 6, ``predicates`` silently switched to source-dialect
+    pre-dedup filters whenever ``dedup_latest`` was set; the split
+    keeps each parameter single-meaning.)
     """
+    if source_where:
+        if dedup_latest is None:
+            conj = " AND ".join(f"({p})" for p in source_where)
+            table = f"(SELECT * FROM {table} WHERE {conj}) etl_src"
+        # else: dedup_latest_subquery(where=...) places them inside the
+        # dedup subquery below (filter-then-dedup).
     if dedup_latest is not None:
         keys, order_col = dedup_latest
-        # predicates move INTO the subquery (filter-then-dedup, the
-        # reference's DISTINCT ON … WHERE order) and therefore execute
-        # in the SOURCE dialect
         table = dedup_latest_subquery(
-            table, keys, order_col, dedup_style, where=predicates
+            table, keys, order_col, dedup_style, where=source_where
         )
-        predicates = ()
     reader = (
         spark.read.format("jdbc").option("url", url).option("dbtable", table)
     )

@@ -100,9 +100,13 @@ def curate_corpus(
                 "domain_filter",
                 filter_by_domain(df, url_col, blocklist=domain_blocklist),
             )
+        # collision-proof temp name: a corpus that already carries a
+        # 'canonical_url' column must pass through untouched
         df = note(
             "url_dedup",
-            url_dedup(df, url_col, order_col=id_col).drop("canonical_url"),
+            url_dedup(
+                df, url_col, order_col=id_col, canon_col="__curate_canon_url"
+            ).drop("__curate_canon_url"),
         )
 
     # 1. Exact dedup: keep each byte-identical text's canonical (min id)

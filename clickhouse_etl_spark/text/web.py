@@ -114,9 +114,18 @@ def url_dedup(
     parse a URL must not silently drop the document.
 
     One hash shuffle on the canonical key; everything else map-side.
+
+    ``canon_col`` lands in the output; it must not collide with an
+    existing column (``withColumn`` would silently overwrite the
+    caller's data) — pick another name if the input already has one.
     """
     from clickhouse_etl_spark.operators.dedup import latest_row_per_key
 
+    if canon_col in df.columns:
+        raise ValueError(
+            f"canon_col {canon_col!r} already exists in the input; "
+            "pass a non-colliding canon_col"
+        )
     with_canon = df.withColumn(canon_col, canonicalize_url(url_col))
     parsed = with_canon.filter(F.col(canon_col).isNotNull())
     unparsed = with_canon.filter(F.col(canon_col).isNull())
@@ -149,6 +158,20 @@ def domain_stats(
     )
 
 
+def _domain_suffixes(dom: Column) -> Column:
+    """Array of every label-boundary suffix of a host: ``a.b.c.com`` →
+    ``['a.b.c.com', 'b.c.com', 'c.com', 'com']`` — the equi-joinable
+    form of "host equals D or ends with '.D'". Bounded by the label
+    count (hosts have ≤ ~10 labels), so it is a constant-factor
+    expansion, never a corpus blow-up."""
+    labels = F.split(dom, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+
+
 def filter_by_domain(
     df: DataFrame,
     url_col: str = "url",
@@ -157,11 +180,27 @@ def filter_by_domain(
 ) -> DataFrame:
     """Keep/drop documents by domain. Exactly one of ``blocklist`` /
     ``allowlist`` must be given; either a Python sequence (inlined as
-    an isin literal — fine for curated lists) or a single-column
-    DataFrame (broadcast anti/semi join — for lists that live in a
-    table). Blocklist semantics keep NULL-domain rows (an unparseable
-    URL is not evidence the document is blocked); allowlist semantics
-    drop them (no domain, no membership)."""
+    array literals — fine for curated lists) or a single-column
+    DataFrame (broadcast joins — for lists that live in a table).
+
+    Matching is SUFFIX-INCLUSIVE, the convention curated domain lists
+    assume: an entry ``blocked.com`` matches ``blocked.com`` AND every
+    subdomain (``cdn.blocked.com``, ``a.b.blocked.com``) — exact-host
+    matching would silently let blocked-origin content through on any
+    subdomain. List entries are normalized like the corpus side
+    (lowercased, leading ``www.`` stripped).
+
+    Blocklist semantics keep NULL-domain rows (an unparseable URL is
+    not evidence the document is blocked); allowlist semantics drop
+    them (no domain, no membership).
+
+    Scale shape (DataFrame form): the membership test runs on the
+    DISTINCT corpus domains (domains ≪ pages), exploded into their
+    suffix chains and semi-joined with the broadcast list; the corpus
+    then anti/semi-joins the matched-domain set on the exact host — an
+    equi-join, broadcastable because the matched set is bounded by the
+    curated list's reach, so the corpus itself never shuffles.
+    """
     if (blocklist is None) == (allowlist is None):
         raise ValueError("pass exactly one of blocklist / allowlist")
     dom = extract_domain(url_col)
@@ -171,23 +210,36 @@ def filter_by_domain(
             raise ValueError("domain-list DataFrame must have one column")
         key = target.columns[0]
         with_dom = df.withColumn("__dom", dom)
-        how = "left_anti" if blocklist is not None else "left_semi"
         # normalize the LIST the same way extract_domain normalizes the
         # corpus side — curated blocklists routinely carry case and
         # 'www.' prefixes, which would otherwise silently never match
         norm = F.regexp_replace(F.lower(F.col(key)), r"^www\.", "")
-        # curated list: small by construction — broadcast, corpus never
-        # shuffles
-        out = with_dom.join(
-            F.broadcast(target.select(norm.alias("__dom"))),
-            on="__dom",
-            how=how,
+        listed = target.select(norm.alias("__sfx"))
+        matched_doms = (
+            with_dom.select("__dom")
+            .where(F.col("__dom").isNotNull())
+            .distinct()
+            .select(
+                "__dom",
+                F.explode(_domain_suffixes(F.col("__dom"))).alias("__sfx"),
+            )
+            .join(F.broadcast(listed), on="__sfx", how="left_semi")
+            .select("__dom")
+            .distinct()
         )
+        how = "left_anti" if blocklist is not None else "left_semi"
+        out = with_dom.join(F.broadcast(matched_doms), on="__dom", how=how)
         return out.drop("__dom")
     domains = [
         d.lower()[4:] if d.lower().startswith("www.") else d.lower()
         for d in target
     ]
+    if not domains:  # empty list: blocks nothing / allows nothing
+        return df if blocklist is not None else df.filter(F.lit(False))
+    # map-only: does any suffix of the host appear in the literal list?
+    hit = F.arrays_overlap(
+        _domain_suffixes(dom), F.array(*[F.lit(d) for d in domains])
+    )
     if blocklist is not None:
-        return df.filter(dom.isNull() | ~dom.isin(domains))
-    return df.filter(dom.isin(domains))
+        return df.filter(dom.isNull() | ~hit)
+    return df.filter(hit & dom.isNotNull())

@@ -166,7 +166,7 @@ def test_jdbc_dedup_row_number_template_shape():
 
 
 def test_jdbc_dedup_filters_before_dedup(spark, derby_versions_url):
-    """predicates + dedup_latest = the reference's DISTINCT ON … WHERE
+    """source_where + dedup_latest = the reference's DISTINCT ON … WHERE
     order: each key's latest row AMONG the matching rows. Keys whose
     overall-latest version fails the filter must fall back to their
     latest matching version, not vanish."""
@@ -174,7 +174,7 @@ def test_jdbc_dedup_filters_before_dedup(spark, derby_versions_url):
         spark,
         derby_versions_url,
         "student_log",
-        predicates=['"version" < 100'],  # excludes every key's 3rd copy
+        source_where=['"version" < 100'],  # excludes every key's 3rd copy
         properties={"driver": DRIVER},
         dedup_latest=(["student_id"], "version"),
         dedup_style="group_max",
@@ -184,3 +184,37 @@ def test_jdbc_dedup_filters_before_dedup(spark, derby_versions_url):
     got = {r.student_id: r.version for r in rows}
     # latest version UNDER the filter is the second copy (id = key + 50)
     assert got[0] == 50 and got[49] == 99
+
+
+def test_jdbc_predicates_stay_post_dedup(spark, derby_versions_url):
+    """predicates keep ONE meaning (Spark post-read filters) even with
+    dedup_latest: dedup first, then filter — so keys whose latest
+    version fails the filter VANISH (contrast with source_where above,
+    which filters before the dedup)."""
+    df = read_jdbc_table(
+        spark,
+        derby_versions_url,
+        "student_log",
+        predicates=["version < 125"],  # Spark-SQL syntax, post-dedup
+        properties={"driver": DRIVER},
+        dedup_latest=(["student_id"], "version"),
+        dedup_style="group_max",
+    )
+    got = {r.student_id: r.version for r in df.collect()}
+    # latest version per key is key + 100; only keys 0..24 survive < 125
+    assert len(got) == 25
+    assert got[0] == 100 and got[24] == 124 and 25 not in got
+
+
+def test_jdbc_source_where_without_dedup(spark, derby_versions_url):
+    """source_where alone wraps the table in a filtered subquery that
+    the DATABASE executes (source dialect, pre-wire)."""
+    df = read_jdbc_table(
+        spark,
+        derby_versions_url,
+        "student_log",
+        source_where=['"version" >= 100'],
+        properties={"driver": DRIVER},
+    )
+    assert df.count() == 50
+    assert df.agg(F.min("version")).first()[0] == 100

@@ -258,6 +258,71 @@ def test_extract_domain_userinfo_and_blocklist_normalization(spark):
     assert [r.id for r in kept2.collect()] == [3]
 
 
+def test_filter_by_domain_subdomain_suffix(spark):
+    """Blocklist entries cover SUBDOMAINS (suffix-inclusive matching):
+    'blocked.com' blocks cdn.blocked.com too, but NOT the evasion shape
+    blocked.com.evil.org (label-boundary suffix, not substring)."""
+    df = spark.createDataFrame(
+        [
+            (1, "http://blocked.com/a"),
+            (2, "http://cdn.blocked.com/b"),
+            (3, "http://a.b.blocked.com/c"),
+            (4, "http://notblocked.com/d"),
+            (5, "http://blocked.com.evil.org/e"),
+            (6, "garbage"),
+        ],
+        "id int, url string",
+    )
+    kept = filter_by_domain(df, blocklist=["blocked.com"])
+    assert sorted(r.id for r in kept.collect()) == [4, 5, 6]
+    # DataFrame-list form agrees (and normalizes case)
+    bl = spark.createDataFrame([("Blocked.com",)], "domain string")
+    kept2 = filter_by_domain(df, blocklist=bl)
+    assert sorted(r.id for r in kept2.collect()) == [4, 5, 6]
+    # allowlist: subdomains of an allowed domain are in; NULL-domain drops
+    allowed = filter_by_domain(df, allowlist=["blocked.com"])
+    assert sorted(r.id for r in allowed.collect()) == [1, 2, 3]
+    al = spark.createDataFrame([("blocked.com",)], "domain string")
+    allowed2 = filter_by_domain(df, allowlist=al)
+    assert sorted(r.id for r in allowed2.collect()) == [1, 2, 3]
+    # empty literal list: blocks nothing / allows nothing
+    assert filter_by_domain(df, blocklist=[]).count() == 6
+    assert filter_by_domain(df, allowlist=[]).count() == 0
+
+
+def test_url_dedup_canon_col_collision_raises(spark):
+    """A pre-existing canon_col column must raise, not be silently
+    overwritten and dropped."""
+    df = spark.createDataFrame(
+        [(1, "http://a.com/", "keep-me")],
+        "id int, url string, canonical_url string",
+    )
+    with pytest.raises(ValueError, match="canon_col"):
+        url_dedup(df, "url")
+    # a non-colliding name works and leaves the caller's column alone
+    out = url_dedup(df, "url", canon_col="__c2")
+    row = out.collect()[0]
+    assert row["canonical_url"] == "keep-me"
+    assert row["__c2"] == "http://a.com/"
+
+
+def test_curate_preserves_existing_canonical_url_column(spark):
+    """curate_corpus stage 0 uses a collision-proof temp column: a
+    corpus that already carries 'canonical_url' keeps it verbatim."""
+    from clickhouse_etl_spark.text import curate_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "http://a.com/x", "orig-1"),
+            (2, "one two three four five six seven", "http://b.com/y", "orig-2"),
+        ],
+        "doc_id long, text string, url string, canonical_url string",
+    )
+    res = curate_corpus(df, url_col="url", min_tokens=2, with_report=False)
+    got = {r.doc_id: r.canonical_url for r in res.corpus.collect()}
+    assert got == {1: "orig-1", 2: "orig-2"}
+
+
 def test_curate_rejects_blocklist_without_url(spark):
     from clickhouse_etl_spark.catalog import load_table
     from clickhouse_etl_spark.text import curate_corpus
