@@ -74,16 +74,9 @@ def ext_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL form (approx_count_distinct) is pinned against this in pytest with a
 # documented error bound, since an approximate result can't hash-match.
 # ---------------------------------------------------------------------------
-@register(
-    "ext_distinct_users_daily",
-    oracle="""
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-           COUNT(DISTINCT user_id) AS n_users,
-           count(*) AS n_events
-    FROM events
-    GROUP BY 1
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-6 registry
+# rotation (identical value-hash oracle there) — near-twin of the
+# registered time-bucket aggregates (ext_hypertable_rollup).
 def ext_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
@@ -166,14 +159,9 @@ def ext_pivot_status_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic sampling — reproducible hash-mod subsets (the training-data
 # sampling primitive: same rows every run, no RNG state, pushes down).
 # ---------------------------------------------------------------------------
-@register(
-    "ext_deterministic_sample",
-    oracle="""
-    SELECT event_id, user_id, event_type
-    FROM events
-    WHERE (event_id * 2654435761) % 100 < 10
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-6 registry
+# rotation (identical value-hash oracle there) — the map-only filter
+# shape is already exercised by every registered scan query.
 def ext_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.filter(
@@ -285,17 +273,9 @@ def ext_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lag/lead — inter-event gaps (the analytics the streaming tier's
 # sessionization is built on, exposed as a batch operator).
 # ---------------------------------------------------------------------------
-@register(
-    "ext_event_gaps",
-    oracle="""
-    SELECT event_id, user_id,
-           epoch_us(ts) - epoch_us(LAG(ts) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
-           LEAD(event_type) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-    FROM events
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-6 registry
+# rotation (identical value-hash oracle there) — its lag/lead family
+# gains two deeper registered rows (ext_window_funnel, ext_retention).
 def ext_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -476,3 +456,79 @@ def ext_fill_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fill_time_gaps(hourly, "bucket", "1 hour", ["event_type"], ["n"],
                           fill="locf")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 registry rotation: the event-sequence tier (operators/events.py)
+# promoted into the driver's correctness window, in place of near-twin
+# scalar/window/stream rows (a3/j10/ext_deterministic_sample/
+# ext_distinct_users_daily/ext_event_gaps/stream_tumbling_hourly —
+# demoted to tests/test_demoted_oracles.py with identical oracles).
+# ---------------------------------------------------------------------------
+
+# ClickHouse windowFunnel (greedy-from-earliest variant; see
+# operators/events.py module doc): one user-keyed join per funnel step,
+# each shuffling only the user key.
+@register(
+    "ext_window_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > t1.t1
+        AND e.ts <= t1.t1 + INTERVAL 86400 SECONDS
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        AND e.ts <= t1.t1 + INTERVAL 86400 SECONDS
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id,
+           CASE WHEN t3.user_id IS NOT NULL THEN 3
+                WHEN t2.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS funnel_level
+    FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    """,
+)
+def ext_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.events import window_funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return window_funnel(
+        events,
+        ["event_type = 'signup'", "event_type = 'view'",
+         "event_type = 'purchase'"],
+        window_seconds=86400,
+    )
+
+
+# ClickHouse retention(): per-user cohort-conditioned flags in ONE
+# aggregation pass (no joins, no windows).
+@register(
+    "ext_retention",
+    oracle="""
+    SELECT user_id,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r2,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r3
+    FROM events GROUP BY user_id
+    """,
+)
+def ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.events import retention_flags
+
+    events = load_table(spark, sf_dir, "events")
+    return retention_flags(
+        events,
+        ["event_type = 'signup'", "event_type = 'click'",
+         "event_type = 'purchase'"],
+    )

@@ -758,3 +758,216 @@ def ns_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.expr(_GOPHER_SALT)
     )
     return gopher_quality_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 registry rotation (see queries/extensions.py): the crawl /
+# corpus-packing / span-dedup / heavy-hitter tier promoted from
+# pytest-only oracles into the driver window.
+# ---------------------------------------------------------------------------
+
+# Deterministic URL column over documents: scheme/host/path/query
+# variants driven by doc_id so every canonicalization rule fires, plus
+# non-URL rows (the same fixture tests/test_web.py pins).
+_URL_EXPR = """
+    CASE WHEN doc_id % 11 = 10 THEN 'not a url'
+    ELSE concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END,
+      '://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      'site', CAST(doc_id % 7 AS STRING), '.com',
+      CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,
+      '/p/', CAST(doc_id % 13 AS STRING),
+      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN '?utm_source=a&b=2&a=1' ELSE '' END,
+      CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+    END
+"""
+
+_URL_SQL = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 11 = 10 THEN 'not a url'
+      ELSE concat(
+        CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END,
+        '://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        'site', CAST(doc_id % 7 AS VARCHAR), '.com',
+        CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,
+        '/p/', CAST(doc_id % 13 AS VARCHAR),
+        CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+        CASE WHEN doc_id % 5 = 0 THEN '?utm_source=a&b=2&a=1' ELSE '' END,
+        CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+      END AS url
+    FROM documents
+"""
+
+# canonicalize_url spelled out in DuckDB — regexps identical, list ops
+# mirror the array ops (the bit-mirror tests/test_web.py established).
+_CANON_SQL = f"""
+WITH urls AS ({_URL_SQL}),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+               '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(url, '#.*$', ''),
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS after
+  FROM urls
+),
+hp AS (
+  SELECT *, regexp_replace(lower(regexp_extract(after, '^([^/?]*)', 1)),
+                           '^[^@]*@', '') AS hostport
+  FROM parts
+),
+pieces AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         regexp_replace(regexp_extract(after, '^[^/?]*([^?]*)', 1), '/+$', '') AS path0,
+         regexp_extract(after, '\\?(.*)$', 1) AS query
+  FROM hp
+),
+built AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         list_aggregate(
+           list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=.*)?$'))),
+           'string_agg', '&') AS cq
+  FROM pieces
+)
+SELECT doc_id,
+       CASE WHEN scheme <> '' AND host <> ''
+            THEN concat(scheme, '://', host, path,
+                        CASE WHEN cq IS NULL OR cq = '' THEN ''
+                             ELSE concat('?', cq) END)
+       END AS canonical_url
+FROM built
+"""
+
+
+# Crawl-level URL dedup (text/web.py): canonicalize, keep the latest row
+# per canonical URL (W1 ranking-window semantics), pass unparseable URLs
+# through. One hash shuffle on the canonical key.
+@register(
+    "ns_url_dedup",
+    oracle=f"""
+    WITH canon AS ({_CANON_SQL}),
+    u AS ({_URL_SQL})
+    SELECT doc_id, canonical_url FROM (
+      SELECT u.doc_id, c.canonical_url,
+             ROW_NUMBER() OVER (PARTITION BY c.canonical_url
+                                ORDER BY u.doc_id DESC, u.url DESC) AS rn
+      FROM u JOIN canon c USING (doc_id)
+      WHERE c.canonical_url IS NOT NULL
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, NULL FROM canon WHERE canonical_url IS NULL
+    """,
+)
+def ns_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.web import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", F.expr(_URL_EXPR).alias("url"))
+    return url_dedup(urls, "url", order_col="doc_id").select(
+        "doc_id", "canonical_url"
+    )
+
+
+# Token-budget shard planning (text/packing.py): distributed two-level
+# prefix sum — no global window — then pure column arithmetic.
+@register(
+    "ns_shard_plan",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN 0
+                  ELSE len(string_split(text, ' ')) END AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS stream_offset
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(stream_offset AS BIGINT) AS stream_offset,
+           CAST(FLOOR(stream_offset / 4096.0) AS BIGINT) AS shard
+    FROM o
+    """,
+)
+def ns_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.packing import plan_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return plan_shards(docs, tokens_per_shard=4096).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("stream_offset").cast("long").alias("stream_offset"),
+        F.col("shard").cast("long").alias("shard"),
+    )
+
+
+# Maximal duplicated token spans (text/spans.py): corpus-wide duplicated
+# k-shingle set → per-document gaps-and-islands merge, one shuffle on the
+# gram key + one on the document key.
+@register(
+    "ns_duplicated_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+8-1], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 8 + 1, 0))) AS g(i)
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    islands AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(max(pos + 8) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos, sum(brk) OVER (
+        PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM islands
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+           max(pos) + 8 - min(pos) AS span_tokens
+    FROM grp GROUP BY doc_id, gid
+    """,
+)
+def ns_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.text.spans import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=8)
+
+
+# Misra-Gries heavy hitters (operators/sketches.py): per-partition
+# bounded summaries → broadcast-verified EXACT counts → top-k. Exact
+# whenever the head is heavy (rank-15 word count is >= 2x the n/60
+# candidate threshold on this corpus at sf0.001/0.01/0.1 — measured),
+# which the averaging-argument superset guarantee then makes a hash-
+# matchable result, not just an approximation.
+@register(
+    "ns_frequent_terms",
+    oracle="""
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 15
+    """,
+)
+def ns_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.sketches import frequent_items
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    return frequent_items(words, "word", k=15, margin=4)

@@ -124,21 +124,9 @@ def a12_avg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A3 — weighted average with coe≤0→1 defaulting
 # reference: …etl_student_scores_subject_month_to_clickhouse.py:284-302
 # ---------------------------------------------------------------------------
-@register(
-    "a3_weighted_avg",
-    oracle="""
-    SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * w)
-                 / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN w END),
-                 6) AS weighted_price
-    FROM (
-      SELECT l_returnflag, l_extendedprice,
-             CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1.0
-                  ELSE l_quantity END AS w
-      FROM lineitem
-    ) GROUP BY l_returnflag
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-6 registry
+# rotation (identical value-hash oracle there); weighted_average also
+# composes inside pl_transcript_totals, which stays registered.
 def a3_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = weighted_average(
@@ -277,24 +265,9 @@ def j9_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 # reference: apps/airflow/dags/student_transcript/
 # etl_student_transcript_to_clickhouse.py:276-304
 # ---------------------------------------------------------------------------
-@register(
-    "j10_candidate_grid",
-    oracle="""
-    SELECT g.r_name AS region, g.o_orderstatus AS status,
-           COALESCE(a.n_orders, 0) AS n_orders
-    FROM (SELECT r_name, o_orderstatus
-          FROM (SELECT DISTINCT r_name FROM region)
-          CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)) g
-    LEFT JOIN (
-      SELECT r.r_name, o.o_orderstatus, count(*) AS n_orders
-      FROM orders o
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN nation n ON c.c_nationkey = n.n_nationkey
-      JOIN region r ON n.n_regionkey = r.r_regionkey
-      GROUP BY r.r_name, o.o_orderstatus
-    ) a ON a.r_name = g.r_name AND a.o_orderstatus = g.o_orderstatus
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-6 registry
+# rotation (identical value-hash oracle there); candidate_expansion also
+# composes inside the LSH/ANN bucket grids, which stay registered.
 def j10_candidate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")

@@ -17,16 +17,10 @@ from clickhouse_etl_spark.catalog import load_table
 from clickhouse_etl_spark.queries import register
 
 
-@register(
-    "stream_tumbling_hourly",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-6 registry
+# rotation (identical value-hash oracle there; batch≡stream is also
+# asserted in tests/test_streaming.py) — stream_session_30m stays as
+# the registered streaming row, being the harder stateful shape.
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (

@@ -1137,3 +1137,115 @@ def test_j7_last_write_wins(spark):
         ) WHERE rn = 1
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 rotation demotions: six near-twin rows moved out of the driver
+# window (for ext_window_funnel / ext_retention / ns_url_dedup /
+# ns_shard_plan / ns_duplicated_spans / ns_frequent_terms) with their
+# registry oracles preserved verbatim below.
+# ---------------------------------------------------------------------------
+
+
+def test_a3_weighted_avg(spark):
+    from clickhouse_etl_spark.queries.relational import a3_weighted_avg
+
+    _assert_matches_oracle(
+        a3_weighted_avg(spark, SF_DIR),
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * w)
+                     / SUM(CASE WHEN l_extendedprice IS NOT NULL THEN w END),
+                     6) AS weighted_price
+        FROM (
+          SELECT l_returnflag, l_extendedprice,
+                 CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1.0
+                      ELSE l_quantity END AS w
+          FROM lineitem
+        ) GROUP BY l_returnflag
+        """,
+    )
+
+
+def test_j10_candidate_grid(spark):
+    from clickhouse_etl_spark.queries.relational import j10_candidate_grid
+
+    _assert_matches_oracle(
+        j10_candidate_grid(spark, SF_DIR),
+        """
+        SELECT g.r_name AS region, g.o_orderstatus AS status,
+               COALESCE(a.n_orders, 0) AS n_orders
+        FROM (SELECT r_name, o_orderstatus
+              FROM (SELECT DISTINCT r_name FROM region)
+              CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)) g
+        LEFT JOIN (
+          SELECT r.r_name, o.o_orderstatus, count(*) AS n_orders
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name, o.o_orderstatus
+        ) a ON a.r_name = g.r_name AND a.o_orderstatus = g.o_orderstatus
+        """,
+    )
+
+
+def test_ext_distinct_users_daily(spark):
+    from clickhouse_etl_spark.queries.extensions import ext_distinct_users_daily
+
+    _assert_matches_oracle(
+        ext_distinct_users_daily(spark, SF_DIR),
+        """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1
+        """,
+    )
+
+
+def test_ext_deterministic_sample(spark):
+    from clickhouse_etl_spark.queries.extensions import ext_deterministic_sample
+
+    _assert_matches_oracle(
+        ext_deterministic_sample(spark, SF_DIR),
+        """
+        SELECT event_id, user_id, event_type
+        FROM events
+        WHERE (event_id * 2654435761) % 100 < 10
+        """,
+    )
+
+
+def test_ext_event_gaps(spark):
+    from clickhouse_etl_spark.queries.extensions import ext_event_gaps
+
+    _assert_matches_oracle(
+        ext_event_gaps(spark, SF_DIR),
+        """
+        SELECT event_id, user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+        """,
+    )
+
+
+def test_stream_tumbling_hourly(spark):
+    from clickhouse_etl_spark.queries.streaming_batch import (
+        stream_tumbling_hourly,
+    )
+
+    _assert_matches_oracle(
+        stream_tumbling_hourly(spark, SF_DIR),
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        """,
+    )
