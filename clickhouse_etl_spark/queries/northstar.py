@@ -586,7 +586,9 @@ def _emb_neardup_oracle(threshold=0.35, num_planes=8, num_tables=6) -> str:
 def ns_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return lsh_ann_topk(emb, queries, k=5)
+    # num_planes pinned (API default is 'auto'): the oracle's literal
+    # plane arrays mirror exactly 6 planes at every scale factor
+    return lsh_ann_topk(emb, queries, k=5, num_planes=6)
 
 
 # Embedding-cosine near-dup PAIRS (dedup shape, not search shape). LSH
@@ -596,8 +598,12 @@ def ns_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ns_emb_neardup", oracle=_emb_neardup_oracle())
 def ns_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # max_bucket_size=None: exact oracle mirroring (see ns_minhash_neardup)
-    return embedding_cosine_neardup(emb, threshold=0.35, max_bucket_size=None)
+    # max_bucket_size=None: exact oracle mirroring (see ns_minhash_neardup);
+    # num_planes pinned (API default is 'auto') — the oracle's literal
+    # plane arrays mirror exactly 8 planes at every scale factor
+    return embedding_cosine_neardup(
+        emb, threshold=0.35, max_bucket_size=None, num_planes=8
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -327,7 +327,7 @@ def auto_planes(n_rows: int, target_occupancy: int = 16) -> int:
 def embedding_cosine_neardup(
     corpus: DataFrame,
     threshold: float = 0.9,
-    num_planes: int | str = 8,
+    num_planes: int | str = "auto",
     num_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -360,10 +360,13 @@ def embedding_cosine_neardup(
     pairing (the honest cap contract). ``None`` disables (exact LSH
     semantics for oracles).
 
-    ``num_planes='auto'`` sizes the plane count to the corpus via
-    :func:`auto_planes` (one COUNT over the pruned id column) — the
-    BENCH_SCALE.md-measured guard against fixed-bucket-count LSH going
-    quadratic as the corpus outgrows its tuning.
+    ``num_planes='auto'`` (the DEFAULT since round 6) sizes the plane
+    count to the corpus via :func:`auto_planes` (one COUNT over the
+    pruned id column) — the BENCH_SCALE.md-measured guard against
+    fixed-bucket-count LSH going quadratic as the corpus outgrows its
+    tuning; the safe behavior shouldn't require reading that doc. Pass
+    an int to pin bucket geometry (the registered oracle query pins 8
+    so its DuckDB mirror stays bit-exact across scale factors).
     """
     if isinstance(num_planes, str):
         if num_planes != "auto":
@@ -432,7 +435,7 @@ def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int | str = 6,
+    num_planes: int | str = "auto",
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -445,8 +448,10 @@ def lsh_ann_topk(
     ANY table (recall = 1-(1-p^planes)^tables for per-plane agreement p).
     At corpus scale the bucket join replaces the full cross product; tune
     planes (precision / bucket size) and tables (recall) independently.
-    ``num_planes='auto'`` sizes to the corpus via :func:`auto_planes`
-    (same fixed-bucket-count rationale as the near-dup path).
+    ``num_planes='auto'`` (the DEFAULT since round 6) sizes to the
+    corpus via :func:`auto_planes` (same fixed-bucket-count rationale
+    as the near-dup path); pass an int to pin bucket geometry (the
+    registered oracle query pins 6 for its bit-exact DuckDB mirror).
     """
     if isinstance(num_planes, str):
         if num_planes != "auto":

@@ -314,7 +314,8 @@ def test_embedding_flood_stays_bounded(spark):
     assert pairs, "identical vectors must pair"
     assert all(r.id_a < n and r.id_b < n for r in pairs)
     assert len(pairs) <= 6 * (40 * 39 // 2)  # tables x C(cap, 2)
-    assert msgs and "capped" in msgs[0]
+    # num_planes='auto' (the round-6 default) logs its sizing first
+    assert msgs and any("capped" in m for m in msgs)
 
 
 # --- distributed prefix sum ------------------------------------------------
