@@ -33,18 +33,75 @@ from pyspark.sql import functions as F
 TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=.*)?$"
 
 
-def canonicalize_url(url: Column | str) -> Column:
+_HEX_DIGITS = "0123456789ABCDEF"
+
+
+def _normalize_percent_encoding(u: Column) -> Column:
+    """RFC 3986 §6.2.2.1/.2 percent-encoding normalization, pure JVM
+    column ops: decode percent-escapes of UNRESERVED characters
+    (``%7E`` → ``~``, ``%41`` → ``A``) and uppercase the hex digits of
+    every other escape (``%3a`` → ``%3A``). Reserved characters stay
+    encoded — decoding them would change where delimiters split, so
+    this is safe to apply to the WHOLE url string before parsing
+    (unreserved = ALPHA / DIGIT / ``-._~`` can never become a
+    delimiter). A ``%`` not followed by two hex digits passes through
+    verbatim (crawl data is full of literal percents).
+
+    Shape: split on ``%``, per-piece decode/uppercase via a
+    higher-order transform, re-join — no UDFs, mirrorable in DuckDB
+    (tests/test_web.py holds the bit-mirror oracle).
+    """
+    parts = F.split(u, "%", -1)
+
+    def _fix(p: Column) -> Column:
+        hex2 = F.substring(p, 1, 2)
+        rest = F.substring(p, 3, 2_000_000_000)
+        valid = hex2.rlike("^[0-9A-Fa-f]{2}$")
+        code = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 48) & (code <= 57))   # 0-9
+            | ((code >= 65) & (code <= 90))   # A-Z
+            | ((code >= 97) & (code <= 122))  # a-z
+            | code.isin(45, 46, 95, 126)      # - . _ ~
+        )
+        return (
+            F.when(valid & unreserved, F.concat(F.char(code), rest))
+            .when(valid, F.concat(F.lit("%"), F.upper(hex2), rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.concat(
+        F.element_at(parts, 1), F.array_join(F.transform(tail, _fix), "")
+    )
+
+
+def canonicalize_url(
+    url: Column | str,
+    fold_www: bool = False,
+    normalize_percent: bool = True,
+) -> Column:
     """Canonical form of an absolute http(s)-style URL, NULL when the
     value has no ``scheme://host`` shape (relative links, garbage).
 
     Rules (each one collapses a variant class that crawls actually
     produce): lowercase scheme + host; strip the fragment; strip the
-    scheme's default port (``:80`` http / ``:443`` https); drop
-    tracking query parameters (:data:`TRACKING_PARAM_RE`); sort the
-    surviving parameters (order never identifies content); collapse
-    trailing slashes on the path (``/a/`` == ``/a``, bare host == /).
+    scheme's default port (``:80`` http / ``:443`` https); normalize
+    percent-encodings (:func:`_normalize_percent_encoding` — decode
+    unreserved escapes, uppercase the rest; disable with
+    ``normalize_percent=False``); drop tracking query parameters
+    (:data:`TRACKING_PARAM_RE`); sort the surviving parameters (order
+    never identifies content); collapse trailing slashes on the path
+    (``/a/`` == ``/a``, bare host == /).
+
+    ``fold_www=True`` additionally strips a leading ``www.`` from the
+    host — OPT-IN because it merges hosts that are occasionally
+    distinct origins (and folds the rare bare ``www.tld`` host to its
+    TLD); most crawl dedup wants it, archival-exact pipelines don't.
     """
     u = F.col(url) if isinstance(url, str) else url
+    if normalize_percent:
+        u = _normalize_percent_encoding(u)
     core = F.regexp_replace(u, r"#.*$", "")  # fragment is client-side only
     scheme = F.lower(
         F.regexp_extract(core, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
@@ -61,6 +118,8 @@ def canonicalize_url(url: Column | str) -> Column:
         .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
         .otherwise(hostport)
     )
+    if fold_www:
+        host = F.regexp_replace(host, r"^www\.", "")
     path = F.regexp_extract(after, r"^[^/?]*([^?]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -103,6 +162,7 @@ def url_dedup(
     url_col: str = "url",
     order_col: str | None = None,
     canon_col: str = "canonical_url",
+    fold_www: bool = False,
 ) -> DataFrame:
     """One row per canonical URL — the crawl-level dedup that runs
     BEFORE text-level near-dup (it is exact on the key, so it removes
@@ -118,6 +178,8 @@ def url_dedup(
     ``canon_col`` lands in the output; it must not collide with an
     existing column (``withColumn`` would silently overwrite the
     caller's data) — pick another name if the input already has one.
+    ``fold_www`` passes through to :func:`canonicalize_url` (merge
+    ``www.`` hosts with their bare domain — opt-in).
     """
     from clickhouse_etl_spark.operators.dedup import latest_row_per_key
 
@@ -126,7 +188,9 @@ def url_dedup(
             f"canon_col {canon_col!r} already exists in the input; "
             "pass a non-colliding canon_col"
         )
-    with_canon = df.withColumn(canon_col, canonicalize_url(url_col))
+    with_canon = df.withColumn(
+        canon_col, canonicalize_url(url_col, fold_www=fold_www)
+    )
     parsed = with_canon.filter(F.col(canon_col).isNotNull())
     unparsed = with_canon.filter(F.col(canon_col).isNull())
     order = order_col if order_col is not None else url_col

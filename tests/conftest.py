@@ -30,6 +30,10 @@ def spark():
         .appName("clickhouse_etl_spark_tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
+        # one JVM serves the whole suite (thousands of accumulated
+        # stages + codegen classes); the 1g default heap OOMed once the
+        # round-6 URL expressions grew — 4g is still tiny for the box
+        .config("spark.driver.memory", "4g")
         # static conf: catalog tables (bucketed-write tests) land in a tmp
         # warehouse, not the repo
         .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark_wh_"))

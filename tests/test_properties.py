@@ -489,3 +489,53 @@ def test_url_canon_variant_invariance(spark, urls):
         assert r.a is not None
         assert r.a == r.b, f"variant diverged: {r.a!r} vs {r.b!r}"
         assert r.aa == r.a, "not idempotent"
+
+
+_pct_soup = st.text(
+    alphabet="ab7E2fF%03.~_-zZ",
+    min_size=0,
+    max_size=24,
+)
+
+
+@_SLOW
+@given(st.lists(_pct_soup, min_size=1, max_size=16, unique=True))
+def test_percent_normalization_matches_reference(spark, strings):
+    """_normalize_percent_encoding == an independent Python reference on
+    percent-escape soup (valid/invalid escapes, unreserved + reserved
+    codes, dangling '%'), and is idempotent."""
+    from clickhouse_etl_spark.text.web import _normalize_percent_encoding
+
+    unreserved = set(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "abcdefghijklmnopqrstuvwxyz0123456789-._~"
+    )
+
+    def ref(s):
+        parts = s.split("%")
+        out = [parts[0]]
+        for p in parts[1:]:
+            h = p[:2]
+            if len(h) == 2 and all(c in "0123456789abcdefABCDEF" for c in h):
+                code = int(h, 16)
+                if chr(code) in unreserved:
+                    out.append(chr(code) + p[2:])
+                else:
+                    out.append("%" + h.upper() + p[2:])
+            else:
+                out.append("%" + p)
+        return "".join(out)
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "i int, s string"
+    )
+    got = df.select(
+        "i",
+        _normalize_percent_encoding(F.col("s")).alias("n"),
+        _normalize_percent_encoding(
+            _normalize_percent_encoding(F.col("s"))
+        ).alias("nn"),
+    ).collect()
+    for r in got:
+        assert r.n == ref(strings[r.i]), (strings[r.i], r.n)
+        assert r.nn == r.n, f"not idempotent: {r.n!r} -> {r.nn!r}"

@@ -38,6 +38,13 @@ GOLDEN = [
     ("http://user:pw@Example.com:80/a", "http://example.com/a"),
     ("http://evil@blocked.com/", "http://blocked.com/"),
     ("http://example.com/?ref=main", "http://example.com/?ref=main"),
+    # percent-encoding normalization (RFC 3986 6.2.2.1/.2): unreserved
+    # escapes decode, everything else keeps UPPERCASE hex; invalid
+    # escapes pass through verbatim
+    ("http://example.com/%7Euser/%41b", "http://example.com/~user/Ab"),
+    ("http://example.com/a%2fb?x=%3a1", "http://example.com/a%2Fb?x=%3A1"),
+    ("http://example.com/a%zz%", "http://example.com/a%zz%"),
+    ("http://example.com/%%41", "http://example.com/%A"),
     ("not a url", None),
     ("/relative/path", None),
     (None, None),
@@ -330,6 +337,102 @@ def test_curate_rejects_blocklist_without_url(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="url_col"):
         curate_corpus(docs, domain_blocklist=["x.com"])
+
+
+# DuckDB twin of _normalize_percent_encoding: split on '%', per-piece
+# decode-unreserved / uppercase-hex via list_transform, re-join. The
+# hex value is strpos arithmetic (DuckDB has no conv()); semantics, not
+# code, are what must mirror.
+_PCT_CODE = (
+    "((strpos('0123456789ABCDEF', upper(p[1:1])) - 1) * 16"
+    " + strpos('0123456789ABCDEF', upper(p[2:2])) - 1)"
+)
+_PCT_NORM_SQL = f"""
+    string_split(u, '%')[1] || coalesce(list_aggregate(
+      list_transform(string_split(u, '%')[2:], p ->
+        CASE WHEN regexp_matches(p[1:2], '^[0-9A-Fa-f]{{2}}$') THEN
+          CASE WHEN {_PCT_CODE} BETWEEN 48 AND 57
+                 OR {_PCT_CODE} BETWEEN 65 AND 90
+                 OR {_PCT_CODE} BETWEEN 97 AND 122
+                 OR {_PCT_CODE} IN (45, 46, 95, 126)
+          THEN chr(CAST({_PCT_CODE} AS INT)) || p[3:]
+          ELSE '%' || upper(p[1:2]) || p[3:] END
+        ELSE '%' || p END),
+      'string_agg', ''), '')
+"""
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _ref_pct_norm(s):
+    """Independent Python reference of the percent-normalization rules."""
+    parts = s.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        h = p[:2]
+        if len(h) == 2 and all(c in "0123456789abcdefABCDEF" for c in h):
+            code = int(h, 16)
+            if chr(code) in _UNRESERVED:
+                out.append(chr(code) + p[2:])
+            else:
+                out.append("%" + h.upper() + p[2:])
+        else:
+            out.append("%" + p)
+    return "".join(out)
+
+
+def test_percent_normalization_matches_duckdb_bit_mirror(spark):
+    """Spark's higher-order-function percent normalization == the DuckDB
+    list_transform twin, over doc_id-driven escape soup (valid/invalid
+    escapes, unreserved and reserved codes, dangling %)."""
+    from clickhouse_etl_spark.text.web import _normalize_percent_encoding
+
+    soup = """
+        concat('/p', CAST(doc_id % 97 AS {S}), '%',
+               substr('0123456789ABCDEFghijk%', CAST(doc_id % 22 AS INT) + 1, 1),
+               substr('0123456789abcdefGHIJK', CAST(doc_id % 21 AS INT) + 1, 1),
+               CASE WHEN doc_id % 3 = 0 THEN '%7e' ELSE '' END,
+               CASE WHEN doc_id % 4 = 0 THEN '%2F' ELSE '' END,
+               CASE WHEN doc_id % 5 = 0 THEN '%' ELSE '' END)
+    """
+    docs = load_table(spark, SF_DIR, "documents")
+    out = docs.select(
+        "doc_id",
+        _normalize_percent_encoding(
+            F.expr(soup.format(S="STRING"))
+        ).alias("norm"),
+    )
+    dcols, drows = _oracle(f"""
+        WITH raw AS (
+          SELECT doc_id, {soup.format(S="VARCHAR")} AS u FROM documents
+        )
+        SELECT doc_id, {_PCT_NORM_SQL} AS norm FROM raw
+    """)
+    sc, sr = canon_rows(out.columns, [tuple(r) for r in out.collect()])
+    dc, dr = canon_rows(dcols, drows)
+    assert sc == dc and len(sr) == len(dr) and sr == dr
+
+
+def test_fold_www_policy(spark):
+    """fold_www=True merges www hosts with the bare domain; default
+    keeps them distinct (opt-in policy)."""
+    df = spark.createDataFrame(
+        [(1, "http://www.example.com/a"), (2, "http://example.com/a"),
+         (3, "https://WWW.Example.com/b?x=1")],
+        "id int, url string",
+    )
+    base = {r.id: r.c for r in df.select(
+        "id", canonicalize_url("url").alias("c")).collect()}
+    assert base[1] == "http://www.example.com/a" != base[2]
+    folded = {r.id: r.c for r in df.select(
+        "id", canonicalize_url("url", fold_www=True).alias("c")).collect()}
+    assert folded[1] == folded[2] == "http://example.com/a"
+    assert folded[3] == "https://example.com/b?x=1"
+    # url_dedup passthrough: with folding, 1 and 2 collapse
+    out = url_dedup(df, "url", order_col="id", fold_www=True)
+    assert out.filter(F.col("canonical_url").isNotNull()).count() == 2
 
 
 def test_url_dedup_matches_duckdb_window(spark):
