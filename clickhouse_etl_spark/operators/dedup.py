@@ -38,6 +38,84 @@ def latest_row_per_key(
     )
 
 
+def latest_row_per_key_adaptive(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str = "updatedAt",
+    tiebreak: Sequence[str] = (),
+    ratio_threshold: float = 32.0,
+    hot_min: int = 10_000,
+    log_fn=None,
+) -> DataFrame:
+    """W1 with a MEASURED plan choice: consult
+    :func:`operators.skew.skew_report` on ``keys`` and pick the dedup
+    physical shape the data can afford.
+
+    - Balanced keys → the ranking-window form
+      (:func:`latest_row_per_key`): one shuffle, minimal plan. A window
+      partition cannot be split, so a hot key serializes into ONE task
+      — fine until it isn't.
+    - Measured hot key (``max_count >= hot_min`` AND ``max/mean >=
+      ratio_threshold``) → the max_by aggregation form: partial
+      aggregation reduces every input partition's slice of the hot key
+      to one candidate row BEFORE the shuffle, so the hot key's work
+      spreads across however many tasks scanned it (the same two-phase
+      shape AQE cannot give a window).
+
+    Both forms return identical rows (pinned in
+    tests/test_scale_ops.py); the choice is purely physical. Requires
+    ``order_col`` to be non-null (the agg form's max_by ignores
+    null-ordered rows; the window form sorts them last) — dedup keys
+    ordered by a nullable column should scrub first.
+
+    Cost of the measurement: one count-aggregate on ``keys`` plus a
+    bounded driver reduction (skew_report's contract) — the price of
+    not discovering the hot key at hour three of the shuffle. Pass the
+    decision through ``log_fn`` for data cards.
+    """
+    from clickhouse_etl_spark.operators.skew import skew_report
+
+    report = skew_report(df, keys)
+    use_agg = report.max_count >= hot_min and report.ratio >= ratio_threshold
+    if log_fn is not None:
+        log_fn(
+            f"latest_row_per_key_adaptive: max_count={report.max_count} "
+            f"ratio={report.ratio} -> {'agg' if use_agg else 'window'}"
+        )
+    if not use_agg:
+        return latest_row_per_key(df, keys, order_col, tiebreak)
+    return latest_row_per_key_agg(df, keys, order_col, tiebreak)
+
+
+def latest_row_per_key_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str = "updatedAt",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """The skew-robust W1 physical form: whole-row ``max_by``
+    aggregation instead of a ranking window. Partial aggregation folds
+    each scan partition's slice of every key to one candidate row
+    before the shuffle, so a hot key costs its scan parallelism, not
+    one window task. Same rows as :func:`latest_row_per_key` whenever
+    ``(order_col, *tiebreak)`` is total per key and non-null; prefer
+    the window form when keys are balanced (smaller plan, no struct
+    assembly)."""
+    keys = list(keys)
+    payload = [c for c in df.columns if c not in keys]
+    order = F.struct(F.col(order_col), *[F.col(c) for c in tiebreak])
+    row = F.struct(*[F.col(c) for c in payload])
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(row, order).alias("__r")
+    )
+    return out.select(
+        *[
+            F.col(c) if c in keys else F.col("__r")[c].alias(c)
+            for c in df.columns
+        ]
+    )
+
+
 def last_write_wins(
     df: DataFrame, key: str, order_col: str | None = None
 ) -> DataFrame:

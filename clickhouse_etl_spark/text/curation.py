@@ -101,13 +101,26 @@ def curate_corpus(
                 filter_by_domain(df, url_col, blocklist=domain_blocklist),
             )
         # collision-proof temp name: a corpus that already carries a
-        # 'canonical_url' column must pass through untouched
+        # 'canonical_url' column must pass through untouched.
+        # strategy='auto': re-crawl floods make single canonical URLs
+        # hot, and a ranking-window partition cannot be split — so the
+        # pipeline MEASURES key skew (operators.skew.skew_report, one
+        # bounded count-aggregate) and switches to the max_by
+        # aggregation form when a hot key is found; the decision lands
+        # in the data-card report as 'url_dedup_plan'.
+        decisions: list[str] = []
         df = note(
             "url_dedup",
             url_dedup(
-                df, url_col, order_col=id_col, canon_col="__curate_canon_url"
+                df, url_col, order_col=id_col,
+                canon_col="__curate_canon_url",
+                strategy="auto", log_fn=decisions.append,
             ).drop("__curate_canon_url"),
         )
+        if with_report and decisions:
+            report["url_dedup_plan"] = (
+                1 if decisions[0].endswith("-> agg") else 0
+            )
 
     # 1. Exact dedup: keep each byte-identical text's canonical (min id)
     #    copy. Digest-only shuffle.

@@ -163,6 +163,8 @@ def url_dedup(
     order_col: str | None = None,
     canon_col: str = "canonical_url",
     fold_www: bool = False,
+    strategy: str = "window",
+    log_fn=None,
 ) -> DataFrame:
     """One row per canonical URL — the crawl-level dedup that runs
     BEFORE text-level near-dup (it is exact on the key, so it removes
@@ -180,9 +182,25 @@ def url_dedup(
     caller's data) — pick another name if the input already has one.
     ``fold_www`` passes through to :func:`canonicalize_url` (merge
     ``www.`` hosts with their bare domain — opt-in).
-    """
-    from clickhouse_etl_spark.operators.dedup import latest_row_per_key
 
+    ``strategy`` picks the dedup's physical shape: ``'window'`` (the
+    minimal one-shuffle ranking window), ``'agg'`` (max_by aggregation
+    — partial aggregation spreads a hot canonical URL across its scan
+    tasks), or ``'auto'`` (measure with ``operators.skew.skew_report``
+    and decide — re-crawl floods make single canonical URLs hot, and a
+    window partition cannot be split). ``log_fn`` receives the measured
+    decision under ``'auto'``.
+    """
+    from clickhouse_etl_spark.operators.dedup import (
+        latest_row_per_key,
+        latest_row_per_key_adaptive,
+        latest_row_per_key_agg,
+    )
+
+    if strategy not in ("window", "agg", "auto"):
+        raise ValueError(
+            f"strategy must be 'window', 'agg' or 'auto', got {strategy!r}"
+        )
     if canon_col in df.columns:
         raise ValueError(
             f"canon_col {canon_col!r} already exists in the input; "
@@ -194,9 +212,19 @@ def url_dedup(
     parsed = with_canon.filter(F.col(canon_col).isNotNull())
     unparsed = with_canon.filter(F.col(canon_col).isNull())
     order = order_col if order_col is not None else url_col
-    deduped = latest_row_per_key(
-        parsed, [canon_col], order_col=order, tiebreak=[url_col]
-    )
+    if strategy == "auto":
+        deduped = latest_row_per_key_adaptive(
+            parsed, [canon_col], order_col=order, tiebreak=[url_col],
+            log_fn=log_fn,
+        )
+    elif strategy == "agg":
+        deduped = latest_row_per_key_agg(
+            parsed, [canon_col], order_col=order, tiebreak=[url_col]
+        )
+    else:
+        deduped = latest_row_per_key(
+            parsed, [canon_col], order_col=order, tiebreak=[url_col]
+        )
     return deduped.unionByName(unparsed)
 
 

@@ -424,3 +424,99 @@ def test_skew_report_detects_hot_key(spark):
 
     uniform = spark.range(1000).selectExpr("id % 100 AS k")
     assert skew_report(uniform, ["k"]).ratio == 1.0
+
+
+# --- measured-skew dedup plan choice ---------------------------------------
+
+def _hot_urls(spark, n_hot=20_000, n_tail=500):
+    """One canonical URL re-crawled n_hot times + a uniform tail."""
+    hot = spark.range(n_hot).selectExpr(
+        "id AS doc_id",
+        "concat('http://hot.com/page?v=', CAST(id % 7 AS STRING),"
+        " '#f') AS url",
+    ).selectExpr("doc_id", "'http://hot.com/page' AS url")
+    tail = spark.range(n_tail).selectExpr(
+        "id + 1000000 AS doc_id",
+        "concat('http://site', CAST(id AS STRING), '.com/') AS url",
+    )
+    return hot.unionByName(tail)
+
+
+def test_latest_row_adaptive_picks_agg_on_hot_key(spark):
+    """The measured decision: a 20k-row hot key flips the plan to the
+    max_by aggregation form (no Window in the physical plan), and the
+    result still equals the ranking-window form row for row."""
+    from clickhouse_etl_spark.operators.dedup import (
+        latest_row_per_key,
+        latest_row_per_key_adaptive,
+    )
+
+    urls = _hot_urls(spark)
+    msgs = []
+    adaptive = latest_row_per_key_adaptive(
+        urls, ["url"], order_col="doc_id", log_fn=msgs.append
+    )
+    assert msgs and msgs[0].endswith("-> agg"), msgs
+    phys = adaptive._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys and "max_by" in phys
+    want = sorted(
+        (r.url, r.doc_id)
+        for r in latest_row_per_key(
+            urls, ["url"], order_col="doc_id"
+        ).collect()
+    )
+    got = sorted((r.url, r.doc_id) for r in adaptive.collect())
+    assert got == want
+
+
+def test_latest_row_adaptive_keeps_window_when_balanced(spark):
+    from clickhouse_etl_spark.operators.dedup import (
+        latest_row_per_key_adaptive,
+    )
+
+    df = spark.range(2000).selectExpr(
+        "id % 500 AS k", "id AS v"
+    )
+    msgs = []
+    out = latest_row_per_key_adaptive(
+        df, ["k"], order_col="v", log_fn=msgs.append
+    )
+    assert msgs and msgs[0].endswith("-> window"), msgs
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in phys
+    assert out.count() == 500
+
+
+def test_url_dedup_auto_strategy_equivalence(spark):
+    """url_dedup(strategy='auto') on a re-crawl flood: agg plan chosen,
+    rows identical to the default window strategy."""
+    from clickhouse_etl_spark.text.web import url_dedup
+
+    urls = _hot_urls(spark)
+    msgs = []
+    auto = url_dedup(urls, "url", order_col="doc_id", strategy="auto",
+                     log_fn=msgs.append)
+    window = url_dedup(urls, "url", order_col="doc_id")
+    assert msgs and msgs[0].endswith("-> agg")
+    assert sorted((r.doc_id, r.canonical_url) for r in auto.collect()) == \
+        sorted((r.doc_id, r.canonical_url) for r in window.collect())
+    agg = url_dedup(urls, "url", order_col="doc_id", strategy="agg")
+    assert agg.count() == auto.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        url_dedup(urls, "url", strategy="sideways")
+
+
+def test_curate_records_url_dedup_plan_decision(spark):
+    """curate_corpus stage 0 consults skew_report; the decision lands in
+    the data-card report."""
+    from clickhouse_etl_spark.text import curate_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta", f"http://s{i}.com/")
+         for i in range(20)],
+        "doc_id long, text string, url string",
+    )
+    res = curate_corpus(df, url_col="url", min_tokens=2)
+    assert res.report.get("url_dedup_plan") == 0  # balanced -> window
