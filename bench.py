@@ -263,7 +263,9 @@ def main() -> int:
     line = json.dumps(compact, separators=(",", ":"))
     # Hard guard: a line that outgrows the driver's capture window must
     # fail LOUDLY here, not silently produce a null BENCH artifact.
-    assert len(line) < 1900, f"bench stdout line {len(line)} chars >= 1900"
+    # (An explicit raise, not `assert` — it must survive python -O.)
+    if len(line) >= 1900:
+        raise RuntimeError(f"bench stdout line {len(line)} chars >= 1900")
     # Stop Spark BEFORE printing: no late JVM/py4j output can interleave
     # after the JSON line, which must be the last thing on stdout.
     try:

@@ -38,6 +38,40 @@ def latest_row_per_key(
     )
 
 
+def choose_dedup_strategy(
+    df: DataFrame,
+    keys: Sequence[str],
+    ratio_threshold: float = 32.0,
+    hot_min: int = 10_000,
+    log_fn=None,
+) -> str:
+    """The measured W1 plan decision, returned AS DATA: run
+    :func:`operators.skew.skew_report` on ``keys`` and return ``'agg'``
+    when a hot key is found (``max_count >= hot_min`` AND ``max/mean >=
+    ratio_threshold``), else ``'window'``. Callers that need to record
+    the decision (data cards, pipeline reports) consume the return
+    value — the ``log_fn`` line is for humans only.
+
+    Cost: one count-aggregate on ``keys`` plus a bounded driver
+    reduction (skew_report's contract) — the price of not discovering
+    the hot key at hour three of the shuffle.
+    """
+    from clickhouse_etl_spark.operators.skew import skew_report
+
+    report = skew_report(df, keys)
+    strategy = (
+        "agg"
+        if report.max_count >= hot_min and report.ratio >= ratio_threshold
+        else "window"
+    )
+    if log_fn is not None:
+        log_fn(
+            f"choose_dedup_strategy: max_count={report.max_count} "
+            f"ratio={report.ratio} -> {strategy}"
+        )
+    return strategy
+
+
 def latest_row_per_key_adaptive(
     df: DataFrame,
     keys: Sequence[str],
@@ -47,42 +81,32 @@ def latest_row_per_key_adaptive(
     hot_min: int = 10_000,
     log_fn=None,
 ) -> DataFrame:
-    """W1 with a MEASURED plan choice: consult
-    :func:`operators.skew.skew_report` on ``keys`` and pick the dedup
-    physical shape the data can afford.
+    """W1 with a MEASURED plan choice (:func:`choose_dedup_strategy`):
 
     - Balanced keys → the ranking-window form
       (:func:`latest_row_per_key`): one shuffle, minimal plan. A window
       partition cannot be split, so a hot key serializes into ONE task
       — fine until it isn't.
-    - Measured hot key (``max_count >= hot_min`` AND ``max/mean >=
-      ratio_threshold``) → the max_by aggregation form: partial
-      aggregation reduces every input partition's slice of the hot key
-      to one candidate row BEFORE the shuffle, so the hot key's work
-      spreads across however many tasks scanned it (the same two-phase
-      shape AQE cannot give a window).
+    - Measured hot key → the max_by aggregation form
+      (:func:`latest_row_per_key_agg`): partial aggregation reduces
+      every input partition's slice of the hot key to one candidate row
+      BEFORE the shuffle, so the hot key's work spreads across however
+      many tasks scanned it (the same two-phase shape AQE cannot give a
+      window).
 
-    Both forms return identical rows (pinned in
-    tests/test_scale_ops.py); the choice is purely physical. Requires
-    ``order_col`` to be non-null (the agg form's max_by ignores
-    null-ordered rows; the window form sorts them last) — dedup keys
-    ordered by a nullable column should scrub first.
-
-    Cost of the measurement: one count-aggregate on ``keys`` plus a
-    bounded driver reduction (skew_report's contract) — the price of
-    not discovering the hot key at hour three of the shuffle. Pass the
-    decision through ``log_fn`` for data cards.
+    Both forms return identical rows (pinned in tests/test_scale_ops.py);
+    the choice is purely physical. NULL ``order_col`` values behave the
+    same on both paths: the agg form's ordering key is a struct (never
+    NULL as a whole, and struct comparison sorts NULL fields lowest),
+    which matches the window's ``DESC`` NULLS-LAST ordering — with the
+    usual caveat that ties beyond ``(order_col, *tiebreak)`` are
+    arbitrary on either path, so pass enough tiebreak columns to make
+    the order total per key.
     """
-    from clickhouse_etl_spark.operators.skew import skew_report
-
-    report = skew_report(df, keys)
-    use_agg = report.max_count >= hot_min and report.ratio >= ratio_threshold
-    if log_fn is not None:
-        log_fn(
-            f"latest_row_per_key_adaptive: max_count={report.max_count} "
-            f"ratio={report.ratio} -> {'agg' if use_agg else 'window'}"
-        )
-    if not use_agg:
+    strategy = choose_dedup_strategy(
+        df, keys, ratio_threshold, hot_min, log_fn=log_fn
+    )
+    if strategy == "window":
         return latest_row_per_key(df, keys, order_col, tiebreak)
     return latest_row_per_key_agg(df, keys, order_col, tiebreak)
 

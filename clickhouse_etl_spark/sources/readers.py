@@ -37,6 +37,26 @@ def read_parquet_table(
     return df
 
 
+def _conjoin_fragments(
+    fragments: Sequence[str] | None, param: str
+) -> str | None:
+    """AND-join SQL fragments into one parenthesized conjunction; NULL
+    for empty. Rejects a bare string — iterating it would interpolate
+    one CHARACTER per predicate and surface only as an opaque database
+    syntax error."""
+    if fragments is None:
+        return None
+    if isinstance(fragments, str):
+        raise TypeError(
+            f"{param} must be a sequence of SQL fragments, not a string "
+            f"— wrap it in a list: [{fragments!r}]"
+        )
+    frags = [f for f in fragments if f]
+    if not frags:
+        return None
+    return " AND ".join(f"({p})" for p in frags)
+
+
 def dedup_latest_subquery(
     table: str,
     keys: Sequence[str],
@@ -73,6 +93,7 @@ def dedup_latest_subquery(
     keys = list(keys)
     if not keys:
         raise ValueError("dedup needs at least one key column")
+    where = _conjoin_fragments(where, "where")
     # Key/order identifiers are double-quoted (ANSI): Spark's own JDBC
     # writer creates case-sensitive lowercase columns, and the reference's
     # Postgres SQL quotes its identifiers the same way
@@ -88,8 +109,7 @@ def dedup_latest_subquery(
     # silently drop a key whose overall-latest row fails the filter).
     base = table
     if where:
-        conj = " AND ".join(f"({p})" for p in where)
-        base = f"(SELECT * FROM {table} WHERE {conj})"
+        base = f"(SELECT * FROM {table} WHERE {where})"
     if style == "row_number":
         return (
             f"(SELECT * FROM (SELECT t.*, ROW_NUMBER() OVER ("
@@ -149,12 +169,16 @@ def read_jdbc_table(
     pre-dedup filters whenever ``dedup_latest`` was set; the split
     keeps each parameter single-meaning.)
     """
-    if source_where:
-        if dedup_latest is None:
-            conj = " AND ".join(f"({p})" for p in source_where)
-            table = f"(SELECT * FROM {table} WHERE {conj}) etl_src"
-        # else: dedup_latest_subquery(where=...) places them inside the
-        # dedup subquery below (filter-then-dedup).
+    if isinstance(predicates, str):
+        raise TypeError(
+            "predicates must be a sequence of Spark-SQL filters, not a "
+            f"string — wrap it in a list: [{predicates!r}]"
+        )
+    conj = _conjoin_fragments(source_where, "source_where")
+    if conj and dedup_latest is None:
+        table = f"(SELECT * FROM {table} WHERE {conj}) etl_src"
+        # with dedup_latest, dedup_latest_subquery(where=...) places the
+        # fragments inside the dedup subquery below (filter-then-dedup).
     if dedup_latest is not None:
         keys, order_col = dedup_latest
         table = dedup_latest_subquery(

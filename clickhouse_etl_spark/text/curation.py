@@ -48,7 +48,7 @@ class CurationResult:
     """Final corpus + the per-stage data card."""
 
     corpus: DataFrame
-    report: dict[str, int] = field(default_factory=dict)
+    report: dict[str, int | str] = field(default_factory=dict)
 
 
 def curate_corpus(
@@ -63,6 +63,7 @@ def curate_corpus(
     with_report: bool = True,
     url_col: str | None = None,
     domain_blocklist: Sequence[str] | DataFrame | None = None,
+    url_dedup_strategy: str = "auto",
 ) -> CurationResult:
     """Run the full curation chain; see module doc for stage order.
 
@@ -77,11 +78,18 @@ def curate_corpus(
     blocklist filter, then canonical-URL dedup — BEFORE text-level
     dedup, because URL dedup is exact on the key and removes re-fetches
     without paying the shingle pass for them.
+
+    ``url_dedup_strategy``: ``'auto'`` (default) measures canonical-key
+    skew with one extra count-aggregate pass and picks the dedup's
+    physical form (the one deviation from the module doc's "composition
+    adds nothing" cost contract — recorded in the data card as
+    ``url_dedup_plan``); pass ``'window'`` or ``'agg'`` to pin the form
+    and skip the measurement.
     """
     if domain_blocklist is not None and url_col is None:
         # silently skipping the blocklist would ship blocked domains
         raise ValueError("domain_blocklist requires url_col")
-    report: dict[str, int] = {}
+    report: dict[str, int | str] = {}
 
     def note(stage: str, d: DataFrame) -> DataFrame:
         if with_report:
@@ -102,25 +110,35 @@ def curate_corpus(
             )
         # collision-proof temp name: a corpus that already carries a
         # 'canonical_url' column must pass through untouched.
-        # strategy='auto': re-crawl floods make single canonical URLs
-        # hot, and a ranking-window partition cannot be split — so the
-        # pipeline MEASURES key skew (operators.skew.skew_report, one
-        # bounded count-aggregate) and switches to the max_by
-        # aggregation form when a hot key is found; the decision lands
-        # in the data-card report as 'url_dedup_plan'.
-        decisions: list[str] = []
+        # url_dedup_strategy='auto' (the default): re-crawl floods make
+        # single canonical URLs hot, and a ranking-window partition
+        # cannot be split — so the pipeline MEASURES key skew
+        # (operators.skew.choose_dedup_strategy: one bounded
+        # count-aggregate over the canonical key) and switches to the
+        # max_by aggregation form when a hot key is found. The decision
+        # is taken AS DATA here and recorded in the data card as
+        # 'url_dedup_plan'; pass url_dedup_strategy='window' (or 'agg')
+        # to skip the measurement pass entirely.
+        plan = url_dedup_strategy
+        if plan == "auto":
+            from clickhouse_etl_spark.operators.dedup import (
+                choose_dedup_strategy,
+            )
+            from clickhouse_etl_spark.text.web import canonicalize_url
+
+            canon = df.select(
+                canonicalize_url(url_col).alias("__c")
+            ).filter(F.col("__c").isNotNull())
+            plan = choose_dedup_strategy(canon, ["__c"])
+        if with_report:
+            report["url_dedup_plan"] = plan
         df = note(
             "url_dedup",
             url_dedup(
                 df, url_col, order_col=id_col,
-                canon_col="__curate_canon_url",
-                strategy="auto", log_fn=decisions.append,
+                canon_col="__curate_canon_url", strategy=plan,
             ).drop("__curate_canon_url"),
         )
-        if with_report and decisions:
-            report["url_dedup_plan"] = (
-                1 if decisions[0].endswith("-> agg") else 0
-            )
 
     # 1. Exact dedup: keep each byte-identical text's canonical (min id)
     #    copy. Digest-only shuffle.

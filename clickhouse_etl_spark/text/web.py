@@ -44,8 +44,12 @@ def _normalize_percent_encoding(u: Column) -> Column:
     encoded — decoding them would change where delimiters split, so
     this is safe to apply to the WHOLE url string before parsing
     (unreserved = ALPHA / DIGIT / ``-._~`` can never become a
-    delimiter). A ``%`` not followed by two hex digits passes through
-    verbatim (crawl data is full of literal percents).
+    delimiter). A ``%`` NOT starting a valid escape is itself encoded
+    as ``%25`` — the unambiguous canonical form, and what makes the
+    normalization IDEMPOTENT: a surviving literal ``%`` could otherwise
+    capture decoded digits and form a brand-new escape on the next
+    pass (``%%370`` → ``%70`` → ``p``); with the orphan encoded,
+    ``%%370`` → ``%2570`` which is a fixed point.
 
     Shape: split on ``%``, per-piece decode/uppercase via a
     higher-order transform, re-join — no UDFs, mirrorable in DuckDB
@@ -67,7 +71,7 @@ def _normalize_percent_encoding(u: Column) -> Column:
         return (
             F.when(valid & unreserved, F.concat(F.char(code), rest))
             .when(valid, F.concat(F.lit("%"), F.upper(hex2), rest))
-            .otherwise(F.concat(F.lit("%"), p))
+            .otherwise(F.concat(F.lit("%25"), p))  # orphan % -> %25
         )
 
     tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
@@ -192,8 +196,8 @@ def url_dedup(
     decision under ``'auto'``.
     """
     from clickhouse_etl_spark.operators.dedup import (
+        choose_dedup_strategy,
         latest_row_per_key,
-        latest_row_per_key_adaptive,
         latest_row_per_key_agg,
     )
 
@@ -213,11 +217,8 @@ def url_dedup(
     unparsed = with_canon.filter(F.col(canon_col).isNull())
     order = order_col if order_col is not None else url_col
     if strategy == "auto":
-        deduped = latest_row_per_key_adaptive(
-            parsed, [canon_col], order_col=order, tiebreak=[url_col],
-            log_fn=log_fn,
-        )
-    elif strategy == "agg":
+        strategy = choose_dedup_strategy(parsed, [canon_col], log_fn=log_fn)
+    if strategy == "agg":
         deduped = latest_row_per_key_agg(
             parsed, [canon_col], order_col=order, tiebreak=[url_col]
         )

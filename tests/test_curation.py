@@ -139,7 +139,10 @@ def test_curate_corpus_url_stage(spark):
         docs, url_col="url", domain_blocklist=["site4.com"]
     )
     rep = out.report
-    assert list(rep)[:3] == ["input", "domain_filter", "url_dedup"]
+    assert list(rep)[:4] == [
+        "input", "domain_filter", "url_dedup_plan", "url_dedup"
+    ]
+    assert rep["url_dedup_plan"] in ("window", "agg")
     assert rep["domain_filter"] == docs.filter("doc_id % 5 != 4").count()
     # canonical URL = (site, d) pair ignoring the utm variant; doc_id%50
     # determines doc_id%5, so the 50 paths collapse to 50 canonical URLs

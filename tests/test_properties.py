@@ -523,7 +523,7 @@ def test_percent_normalization_matches_reference(spark, strings):
                 else:
                     out.append("%" + h.upper() + p[2:])
             else:
-                out.append("%" + p)
+                out.append("%25" + p)
         return "".join(out)
 
     df = spark.createDataFrame(

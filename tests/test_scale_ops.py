@@ -431,10 +431,8 @@ def test_skew_report_detects_hot_key(spark):
 def _hot_urls(spark, n_hot=20_000, n_tail=500):
     """One canonical URL re-crawled n_hot times + a uniform tail."""
     hot = spark.range(n_hot).selectExpr(
-        "id AS doc_id",
-        "concat('http://hot.com/page?v=', CAST(id % 7 AS STRING),"
-        " '#f') AS url",
-    ).selectExpr("doc_id", "'http://hot.com/page' AS url")
+        "id AS doc_id", "'http://hot.com/page' AS url"
+    )
     tail = spark.range(n_tail).selectExpr(
         "id + 1000000 AS doc_id",
         "concat('http://site', CAST(id AS STRING), '.com/') AS url",
@@ -519,4 +517,10 @@ def test_curate_records_url_dedup_plan_decision(spark):
         "doc_id long, text string, url string",
     )
     res = curate_corpus(df, url_col="url", min_tokens=2)
-    assert res.report.get("url_dedup_plan") == 0  # balanced -> window
+    assert res.report.get("url_dedup_plan") == "window"  # balanced
+    # pinned strategies skip the measurement and still record the plan
+    res2 = curate_corpus(
+        df, url_col="url", min_tokens=2, url_dedup_strategy="agg"
+    )
+    assert res2.report.get("url_dedup_plan") == "agg"
+    assert res2.corpus.count() == res.corpus.count()

@@ -39,12 +39,15 @@ GOLDEN = [
     ("http://evil@blocked.com/", "http://blocked.com/"),
     ("http://example.com/?ref=main", "http://example.com/?ref=main"),
     # percent-encoding normalization (RFC 3986 6.2.2.1/.2): unreserved
-    # escapes decode, everything else keeps UPPERCASE hex; invalid
-    # escapes pass through verbatim
+    # escapes decode, everything else keeps UPPERCASE hex
     ("http://example.com/%7Euser/%41b", "http://example.com/~user/Ab"),
     ("http://example.com/a%2fb?x=%3a1", "http://example.com/a%2Fb?x=%3A1"),
-    ("http://example.com/a%zz%", "http://example.com/a%zz%"),
-    ("http://example.com/%%41", "http://example.com/%A"),
+    # an orphan % (no valid escape) canonicalizes to %25 — the
+    # idempotence-preserving form (a surviving literal % could capture
+    # decoded digits and form a new escape on the next pass)
+    ("http://example.com/a%zz%", "http://example.com/a%25zz%25"),
+    ("http://example.com/%%41", "http://example.com/%25A"),
+    ("http://example.com/%%370", "http://example.com/%2570"),
     ("not a url", None),
     ("/relative/path", None),
     (None, None),
@@ -357,7 +360,7 @@ _PCT_NORM_SQL = f"""
                  OR {_PCT_CODE} IN (45, 46, 95, 126)
           THEN chr(CAST({_PCT_CODE} AS INT)) || p[3:]
           ELSE '%' || upper(p[1:2]) || p[3:] END
-        ELSE '%' || p END),
+        ELSE '%25' || p END),
       'string_agg', ''), '')
 """
 
@@ -379,7 +382,7 @@ def _ref_pct_norm(s):
             else:
                 out.append("%" + h.upper() + p[2:])
         else:
-            out.append("%" + p)
+            out.append("%25" + p)
     return "".join(out)
 
 
