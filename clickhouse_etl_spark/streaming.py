@@ -176,6 +176,112 @@ FIRST_SEEN_SCHEMA = T.StructType(
 _FIRST_SEEN_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
 
 
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("funnel_level", T.IntegerType()),
+        T.StructField("anchor_ts", T.TimestampType()),
+    ]
+)
+
+# (anchor micros, reached level, last step's micros) per user
+_FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("level", T.IntegerType()),
+        T.StructField("t_prev_us", T.LongType()),
+    ]
+)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The streaming twin of :func:`operators.events.window_funnel`
+    (ClickHouse ``windowFunnel``, greedy-from-earliest semantics):
+    per-user funnel progress maintained as explicit GroupState across
+    micro-batches via ``applyInPandasWithState``.
+
+    State per user is three scalars — (anchor micros, reached level,
+    previous step's micros) — O(users), not O(events): the incremental
+    form of the batch operator's one-join-per-step plan. Each batch's
+    events are scanned in event-time order; a row advances the funnel
+    iff it matches the NEXT step, is strictly later than the previous
+    step's event, and is within ``window_seconds`` of the anchor —
+    exactly the batch operator's min-ts chain, because a sorted scan's
+    first match IS the min. Emits one ``(user_id, funnel_level,
+    anchor_ts)`` row whenever a user anchors or advances; the consumer
+    takes each user's max level (batch ≡ stream asserted in
+    tests/test_streaming.py, including across micro-batch boundaries).
+
+    Caveat (inherent to one-pass stateful funnels): events must reach
+    the operator in event-time order ACROSS micro-batches for chains
+    that span batches — a step-2 event processed before its step-1
+    anchor in an EARLIER batch cannot retroactively count. Within a
+    batch, order doesn't matter (rows are sorted here). For replayed
+    file sets (back-fills) the source delivers in file order, so sort
+    the landing files by time — the same discipline every event-time
+    state machine (sessionization included) already needs.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    # plain (non-underscore) derived names: pandas itertuples renames
+    # underscore-leading fields positionally, which would break getattr
+    flags = [f"etl_s{i}" for i in range(k)]
+    with_flags = events.withWatermark("ts", watermark).selectExpr(
+        "user_id",
+        "unix_micros(ts) AS etl_ts_us",
+        *[f"CAST(({s}) AS BOOLEAN) AS {f}" for s, f in zip(steps, flags)],
+    )
+    window_us = int(window_seconds) * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            t1, level, t_prev = state.get
+        else:
+            t1, level, t_prev = None, 0, None
+        changed = False
+        for pdf in pdfs:
+            for row in pdf.sort_values("etl_ts_us").itertuples(index=False):
+                ts_us = int(row.etl_ts_us)
+                if t1 is None:
+                    if getattr(row, "etl_s0"):
+                        t1, level, t_prev = ts_us, 1, ts_us
+                        changed = True
+                    continue
+                if level < k and getattr(row, f"etl_s{level}"):
+                    if ts_us > t_prev and ts_us <= t1 + window_us:
+                        level += 1
+                        t_prev = ts_us
+                        changed = True
+        if not changed:
+            return
+        state.update((t1, level, t_prev))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "funnel_level": [level],
+                "anchor_ts": [pd.Timestamp(t1, unit="us")],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return with_flags.groupBy("user_id").applyInPandasWithState(
+        fn,
+        FUNNEL_SCHEMA,
+        _FUNNEL_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def first_seen_per_key(
     events: DataFrame,
     watermark: str = "2 hours",

@@ -406,3 +406,87 @@ def test_summing_sink_refuses_foreign_table_root(spark, tmp_path):
             batch, 0, root, ["user_id"], ["value"],
             checkpoint_dir=str(tmp_path / "ck"),
         )
+
+
+# --- stateful streaming funnel ---------------------------------------------
+
+_FUNNEL_STEPS = [
+    "event_type = 'signup'",
+    "event_type = 'view'",
+    "event_type = 'purchase'",
+]
+
+
+def test_streaming_funnel_equals_batch(spark, event_stream, tmp_path):
+    """Max emitted level per user == the batch window_funnel (the
+    registered ext_window_funnel semantics) over the same files."""
+    from clickhouse_etl_spark.operators.events import window_funnel
+
+    out = st.run_stream_to_memory(
+        spark,
+        st.streaming_funnel(event_stream, _FUNNEL_STEPS, 86400),
+        "t_funnel",
+        str(tmp_path / "fun"),
+        output_mode="append",
+    )
+    got = {
+        r.user_id: r.lvl
+        for r in out.groupBy("user_id")
+        .agg(F.max("funnel_level").alias("lvl"))
+        .collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(events, _FUNNEL_STEPS, 86400).collect()
+    }
+    assert got == want
+
+
+def test_streaming_funnel_advances_across_microbatches(spark, tmp_path):
+    """Chains that SPAN micro-batches must complete: a user whose step-1
+    lands in batch 1 and steps 2-3 in batch 2 reaches level 3 — the
+    GroupState carries (anchor, level, t_prev) across batches."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01").value // 1000  # micros
+    rows = []
+    # u1: signup in file A; view+purchase in file B (within window)
+    rows.append((1, base, 1, "signup"))
+    rows.append((2, base + 10_000_000, 1, "view"))
+    rows.append((3, base + 20_000_000, 1, "purchase"))
+    # u2: signup in A; view in B but PAST the window -> stays level 1
+    rows.append((4, base, 2, "signup"))
+    rows.append((5, base + 100 * 1_000_000, 2, "view"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    pdf["ts"] = pdf["ts"] * 1000  # micros -> nanos (landing-zone encoding)
+    zone = tmp_path / "funzone"
+    zone.mkdir()
+    a = pdf[pdf.event_id.isin([1, 4])]
+    b = pdf[~pdf.event_id.isin([1, 4])]
+    for name, part in (("a.parquet", a), ("b.parquet", b)):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(zone / name),
+        )
+    stream = st.read_event_stream(spark, str(zone), max_files_per_trigger=1)
+    out = st.run_stream_to_memory(
+        spark,
+        st.streaming_funnel(stream, _FUNNEL_STEPS, window_seconds=60),
+        "t_funnel_2b",
+        str(tmp_path / "fun2"),
+        output_mode="append",
+    )
+    got = {
+        r.user_id: r.lvl
+        for r in out.groupBy("user_id")
+        .agg(F.max("funnel_level").alias("lvl"))
+        .collect()
+    }
+    assert got == {1: 3, 2: 1}

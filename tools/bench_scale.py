@@ -44,6 +44,16 @@ QUERIES = [
     "ns_emb_neardup",
 ]
 
+# SPARK_GRAFT_SCALE_QUERIES=name,name overrides the default heavy list
+# (used in round 6 to measure the freshly-promoted registry rows
+# without re-timing the pipelines).
+if os.environ.get("SPARK_GRAFT_SCALE_QUERIES"):
+    QUERIES = [
+        q.strip()
+        for q in os.environ["SPARK_GRAFT_SCALE_QUERIES"].split(",")
+        if q.strip()
+    ]
+
 
 def scaled_planes_neardup(num_planes):
     """The production configuration for embedding near-dup at scale:
@@ -92,7 +102,8 @@ def main() -> int:
     for factor in FACTORS:
         sf_dir = os.path.join(root, f"gen{factor}")
         todo = dict(qs)
-        todo["ns_emb_neardup_scaledplanes"] = scaled_for(factor)
+        if "ns_emb_neardup" in todo:
+            todo["ns_emb_neardup_scaledplanes"] = scaled_for(factor)
         for p in range(_passes(factor)):
             spark.catalog.clearCache()
             for name, fn in todo.items():

@@ -43,6 +43,16 @@ HEADLINERS = {
     "ext_running_revenue": "single window sort per customer partition",
     "ext_range_join_windows": "binned range equi-join; aggregation pushed "
     "below the outer join (interval dim re-attaches on aggregate rows)",
+    # round-6 registry promotions
+    "ns_url_dedup": "map-side canonicalization (regex/array exprs only) "
+    "then ONE shuffle on the canonical key; unparsed rows union back",
+    "ns_shard_plan": "two-level distributed prefix sum — partition "
+    "partials to the driver (bounded), offsets re-broadcast; no global "
+    "window",
+    "ns_frequent_terms": "mapInPandas partition summaries (bounded) → "
+    "broadcast semi-join → exact counts; corpus never shuffles raw rows",
+    "ext_window_funnel": "anchor aggregate + one user-keyed join per "
+    "step; each join shuffles only the user key",
 }
 
 
