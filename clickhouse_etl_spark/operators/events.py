@@ -32,6 +32,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def sessionize(
@@ -128,6 +129,89 @@ def sequence_match(
     return levels.select(
         user_col, (F.col("funnel_level") == n).alias("matched")
     )
+
+
+def sequence_count(
+    events: DataFrame,
+    steps: Sequence[Column | str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceCount``: greedy NON-OVERLAPPING completed
+    chains per user — how many times the full ordered step sequence
+    occurred, each chain anchored at the first available step-1 event
+    and advanced by the earliest qualifying later events within
+    ``window_seconds`` of its own anchor; once a chain completes, the
+    scan continues AFTER the completing event (events are never shared
+    between chains). The first chain is exactly
+    :func:`sequence_match`'s chain, so ``n_sequences >= 1`` iff
+    ``matched`` (pinned in tests).
+
+    Returns ``(user_col, n_sequences)`` for every user present in
+    ``events`` (0 when the pattern never completes — ClickHouse
+    semantics).
+
+    This one is inherently sequential PER USER (a chain's shape depends
+    on which earlier events previous chains consumed), so it is the
+    module's one Arrow-batched op: step flags are precomputed JVM-side,
+    the corpus shuffles ONCE on the user key, and a per-user pandas
+    scan keeps three scalars + a counter. State per user is O(1);
+    per-user event lists stream through Arrow batches — the same
+    distribution story as any user-keyed aggregate at 100 TB.
+
+    ``tiebreak_col`` makes the scan order total when timestamps tie
+    (pass the event id); without it, equal-ts orders are
+    partition-arbitrary — same caveat as every event-order-sensitive
+    operator here.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    import pandas as pd
+
+    conds = [F.expr(s) if isinstance(s, str) else s for s in steps]
+    k = len(conds)
+    flags = [f"etl_s{i}" for i in range(k)]  # itertuples-safe names
+    sort_cols = ["etl_ts_us"] + (["etl_tb"] if tiebreak_col else [])
+    proj = [
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("etl_ts_us"),
+        *[c.cast("boolean").alias(f) for c, f in zip(conds, flags)],
+    ]
+    if tiebreak_col:
+        proj.append(F.col(tiebreak_col).alias("etl_tb"))
+    flagged = events.select(*proj)
+    window_us = int(window_seconds) * 1_000_000
+
+    user_field = events.schema[user_col]
+    out_schema = T.StructType(
+        [user_field, T.StructField("n_sequences", T.LongType())]
+    )
+
+    def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(sort_cols)
+        t1 = None
+        level = 0
+        t_prev = None
+        n = 0
+        for row in pdf.itertuples(index=False):
+            ts_us = int(row.etl_ts_us)
+            if t1 is None:
+                if getattr(row, "etl_s0"):
+                    t1, level, t_prev = ts_us, 1, ts_us
+            elif level < k and getattr(row, f"etl_s{level}"):
+                if ts_us > t_prev and ts_us <= t1 + window_us:
+                    level += 1
+                    t_prev = ts_us
+            if level == k:
+                n += 1
+                t1, level, t_prev = None, 0, None
+        return pd.DataFrame(
+            {user_col: [pdf[user_col].iloc[0]], "n_sequences": [n]}
+        )
+
+    return flagged.groupBy(user_col).applyInPandas(scan, out_schema)
 
 
 def retention_flags(

@@ -238,3 +238,100 @@ def test_fill_time_gaps_subsecond_step_guard(spark):
     ok = fill_time_gaps(df, "ts", "500 milliseconds", ["k"], ["n"],
                         max_buckets=1000)
     assert ok.count() == 121
+
+
+# --- sequenceCount ----------------------------------------------------------
+
+def _py_sequence_count(rows, steps_types, window_s):
+    """Independent Python reference: greedy non-overlapping chains.
+    rows: (ts_seconds, tiebreak, event_type); scanned in (ts, tiebreak)
+    order — the same total order the Spark op uses."""
+    k = len(steps_types)
+    t1 = level = tp = None
+    n = 0
+    for ts, _tb, et in sorted(rows):
+        if t1 is None:
+            if et == steps_types[0]:
+                t1, level, tp = ts, 1, ts
+        elif level < k and et == steps_types[level]:
+            if ts > tp and ts <= t1 + window_s:
+                level += 1
+                tp = ts
+        if level == k:
+            n += 1
+            t1 = level = tp = None
+            level = 0
+            t1 = None
+    return n
+
+
+def test_sequence_count_micro(spark):
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.events import sequence_count
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: two complete a-b chains + one dangling a
+        (1, base, "a"), (1, base + s, "b"),
+        (1, base + 2 * s, "a"), (1, base + 3 * s, "b"),
+        (1, base + 4 * s, "a"),
+        # u2: a ... b outside the window -> 0
+        (2, base, "a"), (2, base + dt.timedelta(seconds=120), "b"),
+        # u3: b only -> 0 (still emitted)
+        (3, base, "b"),
+        # u4: overlap test — a a b b counts ONE chain (first a anchors,
+        # first b completes; second a was not consumed, but the scan
+        # resumed AFTER the completing b, so second b finds no anchor
+        # before it... actually second a is before the completion, so
+        # it was passed over; greedy non-overlap = 1 chain here)
+        (4, base, "a"), (4, base + s, "a"),
+        (4, base + 2 * s, "b"), (4, base + 3 * s, "b"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: r.n_sequences
+        for r in sequence_count(
+            events, ["event_type = 'a'", "event_type = 'b'"], 60
+        ).collect()
+    }
+    assert got == {1: 2, 2: 0, 3: 0, 4: 1}
+
+
+def test_sequence_count_matches_python_reference(spark):
+    """Full-corpus check against the independent reference, and the
+    sequence_match consistency pin: n >= 1 iff matched."""
+    from clickhouse_etl_spark.operators.events import (
+        sequence_count,
+        sequence_match,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    steps_types = ["signup", "view", "purchase"]
+    steps = [f"event_type = '{t}'" for t in steps_types]
+    got = {
+        r.user_id: r.n_sequences
+        for r in sequence_count(
+            events, steps, 86400, tiebreak_col="event_id"
+        ).collect()
+    }
+    by_user = {}
+    for r in events.select("user_id", "ts", "event_type", "event_id").collect():
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts.timestamp(), r.event_id, r.event_type)
+        )
+    want = {
+        u: _py_sequence_count(rs, steps_types, 86400)
+        for u, rs in by_user.items()
+    }
+    assert got == want
+    matched = {
+        r.user_id: r.matched
+        for r in sequence_match(events, steps, 86400).collect()
+    }
+    for u, n in got.items():
+        if u in matched:
+            assert (n >= 1) == matched[u], (u, n, matched[u])
+        else:
+            assert n == 0  # no step-1 event at all
