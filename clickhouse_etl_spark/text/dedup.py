@@ -43,10 +43,19 @@ def exact_dedup(
 
 
 def _shingles_sql(text_col: str, k: int = 3) -> str:
-    """k-word shingles as a SQL expression string (JVM higher-order fns)."""
+    """k-word shingles as a SQL expression string (JVM higher-order fns).
+
+    The token array is BOUND ONCE via an outer single-element
+    ``transform`` (SQL has no let-expression; a lambda variable is the
+    next best thing): referencing ``split(...)`` inside the per-shingle
+    lambda re-evaluates the split for EVERY shingle — O(tokens²) char
+    work per document, measured 8× slower on the 10× scale corpus.
+    Documents shorter than ``k`` tokens still emit one (whole-document)
+    shingle — the dedup-tier contract."""
     return (
-        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {k}, 0)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))"
+        f"transform(array(split({text_col}, ' ')), t -> "
+        f"transform(sequence(0, greatest(size(t) - {k}, 0)),"
+        f" i -> concat_ws(' ', slice(t, i + 1, {k}))))[0]"
     )
 
 

@@ -44,14 +44,20 @@ def _positioned_shingles(
 ) -> DataFrame:
     """(id, pos, gram) for every k-token shingle; docs shorter than k
     tokens emit nothing (they cannot contain a k-token repeated span)."""
+    # the token array is BOUND ONCE via the outer single-element
+    # transform (see dedup._shingles_sql — an inline split inside the
+    # per-shingle lambda re-evaluates per shingle, measured 7× slower
+    # at the 10× scale factor); docs shorter than k emit NOTHING here
+    # (a k-token repeat cannot fit), unlike the dedup-tier shingles
     toks = F.split(F.col(text_col), " ")
     shingled = df.select(
         F.col(id_col),
         F.expr(
-            f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {k}),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))"
-            f" ELSE array() END"
+            f"transform(array(split({text_col}, ' ')), t -> "
+            f"CASE WHEN size(t) >= {k} THEN "
+            f"transform(sequence(0, size(t) - {k}),"
+            f" i -> concat_ws(' ', slice(t, i + 1, {k})))"
+            f" ELSE CAST(array() AS ARRAY<STRING>) END)[0]"
         ).alias("__grams"),
         F.size(toks).alias("n_tokens"),
     )
@@ -117,16 +123,19 @@ def duplicated_spans(
             .select(id_col, "pos")
         )
     else:
-        # Corpus-wide duplicated shingle set: one partial-aggregated
-        # count; occurrences join back. The dup set is fact-derived —
-        # no forced broadcast; AQE broadcasts while it fits.
-        dup = (
-            grams.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") >= 2)
-            .select("gram")
+        # Corpus-wide duplicated-occurrence set via a whole-partition
+        # count window: ONE shuffle on the gram key and ONE evaluation
+        # of the shingle expression. (The r5 form aggregated a dup set
+        # and joined occurrences back — a second shingle evaluation plus
+        # a second gram-keyed exchange; measured 2.4× slower at the 10×
+        # scale factor with no shuffle-bytes advantage, since the
+        # partial-aggregated count table is ≈ the distinct gram table.)
+        w_cnt = Window.partitionBy("gram")
+        hits = (
+            grams.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
+            .filter(F.col("__cnt") >= 2)
+            .select(id_col, "pos")
         )
-        hits = grams.join(dup, on="gram", how="inner").select(id_col, "pos")
 
     # Gaps-and-islands: a new span starts where pos clears every prior
     # shingle's end. Both windows and the final aggregate cluster on
