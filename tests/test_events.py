@@ -335,3 +335,91 @@ def test_sequence_count_matches_python_reference(spark):
             assert (n >= 1) == matched[u], (u, n, matched[u])
         else:
             assert n == 0  # no step-1 event at all
+
+
+# --- strict_order funnel ----------------------------------------------------
+
+def test_window_funnel_strict_order_micro(spark):
+    """A->B->D->C stops at level 2 (D interrupts); a clean consecutive
+    A->B->C reaches 3; window cutoff still applies."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.events import (
+        window_funnel_strict_order,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: A B D C -> 2
+        (1, base, "a"), (1, base + s, "b"),
+        (1, base + 2 * s, "d"), (1, base + 3 * s, "c"),
+        # u2: A B C -> 3
+        (2, base, "a"), (2, base + s, "b"), (2, base + 2 * s, "c"),
+        # u3: A, then B past the window -> 1
+        (3, base, "a"), (3, base + dt.timedelta(seconds=120), "b"),
+        # u4: B A B C -> anchor at the first A (greedy-from-earliest),
+        # consecutive B C after it -> 3
+        (4, base, "b"), (4, base + s, "a"),
+        (4, base + 2 * s, "b"), (4, base + 3 * s, "c"),
+        # u5: no A -> absent
+        (5, base, "b"), (5, base + s, "c"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: r.funnel_level
+        for r in window_funnel_strict_order(
+            events,
+            ["event_type = 'a'", "event_type = 'b'", "event_type = 'c'"],
+            window_seconds=60,
+        ).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 1, 4: 3}
+
+
+def test_window_funnel_strict_order_oracle(spark):
+    """Full-corpus check against a DuckDB LEAD-chain oracle (the same
+    formulation: consecutive next events must match the next steps
+    within the window of the first step-1 anchor)."""
+    from clickhouse_etl_spark.operators.events import (
+        window_funnel_strict_order,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    out = window_funnel_strict_order(
+        events,
+        ["event_type = 'signup'", "event_type = 'view'",
+         "event_type = 'purchase'"],
+        window_seconds=86400,
+        tiebreak_col="event_id",
+    )
+    _assert_matches(
+        out,
+        """
+        WITH flagged AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                 event_type = 'signup' AS s0,
+                 LEAD(event_type = 'view', 1) OVER w AS n1t,
+                 LEAD(epoch_us(ts), 1) OVER w AS n1ts,
+                 LEAD(event_type = 'purchase', 2) OVER w AS n2t,
+                 LEAD(epoch_us(ts), 2) OVER w AS n2ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        leveled AS (
+          SELECT user_id, ts_us, event_id,
+                 1
+                 + CASE WHEN COALESCE(n1t, FALSE)
+                         AND n1ts <= ts_us + 86400000000 THEN 1 ELSE 0 END
+                 + CASE WHEN COALESCE(n1t, FALSE)
+                         AND n1ts <= ts_us + 86400000000
+                         AND COALESCE(n2t, FALSE)
+                         AND n2ts <= ts_us + 86400000000 THEN 1 ELSE 0 END
+                   AS lvl,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS rn
+          FROM flagged WHERE s0
+        )
+        SELECT user_id, lvl AS funnel_level FROM leveled WHERE rn = 1
+        """,
+    )
