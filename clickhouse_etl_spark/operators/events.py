@@ -133,8 +133,13 @@ def window_funnel_strict_order(
     per user, then ``lead(i)`` tests step ``i+1`` at offset ``i`` — no
     per-step joins at all (cheaper than the default mode\'s join
     ladder; the relaxed mode can\'t use LEAD because its steps skip
-    arbitrary distances). ``tiebreak_col`` totalizes the event order
-    under timestamp ties, same caveat as :func:`sequence_count`.
+    arbitrary distances). Like every mode in this family the chain's
+    timestamps must be STRICTLY increasing (a tied-timestamp pair never
+    chains — strict order composes the relaxed semantics with the
+    consecutiveness restriction, so its level is always <= the relaxed
+    level). ``tiebreak_col`` totalizes the event order under timestamp
+    ties, same caveat as :func:`sequence_count`. NULL timestamps are
+    dropped.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -148,19 +153,28 @@ def window_funnel_strict_order(
     ]
     if tiebreak_col:
         base_cols.append(F.col(tiebreak_col).alias("__tb"))
-    base = events.select(*base_cols)
+    base = events.select(*base_cols).filter(F.col("__ts_us").isNotNull())
     order = [F.col("__ts_us")] + ([F.col("__tb")] if tiebreak_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     deadline = F.col("__ts_us") + F.lit(int(window_seconds) * 1_000_000)
     # chain length at each prospective anchor: 1 + how many consecutive
-    # lead(i) events match step i+1 inside the window
+    # lead(i) events match step i+1, inside the window, each strictly
+    # later than its predecessor. hit can only be NULL when the lead row
+    # is missing, and then its first conjunct is FALSE — acc never goes
+    # NULL (ts_us is filtered non-null above).
     level = F.lit(1)
     acc = F.lit(True)
     for i in range(1, k):
-        hit = F.coalesce(F.lead(F.col(f"__s{i}"), i).over(w), F.lit(False)) & (
-            F.lead(F.col("__ts_us"), i).over(w) <= deadline
+        lead_ts = F.lead(F.col("__ts_us"), i).over(w)
+        prev_ts = (
+            F.col("__ts_us") if i == 1 else F.lead(F.col("__ts_us"), i - 1).over(w)
         )
-        acc = acc & F.coalesce(hit, F.lit(False))
+        hit = (
+            F.coalesce(F.lead(F.col(f"__s{i}"), i).over(w), F.lit(False))
+            & (lead_ts <= deadline)
+            & (lead_ts > prev_ts)
+        )
+        acc = acc & hit
         level = level + acc.cast("int")
     anchored = base.select(
         F.col(user_col),
@@ -170,9 +184,8 @@ def window_funnel_strict_order(
         *([F.col("__tb")] if tiebreak_col else []),
     ).filter(F.col("__s0"))
     # greedy-from-earliest: the FIRST step-1 event is the anchor
-    first = Window.partitionBy(user_col).orderBy(*order)
     return (
-        anchored.withColumn("__rn", F.row_number().over(first))
+        anchored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(user_col, F.col("__lvl").alias("funnel_level"))
     )
@@ -209,25 +222,32 @@ def sequence_count(
 ) -> DataFrame:
     """ClickHouse ``sequenceCount``: greedy NON-OVERLAPPING completed
     chains per user — how many times the full ordered step sequence
-    occurred, each chain anchored at the first available step-1 event
-    and advanced by the earliest qualifying later events within
-    ``window_seconds`` of its own anchor; once a chain completes, the
-    scan continues AFTER the completing event (events are never shared
-    between chains). The first chain is exactly
-    :func:`sequence_match`'s chain, so ``n_sequences >= 1`` iff
-    ``matched`` (pinned in tests).
+    occurred, each chain's events strictly increasing in time and
+    within ``window_seconds`` of its OWN first event. The scan takes
+    the EARLIEST-COMPLETING chain each time and resumes after its
+    completing event (events are never shared between counted chains)
+    — the interval-scheduling greedy, so the count is the maximum
+    possible. A chain whose window expires without completing is
+    abandoned and the search re-anchors (a later step-1 event starts a
+    fresh chain — sequences are NOT lost behind a dead anchor).
+    Because completion may hang off a LATER anchor than the earliest
+    step-1 event, ``sequence_match`` (greedy-from-earliest) implies
+    ``n_sequences >= 1`` but not conversely (pinned in tests).
 
     Returns ``(user_col, n_sequences)`` for every user present in
     ``events`` (0 when the pattern never completes — ClickHouse
-    semantics).
+    semantics). NULL timestamps are dropped, matching the SQL-side
+    comparison semantics of the other event operators.
 
     This one is inherently sequential PER USER (a chain's shape depends
     on which earlier events previous chains consumed), so it is the
     module's one Arrow-batched op: step flags are precomputed JVM-side,
     the corpus shuffles ONCE on the user key, and a per-user pandas
-    scan keeps three scalars + a counter. State per user is O(1);
-    per-user event lists stream through Arrow batches — the same
-    distribution story as any user-keyed aggregate at 100 TB.
+    scan keeps one candidate chain per level (max-anchor dominance: a
+    later anchor has a later deadline, so it subsumes earlier ones at
+    the same level). State per user is O(k); per-user event lists
+    stream through Arrow batches — the same distribution story as any
+    user-keyed aggregate at 100 TB.
 
     ``tiebreak_col`` makes the scan order total when timestamps tie
     (pass the event id); without it, equal-ts orders are
@@ -249,7 +269,7 @@ def sequence_count(
     ]
     if tiebreak_col:
         proj.append(F.col(tiebreak_col).alias("etl_tb"))
-    flagged = events.select(*proj)
+    flagged = events.select(*proj).filter(F.col("etl_ts_us").isNotNull())
     window_us = int(window_seconds) * 1_000_000
 
     user_field = events.schema[user_col]
@@ -259,22 +279,41 @@ def sequence_count(
 
     def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(sort_cols)
-        t1 = None
-        level = 0
-        t_prev = None
+        # chains[lvl] = (anchor_us, last_us) of the best candidate that
+        # has matched steps 0..lvl-1; max-anchor dominance keeps one per
+        # level. On completion everything resets (non-overlapping).
+        chains: list[tuple[int, int] | None] = [None] * k
         n = 0
         for row in pdf.itertuples(index=False):
             ts_us = int(row.etl_ts_us)
-            if t1 is None:
-                if getattr(row, "etl_s0"):
-                    t1, level, t_prev = ts_us, 1, ts_us
-            elif level < k and getattr(row, f"etl_s{level}"):
-                if ts_us > t_prev and ts_us <= t1 + window_us:
-                    level += 1
-                    t_prev = ts_us
-            if level == k:
-                n += 1
-                t1, level, t_prev = None, 0, None
+            # a candidate whose window this event already overruns can
+            # never extend again (later events are later still): drop it
+            for lvl in range(1, k):
+                c = chains[lvl]
+                if c is not None and ts_us > c[0] + window_us:
+                    chains[lvl] = None
+            completed = False
+            for lvl in range(k - 1, 0, -1):  # longest candidates first
+                c = chains[lvl]
+                if c is None or not getattr(row, f"etl_s{lvl}"):
+                    continue
+                if ts_us <= c[1]:  # strictly-later, ties never chain
+                    continue
+                if lvl + 1 == k:
+                    n += 1
+                    chains = [None] * k
+                    completed = True
+                    break
+                nxt = chains[lvl + 1]
+                if nxt is None or c[0] > nxt[0]:
+                    chains[lvl + 1] = (c[0], ts_us)
+            if completed:
+                continue
+            if getattr(row, "etl_s0"):
+                if k == 1:
+                    n += 1
+                elif chains[1] is None or ts_us > chains[1][0]:
+                    chains[1] = (ts_us, ts_us)
         return pd.DataFrame(
             {user_col: [pdf[user_col].iloc[0]], "n_sequences": [n]}
         )

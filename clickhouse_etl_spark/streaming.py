@@ -221,10 +221,23 @@ def streaming_funnel(
     the operator in event-time order ACROSS micro-batches for chains
     that span batches — a step-2 event processed before its step-1
     anchor in an EARLIER batch cannot retroactively count. Within a
-    batch, order doesn't matter (rows are sorted here). For replayed
-    file sets (back-fills) the source delivers in file order, so sort
-    the landing files by time — the same discipline every event-time
+    batch, order doesn't matter: ALL of a user's Arrow chunks are
+    concatenated before the one sort (a per-chunk sort would lose
+    chains spanning chunk boundaries). For replayed file sets
+    (back-fills) the source delivers in file order, so sort the
+    landing files by time — the same discipline every event-time
     state machine (sessionization included) already needs.
+
+    State runs with ``NoTimeout`` — exact funnel semantics require the
+    anchor to survive arbitrarily long quiet periods, so per-user
+    entries are NEVER evicted (state is O(distinct users) for the
+    stream's lifetime, same trade-off as :func:`first_seen_per_key`).
+    ``watermark`` declares the event-time horizon on the input; it does
+    NOT bound this operator's state — over an unbounded user universe
+    swap in ``GroupStateTimeout.EventTimeTimeout`` +
+    ``setTimeoutTimestamp`` to forget users idle past the horizon
+    (trade-off: a user silent longer than the horizon re-anchors as
+    new). NULL timestamps are dropped before the state function.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -232,10 +245,14 @@ def streaming_funnel(
     # plain (non-underscore) derived names: pandas itertuples renames
     # underscore-leading fields positionally, which would break getattr
     flags = [f"etl_s{i}" for i in range(k)]
-    with_flags = events.withWatermark("ts", watermark).selectExpr(
-        "user_id",
-        "unix_micros(ts) AS etl_ts_us",
-        *[f"CAST(({s}) AS BOOLEAN) AS {f}" for s, f in zip(steps, flags)],
+    with_flags = (
+        events.withWatermark("ts", watermark)
+        .selectExpr(
+            "user_id",
+            "unix_micros(ts) AS etl_ts_us",
+            *[f"CAST(({s}) AS BOOLEAN) AS {f}" for s, f in zip(steps, flags)],
+        )
+        .filter("etl_ts_us IS NOT NULL")
     )
     window_us = int(window_seconds) * 1_000_000
 
@@ -247,19 +264,25 @@ def streaming_funnel(
         else:
             t1, level, t_prev = None, 0, None
         changed = False
-        for pdf in pdfs:
-            for row in pdf.sort_values("etl_ts_us").itertuples(index=False):
-                ts_us = int(row.etl_ts_us)
-                if t1 is None:
-                    if getattr(row, "etl_s0"):
-                        t1, level, t_prev = ts_us, 1, ts_us
-                        changed = True
-                    continue
-                if level < k and getattr(row, f"etl_s{level}"):
-                    if ts_us > t_prev and ts_us <= t1 + window_us:
-                        level += 1
-                        t_prev = ts_us
-                        changed = True
+        # one sort over the WHOLE batch: a user's events can arrive as
+        # several Arrow chunks, and a per-chunk sort would scan a later
+        # chunk's earlier-ts rows after this chunk's later ones
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        batch = frames[0] if len(frames) == 1 else pd.concat(frames)
+        for row in batch.sort_values("etl_ts_us").itertuples(index=False):
+            ts_us = int(row.etl_ts_us)
+            if t1 is None:
+                if getattr(row, "etl_s0"):
+                    t1, level, t_prev = ts_us, 1, ts_us
+                    changed = True
+                continue
+            if level < k and getattr(row, f"etl_s{level}"):
+                if ts_us > t_prev and ts_us <= t1 + window_us:
+                    level += 1
+                    t_prev = ts_us
+                    changed = True
         if not changed:
             return
         state.update((t1, level, t_prev))

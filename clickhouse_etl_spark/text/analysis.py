@@ -353,6 +353,60 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _arr_char_sum(arr: Column) -> Column:
+    """Total characters across an array of strings — one codegen fold."""
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+
+
+def line_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText within-document LINE and PARAGRAPH repetition
+    (Rae et al. 2021, App. A1.1 — the rules :func:`repetition_stats`'
+    token/n-gram fractions don't cover): the fraction of lines
+    (paragraphs) that are duplicates of an earlier one, and the
+    fraction of characters inside those non-first duplicates. The
+    published cuts drop documents with duplicate-line or -paragraph
+    fraction > 0.30, or either character fraction > 0.20.
+
+    Lines split on ``\\n``, paragraphs on runs of blank lines
+    (``\\n{2,}``); whitespace-only segments are ignored. Because
+    duplicate occurrences are byte-identical, the character fraction
+    reduces to ``(total_chars - distinct_chars) / total_chars`` — so
+    all four ratios are pure array expressions over one split each:
+    narrow, JVM-side, zero shuffle, same 100 TB shape as
+    :func:`repetition_stats`. Empty documents report zeros.
+    """
+
+    def ratios(arr: Column, prefix: str) -> list[Column]:
+        arr_nonblank = F.filter(arr, lambda x: F.trim(x) != "")
+        n = F.size(arr_nonblank)
+        nd = F.size(F.array_distinct(arr_nonblank))
+        chars = _arr_char_sum(arr_nonblank)
+        chars_d = _arr_char_sum(F.array_distinct(arr_nonblank))
+        return [
+            F.round(
+                F.when(n > 0, 1 - nd / n).otherwise(F.lit(0.0)), 6
+            ).alias(f"dup_{prefix}_frac"),
+            F.round(
+                F.when(chars > 0, (chars - chars_d) / chars).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias(f"dup_{prefix}_char_frac"),
+        ]
+
+    lines = F.split(F.col(text_col), "\n")
+    paras = F.split(F.col(text_col), "\n{2,}")
+    return df.select(
+        id_col,
+        *ratios(lines, "line"),
+        *ratios(paras, "para"),
+    )
+
+
 def gopher_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The remaining Gopher-rule quality signals (Rae et al. 2021,
     §A1.1) not already covered by :func:`text_stats` (length/stopword)

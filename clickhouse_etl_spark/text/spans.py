@@ -44,11 +44,16 @@ def _positioned_shingles(
 ) -> DataFrame:
     """(id, pos, gram) for every k-token shingle; docs shorter than k
     tokens emit nothing (they cannot contain a k-token repeated span)."""
+    from clickhouse_etl_spark.util import rebalance_for_compute
+
     # the token array is BOUND ONCE via the outer single-element
     # transform (see dedup._shingles_sql — an inline split inside the
     # per-shingle lambda re-evaluates per shingle, measured 7× slower
     # at the 10× scale factor); docs shorter than k emit NOTHING here
-    # (a k-token repeat cannot fit), unlike the dedup-tier shingles
+    # (a k-token repeat cannot fit), unlike the dedup-tier shingles.
+    # rebalance: enumeration is CPU-heavy per row and the corpus scan
+    # can arrive as a single byte-sized partition (no-op when wide)
+    df = rebalance_for_compute(df)
     toks = F.split(F.col(text_col), " ")
     shingled = df.select(
         F.col(id_col),
@@ -112,29 +117,39 @@ def duplicated_spans(
     if key == "hash":
         grams = grams.withColumn("gram", F.xxhash64("gram"))
 
+    # Corpus-wide duplicated-shingle set: one partial-aggregated pass
+    # (count + canonical first occurrence), then occurrences join back.
+    # Deliberately NOT a gram-keyed window: a window needs every
+    # occurrence of a gram in ONE task, and a hot boilerplate gram
+    # (billions of occurrences at 100 TB) becomes a single-task
+    # sort/spill stall. The aggregate collapses hot keys map-side, and
+    # the join-back is AQE-elective — broadcast while the dup set is
+    # small (the real-corpus case), skew-split SMJ otherwise. Costs a
+    # second evaluation of the shingle expression (measured ~2.4× at
+    # the dup-saturated 10× synthetic corpus, where nearly every gram
+    # is duplicated and nothing can broadcast) — accepted: the window
+    # form's hot-key stall is unbounded, the double scan is a constant.
+    per_gram = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct(id_col, "pos")).alias("__first"),
+    )
+    dup = per_gram.filter(F.col("__n") >= 2)
     if mark == "non_first":
-        # Rank occurrences per shingle; everything past rank 1 is a
-        # duplicate occurrence. Same single shuffle on the gram key as
-        # the count path (window instead of groupBy+join-back).
-        w = Window.partitionBy("gram").orderBy(id_col, "pos")
+        # spare each duplicated shingle's canonical lowest-(id, pos)
+        # occurrence; every other occurrence is a duplicate
         hits = (
-            grams.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") >= 2)
+            grams.join(dup.select("gram", "__first"), on="gram", how="inner")
+            .filter(
+                ~(
+                    (F.col(id_col) == F.col(f"__first.{id_col}"))
+                    & (F.col("pos") == F.col("__first.pos"))
+                )
+            )
             .select(id_col, "pos")
         )
     else:
-        # Corpus-wide duplicated-occurrence set via a whole-partition
-        # count window: ONE shuffle on the gram key and ONE evaluation
-        # of the shingle expression. (The r5 form aggregated a dup set
-        # and joined occurrences back — a second shingle evaluation plus
-        # a second gram-keyed exchange; measured 2.4× slower at the 10×
-        # scale factor with no shuffle-bytes advantage, since the
-        # partial-aggregated count table is ≈ the distinct gram table.)
-        w_cnt = Window.partitionBy("gram")
-        hits = (
-            grams.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
-            .filter(F.col("__cnt") >= 2)
-            .select(id_col, "pos")
+        hits = grams.join(dup.select("gram"), on="gram", how="inner").select(
+            id_col, "pos"
         )
 
     # Gaps-and-islands: a new span starts where pos clears every prior

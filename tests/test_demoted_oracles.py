@@ -1249,3 +1249,75 @@ def test_stream_tumbling_hourly(spark):
         GROUP BY 1, 2
         """,
     )
+
+
+def test_line_repetition_stats(spark):
+    """Gopher duplicate-line / duplicate-paragraph fractions vs a full
+    DuckDB list-op mirror. The corpus has no newlines, so a newline-ful
+    corpus is DERIVED identically in both engines (literal replaces of
+    ' the ' -> blank line, ' a ' -> newline) to make the ratios
+    non-trivial."""
+    from clickhouse_etl_spark.text.analysis import line_repetition_stats
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "text",
+        F.expr("replace(replace(text, ' the ', '\n\n'), ' a ', '\n')"),
+    )
+    out = line_repetition_stats(docs)
+    nl, nl2 = "chr(10)", "chr(10) || chr(10)"
+    _assert_matches_oracle(
+        out,
+        f"""
+        WITH derived AS (
+          SELECT doc_id,
+                 replace(replace(text, ' the ', {nl2}), ' a ', {nl}) AS t
+          FROM documents
+        ), arrs AS (
+          SELECT doc_id,
+                 list_filter(string_split(t, chr(10)),
+                             x -> trim(x) <> '') AS lines,
+                 list_filter(string_split_regex(t, '\n{{2,}}'),
+                             x -> trim(x) <> '') AS paras
+          FROM derived
+        )
+        SELECT doc_id,
+               ROUND(CASE WHEN len(lines) > 0 THEN
+                 1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                 ELSE 0 END, 6) AS dup_line_frac,
+               ROUND(CASE WHEN list_sum(list_transform(lines, x -> length(x))) > 0 THEN
+                 CAST(list_sum(list_transform(lines, x -> length(x)))
+                      - list_sum(list_transform(list_distinct(lines), x -> length(x)))
+                   AS DOUBLE)
+                 / list_sum(list_transform(lines, x -> length(x)))
+                 ELSE 0 END, 6) AS dup_line_char_frac,
+               ROUND(CASE WHEN len(paras) > 0 THEN
+                 1 - CAST(len(list_distinct(paras)) AS DOUBLE) / len(paras)
+                 ELSE 0 END, 6) AS dup_para_frac,
+               ROUND(CASE WHEN list_sum(list_transform(paras, x -> length(x))) > 0 THEN
+                 CAST(list_sum(list_transform(paras, x -> length(x)))
+                      - list_sum(list_transform(list_distinct(paras), x -> length(x)))
+                   AS DOUBLE)
+                 / list_sum(list_transform(paras, x -> length(x)))
+                 ELSE 0 END, 6) AS dup_para_char_frac
+        FROM arrs
+        """,
+    )
+
+
+def test_line_repetition_stats_micro(spark):
+    """Hand-computed fixture: 4 lines (one duplicated) in 2 paragraphs
+    (duplicated), plus an empty doc reporting zeros."""
+    from clickhouse_etl_spark.text.analysis import line_repetition_stats
+
+    d1 = "aa bb\ncc\n\naa bb\ncc"  # paras: ["aa bb\ncc"] x2
+    rows = [(1, d1), (2, ""), (3, "unique\nlines\nonly")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_repetition_stats(docs).collect()}
+    # doc 1: lines [aa bb, cc, aa bb, cc] -> dup 2/4; chars 10-5 over 10
+    assert got[1].dup_line_frac == 0.5
+    assert got[1].dup_line_char_frac == 0.5
+    # paragraphs: ["aa bb\ncc", "aa bb\ncc"] -> dup 1/2, chars 8/16
+    assert got[1].dup_para_frac == 0.5
+    assert got[1].dup_para_char_frac == 0.5
+    assert got[2].dup_line_frac == 0.0 and got[2].dup_para_char_frac == 0.0
+    assert got[3].dup_line_frac == 0.0 and got[3].dup_line_char_frac == 0.0

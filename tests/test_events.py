@@ -242,27 +242,59 @@ def test_fill_time_gaps_subsecond_step_guard(spark):
 
 # --- sequenceCount ----------------------------------------------------------
 
-def _py_sequence_count(rows, steps_types, window_s):
-    """Independent Python reference: greedy non-overlapping chains.
-    rows: (ts_seconds, tiebreak, event_type); scanned in (ts, tiebreak)
-    order — the same total order the Spark op uses."""
+def _py_earliest_completion(evts, start, steps_types, window_s):
+    """Brute-force: smallest index e >= start such that a complete chain
+    (strictly increasing ts, all within window of its OWN anchor) ends
+    at e using only events in [start, e]. Independent of the engine's
+    per-level candidate algorithm: tries EVERY anchor exhaustively."""
     k = len(steps_types)
-    t1 = level = tp = None
+    for e in range(start, len(evts)):
+        if evts[e][2] != steps_types[k - 1]:
+            continue
+        te = evts[e][0]
+        for i1 in range(start, e + 1 - (k - 1) if k > 1 else e + 1):
+            if evts[i1][2] != steps_types[0]:
+                continue
+            t1 = evts[i1][0]
+            if te > t1 + window_s:
+                continue
+            # greedy earliest middle matching (optimal for existence:
+            # shared window bound + monotone strictly-increasing ts)
+            tp = t1
+            j = i1 + 1
+            ok = True
+            for step in range(1, k - 1):
+                while j < e and not (
+                    evts[j][2] == steps_types[step]
+                    and evts[j][0] > tp
+                    and evts[j][0] <= t1 + window_s
+                ):
+                    j += 1
+                if j >= e:
+                    ok = False
+                    break
+                tp = evts[j][0]
+                j += 1
+            if ok and (k == 1 or te > tp):
+                return e
+    return None
+
+
+def _py_sequence_count(rows, steps_types, window_s):
+    """Independent Python reference: maximum non-overlapping complete
+    chains = repeatedly take the earliest-completing chain (interval
+    scheduling) and resume after it. rows: (ts_seconds, tiebreak,
+    event_type); scanned in (ts, tiebreak) order — the same total order
+    the Spark op uses."""
+    evts = sorted(rows)
     n = 0
-    for ts, _tb, et in sorted(rows):
-        if t1 is None:
-            if et == steps_types[0]:
-                t1, level, tp = ts, 1, ts
-        elif level < k and et == steps_types[level]:
-            if ts > tp and ts <= t1 + window_s:
-                level += 1
-                tp = ts
-        if level == k:
-            n += 1
-            t1 = level = tp = None
-            level = 0
-            t1 = None
-    return n
+    start = 0
+    while True:
+        end = _py_earliest_completion(evts, start, steps_types, window_s)
+        if end is None:
+            return n
+        n += 1
+        start = end + 1
 
 
 def test_sequence_count_micro(spark):
@@ -281,13 +313,17 @@ def test_sequence_count_micro(spark):
         (2, base, "a"), (2, base + dt.timedelta(seconds=120), "b"),
         # u3: b only -> 0 (still emitted)
         (3, base, "b"),
-        # u4: overlap test — a a b b counts ONE chain (first a anchors,
-        # first b completes; second a was not consumed, but the scan
-        # resumed AFTER the completing b, so second b finds no anchor
-        # before it... actually second a is before the completion, so
-        # it was passed over; greedy non-overlap = 1 chain here)
+        # u4: overlap test — a a b b counts ONE chain: the earliest
+        # completion is (first a -> first b); the scan resumes AFTER
+        # that b, where the second b finds no unconsumed anchor
         (4, base, "a"), (4, base + s, "a"),
         (4, base + 2 * s, "b"), (4, base + 3 * s, "b"),
+        # u5: dead-anchor re-anchor — a@0's window expires before any b;
+        # the chain is abandoned and a@100 anchors the counted chain
+        # with b@130 (the never-re-anchor formulation wedges at 0 here)
+        (5, base, "a"),
+        (5, base + dt.timedelta(seconds=100), "a"),
+        (5, base + dt.timedelta(seconds=130), "b"),
     ]
     events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
     got = {
@@ -296,12 +332,14 @@ def test_sequence_count_micro(spark):
             events, ["event_type = 'a'", "event_type = 'b'"], 60
         ).collect()
     }
-    assert got == {1: 2, 2: 0, 3: 0, 4: 1}
+    assert got == {1: 2, 2: 0, 3: 0, 4: 1, 5: 1}
 
 
 def test_sequence_count_matches_python_reference(spark):
-    """Full-corpus check against the independent reference, and the
-    sequence_match consistency pin: n >= 1 iff matched."""
+    """Full-corpus check against the independent brute-force reference,
+    and the sequence_match consistency pin: matched => n >= 1 (one
+    direction only — re-anchoring can complete a chain the
+    greedy-from-earliest anchor misses)."""
     from clickhouse_etl_spark.operators.events import (
         sequence_count,
         sequence_match,
@@ -332,7 +370,8 @@ def test_sequence_count_matches_python_reference(spark):
     }
     for u, n in got.items():
         if u in matched:
-            assert (n >= 1) == matched[u], (u, n, matched[u])
+            if matched[u]:
+                assert n >= 1, (u, n)
         else:
             assert n == 0  # no step-1 event at all
 
@@ -364,6 +403,10 @@ def test_window_funnel_strict_order_micro(spark):
         (4, base + 2 * s, "b"), (4, base + 3 * s, "c"),
         # u5: no A -> absent
         (5, base, "b"), (5, base + s, "c"),
+        # u6: A and B at the SAME timestamp -> tied events never chain
+        # (strict order must stay a restriction of the relaxed mode,
+        # which requires strictly-later timestamps) -> 1
+        (6, base, "a"), (6, base, "b"), (6, base + s, "c"),
     ]
     events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
     got = {
@@ -374,7 +417,7 @@ def test_window_funnel_strict_order_micro(spark):
             window_seconds=60,
         ).collect()
     }
-    assert got == {1: 2, 2: 3, 3: 1, 4: 3}
+    assert got == {1: 2, 2: 3, 3: 1, 4: 3, 6: 1}
 
 
 def test_window_funnel_strict_order_oracle(spark):
@@ -410,11 +453,14 @@ def test_window_funnel_strict_order_oracle(spark):
           SELECT user_id, ts_us, event_id,
                  1
                  + CASE WHEN COALESCE(n1t, FALSE)
-                         AND n1ts <= ts_us + 86400000000 THEN 1 ELSE 0 END
+                         AND n1ts <= ts_us + 86400000000
+                         AND n1ts > ts_us THEN 1 ELSE 0 END
                  + CASE WHEN COALESCE(n1t, FALSE)
                          AND n1ts <= ts_us + 86400000000
+                         AND n1ts > ts_us
                          AND COALESCE(n2t, FALSE)
-                         AND n2ts <= ts_us + 86400000000 THEN 1 ELSE 0 END
+                         AND n2ts <= ts_us + 86400000000
+                         AND n2ts > n1ts THEN 1 ELSE 0 END
                    AS lvl,
                  ROW_NUMBER() OVER (PARTITION BY user_id
                                     ORDER BY ts_us, event_id) AS rn

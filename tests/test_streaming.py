@@ -475,6 +475,15 @@ def test_streaming_funnel_advances_across_microbatches(spark, tmp_path):
             pa.Table.from_pandas(part, preserve_index=False),
             str(zone / name),
         )
+    # FileStreamSource orders batches by modification time; two writes
+    # can land in the same millisecond, so pin distinct mtimes to make
+    # "A before B" deterministic instead of filesystem-dependent
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(zone / "a.parquet", (now - 60, now - 60))
+    _os.utime(zone / "b.parquet", (now, now))
     stream = st.read_event_stream(spark, str(zone), max_files_per_trigger=1)
     out = st.run_stream_to_memory(
         spark,

@@ -89,8 +89,13 @@ def main() -> int:
     def scaled_for(factor: int):
         return scaled_planes_neardup(8 + max(0, math.ceil(math.log2(factor))))
 
-    # codegen/JIT warmup at the driver's smallest SF
-    for fn in [*qs.values(), scaled_for(1)]:
+    # codegen/JIT warmup at the driver's smallest SF (the scaled-planes
+    # variant only when ns_emb_neardup is in the selected subset — same
+    # guard as the per-factor loop)
+    warmups = list(qs.values())
+    if "ns_emb_neardup" in qs:
+        warmups.append(scaled_for(1))
+    for fn in warmups:
         try:
             fn(spark, "/root/testdata/sf0.001").toArrow()
         except Exception as e:
