@@ -160,6 +160,49 @@ def pq_encode(
     )
 
 
+def _lut_df(
+    queries: DataFrame,
+    codebooks,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Per-query flat ADC lookup table: ``m*ksub`` partial squared
+    distances ordered (subspace-major, codeword-minor) — an O(d*ksub)
+    JVM fold per QUERY, not per pair."""
+    m, _ksub, dsub = _check_books(codebooks)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.expr(_as_double(vec_col)).alias("__qv"),
+    )
+    qsubs = q.select(
+        query_id_col,
+        "__qv",
+        *[F.expr(_subvec(j, dsub, "__qv")).alias(f"__q{j}") for j in range(m)],
+    )
+    return qsubs.select(
+        query_id_col,
+        *(["__qv"] if keep_vec else []),
+        F.array(
+            *[
+                F.expr(_sq_dist_expr(f"__q{j}", c))
+                for j, book in enumerate(codebooks)
+                for c in book
+            ]
+        ).alias("__lut"),
+    )
+
+
+def _adc_expr(codebooks, codes_col: str) -> str:
+    m, ksub, _dsub = _check_books(codebooks)
+    return (
+        f"aggregate(zip_with({codes_col}, sequence(0, {m - 1}), "
+        f"(c, j) -> element_at(__lut, j * {ksub} + c + 1)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -182,33 +225,10 @@ def pq_topk(
     then ``m`` table lookups: ``sum_j lut[j*ksub + code_j]``. The
     query+LUT side broadcasts, so the whole scan is map-side; the only
     shuffle is the per-query top-k window."""
-    m, ksub, dsub = _check_books(codebooks)
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.expr(_as_double(vec_col)).alias("__qv"),
-    )
-    qsubs = q.select(
-        query_id_col,
-        *[F.expr(_subvec(j, dsub, "__qv")).alias(f"__q{j}") for j in range(m)],
-    )
-    lut = qsubs.select(
-        query_id_col,
-        F.array(
-            *[
-                F.expr(_sq_dist_expr(f"__q{j}", c))
-                for j, book in enumerate(codebooks)
-                for c in book
-            ]
-        ).alias("__lut"),
-    )
-    adc = (
-        f"aggregate(zip_with({codes_col}, sequence(0, {m - 1}), "
-        f"(c, j) -> element_at(__lut, j * {ksub} + c + 1)), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+    lut = _lut_df(queries, codebooks, id_col, vec_col, query_id_col)
     scored = (
         codes.join(F.broadcast(lut), F.col(query_id_col) != F.col(id_col))
-        .withColumn("__adc_raw", F.expr(adc))
+        .withColumn("__adc_raw", F.expr(_adc_expr(codebooks, codes_col)))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__adc_raw").asc(), F.col(id_col).asc()
@@ -294,10 +314,126 @@ def pq_rerank_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC — the full Jégou et al. 2011 search shape, and the one
+    that actually runs at 100 TB: IVF cells prune WHICH vectors a query
+    touches (``~nprobe/num_cells`` of the corpus), PQ codes compress
+    WHAT is read for each touched vector (bytes, not floats), ADC ranks
+    a ``shortlist`` (default ``5*k``) inside the probed cells, and the
+    shortlist alone is re-ranked with exact squared L2 against the full
+    vectors. Returns ``(query_id, vec_id, sq_dist, rank)`` — exact
+    distances, same contract as :func:`pq_rerank_topk`.
+
+    ``centroids`` are the coarse cells (``train_kmeans`` output or any
+    ``list[list[float]]``); ``codebooks`` the PQ books. Both ride the
+    plan as literals; cell assignment and encoding are map-only; the
+    query→cell table broadcasts, so the candidate scan is map-side and
+    the only shuffles are the two per-query top-k windows (ADC +
+    re-rank) over already-shortlisted rows."""
+    from clickhouse_etl_spark.text.kmeans import assign_clusters
+
+    shortlist = 5 * k if shortlist is None else shortlist
+    if shortlist < k:
+        raise ValueError(f"shortlist={shortlist} must be >= k={k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+
+    cells = assign_clusters(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col).join(
+        cells.select(id_col, "cluster"), on=id_col
+    )
+
+    # query → nprobe nearest cells (L2 argmin over the same literal
+    # centroids as the corpus assignment) + the ADC lookup table
+    lut = _lut_df(
+        queries, codebooks, id_col, vec_col, query_id_col, keep_vec=True
+    )
+    qd = lut.select(
+        query_id_col,
+        "__lut",
+        F.array(
+            *[F.expr(_sq_dist_expr("__qv", c)) for c in centroids]
+        ).alias("__cd"),
+    )
+    q_cells = (
+        qd.select(
+            query_id_col,
+            "__lut",
+            F.posexplode("__cd").alias("cluster", "__cdist"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("__cdist").asc(), F.col("cluster").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= nprobe)
+        .select(query_id_col, "cluster", "__lut")
+    )
+
+    cand = (
+        codes.join(F.broadcast(q_cells), on="cluster")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__adc_raw", F.expr(_adc_expr(codebooks, "codes")))
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.col("__adc_raw").asc(), F.col(id_col).asc()
+    )
+    short = (
+        cand.withColumn("__srk", F.row_number().over(w_adc))
+        .filter(F.col("__srk") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.expr(_as_double(vec_col)).alias("__qv"),
+    )
+    c = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv"))
+    exact = (
+        short.join(c, on=id_col)
+        .join(F.broadcast(q), on=query_id_col)
+        .withColumn(
+            "__d2",
+            F.expr(
+                "aggregate(zip_with(__cv, __qv, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("__d2", 6).alias("sq_dist"),
+            "rank",
+        )
+    )
+
+
 __all__ = [
     "init_codebooks",
     "train_pq",
     "pq_encode",
     "pq_topk",
     "pq_rerank_topk",
+    "ivf_pq_topk",
 ]

@@ -223,3 +223,50 @@ def test_pq_validation(spark):
         pq_encode(emb, [])
     with pytest.raises(ValueError, match="ragged"):
         pq_encode(emb, [[[1.0, 2.0]], [[1.0]]])
+
+
+def test_ivf_pq_full_probe_equals_rerank(spark):
+    """IVFADC with every cell probed must equal the cell-free
+    shortlist+re-rank pipeline — cells prune, never re-rank."""
+    from clickhouse_etl_spark.text.kmeans import train_kmeans
+    from clickhouse_etl_spark.text.pq import ivf_pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = train_pq(emb, m=8, ksub=16, max_iters=3)
+    cents, _ = train_kmeans(emb, 8, max_iters=3)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    full = ivf_pq_topk(
+        emb, queries, cents, books, k=10, nprobe=8, shortlist=50
+    )
+    want = pq_rerank_topk(emb, queries, books, k=10, shortlist=50)
+    got_rows = {tuple(r) for r in full.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows == want_rows
+
+
+def test_ivf_pq_recall_floor(spark):
+    """Realistic probe (4 of 8 cells): the pruned search must still
+    recover a useful share of the exact top-10, and every returned
+    distance is exact."""
+    from clickhouse_etl_spark.text.kmeans import train_kmeans
+    from clickhouse_etl_spark.text.pq import ivf_pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = train_pq(emb, m=8, ksub=16, max_iters=3)
+    cents, _ = train_kmeans(emb, 8, max_iters=3)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = ivf_pq_topk(emb, queries, cents, books, k=10, nprobe=4,
+                      shortlist=50)
+    exact10 = _exact_top10(spark, emb, queries).cache()
+    hits = got.join(exact10.select("query_id", "vec_id"),
+                    ["query_id", "vec_id"]).count()
+    recall = hits / exact10.count()
+    assert recall >= 0.35, f"IVFADC recall@10 {recall} below floor"
+    mismatch = (
+        got.join(exact10, ["query_id", "vec_id"])
+        .filter(F.col("sq_dist") != F.col("d2"))
+        .count()
+    )
+    assert mismatch == 0
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_pq_topk(emb, queries, cents, books, k=10, nprobe=0)
