@@ -128,8 +128,13 @@ def pq_encode(
     """``(id, codes)``: each vector's ``m`` nearest-codeword indices
     (L2 argmin per subspace, lowest index wins ties). Codebooks ride
     the plan as literals (kilobytes of codegen); the encode pass is
-    map-only — zero shuffle, no Python."""
+    map-only — zero shuffle, no Python (the input is spread across the
+    cluster first when the scan arrived byte-small: encode is
+    CPU-heavy per row — m*ksub distance folds)."""
+    from clickhouse_etl_spark.util import rebalance_for_compute
+
     m, _ksub, dsub = _check_books(codebooks)
+    df = rebalance_for_compute(df)
     base = df.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
     subs = base.select(
         id_col,
@@ -342,6 +347,7 @@ def ivf_pq_topk(
     the only shuffles are the two per-query top-k windows (ADC +
     re-rank) over already-shortlisted rows."""
     from clickhouse_etl_spark.text.kmeans import assign_clusters
+    from clickhouse_etl_spark.util import rebalance_for_compute
 
     shortlist = 5 * k if shortlist is None else shortlist
     if shortlist < k:
@@ -349,6 +355,10 @@ def ivf_pq_topk(
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
 
+    # both map-heavy corpus passes (cell argmin, code argmin) run over
+    # the rebalanced scan — a byte-small parquet otherwise serializes
+    # them onto one core
+    corpus = rebalance_for_compute(corpus)
     cells = assign_clusters(corpus, centroids, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col).join(
         cells.select(id_col, "cluster"), on=id_col
