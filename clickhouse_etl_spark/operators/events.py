@@ -191,6 +191,88 @@ def window_funnel_strict_order(
     )
 
 
+def window_funnel_strict_dedup(
+    events: DataFrame,
+    steps: Sequence[Column | str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(window, 'strict_dedup')``: a repeat of
+    an ALREADY-MATCHED step's condition interrupts the chain. In
+    ``A → B → A → C`` the funnel reads level 2: the second ``A``
+    (step 1's condition, already matched) fires before ``C`` can.
+
+    Same greedy-from-earliest anchor, in-window and strictly-later
+    rules as :func:`window_funnel`, so the level here is always <= the
+    default mode's level (pinned in tests). An event that BOTH advances
+    the chain and re-matches an earlier condition advances (the next
+    step wins — dedup only interrupts while waiting).
+
+    Interrupt-on-repeat makes the scan order-dependent in a way no
+    fixed-depth LEAD or join ladder can express (any event anywhere in
+    the wait gap can kill the chain), so like :func:`sequence_count`
+    this is an Arrow-batched per-user scan: flags JVM-side, ONE
+    user-key shuffle, O(1) state. NULL timestamps are dropped.
+    ``tiebreak_col`` totalizes the order under timestamp ties.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    import pandas as pd
+
+    conds = [F.expr(s) if isinstance(s, str) else s for s in steps]
+    k = len(conds)
+    flags = [f"etl_s{i}" for i in range(k)]
+    sort_cols = ["etl_ts_us"] + (["etl_tb"] if tiebreak_col else [])
+    proj = [
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("etl_ts_us"),
+        *[c.cast("boolean").alias(f) for c, f in zip(conds, flags)],
+    ]
+    if tiebreak_col:
+        proj.append(F.col(tiebreak_col).alias("etl_tb"))
+    flagged = events.select(*proj).filter(F.col("etl_ts_us").isNotNull())
+    window_us = int(window_seconds) * 1_000_000
+
+    user_field = events.schema[user_col]
+    out_schema = T.StructType(
+        [user_field, T.StructField("funnel_level", T.IntegerType())]
+    )
+
+    def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(sort_cols)
+        t1 = None  # anchor micros (first step-1 event)
+        level = 0
+        t_prev = None
+        dead = False
+        for row in pdf.itertuples(index=False):
+            ts_us = int(row.etl_ts_us)
+            if t1 is None:
+                if getattr(row, "etl_s0"):
+                    t1, level, t_prev = ts_us, 1, ts_us
+                continue
+            if dead or level >= k:
+                continue
+            in_window = ts_us > t_prev and ts_us <= t1 + window_us
+            if getattr(row, f"etl_s{level}") and in_window:
+                level += 1
+                t_prev = ts_us
+            elif any(getattr(row, f"etl_s{i}") for i in range(level)):
+                # repeat of an already-matched condition: interrupt
+                # (regardless of window — the chain is contaminated)
+                dead = True
+        if t1 is None:
+            return pd.DataFrame(
+                {user_col: pd.Series([], dtype=object), "funnel_level": []}
+            )
+        return pd.DataFrame(
+            {user_col: [pdf[user_col].iloc[0]], "funnel_level": [level]}
+        )
+
+    return flagged.groupBy(user_col).applyInPandas(scan, out_schema)
+
+
 def sequence_match(
     events: DataFrame,
     steps: Sequence[Column | str],

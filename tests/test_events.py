@@ -469,3 +469,104 @@ def test_window_funnel_strict_order_oracle(spark):
         SELECT user_id, lvl AS funnel_level FROM leveled WHERE rn = 1
         """,
     )
+
+
+# --- strict_dedup funnel ------------------------------------------------------
+
+def test_window_funnel_strict_dedup_micro(spark):
+    """A repeat of an already-matched condition interrupts; unrelated
+    events do not (that's strict_order's job)."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.events import (
+        window_funnel_strict_dedup,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: A B A C -> second A re-matches step 1 while waiting -> 2
+        (1, base, "a"), (1, base + s, "b"),
+        (1, base + 2 * s, "a"), (1, base + 3 * s, "c"),
+        # u2: A B C -> clean -> 3
+        (2, base, "a"), (2, base + s, "b"), (2, base + 2 * s, "c"),
+        # u3: A B D C -> D unrelated, does NOT interrupt -> 3
+        (3, base, "a"), (3, base + s, "b"),
+        (3, base + 2 * s, "d"), (3, base + 3 * s, "c"),
+        # u4: A A B -> repeat of the anchor condition -> stuck at 1
+        (4, base, "a"), (4, base + s, "a"), (4, base + 2 * s, "b"),
+        # u5: A, B past the window, then C -> window cutoff holds -> 1
+        (5, base, "a"), (5, base + dt.timedelta(seconds=120), "b"),
+        # u6: no A -> absent
+        (6, base, "b"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: r.funnel_level
+        for r in window_funnel_strict_dedup(
+            events,
+            ["event_type = 'a'", "event_type = 'b'", "event_type = 'c'"],
+            window_seconds=60,
+        ).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 3, 4: 1, 5: 1}
+
+
+def test_window_funnel_strict_dedup_is_restriction(spark):
+    """strict_dedup can only remove progress: corpus-wide its level is
+    <= the default mode's level for every user, equal whenever no
+    repeat fired (checked against an independent per-user replay)."""
+    from clickhouse_etl_spark.operators.events import (
+        window_funnel,
+        window_funnel_strict_dedup,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    steps_types = ["signup", "view", "purchase"]
+    steps = [f"event_type = '{t}'" for t in steps_types]
+    strict = {
+        r.user_id: r.funnel_level
+        for r in window_funnel_strict_dedup(
+            events, steps, 86400, tiebreak_col="event_id"
+        ).collect()
+    }
+    relaxed = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(events, steps, 86400).collect()
+    }
+    assert set(strict) == set(relaxed)
+    assert all(strict[u] <= relaxed[u] for u in strict)
+    assert any(strict[u] < relaxed[u] for u in strict)  # repeats exist
+
+    # independent replay: index-based loop over collected rows
+    by_user = {}
+    for r in events.select("user_id", "ts", "event_type", "event_id").collect():
+        if r.ts is None:
+            continue
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts.timestamp(), r.event_id, r.event_type)
+        )
+    want = {}
+    for u, rs in by_user.items():
+        rs = sorted(rs)
+        idx0 = next(
+            (i for i, e in enumerate(rs) if e[2] == steps_types[0]), None
+        )
+        if idx0 is None:
+            continue
+        t1 = rs[idx0][0]
+        lvl, tp = 1, rs[idx0][0]
+        for ts, _tb, et in rs[idx0 + 1:]:
+            if lvl >= len(steps_types):
+                break
+            if (
+                et == steps_types[lvl]
+                and ts > tp
+                and ts <= t1 + 86400
+            ):
+                lvl += 1
+                tp = ts
+            elif et in steps_types[:lvl]:
+                break
+        want[u] = lvl
+    assert strict == want
