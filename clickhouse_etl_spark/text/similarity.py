@@ -431,6 +431,112 @@ def embedding_cosine_neardup(
     )
 
 
+def semantic_cluster_pairs(
+    corpus: DataFrame,
+    centroids,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    log_fn=None,
+) -> DataFrame:
+    """SemDeDup-style candidate generation (Abbas et al. 2023): exact
+    cosine pairs computed WITHIN k-means cells only.
+
+    Where :func:`embedding_cosine_neardup` prunes candidates with
+    random hyperplanes, SemDeDup prunes with LEARNED cluster structure:
+    semantic duplicates land in the same cell, so the pair search runs
+    per cell (cost ``sum(cell²)``, never corpus²) — size ``k`` so cells
+    stay small (the paper's n/k ≈ thousands). ``centroids`` come from
+    :func:`text.kmeans.train_kmeans` (or any deterministic list, which
+    keeps the whole operator SQL-mirrorable). Cross-cell duplicates are
+    missed by construction — the recall trade the paper accepts.
+
+    Scale shape mirrors the LSH path: the self-join carries ids+cell
+    only; vectors re-attach to the collision-bounded pair list
+    (AQE-elective). ``max_cluster_size`` caps any cell's membership
+    (hashed order) so one degenerate cell cannot go quadratic — the
+    same flood guard as the LSH buckets.
+    """
+    from clickhouse_etl_spark.text.kmeans import assign_clusters
+
+    vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
+    cells = assign_clusters(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    membership = cells.select(id_col, "cluster").transform(materialize)
+    if max_cluster_size is not None:
+        from clickhouse_etl_spark.operators.skew import cap_bucket_membership
+
+        membership = cap_bucket_membership(
+            membership, ["cluster"], id_col, max_cluster_size, log_fn,
+            order="hashed",
+        )
+    l, r = membership.alias("l"), membership.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+    )
+    dot = _DOT.format(a="__va", b="__vb")
+    na = _NORM.format(a="__va")
+    nb = _NORM.format(a="__vb")
+    return (
+        pairs.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")),
+            on="id_b",
+        )
+        .withColumn("__cos", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    log_fn=None,
+) -> DataFrame:
+    """Semantic dedup keep-set: the corpus minus in-cell duplicate
+    groups, one representative kept per connected group.
+
+    Composition: :func:`semantic_cluster_pairs` → transitive closure
+    (:func:`text.dedup.neardup_clusters` min-label propagation) → drop
+    every member except the group minimum. The representative is the
+    MIN-ID member (deterministic, oracle-friendly) — the paper keeps
+    the member least similar to its centroid instead; swap the keep
+    rule downstream of the pair list if that policy matters. Rows pass
+    through unchanged otherwise (anti-join on the drop list)."""
+    from clickhouse_etl_spark.text.dedup import neardup_clusters
+
+    pairs = semantic_cluster_pairs(
+        corpus,
+        centroids,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_cluster_size=max_cluster_size,
+        log_fn=log_fn,
+    )
+    clusters = neardup_clusters(pairs, "id_a", "id_b")
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return corpus.join(drop, on=id_col, how="left_anti")
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,160 @@
+"""SemDeDup-style semantic dedup: DuckDB pair mirror (deterministic
+centroids), containment in the exact all-pairs set, and the
+keep-one-per-group identity."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from clickhouse_etl_spark.catalog import TEST_TABLES, load_table
+from clickhouse_etl_spark.text.similarity import (
+    semantic_cluster_pairs,
+    semantic_dedup,
+)
+from tools.oracle_check import canon_rows
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 8
+THRESH = 0.35
+
+
+def _init_centroids(emb, k=K):
+    rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def _assert_matches_oracle(sdf, oracle_sql):
+    con = duckdb.connect()
+    try:
+        for t in TEST_TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        cur = con.execute(oracle_sql)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+    finally:
+        con.close()
+    sc, sr = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    dc, dr = canon_rows(dcols, drows)
+    assert sc == dc, f"columns differ: spark={sc} duckdb={dc}"
+    assert len(sr) == len(dr), f"rowcount: spark={len(sr)} duckdb={len(dr)}"
+    assert sr == dr, "canonicalized values differ"
+
+
+def test_semantic_cluster_pairs_matches_duckdb(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _init_centroids(emb)
+    out = semantic_cluster_pairs(emb, cents, threshold=THRESH)
+    assert out.count() > 0  # non-trivial at the lenient threshold
+    _assert_matches_oracle(
+        out,
+        f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+          FROM emb ORDER BY vec_id LIMIT {K}
+        ),
+        d AS (
+          SELECT e.vec_id, c.cluster,
+                 list_sum(list_transform(range(1, len(e.v) + 1),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS sq
+          FROM emb e CROSS JOIN cent c
+        ),
+        cells AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sq ASC, cluster ASC) AS rk
+            FROM d
+          ) WHERE rk = 1
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+          SELECT p.id_a, p.id_b,
+                 list_sum(list_transform(range(1, len(ea.v) + 1),
+                   i -> ea.v[i] * eb.v[i]))
+                 / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(eb.v, x -> x * x))))
+                   AS cos
+          FROM pairs p
+          JOIN emb ea ON ea.vec_id = p.id_a
+          JOIN emb eb ON eb.vec_id = p.id_b
+        )
+        SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+        FROM scored WHERE cos >= {THRESH}
+        """,
+    )
+
+
+def test_semantic_pairs_subset_of_exact_allpairs(spark):
+    """Cells only PRUNE: every in-cell pair must appear in the exact
+    all-pairs set at the same threshold, with the same cosine."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _init_centroids(emb)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_cluster_pairs(emb, cents, threshold=THRESH).collect()
+    }
+    vecs = emb.select("vec_id", F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    allp = {
+        (r.id_a, r.id_b): r.cosine
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                    " / (sqrt(aggregate(va, CAST(0.0 AS DOUBLE),"
+                    " (acc, v) -> acc + v * v))"
+                    " * sqrt(aggregate(vb, CAST(0.0 AS DOUBLE),"
+                    " (acc, v) -> acc + v * v)))"
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= THRESH)
+        .collect()
+    }
+    assert set(got).issubset(set(allp))
+    assert 0 < len(got) <= len(allp)
+    assert all(allp[p] == c for p, c in got.items())
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    """kept = total - (duplicate-group members - groups): exactly one
+    survivor per connected in-cell duplicate group."""
+    from clickhouse_etl_spark.text.dedup import neardup_clusters
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _init_centroids(emb)
+    kept = semantic_dedup(emb, cents, threshold=THRESH)
+    pairs = semantic_cluster_pairs(emb, cents, threshold=THRESH)
+    clusters = neardup_clusters(pairs, "id_a", "id_b")
+    members = clusters.count()
+    groups = clusters.select("cluster_id").distinct().count()
+    total = emb.count()
+    assert kept.count() == total - (members - groups)
+    assert kept.columns == emb.columns  # pass-through schema
+    # survivors of each group are its minimum member
+    mins = {r.cluster_id for r in clusters.collect()}
+    kept_ids = {r.vec_id for r in kept.collect()}
+    dropped = {r.doc_id for r in clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")).collect()}
+    assert mins <= kept_ids
+    assert kept_ids.isdisjoint(dropped)
