@@ -35,9 +35,6 @@ from pyspark.sql import functions as F
 from clickhouse_etl_spark.text.kmeans import _sq_dist_expr, train_kmeans
 from clickhouse_etl_spark.text.similarity import _as_double, _probe_dims
 
-Codebooks = "list[list[list[float]]]"  # [m][ksub][dsub]
-
-
 def _check_books(codebooks) -> tuple[int, int, int]:
     """Validate [m][ksub][dsub] shape; return (m, ksub, dsub)."""
     if not codebooks or not codebooks[0] or not codebooks[0][0]:
@@ -51,6 +48,18 @@ def _check_books(codebooks) -> tuple[int, int, int]:
                 f"codebook {j} is ragged: expected {ksub}x{dsub}"
             )
     return m, ksub, dsub
+
+
+def _check_dims(df: DataFrame, vec_col: str, m: int, dsub: int, side: str):
+    """Vectors shorter/longer than m*dsub would slice into short arrays,
+    NULL out the distance folds, and rank garbage FIRST (NULLs sort low
+    ascending) — fail loudly instead."""
+    dims = _probe_dims(df, vec_col)
+    if dims != m * dsub:
+        raise ValueError(
+            f"{side} vectors have {dims} dims but codebooks cover "
+            f"{m}*{dsub}={m * dsub}"
+        )
 
 
 def _subvec(j: int, dsub: int, vec: str = "__v") -> str:
@@ -134,8 +143,12 @@ def pq_encode(
     from clickhouse_etl_spark.util import rebalance_for_compute
 
     m, _ksub, dsub = _check_books(codebooks)
-    df = rebalance_for_compute(df)
-    base = df.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
+    _check_dims(df, vec_col, m, dsub, "corpus")
+    # project narrow FIRST, then spread: the rebalance shuffle carries
+    # only (id, vector), not the full input row
+    base = rebalance_for_compute(
+        df.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
+    )
     subs = base.select(
         id_col,
         *[F.expr(_subvec(j, dsub)).alias(f"__s{j}") for j in range(m)],
@@ -177,6 +190,7 @@ def _lut_df(
     distances ordered (subspace-major, codeword-minor) — an O(d*ksub)
     JVM fold per QUERY, not per pair."""
     m, _ksub, dsub = _check_books(codebooks)
+    _check_dims(queries, vec_col, m, dsub, "query")
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.expr(_as_double(vec_col)).alias("__qv"),
@@ -250,6 +264,51 @@ def pq_topk(
     )
 
 
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared exact-L2 re-rank: ``cand`` carries (query_id, id) — a
+    shortlist-sized fact-derived side that joins back to the corpus
+    vectors (AQE-elective) and broadcast-joins the query vectors.
+    Returns ``(query_id, id, sq_dist, rank)`` rows, rank 1..k ascending
+    exact distance, id ascending tie-break."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.expr(_as_double(vec_col)).alias("__qv"),
+    )
+    c = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv"))
+    exact = (
+        cand.join(c, on=id_col)
+        .join(F.broadcast(q), on=query_id_col)
+        .withColumn(
+            "__d2",
+            F.expr(
+                "aggregate(zip_with(__cv, __qv, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("__d2", 6).alias("sq_dist"),
+            "rank",
+        )
+    )
+
+
 def pq_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -288,35 +347,7 @@ def pq_rerank_topk(
         vec_col=vec_col,
         query_id_col=query_id_col,
     ).select(query_id_col, id_col)
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.expr(_as_double(vec_col)).alias("__qv"),
-    )
-    c = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv"))
-    exact = (
-        cand.join(c, on=id_col)
-        .join(F.broadcast(q), on=query_id_col)
-        .withColumn(
-            "__d2",
-            F.expr(
-                "aggregate(zip_with(__cv, __qv, (a, b) -> (a - b) * (a - b)), "
-                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            ),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__d2").asc(), F.col(id_col).asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("__d2", 6).alias("sq_dist"),
-            "rank",
-        )
-    )
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, query_id_col)
 
 
 def ivf_pq_topk(
@@ -342,11 +373,12 @@ def ivf_pq_topk(
 
     ``centroids`` are the coarse cells (``train_kmeans`` output or any
     ``list[list[float]]``); ``codebooks`` the PQ books. Both ride the
-    plan as literals; cell assignment and encoding are map-only; the
-    query→cell table broadcasts, so the candidate scan is map-side and
-    the only shuffles are the two per-query top-k windows (ADC +
-    re-rank) over already-shortlisted rows."""
-    from clickhouse_etl_spark.text.kmeans import assign_clusters
+    plan as literals, so cell argmin AND code argmins are ONE fused
+    map-only projection over the corpus scan — no corpus-scale join or
+    extra pass anywhere; the query→cell and query→LUT tables broadcast,
+    so the candidate scan is map-side and the only shuffles are the two
+    per-query top-k windows (ADC + re-rank) over already-shortlisted
+    rows."""
     from clickhouse_etl_spark.util import rebalance_for_compute
 
     shortlist = 5 * k if shortlist is None else shortlist
@@ -354,33 +386,65 @@ def ivf_pq_topk(
         raise ValueError(f"shortlist={shortlist} must be >= k={k}")
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    m, _ksub, dsub = _check_books(codebooks)
+    _check_dims(corpus, vec_col, m, dsub, "corpus")
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    if len(centroids[0]) != m * dsub:
+        raise ValueError(
+            f"centroids have {len(centroids[0])} dims but codebooks "
+            f"cover {m * dsub}"
+        )
 
-    # both map-heavy corpus passes (cell argmin, code argmin) run over
-    # the rebalanced scan — a byte-small parquet otherwise serializes
-    # them onto one core
-    corpus = rebalance_for_compute(corpus)
-    cells = assign_clusters(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col).join(
-        cells.select(id_col, "cluster"), on=id_col
+    # ONE fused corpus pass: cell argmin + per-subspace code argmins
+    # from the same (rebalanced, narrow) projection — a byte-small scan
+    # otherwise serializes the distance folds onto one core
+    base = rebalance_for_compute(
+        corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
+    )
+    with_d = base.select(
+        id_col,
+        *[F.expr(_subvec(j, dsub)).alias(f"__s{j}") for j in range(m)],
+        F.array(
+            *[F.expr(_sq_dist_expr("__v", c)) for c in centroids]
+        ).alias("__celld"),
+    ).select(
+        id_col,
+        "__celld",
+        *[
+            F.array(
+                *[F.expr(_sq_dist_expr(f"__s{j}", c)) for c in book]
+            ).alias(f"__d{j}")
+            for j, book in enumerate(codebooks)
+        ],
+    )
+    codes = with_d.select(
+        id_col,
+        F.expr(
+            "CAST(array_position(__celld, array_min(__celld)) - 1 AS INT)"
+        ).alias("cluster"),
+        F.array(
+            *[
+                F.expr(
+                    f"CAST(array_position(__d{j}, array_min(__d{j})) - 1 AS INT)"
+                )
+                for j in range(m)
+            ]
+        ).alias("codes"),
     )
 
-    # query → nprobe nearest cells (L2 argmin over the same literal
-    # centroids as the corpus assignment) + the ADC lookup table
+    # query → nprobe nearest cells (ids only; the LUT re-attaches by
+    # query id after the cell join so each query's m*ksub table
+    # broadcasts ONCE, not once per probed cell)
     lut = _lut_df(
         queries, codebooks, id_col, vec_col, query_id_col, keep_vec=True
     )
-    qd = lut.select(
-        query_id_col,
-        "__lut",
-        F.array(
-            *[F.expr(_sq_dist_expr("__qv", c)) for c in centroids]
-        ).alias("__cd"),
-    )
     q_cells = (
-        qd.select(
+        lut.select(
             query_id_col,
-            "__lut",
-            F.posexplode("__cd").alias("cluster", "__cdist"),
+            F.posexplode(
+                F.array(*[F.expr(_sq_dist_expr("__qv", c)) for c in centroids])
+            ).alias("cluster", "__cdist"),
         )
         .withColumn(
             "__rk",
@@ -391,12 +455,13 @@ def ivf_pq_topk(
             ),
         )
         .filter(F.col("__rk") <= nprobe)
-        .select(query_id_col, "cluster", "__lut")
+        .select(query_id_col, "cluster")
     )
 
     cand = (
         codes.join(F.broadcast(q_cells), on="cluster")
         .filter(F.col(query_id_col) != F.col(id_col))
+        .join(F.broadcast(lut.select(query_id_col, "__lut")), on=query_id_col)
         .withColumn("__adc_raw", F.expr(_adc_expr(codebooks, "codes")))
     )
     w_adc = Window.partitionBy(query_id_col).orderBy(
@@ -407,35 +472,8 @@ def ivf_pq_topk(
         .filter(F.col("__srk") <= shortlist)
         .select(query_id_col, id_col)
     )
-
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.expr(_as_double(vec_col)).alias("__qv"),
-    )
-    c = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv"))
-    exact = (
-        short.join(c, on=id_col)
-        .join(F.broadcast(q), on=query_id_col)
-        .withColumn(
-            "__d2",
-            F.expr(
-                "aggregate(zip_with(__cv, __qv, (a, b) -> (a - b) * (a - b)), "
-                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            ),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__d2").asc(), F.col(id_col).asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("__d2", 6).alias("sq_dist"),
-            "rank",
-        )
+    return _exact_rerank(
+        short, corpus, queries, k, id_col, vec_col, query_id_col
     )
 
 

@@ -7,13 +7,12 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-import duckdb
 import pytest
 from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from clickhouse_etl_spark.catalog import TEST_TABLES, load_table
+from clickhouse_etl_spark.catalog import load_table
 from clickhouse_etl_spark.text.pq import (
     pq_rerank_topk,
     init_codebooks,
@@ -21,7 +20,7 @@ from clickhouse_etl_spark.text.pq import (
     pq_topk,
     train_pq,
 )
-from tools.oracle_check import canon_rows
+from tools.oracle_check import assert_matches_oracle
 
 SF_DIR = "/root/testdata/sf0.001"
 M, KSUB, DIMS = 4, 16, 64
@@ -29,20 +28,7 @@ DSUB = DIMS // M
 
 
 def _assert_matches_oracle(sdf, oracle_sql):
-    con = duckdb.connect()
-    try:
-        for t in TEST_TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-        cur = con.execute(oracle_sql)
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
-    finally:
-        con.close()
-    sc, sr = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
-    dc, dr = canon_rows(dcols, drows)
-    assert sc == dc, f"columns differ: spark={sc} duckdb={dc}"
-    assert len(sr) == len(dr), f"rowcount: spark={len(sr)} duckdb={len(dr)}"
-    assert sr == dr, "canonicalized values differ"
+    assert_matches_oracle(sdf, oracle_sql, SF_DIR)
 
 
 # SQL building blocks shared by both mirrors: deterministic init

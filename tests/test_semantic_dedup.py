@@ -7,17 +7,16 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-import duckdb
 from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from clickhouse_etl_spark.catalog import TEST_TABLES, load_table
+from clickhouse_etl_spark.catalog import load_table
 from clickhouse_etl_spark.text.similarity import (
     semantic_cluster_pairs,
     semantic_dedup,
 )
-from tools.oracle_check import canon_rows
+from tools.oracle_check import assert_matches_oracle
 
 SF_DIR = "/root/testdata/sf0.001"
 K = 8
@@ -30,20 +29,7 @@ def _init_centroids(emb, k=K):
 
 
 def _assert_matches_oracle(sdf, oracle_sql):
-    con = duckdb.connect()
-    try:
-        for t in TEST_TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-        cur = con.execute(oracle_sql)
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
-    finally:
-        con.close()
-    sc, sr = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
-    dc, dr = canon_rows(dcols, drows)
-    assert sc == dc, f"columns differ: spark={sc} duckdb={dc}"
-    assert len(sr) == len(dr), f"rowcount: spark={len(sr)} duckdb={len(dr)}"
-    assert sr == dr, "canonicalized values differ"
+    assert_matches_oracle(sdf, oracle_sql, SF_DIR)
 
 
 def test_semantic_cluster_pairs_matches_duckdb(spark):

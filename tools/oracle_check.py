@@ -51,6 +51,30 @@ def canon_rows(columns, rows):
     return [c for c in sorted(columns)], out
 
 
+def assert_matches_oracle(sdf, oracle_sql: str, sf_dir: str) -> None:
+    """Pytest-tier twin of the driver gate for ONE query: run
+    ``oracle_sql`` on DuckDB views over ``sf_dir``'s parquet tables and
+    assert column names, row count, and order-insensitive canonicalized
+    values all match the Spark DataFrame. Shared by the demoted-oracle
+    test files so the comparison never drifts from this module's."""
+    con = duckdb.connect()
+    try:
+        for t in TEST_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        cur = con.execute(oracle_sql)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+    finally:
+        con.close()
+    sc, sr = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    dc, dr = canon_rows(dcols, drows)
+    assert sc == dc, f"columns differ: spark={sc} duckdb={dc}"
+    assert len(sr) == len(dr), f"rowcount: spark={len(sr)} duckdb={len(dr)}"
+    assert sr == dr, "canonicalized values differ"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
