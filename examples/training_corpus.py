@@ -81,6 +81,23 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     # 5. Embedding near-dup pass (LSH candidates, exact cosine verify).
     pairs = embedding_cosine_neardup(emb, threshold=0.95)
 
+    # 5b. Semantic dedup (SemDeDup): k-means cells prune the pair
+    #     search; one representative kept per in-cell duplicate group.
+    from clickhouse_etl_spark.text.kmeans import train_kmeans
+    from clickhouse_etl_spark.text.similarity import semantic_dedup
+
+    cents, _ = train_kmeans(emb, 8, max_iters=3)
+    emb_kept = semantic_dedup(emb, cents, threshold=0.95)
+
+    # 5c. ANN serving index: PQ codebooks + IVFADC probe (the
+    #     compressed-domain search the curated corpus ships with).
+    from clickhouse_etl_spark.text.pq import ivf_pq_topk, train_pq
+
+    books = train_pq(emb, m=8, ksub=16, max_iters=3)
+    ann = ivf_pq_topk(
+        emb_kept, emb_kept.limit(5), cents, books, k=5, nprobe=4
+    )
+
     # 6. Pack the survivors into fixed-length training sequences, and
     #    land them as one parquet file per token-budget shard.
     packed = pack_contiguous(corpus, seq_len=512)
@@ -97,6 +114,8 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
             "post_screens": corpus.count(),
             "bm25_probe_rows": probe.count(),
             "neardup_pairs": pairs.count(),
+            "semantic_kept": emb_kept.count(),
+            "ann_probe_rows": ann.count(),
             "packed_docs": packed.count(),
             "n_shards": shard_plan.select("shard").distinct().count(),
             "train_frac": corpus.filter(F.col("split") == "train").count()
