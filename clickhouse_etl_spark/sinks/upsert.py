@@ -102,6 +102,77 @@ def merge_upsert_with_deletes(
     ).drop(deleted_col)
 
 
+def histogram_state_agg(
+    src: str, lo: float, hi: float, nbins: int
+) -> F.Column:
+    """Mergeable fixed-bin histogram state: an ``array<long>`` of
+    ``nbins + 2`` counts (index 0 = underflow ``< lo``, 1..nbins the
+    equi-width bins over ``[lo, hi)``, last = overflow ``>= hi``).
+    Element-wise sum is its exactly-associative merge, so incremental
+    == full holds bit-for-bit — the fixed-bound quantile analog of the
+    HLL distinct state (ClickHouse ``quantileState``/``quantileMerge``,
+    with the honest caveat that bounds are declared up front and the
+    quantile error is one bin width). NULLs contribute nothing."""
+    if not nbins >= 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    width = (hi - lo) / nbins
+    idx = F.expr(
+        f"CASE WHEN ({src}) IS NULL THEN NULL"
+        f" WHEN ({src}) < CAST({lo!r} AS DOUBLE) THEN 0"
+        f" WHEN ({src}) >= CAST({hi!r} AS DOUBLE) THEN {nbins + 1}"
+        f" ELSE CAST(floor((({src}) - CAST({lo!r} AS DOUBLE))"
+        f" / CAST({width!r} AS DOUBLE)) AS INT) + 1 END"
+    )
+    return F.array(
+        *[
+            F.sum(F.when(idx == i, F.lit(1)).otherwise(F.lit(0))).cast("long")
+            for i in range(nbins + 2)
+        ]
+    )
+
+
+def histogram_quantile(
+    state, q: float, lo: float, hi: float, nbins: int
+) -> F.Column:
+    """Read a quantile estimate out of a :func:`histogram_state_agg`
+    state column (name or Column): linear interpolation inside the bin
+    holding rank ``q * total``; the under/overflow bins clamp to
+    ``lo``/``hi``. NULL/empty states read as NULL. Error bound: one
+    bin width for in-range data."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    col = F.col(state) if isinstance(state, str) else state
+    width = (hi - lo) / nbins
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(col, zero, lambda a, x: a + x).cast("double")
+    rank = F.greatest(F.lit(1.0), F.lit(q) * total)
+    # cumulative counts per bin (B ~ tens: the O(B²) slice-sums stay
+    # trivial codegen); first bin whose cumulative count reaches rank
+    flags = F.transform(
+        F.sequence(F.lit(1), F.lit(nbins + 2)),
+        lambda k: F.aggregate(F.slice(col, F.lit(1), k), zero, lambda a, x: a + x)
+        .cast("double")
+        >= rank,
+    )
+    bin_ = F.array_position(flags, F.lit(True))
+    before = F.aggregate(
+        F.slice(col, F.lit(1), (bin_ - 1).cast("int")), zero, lambda a, x: a + x
+    ).cast("double")
+    cnt = F.element_at(col, bin_.cast("int")).cast("double")
+    est = (
+        F.when(bin_ == 1, F.lit(float(lo)))
+        .when(bin_ == nbins + 2, F.lit(float(hi)))
+        .otherwise(
+            F.lit(float(lo))
+            + F.lit(float(width))
+            * ((bin_ - 2).cast("double") + (rank - before) / cnt)
+        )
+    )
+    return F.when(col.isNull() | (total == 0), F.lit(None)).otherwise(est)
+
+
 def summing_merge(
     current: DataFrame | None,
     delta: DataFrame,
@@ -110,6 +181,7 @@ def summing_merge(
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
     hll_cols: Mapping[str, str] | None = None,
+    hist_cols: Mapping[str, tuple] | None = None,
 ) -> DataFrame:
     """Incremental aggregate-snapshot maintenance — ClickHouse's
     SummingMergeTree / AggregatingMergeTree semantics (sum/min/max are
@@ -142,9 +214,18 @@ def summing_merge(
     approximate distinct counts (register-max union is exactly
     associative, so incremental == full holds bit-for-bit). Read the
     estimate with ``F.hll_sketch_estimate(state_col)``.
+
+    ``hist_cols`` maps ``state_col -> (source_expr, lo, hi, nbins)``:
+    the delta's values fold into a fixed-bin histogram state
+    (:func:`histogram_state_agg`), merges sum the bins element-wise
+    (exactly associative, like the HLL register union), and
+    :func:`histogram_quantile` reads any quantile out of the state —
+    ClickHouse's ``quantileState``/``quantileMerge`` with declared
+    bounds and a one-bin-width error contract.
     """
     keys = list(keys)
     hll_cols = dict(hll_cols or {})
+    hist_cols = dict(hist_cols or {})
     aggs = (
         [F.sum(c).alias(c) for c in sum_cols]
         + [F.min(c).alias(c) for c in min_cols]
@@ -153,13 +234,17 @@ def summing_merge(
         # accepts int/long/string/binary — cast in the expression, e.g.
         # "CAST(v AS STRING)", for other types).
         + [F.hll_sketch_agg(F.expr(src)).alias(st) for st, src in hll_cols.items()]
+        + [
+            histogram_state_agg(src, lo, hi, nbins).alias(st)
+            for st, (src, lo, hi, nbins) in hist_cols.items()
+        ]
     )
     if not aggs:
-        raise ValueError("at least one of sum/min/max/hll cols is required")
+        raise ValueError("at least one of sum/min/max/hll/hist cols is required")
     d = delta.groupBy(*keys).agg(*aggs)
     if current is None:
         return d
-    state_cols = [*sum_cols, *min_cols, *max_cols, *hll_cols]
+    state_cols = [*sum_cols, *min_cols, *max_cols, *hll_cols, *hist_cols]
     missing = [c for c in state_cols if c not in current.columns]
     if missing:
         raise ValueError(f"current snapshot lacks state columns {missing}")
@@ -184,6 +269,12 @@ def summing_merge(
             return F.when(
                 a.isNotNull() & b.isNotNull(), F.hll_union(a, b)
             ).otherwise(F.coalesce(a, b)).alias(c)
+        if how == "hist":
+            # element-wise bin sum when both sides exist
+            return F.when(
+                a.isNotNull() & b.isNotNull(),
+                F.zip_with(a, b, lambda x, y: x + y),
+            ).otherwise(F.coalesce(a, b)).alias(c)
         return (F.least(a, b) if how == "min" else F.greatest(a, b)).alias(c)
 
     folded = (
@@ -191,6 +282,7 @@ def summing_merge(
         + [fold(c, "min") for c in min_cols]
         + [fold(c, "max") for c in max_cols]
         + [fold(c, "hll") for c in hll_cols]
+        + [fold(c, "hist") for c in hist_cols]
     )
     # Null-safe key equality: a NULL-keyed state row must merge with a
     # NULL-keyed delta row (plain `on=keys` never matches NULLs, so the

@@ -608,3 +608,111 @@ def test_snapshot_diff_null_keys(spark):
     assert rows_set(snapshot_diff(old, new, ["k"]).select("k", "change", "v")) == {
         (None, "update", 2)
     }
+
+
+def test_summing_merge_hist_states(spark):
+    """Fixed-bin histogram states: incremental == full bit-for-bit
+    (element-wise bin sums are exactly associative), and quantile reads
+    land within one bin width of DuckDB's exact quantile_cont."""
+    import duckdb
+
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.sinks.upsert import (
+        histogram_quantile,
+        summing_merge,
+    )
+
+    SF_SMOKE = "/root/testdata/sf0.001"
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    # deterministic row-exact split (subtract would dedup duplicates)
+    d1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    d2 = li.filter(F.col("l_orderkey") % 2 != 0)
+    LO, HI, NB = 0.0, 110_000.0, 44
+    args = dict(
+        keys=["l_returnflag"],
+        sum_cols=[],
+        hist_cols={"price_hist": ("l_extendedprice", LO, HI, NB)},
+    )
+    # sum-free path must be accepted
+    inc = summing_merge(summing_merge(None, d1, **args), d2, **args)
+    full = summing_merge(None, li, **args)
+    got_inc = {r.l_returnflag: list(r.price_hist) for r in inc.collect()}
+    got_full = {r.l_returnflag: list(r.price_hist) for r in full.collect()}
+    assert got_inc == got_full
+    # counts conserve
+    n = li.count()
+    assert sum(sum(v) for v in got_full.values()) == n
+
+    est = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in full.select(
+            "l_returnflag",
+            histogram_quantile("price_hist", 0.5, LO, HI, NB).alias("p50"),
+            histogram_quantile("price_hist", 0.95, LO, HI, NB).alias("p95"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'"
+    )
+    want = {
+        f: (p50, p95)
+        for f, p50, p95 in con.execute(
+            "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5),"
+            " quantile_cont(l_extendedprice, 0.95)"
+            " FROM lineitem GROUP BY l_returnflag"
+        ).fetchall()
+    }
+    con.close()
+    binw = (HI - LO) / NB
+    for f, (p50, p95) in want.items():
+        assert abs(est[f][0] - p50) <= binw, (f, est[f][0], p50)
+        assert abs(est[f][1] - p95) <= binw, (f, est[f][1], p95)
+
+
+def test_histogram_state_validates(spark):
+    import pytest
+
+    from clickhouse_etl_spark.sinks.upsert import (
+        histogram_quantile,
+        histogram_state_agg,
+    )
+
+    with pytest.raises(ValueError, match="nbins"):
+        histogram_state_agg("x", 0.0, 1.0, 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        histogram_state_agg("x", 2.0, 1.0, 4)
+    with pytest.raises(ValueError, match="q must"):
+        histogram_quantile("h", 1.5, 0.0, 1.0, 4)
+
+
+def test_histogram_quantile_edges(spark):
+    """Under/overflow clamp to the declared bounds; empty/NULL states
+    read NULL; a one-bin state interpolates inside the bin."""
+    from clickhouse_etl_spark.sinks.upsert import (
+        histogram_quantile,
+        histogram_state_agg,
+        summing_merge,
+    )
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", -1.0), ("b", 99.0), ("c", 5.0), ("c", 5.5),
+         ("d", None)],
+        "k string, v double",
+    )
+    st = summing_merge(
+        None, df, keys=["k"], sum_cols=[],
+        hist_cols={"h": ("v", 0.0, 10.0, 10)},
+    )
+    got = {
+        r.k: r.q
+        for r in st.select(
+            "k", histogram_quantile("h", 0.5, 0.0, 10.0, 10).alias("q")
+        ).collect()
+    }
+    assert got["a"] == 0.0      # all underflow -> lo
+    assert got["b"] == 10.0     # all overflow -> hi
+    assert 5.0 <= got["c"] <= 6.0  # inside the [5,6) bin
+    assert got["d"] is None     # no observed values
