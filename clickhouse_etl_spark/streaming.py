@@ -199,6 +199,7 @@ def streaming_funnel(
     steps: list[str],
     window_seconds: int,
     watermark: str = "2 hours",
+    expire_closed_windows: bool = False,
 ) -> DataFrame:
     """The streaming twin of :func:`operators.events.window_funnel`
     (ClickHouse ``windowFunnel``, greedy-from-earliest semantics):
@@ -228,16 +229,22 @@ def streaming_funnel(
     landing files by time — the same discipline every event-time
     state machine (sessionization included) already needs.
 
-    State runs with ``NoTimeout`` — exact funnel semantics require the
+    State: with the default ``expire_closed_windows=False`` the op runs
+    ``NoTimeout`` — exact greedy-from-earliest semantics require the
     anchor to survive arbitrarily long quiet periods, so per-user
     entries are NEVER evicted (state is O(distinct users) for the
-    stream's lifetime, same trade-off as :func:`first_seen_per_key`).
-    ``watermark`` declares the event-time horizon on the input; it does
-    NOT bound this operator's state — over an unbounded user universe
-    swap in ``GroupStateTimeout.EventTimeTimeout`` +
-    ``setTimeoutTimestamp`` to forget users idle past the horizon
-    (trade-off: a user silent longer than the horizon re-anchors as
-    new). NULL timestamps are dropped before the state function.
+    stream's lifetime, same trade-off as :func:`first_seen_per_key`);
+    ``watermark`` then only declares the input's event-time horizon.
+    ``expire_closed_windows=True`` is the bounded-state form for an
+    unbounded user universe: ``EventTimeTimeout`` evicts a user's state
+    once the watermark passes ``anchor + window_seconds`` — the funnel
+    could never advance again, so every level already emitted stays
+    correct — and the SEMANTIC trade is explicit: a step-1 event
+    arriving after eviction RE-ANCHORS a fresh funnel (per-window
+    funnels over the recent horizon, ClickHouse-windowFunnel-style)
+    instead of being ignored under the forever-first anchor. State
+    becomes O(users active within one window+watermark horizon).
+    NULL timestamps are dropped before the state function.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -249,6 +256,9 @@ def streaming_funnel(
         events.withWatermark("ts", watermark)
         .selectExpr(
             "user_id",
+            # event-time timeout requires the watermark-tagged column to
+            # survive into the stateful operator's child plan
+            *(["ts"] if expire_closed_windows else []),
             "unix_micros(ts) AS etl_ts_us",
             *[f"CAST(({s}) AS BOOLEAN) AS {f}" for s, f in zip(steps, flags)],
         )
@@ -259,6 +269,11 @@ def streaming_funnel(
     def fn(key, pdfs, state):
         import pandas as pd
 
+        if expire_closed_windows and state.hasTimedOut:
+            # watermark passed anchor + window: the funnel can never
+            # advance — evict; a later step-1 event re-anchors fresh
+            state.remove()
+            return
         if state.exists:
             t1, level, t_prev = state.get
         else:
@@ -286,6 +301,13 @@ def streaming_funnel(
         if not changed:
             return
         state.update((t1, level, t_prev))
+        if expire_closed_windows:
+            # late-arriving anchors can close behind the current
+            # watermark; a timeout in the past is rejected, so clamp one
+            # tick ahead (eviction then fires on the next batch)
+            state.setTimeoutTimestamp(
+                max((t1 + window_us) // 1000, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -301,7 +323,9 @@ def streaming_funnel(
         FUNNEL_SCHEMA,
         _FUNNEL_STATE,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout
+        if expire_closed_windows
+        else GroupStateTimeout.NoTimeout,
     )
 
 

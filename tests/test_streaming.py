@@ -499,3 +499,73 @@ def test_streaming_funnel_advances_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == {1: 3, 2: 1}
+
+
+def test_streaming_funnel_expire_closed_windows(spark, tmp_path):
+    """Bounded-state mode: once the watermark passes anchor + window,
+    the user's state is evicted — a later step-2 event does NOT advance
+    the old funnel, and a later step-1 event re-anchors a FRESH funnel
+    (emitted with the new anchor_ts). The default mode keeps the old
+    anchor forever (contrast pinned here)."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01").value // 1000  # micros
+    HOUR = 3_600_000_000
+    # file A: u1 signup at t0 (anchor; window 60s)
+    # file B: u2 signup at t0+10h — advances the watermark (delay 1s)
+    #         far past u1's window close
+    # file C: u2 view — u1 has NO data this batch, so its expired
+    #         timeout fires and the state is evicted (timeouts only
+    #         fire for data-free keys)
+    # file D: u1 view at t0+11h (state gone: must NOT advance the old
+    #         funnel) then u1 signup at t0+11h+1s (re-anchors FRESH)
+    rows_a = [(1, base, 1, "signup")]
+    rows_b = [(2, base + 10 * HOUR, 2, "signup")]
+    rows_c = [(3, base + 10 * HOUR + 10_000_000, 2, "view")]
+    rows_d = [
+        (4, base + 11 * HOUR, 1, "view"),
+        (5, base + 11 * HOUR + 1_000_000, 1, "signup"),
+    ]
+    zone = tmp_path / "funexp"
+    zone.mkdir()
+    now = _time.time()
+    for i, (name, rows) in enumerate(
+        (("a.parquet", rows_a), ("b.parquet", rows_b), ("c.parquet", rows_c),
+         ("d.parquet", rows_d))
+    ):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        pdf["value"] = 1.0
+        pdf["props"] = "{}"
+        pdf["ts"] = pdf["ts"] * 1000  # micros -> nanos landing encoding
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(zone / name)
+        )
+        _os.utime(zone / name, (now - 120 + 30 * i, now - 120 + 30 * i))
+    stream = st.read_event_stream(spark, str(zone), max_files_per_trigger=1)
+    out = st.run_stream_to_memory(
+        spark,
+        st.streaming_funnel(
+            stream,
+            _FUNNEL_STEPS,
+            window_seconds=60,
+            watermark="1 second",
+            expire_closed_windows=True,
+        ),
+        "t_funnel_exp",
+        str(tmp_path / "funexp_q"),
+        output_mode="append",
+    )
+    u1 = [r for r in out.collect() if r.user_id == 1]
+    # old anchor emitted level 1; the view after eviction must not have
+    # produced level 2; the late signup re-anchors (a second level-1 row
+    # with the NEW anchor timestamp)
+    assert sorted(r.funnel_level for r in u1) == [1, 1]
+    anchors = sorted(r.anchor_ts for r in u1)
+    assert anchors[0] != anchors[1]
