@@ -270,10 +270,19 @@ def summing_merge(
                 a.isNotNull() & b.isNotNull(), F.hll_union(a, b)
             ).otherwise(F.coalesce(a, b)).alias(c)
         if how == "hist":
-            # element-wise bin sum when both sides exist
+            # element-wise bin sum when both sides exist; a bin-count
+            # mismatch (hist spec drifted between runs) must fail
+            # loudly — zip_with would silently NULL-pad the bins
+            ok = F.assert_true(
+                F.size(a) == F.size(b),
+                F.lit(
+                    f"histogram state {c!r}: bin-count mismatch between "
+                    "snapshot and delta (hist_cols spec changed?)"
+                ),
+            )
             return F.when(
                 a.isNotNull() & b.isNotNull(),
-                F.zip_with(a, b, lambda x, y: x + y),
+                F.when(ok.isNull(), F.zip_with(a, b, lambda x, y: x + y)),
             ).otherwise(F.coalesce(a, b)).alias(c)
         return (F.least(a, b) if how == "min" else F.greatest(a, b)).alias(c)
 

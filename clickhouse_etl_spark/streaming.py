@@ -278,6 +278,17 @@ def streaming_funnel(
             t1, level, t_prev = state.get
         else:
             t1, level, t_prev = None, 0, None
+        if (
+            expire_closed_windows
+            and t1 is not None
+            and state.getCurrentWatermarkMs() > (t1 + window_us) // 1000
+        ):
+            # the watermark passed this anchor's window but data for the
+            # user arrived in the SAME batch the timeout would have
+            # fired (data pre-empts the timeout callback): apply the
+            # eviction here so the batch's step-1 events re-anchor
+            # instead of being swallowed by the dead state
+            t1, level, t_prev = None, 0, None
         changed = False
         # one sort over the WHOLE batch: a user's events can arrive as
         # several Arrow chunks, and a per-chunk sort would scan a later

@@ -53,8 +53,13 @@ def _check_books(codebooks) -> tuple[int, int, int]:
 def _check_dims(df: DataFrame, vec_col: str, m: int, dsub: int, side: str):
     """Vectors shorter/longer than m*dsub would slice into short arrays,
     NULL out the distance folds, and rank garbage FIRST (NULLs sort low
-    ascending) — fail loudly instead."""
-    dims = _probe_dims(df, vec_col)
+    ascending) — fail loudly instead. An EMPTY input (a delta batch with
+    no vectors) or a NULL probe row has nothing to validate and passes
+    through (downstream simply produces an empty result)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not row or row[0]["d"] is None or row[0]["d"] < 0:
+        return
+    dims = int(row[0]["d"])
     if dims != m * dsub:
         raise ValueError(
             f"{side} vectors have {dims} dims but codebooks cover "
@@ -149,15 +154,39 @@ def pq_encode(
     base = rebalance_for_compute(
         df.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
     )
-    subs = base.select(
+    return _codes_projection(base, codebooks, id_col)
+
+
+def _codes_projection(
+    base: DataFrame,
+    codebooks,
+    id_col: str,
+    cell_centroids=None,
+) -> DataFrame:
+    """The one fused map-only pass shared by :func:`pq_encode` and
+    :func:`ivf_pq_topk`: per-subspace code argmins from ``base``'s
+    ``(id, __v)``, plus (when ``cell_centroids`` is given) the coarse
+    cell argmin fused into the same projection. Distance arrays are
+    named columns FIRST — array_position + array_min each reference the
+    array, and re-inlining would double-evaluate the ksub-term fold
+    (same discipline as kmeans.assign_clusters)."""
+    m, _ksub, dsub = _check_books(codebooks)
+    with_cell = (
+        [
+            F.array(
+                *[F.expr(_sq_dist_expr("__v", c)) for c in cell_centroids]
+            ).alias("__celld")
+        ]
+        if cell_centroids is not None
+        else []
+    )
+    with_d = base.select(
         id_col,
         *[F.expr(_subvec(j, dsub)).alias(f"__s{j}") for j in range(m)],
-    )
-    # distance arrays as named columns FIRST: array_position + array_min
-    # each reference the array, and re-inlining would double-evaluate
-    # the ksub-term fold (same discipline as kmeans.assign_clusters)
-    with_d = subs.select(
+        *with_cell,
+    ).select(
         id_col,
+        *(["__celld"] if cell_centroids is not None else []),
         *[
             F.array(
                 *[F.expr(_sq_dist_expr(f"__s{j}", c)) for c in book]
@@ -165,8 +194,18 @@ def pq_encode(
             for j, book in enumerate(codebooks)
         ],
     )
+    cell_out = (
+        [
+            F.expr(
+                "CAST(array_position(__celld, array_min(__celld)) - 1 AS INT)"
+            ).alias("cluster")
+        ]
+        if cell_centroids is not None
+        else []
+    )
     return with_d.select(
         id_col,
+        *cell_out,
         F.array(
             *[
                 F.expr(
@@ -402,36 +441,7 @@ def ivf_pq_topk(
     base = rebalance_for_compute(
         corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
     )
-    with_d = base.select(
-        id_col,
-        *[F.expr(_subvec(j, dsub)).alias(f"__s{j}") for j in range(m)],
-        F.array(
-            *[F.expr(_sq_dist_expr("__v", c)) for c in centroids]
-        ).alias("__celld"),
-    ).select(
-        id_col,
-        "__celld",
-        *[
-            F.array(
-                *[F.expr(_sq_dist_expr(f"__s{j}", c)) for c in book]
-            ).alias(f"__d{j}")
-            for j, book in enumerate(codebooks)
-        ],
-    )
-    codes = with_d.select(
-        id_col,
-        F.expr(
-            "CAST(array_position(__celld, array_min(__celld)) - 1 AS INT)"
-        ).alias("cluster"),
-        F.array(
-            *[
-                F.expr(
-                    f"CAST(array_position(__d{j}, array_min(__d{j})) - 1 AS INT)"
-                )
-                for j in range(m)
-            ]
-        ).alias("codes"),
-    )
+    codes = _codes_projection(base, codebooks, id_col, cell_centroids=centroids)
 
     # query → nprobe nearest cells (ids only; the LUT re-attaches by
     # query id after the cell join so each query's m*ksub table

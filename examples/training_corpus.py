@@ -87,7 +87,12 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     from clickhouse_etl_spark.text.similarity import semantic_dedup
 
     cents, _ = train_kmeans(emb, 8, max_iters=3)
-    emb_kept = semantic_dedup(emb, cents, threshold=0.95)
+    # iterative min-label-propagation lineage: snapshot it once — the
+    # ANN stage and the report counts would otherwise recompute the
+    # transitive closure per action (same reason `corpus` is cut above)
+    emb_kept = materialize(
+        semantic_dedup(emb, cents, threshold=0.95), cut_lineage=True
+    )
 
     # 5c. ANN serving index: PQ codebooks + IVFADC probe (the
     #     compressed-domain search the curated corpus ships with).

@@ -524,9 +524,15 @@ def test_streaming_funnel_expire_closed_windows(spark, tmp_path):
     #         fire for data-free keys)
     # file D: u1 view at t0+11h (state gone: must NOT advance the old
     #         funnel) then u1 signup at t0+11h+1s (re-anchors FRESH)
-    rows_a = [(1, base, 1, "signup")]
+    rows_a = [(1, base, 1, "signup"), (6, base, 3, "signup")]
     rows_b = [(2, base + 10 * HOUR, 2, "signup")]
-    rows_c = [(3, base + 10 * HOUR + 10_000_000, 2, "view")]
+    # u3's late signup lands in the SAME batch whose watermark first
+    # passes its window close — data pre-empts the timeout callback, so
+    # the operator must apply the eviction inline and re-anchor
+    rows_c = [
+        (3, base + 10 * HOUR + 10_000_000, 2, "view"),
+        (7, base + 10 * HOUR + 20_000_000, 3, "signup"),
+    ]
     rows_d = [
         (4, base + 11 * HOUR, 1, "view"),
         (5, base + 11 * HOUR + 1_000_000, 1, "signup"),
@@ -562,10 +568,17 @@ def test_streaming_funnel_expire_closed_windows(spark, tmp_path):
         str(tmp_path / "funexp_q"),
         output_mode="append",
     )
-    u1 = [r for r in out.collect() if r.user_id == 1]
+    rows = out.collect()
+    u1 = [r for r in rows if r.user_id == 1]
     # old anchor emitted level 1; the view after eviction must not have
     # produced level 2; the late signup re-anchors (a second level-1 row
     # with the NEW anchor timestamp)
     assert sorted(r.funnel_level for r in u1) == [1, 1]
     anchors = sorted(r.anchor_ts for r in u1)
     assert anchors[0] != anchors[1]
+    # same-batch pre-emption: u3's re-anchor arrived in the batch the
+    # timeout would have fired — still two distinct level-1 anchors
+    u3 = [r for r in rows if r.user_id == 3]
+    assert sorted(r.funnel_level for r in u3) == [1, 1]
+    a3 = sorted(r.anchor_ts for r in u3)
+    assert a3[0] != a3[1]

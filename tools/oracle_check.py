@@ -51,28 +51,52 @@ def canon_rows(columns, rows):
     return [c for c in sorted(columns)], out
 
 
+def fetch_oracle(con, oracle_sql: str):
+    """Run an oracle SQL on an open DuckDB connection; (cols, rows)."""
+    cur = con.execute(oracle_sql)
+    return [d[0] for d in cur.description], cur.fetchall()
+
+
+def open_oracle_views(sf_dir: str):
+    """DuckDB connection with every test table registered as a view —
+    the exact view setup the driver's gate uses."""
+    con = duckdb.connect()
+    for t in TEST_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def compare_canonical(scols, srows, dcols, drows) -> str | None:
+    """THE comparison (column names → row count → order-insensitive
+    canonicalized values). Returns None on match, else a message —
+    shared by the CLI gate below and assert_matches_oracle so the two
+    tiers can never drift."""
+    sc, sr = canon_rows(scols, [tuple(r) for r in srows])
+    dc, dr = canon_rows(dcols, drows)
+    if sc != dc:
+        return f"columns differ spark={sc} duckdb={dc}"
+    if len(sr) != len(dr):
+        return f"rowcount spark={len(sr)} duckdb={len(dr)}"
+    if sr != dr:
+        diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+        detail = "".join(
+            f"\n      spark : {a}\n      duckdb: {b}" for a, b in diffs
+        )
+        return f"values differ; first diffs:{detail}"
+    return None
+
+
 def assert_matches_oracle(sdf, oracle_sql: str, sf_dir: str) -> None:
     """Pytest-tier twin of the driver gate for ONE query: run
     ``oracle_sql`` on DuckDB views over ``sf_dir``'s parquet tables and
-    assert column names, row count, and order-insensitive canonicalized
-    values all match the Spark DataFrame. Shared by the demoted-oracle
-    test files so the comparison never drifts from this module's."""
-    con = duckdb.connect()
+    assert the shared :func:`compare_canonical` passes."""
+    con = open_oracle_views(sf_dir)
     try:
-        for t in TEST_TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
-        cur = con.execute(oracle_sql)
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
+        dcols, drows = fetch_oracle(con, oracle_sql)
     finally:
         con.close()
-    sc, sr = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
-    dc, dr = canon_rows(dcols, drows)
-    assert sc == dc, f"columns differ: spark={sc} duckdb={dc}"
-    assert len(sr) == len(dr), f"rowcount: spark={len(sr)} duckdb={len(dr)}"
-    assert sr == dr, "canonicalized values differ"
+    msg = compare_canonical(sdf.columns, sdf.collect(), dcols, drows)
+    assert msg is None, msg
 
 
 def main() -> int:
@@ -101,11 +125,7 @@ def main() -> int:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in TEST_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    con = open_oracle_views(sf_dir)
 
     failures = []
     for name, fn in qs.items():
@@ -125,32 +145,18 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s) — no oracle")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            dcols, drows = fetch_oracle(con, oracles[name])
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
-        sc, sr = canon_rows(scols, [tuple(r) for r in srows])
-        dc, dr = canon_rows(dcols, drows)
-        if sc != dc:
+        msg = compare_canonical(scols, srows, dcols, drows)
+        if msg is not None:
             failures.append(name)
-            print(f"FAIL  {name}: columns differ spark={sc} duckdb={dc}")
+            print(f"FAIL  {name}: {msg}")
             continue
-        if len(sr) != len(dr):
-            failures.append(name)
-            print(f"FAIL  {name}: rowcount spark={len(sr)} duckdb={len(dr)}")
-            continue
-        if sr != dr:
-            failures.append(name)
-            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            print(f"FAIL  {name}: values differ; first diffs:")
-            for a, b in diffs:
-                print(f"      spark : {a}\n      duckdb: {b}")
-            continue
-        print(f"OK    {name}: {len(sr)} rows match ({time.time()-t0:.1f}s)")
+        print(f"OK    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
     return 1 if failures else 0
