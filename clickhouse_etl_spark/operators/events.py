@@ -191,6 +191,66 @@ def window_funnel_strict_order(
     )
 
 
+def sequence_next_node(
+    events: DataFrame,
+    steps: Sequence[Column | str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceNextNode(forward, first_match)``: per user,
+    the VALUE of the event immediately following the first CONSECUTIVE
+    run of events matching ``steps`` — the "what do users do next after
+    completing the funnel" question. Returns ``(user_col, next_value)``
+    for every user with at least one full consecutive match;
+    ``next_value`` is NULL when the match ends the user's event stream.
+
+    Same pure-LEAD plan as :func:`window_funnel_strict_order` (one
+    window sort per user, ``lead(i)`` tests step ``i`` at offset
+    ``i``), plus one more LEAD fetching the value at offset ``k``.
+    The match is anchored at the EARLIEST qualifying run (first_match);
+    consecutive means no intervening events, and tied timestamps order
+    by ``tiebreak_col`` (pass the event id for a total order). NULL
+    timestamps are dropped. No window-seconds bound — the ClickHouse
+    function has none; compose with a time filter upstream if needed.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    conds = [F.expr(s) if isinstance(s, str) else s for s in steps]
+    k = len(conds)
+    ts = F.col(ts_col).cast("timestamp")
+    base_cols = [
+        F.col(user_col),
+        F.unix_micros(ts).alias("__ts_us"),
+        F.col(value_col).alias("__val"),
+        *[c.cast("boolean").alias(f"__s{i}") for i, c in enumerate(conds)],
+    ]
+    if tiebreak_col:
+        base_cols.append(F.col(tiebreak_col).alias("__tb"))
+    base = events.select(*base_cols).filter(F.col("__ts_us").isNotNull())
+    order = [F.col("__ts_us")] + ([F.col("__tb")] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    matched = F.lit(True)
+    for i in range(k):
+        step_here = (
+            F.col("__s0") if i == 0
+            else F.coalesce(F.lead(F.col(f"__s{i}"), i).over(w), F.lit(False))
+        )
+        matched = matched & step_here
+    anchored = base.select(
+        F.col(user_col),
+        *order,
+        matched.alias("__hit"),
+        F.lead(F.col("__val"), k).over(w).alias("__next"),
+    ).filter(F.col("__hit"))
+    return (
+        anchored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(user_col, F.col("__next").alias("next_value"))
+    )
+
+
 def window_funnel_strict_dedup(
     events: DataFrame,
     steps: Sequence[Column | str],

@@ -570,3 +570,67 @@ def test_window_funnel_strict_dedup_is_restriction(spark):
                 break
         want[u] = lvl
     assert strict == want
+
+
+# --- sequenceNextNode --------------------------------------------------------
+
+def test_sequence_next_node_micro(spark):
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.events import sequence_next_node
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: a b c d -> next after consecutive (a,b) run is c
+        (1, base, "a"), (1, base + s, "b"),
+        (1, base + 2 * s, "c"), (1, base + 3 * s, "d"),
+        # u2: a x b -> x interrupts, no consecutive match -> absent
+        (2, base, "a"), (2, base + s, "x"), (2, base + 2 * s, "b"),
+        # u3: chain at the end of the stream -> matched, next NULL
+        (3, base, "a"), (3, base + s, "b"),
+        # u4: two matches; FIRST one wins (next = a, not d)
+        (4, base, "a"), (4, base + s, "b"), (4, base + 2 * s, "a"),
+        (4, base + 3 * s, "b"), (4, base + 4 * s, "d"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: r.next_value
+        for r in sequence_next_node(
+            events, ["event_type = 'a'", "event_type = 'b'"]
+        ).collect()
+    }
+    assert got == {1: "c", 3: None, 4: "a"}
+
+
+def test_sequence_next_node_oracle(spark):
+    """Full-corpus DuckDB LEAD-chain mirror (first consecutive
+    signup->view run; the following event's type, NULL at stream end)."""
+    from clickhouse_etl_spark.operators.events import sequence_next_node
+
+    events = load_table(spark, SF_DIR, "events")
+    out = sequence_next_node(
+        events,
+        ["event_type = 'signup'", "event_type = 'view'"],
+        tiebreak_col="event_id",
+    )
+    _assert_matches(
+        out,
+        """
+        WITH flagged AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                 event_type = 'signup' AS s0,
+                 LEAD(event_type = 'view', 1) OVER w AS n1,
+                 LEAD(event_type, 2) OVER w AS nxt
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        hits AS (
+          SELECT user_id, nxt,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS rn
+          FROM flagged WHERE s0 AND COALESCE(n1, FALSE)
+        )
+        SELECT user_id, nxt AS next_value FROM hits WHERE rn = 1
+        """,
+    )
