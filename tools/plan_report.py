@@ -62,12 +62,36 @@ def _extra_plans(spark, sf_dir):
     from clickhouse_etl_spark.catalog import load_table
     from clickhouse_etl_spark.operators.events import sessionize, window_funnel
     from clickhouse_etl_spark.sinks.zorder import zorder_value
+    from clickhouse_etl_spark.text.pq import (
+        init_codebooks,
+        ivf_pq_topk,
+    )
+    from clickhouse_etl_spark.text.similarity import semantic_cluster_pairs
     from clickhouse_etl_spark.text.spans import duplicated_spans
 
     docs = load_table(spark, sf_dir, "documents")
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = init_codebooks(emb, m=4, ksub=8)
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
     return {
+        "lib:ivf_pq_topk": (
+            ivf_pq_topk(
+                emb, emb.limit(3), cents, books, k=5, nprobe=2
+            ),
+            "IVFADC: ONE fused map-only cells+codes projection (no "
+            "corpus join), broadcast query→cell and query→LUT sides, "
+            "shuffles only the two per-query top-k windows",
+        ),
+        "lib:semantic_cluster_pairs": (
+            semantic_cluster_pairs(emb, cents, threshold=0.35),
+            "SemDeDup: ids+cell-only self-join, vectors re-attach to "
+            "the collision-bounded pair list (AQE-elective)",
+        ),
         "lib:duplicated_spans": (
             duplicated_spans(docs, k=8),
             "shingle inverted index → dup-set join; islands merge + final "
