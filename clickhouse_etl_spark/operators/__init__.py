@@ -20,6 +20,7 @@ from clickhouse_etl_spark.operators.aggregates import (  # noqa: F401
     credit_totals,
     nested_details,
     json_details,
+    sum_map,
 )
 from clickhouse_etl_spark.operators.rollup import (  # noqa: F401
     hierarchical_rollup,
@@ -41,6 +42,7 @@ from clickhouse_etl_spark.operators.grouped import (  # noqa: F401
     top_k_per_group,
 )
 from clickhouse_etl_spark.operators.events import (  # noqa: F401
+    max_intersections,
     retention_flags,
     retention_summary,
     sequence_match,

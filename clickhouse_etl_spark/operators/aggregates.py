@@ -137,3 +137,79 @@ def json_details(
         F.to_json(arr).alias(alias),
         F.size(arr).alias(count_alias),
     )
+
+
+def sum_map(
+    df: DataFrame,
+    keys: Sequence[str],
+    map_keys_col: str,
+    map_values_col: str,
+    keys_out: str = "keys",
+    values_out: str = "values",
+    drop_zero: bool = True,
+) -> DataFrame:
+    """ClickHouse ``sumMap(keyArr, valueArr)``: per group, sum the
+    value array element-wise BY KEY across rows, returning two parallel
+    arrays — the distinct keys in ascending order and each key's total.
+    The workhorse for keyed-counter rollups (status->count,
+    error_code->count) where the key space varies per row.
+
+    ``drop_zero=True`` (default) removes keys whose total is exactly
+    zero — mirroring SummingMergeTree's map-column compaction, where a
+    +n/-n pair cancels out of the merged state entirely. Pass ``False``
+    to keep them.
+
+    Semantics: a row whose arrays are NULL contributes nothing; a
+    length mismatch between the two arrays fails loudly
+    (``assert_true`` — zip would silently NULL-pad); NULL VALUES are
+    ignored by the sum (a key seen only with NULL values totals NULL,
+    which ``drop_zero`` also removes — it carries no information);
+    NULL KEYS are a key like any other and sort last. A group with no
+    surviving keys (only NULL-array rows, or every total dropped by
+    ``drop_zero``) does not appear in the output at all — left-join
+    the result back to the group list if empty-map groups must persist.
+
+    Shape: explode the zipped entries, then two aggregations —
+    per-(group, key) sums (map-side partial aggregation does the heavy
+    combine before any shuffle) and a per-group sorted re-assembly over
+    the already-compacted distinct keys. Both shuffles are on hash
+    keys; nothing is collected.
+    """
+    nk, nv = F.size(F.col(map_keys_col)), F.size(F.col(map_values_col))
+    both_null = F.col(map_keys_col).isNull() & F.col(map_values_col).isNull()
+    ok = F.assert_true(
+        both_null | (nk == nv),
+        F.lit(
+            f"sum_map: {map_keys_col!r} and {map_values_col!r} lengths "
+            "differ on some row (zip would silently NULL-pad)"
+        ),
+    )
+    entry = F.explode(
+        F.when(
+            ok.isNull(),
+            F.zip_with(
+                F.col(map_keys_col),
+                F.col(map_values_col),
+                lambda k, v: F.struct(k.alias("k"), v.alias("v")),
+            ),
+        )
+    ).alias("__e")
+    per_key = (
+        df.select(*keys, entry)
+        .groupBy(*keys, F.col("__e.k").alias("__k"))
+        .agg(F.sum("__e.v").alias("__s"))
+    )
+    if drop_zero:
+        per_key = per_key.filter(F.col("__s").isNotNull() & (F.col("__s") != 0))
+    kv = F.array_sort(
+        F.collect_list(F.struct(F.col("__k").alias("k"), F.col("__s").alias("v")))
+    )
+    return (
+        per_key.groupBy(*keys)
+        .agg(kv.alias("__kv"))
+        .select(
+            *keys,
+            F.transform("__kv", lambda e: e["k"]).alias(keys_out),
+            F.transform("__kv", lambda e: e["v"]).alias(values_out),
+        )
+    )

@@ -608,3 +608,74 @@ def fill_time_gaps(
             ],
         )
     return out
+
+
+def max_intersections(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str = "max_intersections",
+    position_col: str = "position",
+) -> DataFrame:
+    """ClickHouse ``maxIntersections`` / ``maxIntersectionsPosition`` in
+    one pass: per group, the maximum number of intervals
+    ``[start, end)`` open simultaneously, and the EARLIEST timestamp at
+    which that maximum is first reached — "peak concurrent sessions,
+    and when". Intervals are half-open: an interval ending exactly
+    where another starts does not overlap it (at a tied timestamp the
+    ``-1`` close sorts before the ``+1`` open).
+
+    Shape: each interval becomes two delta points (+1 at start, -1 at
+    end) via one explode; a running sum ordered by ``(ts, delta)``
+    within each group is the live-interval count; a same-window max +
+    conditional-min aggregation reads off the peak and its first
+    timestamp. One shuffle on the group key, one sort — the window's
+    default RANGE frame makes timestamp ties resolve to the
+    post-tie-group count, which is exactly the concurrency after all
+    simultaneous opens (closes only lower the count, so skipping their
+    intermediate values never misses a peak).
+
+    Rows with a NULL start or end are dropped (an unbalanced delta
+    would corrupt every later count). Callers must ensure
+    ``end >= start``; inverted intervals are not detected here.
+
+    With no ``group_cols`` the single window partition funnels the
+    whole corpus through one task — for a GLOBAL concurrency profile at
+    scale, group by a coarse time bucket instead and refine, or feed
+    the delta points through ``operators.prefix.running_total``.
+    """
+    pts = (
+        df.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+        .select(
+            *group_cols,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(start_col).cast("timestamp").alias("ts"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.col(end_col).cast("timestamp").alias("ts"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        .select(*group_cols, F.col("__p.ts").alias("__ts"), F.col("__p.delta").alias("__d"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__ts", "__d")
+    run = F.sum("__d").over(w)
+    peak = F.max(run).over(Window.partitionBy(*group_cols))
+    scored = pts.select(
+        *group_cols,
+        F.col("__ts"),
+        run.alias("__run"),
+        peak.alias("__peak"),
+    )
+    return scored.groupBy(*group_cols).agg(
+        F.max("__run").alias(out_col),
+        F.min(F.when(F.col("__run") == F.col("__peak"), F.col("__ts"))).alias(
+            position_col
+        ),
+    )

@@ -147,3 +147,73 @@ def test_a8_json_details_roundtrip(spark):
     parsed = json.loads(r["customEvaluations"])
     assert {d["kind"] for d in parsed} == {"quiz", "exam"}
     assert r["customEvaluationCount"] == 2
+
+
+# --- sumMap (ClickHouse sumMap / SummingMergeTree map compaction) ---
+
+_SUM_MAP_ORACLE = """
+WITH e AS (
+  SELECT l_orderkey % 8 AS g, l_returnflag AS k,
+         CAST(l_quantity AS BIGINT) AS v FROM lineitem
+  UNION ALL
+  SELECT l_orderkey % 8, l_linestatus, CAST(l_linenumber AS BIGINT)
+  FROM lineitem
+), s AS (
+  SELECT g, k, SUM(v) AS s FROM e GROUP BY g, k
+  HAVING SUM(v) IS NOT NULL AND SUM(v) <> 0
+)
+SELECT g, list(k ORDER BY k) AS keys, list(s ORDER BY k) AS values
+FROM s GROUP BY g
+"""
+
+
+def test_sum_map_matches_duckdb_oracle(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.operators.aggregates import sum_map
+    from tools.oracle_check import assert_matches_oracle
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") % 8).alias("g"),
+        F.array("l_returnflag", "l_linestatus").alias("mk"),
+        F.array(
+            F.col("l_quantity").cast("long"), F.col("l_linenumber").cast("long")
+        ).alias("mv"),
+    )
+    out = sum_map(li, ["g"], "mk", "mv")
+    assert_matches_oracle(out, _SUM_MAP_ORACLE, sf)
+
+
+def test_sum_map_zero_cancel_and_null_semantics(spark):
+    from clickhouse_etl_spark.operators.aggregates import sum_map
+
+    rows = [
+        # key 'a' cancels to 0; 'b' totals 7; 'n' only NULL values
+        ("g", ["a", "b"], [5, 3]),
+        ("g", ["a", "b", "n"], [-5, 4, None]),
+        ("g", None, None),  # NULL arrays contribute nothing
+        ("h", None, None),  # group with ONLY null arrays vanishes
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, mk array<string>, mv array<long>"
+    )
+    out = {r["g"]: (r["keys"], r["values"]) for r in
+           sum_map(df, ["g"], "mk", "mv").collect()}
+    assert out == {"g": (["b"], [7])}  # a: zero-dropped, n: NULL-dropped
+    kept = {r["g"]: (r["keys"], r["values"]) for r in
+            sum_map(df, ["g"], "mk", "mv", drop_zero=False).collect()}
+    assert kept == {"g": (["a", "b", "n"], [0, 7, None])}
+
+
+def test_sum_map_length_mismatch_raises(spark):
+    from clickhouse_etl_spark.operators.aggregates import sum_map
+
+    df = spark.createDataFrame(
+        [("g", ["a", "b"], [1])], "g string, mk array<string>, mv array<long>"
+    )
+    with pytest.raises(Exception, match="lengths"):
+        sum_map(df, ["g"], "mk", "mv").collect()

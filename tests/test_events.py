@@ -634,3 +634,74 @@ def test_sequence_next_node_oracle(spark):
         SELECT user_id, nxt AS next_value FROM hits WHERE rn = 1
         """,
     )
+
+
+# --- maxIntersections / maxIntersectionsPosition ---
+
+_MAX_INTERSECTIONS_ORACLE = """
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + to_seconds(CAST(FLOOR(value) AS BIGINT)) AS e
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+), pts AS (
+  SELECT event_type, s AS ts, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e, -1 FROM iv
+), run AS (
+  SELECT event_type, ts, d,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY ts, d) AS run
+  FROM pts
+), pk AS (
+  SELECT *, MAX(run) OVER (PARTITION BY event_type) AS peak FROM run
+)
+SELECT event_type,
+       MAX(run) AS max_intersections,
+       MIN(CASE WHEN run = peak THEN ts END) AS position
+FROM pk GROUP BY event_type
+"""
+
+
+def test_max_intersections_matches_duckdb_oracle(spark):
+    from clickhouse_etl_spark.operators.events import max_intersections
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("ts").isNotNull() & (F.col("value") >= 0)
+    )
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.timestamp_micros(
+            F.unix_micros("ts")
+            + F.floor("value").cast("long") * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    out = max_intersections(iv, "s", "e", ["event_type"])
+    _assert_matches(out, _MAX_INTERSECTIONS_ORACLE)
+
+
+def test_max_intersections_half_open_and_position(spark):
+    from clickhouse_etl_spark.operators.events import max_intersections
+
+    rows = [
+        # g1: [0,10) and [10,20) touch but never overlap -> peak 1 at t0
+        ("g1", "2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+        ("g1", "2024-01-01 00:00:10", "2024-01-01 00:00:20"),
+        # g2: [0,10] x [5,15] x [8,9] -> 3 open at t+8 (first time)
+        ("g2", "2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+        ("g2", "2024-01-01 00:00:05", "2024-01-01 00:00:15"),
+        ("g2", "2024-01-01 00:00:08", "2024-01-01 00:00:09"),
+        # NULL endpoints are dropped, not counted
+        ("g2", None, "2024-01-01 00:00:01"),
+        ("g2", "2024-01-01 00:00:01", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, s string, e string").select(
+        "g", F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e")
+    )
+    out = {
+        r["g"]: (r["max_intersections"], str(r["position"]))
+        for r in max_intersections(df, "s", "e", ["g"]).collect()
+    }
+    assert out["g1"] == (1, "2024-01-01 00:00:00")
+    assert out["g2"] == (3, "2024-01-01 00:00:08")
