@@ -42,6 +42,7 @@ from clickhouse_etl_spark.operators.grouped import (  # noqa: F401
     top_k_per_group,
 )
 from clickhouse_etl_spark.operators.events import (  # noqa: F401
+    interval_length_sum,
     max_intersections,
     retention_flags,
     retention_summary,

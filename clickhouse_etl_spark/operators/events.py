@@ -679,3 +679,53 @@ def max_intersections(
             position_col
         ),
     )
+
+
+def interval_length_sum(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str = "length_us",
+) -> DataFrame:
+    """ClickHouse ``intervalLengthSum``: per group, the total length of
+    the UNION of the intervals — overlaps counted once ("total active
+    time" across overlapping sessions). Timestamp endpoints; the result
+    is exact integer MICROSECONDS (``length_us``, long) — divide by 1e6
+    for seconds, which keeps the operator exact instead of baking a
+    float in.
+
+    Gaps-and-islands: order intervals by (start, end) within the group,
+    a row opens a new island when its start lies strictly beyond the
+    running max of all earlier ends, the island id is the running count
+    of those opens, and each island contributes max(end) − min(start).
+    Two window passes over ONE group-key sort, then two hash
+    aggregations (per-island, then per-group) — nothing quadratic,
+    nothing collected. Touching intervals ([0,10], [10,20]) merge —
+    union LENGTH has no open/half-open ambiguity (the boundary point
+    has measure zero); zero-length intervals contribute 0.
+
+    NULL endpoints drop the row; ``end >= start`` is the caller's
+    contract (same as :func:`max_intersections`).
+    """
+    base = df.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.unix_micros(F.col(start_col).cast("timestamp")).alias("__s"),
+        F.unix_micros(F.col(end_col).cast("timestamp")).alias("__e"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    per_island = (
+        base.withColumn("__island", island)
+        .groupBy(*group_cols, "__island")
+        .agg((F.max("__e") - F.min("__s")).alias("__len"))
+    )
+    return per_island.groupBy(*group_cols).agg(F.sum("__len").alias(out_col))

@@ -38,11 +38,22 @@ def frequent_items(
     col: str,
     k: int = 10,
     margin: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Top-k most frequent values of ``col`` with exact counts.
 
     Output: ``(col, n)`` ordered by ``n`` desc with a value-asc
     tiebreak (plans as TakeOrderedAndProject — no global sort).
+
+    ``weight_col`` generalizes to ClickHouse ``topKWeighted``: rank by
+    SUM(weight) per value instead of row count (``n`` becomes the exact
+    weight sum, long if the weight column is integral). The averaging
+    argument carries over verbatim with mass in place of count — a
+    value whose GLOBAL weight exceeds total/m must exceed
+    partition_weight/m in at least one partition — so the candidate
+    superset guarantee is unchanged. Rows with a NULL weight carry no
+    mass (dropped, matching SUM semantics); negative weights break the
+    averaging argument and are the caller's contract to exclude.
     """
     if k <= 0 or margin <= 0:
         raise ValueError("k and margin must be positive")
@@ -57,9 +68,15 @@ def frequent_items(
         counts: Counter = Counter()
         n = 0
         for pdf in batches:
-            vals = pdf[col].dropna()
-            n += len(vals)
-            counts.update(vals.tolist())
+            if weight_col is None:
+                vals = pdf[col].dropna()
+                n += len(vals)
+                counts.update(vals.tolist())
+            else:
+                pair = pdf[[col, weight_col]].dropna()
+                n += pair[weight_col].sum()
+                for v, w in zip(pair[col], pair[weight_col]):
+                    counts[v] += w
         if not counts:
             return
         threshold = n / m
@@ -68,12 +85,16 @@ def frequent_items(
             keep = [v for v, _ in counts.most_common(m)]
         yield pd.DataFrame({col: keep})
 
+    narrow = [col] if weight_col is None else [col, weight_col]
     candidates = (
-        df.select(col).mapInPandas(summarize, schema=out_schema).distinct()
+        df.select(*narrow).mapInPandas(summarize, schema=out_schema).distinct()
     )
+    mass = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).alias("n")
     exact = (
         df.join(F.broadcast(candidates), on=col, how="left_semi")
         .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(mass)
     )
     return exact.orderBy(F.col("n").desc(), F.col(col).asc()).limit(k)

@@ -1307,3 +1307,40 @@ def test_line_repetition_stats_micro(spark):
     assert got[1].dup_para_char_frac == 0.5
     assert got[2].dup_line_frac == 0.0 and got[2].dup_para_char_frac == 0.0
     assert got[3].dup_line_frac == 0.0 and got[3].dup_line_char_frac == 0.0
+
+
+def test_frequent_items_weighted_topk(spark):
+    """topKWeighted path: rank by SUM(weight) with the same superset
+    guarantee (hot keys carry ~10k mass each vs total/m = 5k), DuckDB
+    exact weighted top-k as oracle. Integer weights keep the sums
+    order-independent."""
+    from clickhouse_etl_spark.operators.sketches import frequent_items
+
+    df = spark.range(50_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN id % 20 ELSE id END AS v",
+        "CAST(1 + id % 7 AS BIGINT) AS w",
+    )
+    out = frequent_items(df, "v", k=10, margin=4, weight_col="w")
+    _assert_matches_oracle(
+        out,
+        """
+        SELECT v, SUM(w) AS n FROM (
+          SELECT CASE WHEN i % 2 = 0 THEN i % 20 ELSE i END AS v,
+                 CAST(1 + i % 7 AS BIGINT) AS w
+          FROM range(50000) t(i)
+        ) GROUP BY v ORDER BY n DESC, v ASC LIMIT 10
+        """,
+    )
+
+
+def test_frequent_items_weighted_null_weight_carries_no_mass(spark):
+    from clickhouse_etl_spark.operators.sketches import frequent_items
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", None), ("b", 1), ("c", 2)], "v string, w long"
+    )
+    got = [
+        (r["v"], r["n"])
+        for r in frequent_items(df, "v", k=2, weight_col="w").collect()
+    ]
+    assert got == [("a", 5), ("c", 2)]  # b's NULL row adds nothing

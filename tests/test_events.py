@@ -705,3 +705,81 @@ def test_max_intersections_half_open_and_position(spark):
     }
     assert out["g1"] == (1, "2024-01-01 00:00:00")
     assert out["g2"] == (3, "2024-01-01 00:00:08")
+
+
+# --- intervalLengthSum ---
+
+_INTERVAL_LENGTH_ORACLE = """
+WITH iv AS (
+  SELECT event_type,
+         epoch_us(ts) AS s,
+         epoch_us(ts + to_seconds(CAST(FLOOR(value) AS BIGINT))) AS e
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+), flagged AS (
+  SELECT event_type, s, e,
+         CASE WHEN MAX(e) OVER (
+                PARTITION BY event_type ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR s > MAX(e) OVER (
+                PARTITION BY event_type ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS opens
+  FROM iv
+), islands AS (
+  SELECT event_type, s, e,
+         SUM(opens) OVER (PARTITION BY event_type ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), per_island AS (
+  SELECT event_type, island, MAX(e) - MIN(s) AS len
+  FROM islands GROUP BY event_type, island
+)
+SELECT event_type, SUM(len) AS length_us
+FROM per_island GROUP BY event_type
+"""
+
+
+def test_interval_length_sum_matches_duckdb_oracle(spark):
+    from clickhouse_etl_spark.operators.events import interval_length_sum
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("ts").isNotNull() & (F.col("value") >= 0)
+    )
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.timestamp_micros(
+            F.unix_micros("ts")
+            + F.floor("value").cast("long") * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    out = interval_length_sum(iv, "s", "e", ["event_type"])
+    _assert_matches(out, _INTERVAL_LENGTH_ORACLE)
+
+
+def test_interval_length_sum_merge_semantics(spark):
+    from clickhouse_etl_spark.operators.events import interval_length_sum
+
+    rows = [
+        # g1: [0,10] + [10,20] touch -> one island, 20s
+        ("g1", "2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+        ("g1", "2024-01-01 00:00:10", "2024-01-01 00:00:20"),
+        # g2: [0,10] contains [2,5]; [30,40] disjoint -> 10 + 10 = 20s
+        ("g2", "2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+        ("g2", "2024-01-01 00:00:02", "2024-01-01 00:00:05"),
+        ("g2", "2024-01-01 00:00:30", "2024-01-01 00:00:40"),
+        # g3: zero-length interval contributes 0
+        ("g3", "2024-01-01 00:00:01", "2024-01-01 00:00:01"),
+        # NULL endpoint rows are dropped
+        ("g3", None, "2024-01-01 00:00:09"),
+    ]
+    df = spark.createDataFrame(rows, "g string, s string, e string").select(
+        "g", F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e")
+    )
+    out = {r["g"]: r["length_us"] for r in
+           interval_length_sum(df, "s", "e", ["g"]).collect()}
+    assert out == {"g1": 20_000_000, "g2": 20_000_000, "g3": 0}
