@@ -51,3 +51,7 @@ from clickhouse_etl_spark.operators.events import (  # noqa: F401
     window_funnel,
 )
 from clickhouse_etl_spark.operators.fuzzy import fuzzy_self_pairs  # noqa: F401
+from clickhouse_etl_spark.operators.timeseries import (  # noqa: F401
+    delta_sum,
+    lttb_downsample,
+)
