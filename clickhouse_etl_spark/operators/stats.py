@@ -1,0 +1,326 @@
+"""Statistical aggregate operators — the ClickHouse analytic-aggregate
+family (``simpleLinearRegression``, ``boundingRatio``, ``entropy``,
+``cramersV``, ``uniqUpTo``, ``exponentialTimeDecayed*``,
+``quantileExactWeighted``) re-expressed as grouped DataFrame plans.
+
+Every operator here is pure JVM column algebra — no Python UDFs, no
+collects — and each aggregation is a hash shuffle on the group keys
+with map-side partial aggregation, so the plans hold at cluster scale.
+
+reference: the reference ETL (RothaSAMON/clickhouse_etl) targets
+ClickHouse tables, whose users lean on these aggregates for analytics
+on the loaded data (e.g. score-vs-credit trends over the transcript
+facts built by apps/airflow/dags/student/*.py); this module provides
+the Spark-side equivalents so those follow-on queries run in-engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def simple_linear_regression(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    slope_out: str = "slope",
+    intercept_out: str = "intercept",
+) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)``: per-group ordinary
+    least squares over the (x, y) pairs, returning ``(slope,
+    intercept)`` of the fitted line ``y = slope*x + intercept``.
+
+    Built on Spark's native ``regr_slope`` / ``regr_intercept``
+    aggregates (JVM, one hash aggregation, map-side partials) — the
+    moment sums (Σx, Σy, Σxy, Σx²) combine associatively, so this is a
+    single shuffle on the group keys at any scale.
+
+    Semantics: rows where either coordinate is NULL are ignored (SQL
+    ``REGR_*`` semantics, matching ClickHouse's NULL-skipping
+    aggregates). A group with < 2 distinct x values has an undefined
+    slope and yields NULL for both outputs (ClickHouse returns
+    ``nan``; NULL is the engine-native encoding of the same
+    "no line fits" signal).
+    """
+    return df.groupBy(*keys).agg(
+        F.regr_slope(F.col(y_col), F.col(x_col)).alias(slope_out),
+        F.regr_intercept(F.col(y_col), F.col(x_col)).alias(intercept_out),
+    )
+
+
+def bounding_ratio(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    out: str = "bounding_ratio",
+) -> DataFrame:
+    """ClickHouse ``boundingRatio(x, y)``: per group, the slope of the
+    chord between the leftmost and rightmost points —
+    ``(y_at_max_x - y_at_min_x) / (max_x - min_x)``. The cheap
+    "overall rate of change" summary for a time series (x = time,
+    y = cumulative counter).
+
+    One hash aggregation: ``min_by``/``max_by`` pick the y endpoints,
+    ``min``/``max`` the x extent — all associative, all map-side
+    combinable. Groups whose x extent is zero (a single point, or all
+    x equal) yield NULL (ClickHouse divides to ``inf``/``nan``; NULL
+    is the engine-native encoding). Rows with a NULL x are ignored; a
+    NULL y at an endpoint propagates NULL, matching the "no data"
+    reading.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    lo, hi = F.min(x), F.max(x)
+    ratio = F.when(
+        hi != lo, (F.max_by(y, x) - F.min_by(y, x)) / (hi - lo)
+    )
+    return df.groupBy(*keys).agg(ratio.alias(out))
+
+
+def entropy(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    out: str = "entropy",
+) -> DataFrame:
+    """ClickHouse ``entropy(x)``: Shannon entropy (base 2) of the value
+    distribution within each group, ``-sum p_i * log2(p_i)`` with
+    ``p_i = count(v_i) / count(*)``.
+
+    Two hash aggregations, both map-side combinable: the first counts
+    each distinct ``(keys, value)`` cell, the second folds the cells
+    into the entropy sum. The second shuffle carries at most one row
+    per distinct value — already the compressed representation — so
+    the plan is a textbook two-level rollup that scales with the
+    number of distinct values, not the number of rows. NULL values
+    count as a regular category (ClickHouse hashes NULL like any other
+    key); an empty group never appears (no rows, no group).
+    """
+    cells = df.groupBy(*keys, F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    n = F.sum("__c")
+    # -sum(c*log2(c))/n + log2(n) is sum(p*log2(1/p)) refactored so a
+    # single pass over the cells needs no pre-computed group total.
+    ent = F.log2(n) - F.sum(F.col("__c") * F.log2("__c")) / n
+    return cells.groupBy(*keys).agg(ent.alias(out))
+
+
+def uniq_up_to(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n: int,
+    out: str = "uniq_up_to",
+) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)(x)``: exact distinct count if the group
+    has at most ``N`` distinct values, else ``N + 1`` ("more than N").
+
+    Spark has no early-stopping distinct sketch, but the contract only
+    needs ``least(count_distinct, N+1)``: Catalyst expands
+    ``count_distinct`` into the standard two-phase distinct aggregate
+    (partial dedup map-side, exact count after the key shuffle), and
+    the ``least`` is a free projection. NULLs are ignored by
+    ``count_distinct`` — ClickHouse's ``uniq*`` family likewise skips
+    NULL for the non-Nullable path; callers who need NULL counted as a
+    value should coalesce to a sentinel first.
+    """
+    if n < 1:
+        raise ValueError(f"uniq_up_to needs n >= 1, got {n}")
+    return df.groupBy(*keys).agg(
+        F.least(F.count_distinct(F.col(value_col)), F.lit(n + 1)).alias(out)
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    keys: Sequence[str],
+    a_col: str,
+    b_col: str,
+    out: str = "cramers_v",
+) -> DataFrame:
+    """ClickHouse ``cramersV(a, b)``: association strength between two
+    categorical columns per group — ``sqrt((chi2/n) / (min(r,c) - 1))``
+    where ``chi2`` is the Pearson chi-squared statistic of the a×b
+    contingency table, ``n`` the row count, ``r``/``c`` the distinct
+    category counts.
+
+    Plan: one hash aggregation builds the contingency cells
+    ``(keys, a, b, count)``; two window sums over the cells (partitions
+    ``keys×a`` and ``keys×b``) attach the marginals — each window is a
+    shuffle of the *cells*, not the rows, so cost tracks distinct
+    category pairs; a final hash aggregation folds chi2. Rows where
+    either column is NULL are dropped (ClickHouse requires
+    non-Nullable args). Groups where either column is constant
+    (``min(r,c) = 1``) have an undefined statistic and yield NULL
+    (ClickHouse returns ``nan``).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(*keys, a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_a = Window.partitionBy(*keys, "__a")
+    w_b = Window.partitionBy(*keys, "__b")
+    w_g = Window.partitionBy(*keys)
+    cells = cells.select(
+        *keys,
+        "__a",
+        "__b",
+        "__c",
+        F.sum("__c").over(w_a).alias("__ra"),
+        F.sum("__c").over(w_b).alias("__cb"),
+        F.sum("__c").over(w_g).alias("__n"),
+    )
+    # chi2 over observed cells plus the correction for the zero cells
+    # that never materialize: sum over ALL (a, b) of e_ij equals n, so
+    # chi2 = sum_obs((o-e)^2/e) + (n - sum_obs(e)); folding the second
+    # term avoids densifying the table.
+    e = F.col("__ra") * F.col("__cb") / F.col("__n")
+    chi2_obs = F.sum((F.col("__c") - e) * (F.col("__c") - e) / e)
+    e_obs = F.sum(e)
+    n = F.first("__n")
+    r = F.count_distinct(F.col("__a"))
+    c = F.count_distinct(F.col("__b"))
+    dof = F.least(r, c) - F.lit(1)
+    chi2 = chi2_obs + (n - e_obs)
+    v = F.when(dof > 0, F.sqrt(chi2 / n / dof))
+    return cells.groupBy(*keys).agg(v.alias(out))
+
+
+def exponential_time_decayed_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tau: float,
+    out: str = "decayed_sum",
+) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedSum(tau)(v, t)`` as a window
+    function: for every row, ``sum over prior-or-equal rows i of
+    v_i * exp(-(t - t_i) / tau)`` — the exponentially-decayed running
+    total used for rate/EWMA analytics over event streams.
+
+    The naive form is O(n^2) per group; the factored identity
+    ``exp(-t/tau) * running_sum(v_i * exp(t_i/tau))`` makes it a single
+    ordered window (one sort shuffle per group, same cost as any
+    cumulative sum). To keep ``exp(t_i/tau)`` in double range the
+    timestamps are re-based against the group's minimum — decay
+    depends only on deltas, so the basis cancels exactly. ``ts_col``
+    must be numeric (epoch seconds, not a TIMESTAMP); the factoring
+    stays in double range while the group's time span is under ~700
+    tau — beyond that, pre-bucket the stream (the decayed contribution
+    across >700 tau is below double epsilon anyway).
+
+    Input rows with a NULL timestamp or value are dropped (they have
+    no place on the time axis). Ties in ``t`` are summed in full on
+    both sides of the identity, matching ClickHouse's
+    't equal -> both contribute undecayed' behavior; output rows keep
+    (keys, t, decayed) one row per input row.
+    """
+    if tau <= 0:
+        raise ValueError(f"exponential_time_decayed_sum needs tau > 0, got {tau}")
+    t, v = F.col(ts_col), F.col(value_col)
+    base = Window.partitionBy(*keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rebased = t - F.min(t).over(base)
+    return (
+        df.where(t.isNotNull() & v.isNotNull())
+        .withColumn("__w", v * F.exp(rebased / F.lit(float(tau))))
+        .withColumn("__rb", rebased)
+        .withColumn(
+            out, F.exp(-F.col("__rb") / F.lit(float(tau))) * F.sum("__w").over(w)
+        )
+        .drop("__w", "__rb")
+    )
+
+
+def exponential_time_decayed_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tau: float,
+    out: str = "decayed_avg",
+) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedAvg(tau)(v, t)``: the decayed
+    sum of values divided by the decayed sum of weights (1 per row) —
+    an EWMA whose smoothing follows event time, not row count.
+
+    Same single-ordered-window factoring as
+    :func:`exponential_time_decayed_sum`; the numerator and denominator
+    share one sort because both cumulative sums ride the same window
+    spec (Catalyst evaluates them in one Window operator).
+    """
+    if tau <= 0:
+        raise ValueError(f"exponential_time_decayed_avg needs tau > 0, got {tau}")
+    t, v = F.col(ts_col), F.col(value_col)
+    base = Window.partitionBy(*keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rebased = t - F.min(t).over(base)
+    decay = F.exp(rebased / F.lit(float(tau)))
+    return (
+        df.where(t.isNotNull() & v.isNotNull())
+        .withColumn("__wv", v * decay)
+        .withColumn("__w1", decay)
+        .withColumn(out, F.sum("__wv").over(w) / F.sum("__w1").over(w))
+        .drop("__wv", "__w1")
+    )
+
+
+def quantile_exact_weighted(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    q: float,
+    out: str = "quantile",
+) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(q)(x, w)``: the exact
+    q-quantile of values where each row counts ``w`` times — the
+    smallest value whose cumulative weight reaches ``q * total_weight``
+    (lower-interpolation / type-1 quantile, which is what ClickHouse's
+    exact-weighted variant returns for integer weights).
+
+    Plan: collapse to one row per distinct ``(keys, value)`` with its
+    summed weight (hash aggregation, map-side combinable — the shuffle
+    carries distinct values, not rows), one ordered window for the
+    cumulative weight, then ``min_by`` over the qualifying rows picks
+    the answer per group. No driver collect, no full sort of the raw
+    rows. Rows with NULL value or non-positive/NULL weight are dropped
+    (ClickHouse ignores zero-weight entries; negative weights are
+    undefined there and rejected here by the filter).
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile_exact_weighted needs 0 <= q <= 1, got {q}")
+    v, w = F.col(value_col), F.col(weight_col)
+    cells = (
+        df.where(v.isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(*keys, v.alias("__v"))
+        .agg(F.sum(w).alias("__w"))
+    )
+    cum = Window.partitionBy(*keys).orderBy("__v").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy(*keys)
+    ranked = cells.select(
+        *keys,
+        "__v",
+        F.sum("__w").over(cum).alias("__cum"),
+        F.sum("__w").over(total).alias("__tot"),
+    )
+    hit = ranked.where(F.col("__cum") >= F.lit(float(q)) * F.col("__tot"))
+    return hit.groupBy(*keys).agg(F.min("__v").alias(out))
