@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -159,38 +159,103 @@ def cramers_v(
     (``min(r,c) = 1``) have an undefined statistic and yield NULL
     (ClickHouse returns ``nan``).
     """
+    cells = _contingency_cells(df, keys, a_col, b_col)
+    n = F.first("__n")
+    r = F.count_distinct(F.col("__a"))
+    c = F.count_distinct(F.col("__b"))
+    dof = F.least(r, c) - F.lit(1)
+    v = F.when(dof > 0, F.sqrt(_chi2_agg() / n / dof))
+    return cells.groupBy(*keys).agg(v.alias(out))
+
+
+def _contingency_cells(
+    df: DataFrame, keys: Sequence[str], a_col: str, b_col: str
+) -> DataFrame:
+    """Contingency cells ``(keys, __a, __b, __c)`` with the row/column/
+    total marginals attached (``__ra``, ``__cb``, ``__n``). One hash
+    aggregation over the rows, then three windows over the *cells* —
+    cost tracks distinct category pairs, not rows. NULL in either
+    column drops the row.
+    """
     a, b = F.col(a_col), F.col(b_col)
     cells = (
         df.where(a.isNotNull() & b.isNotNull())
         .groupBy(*keys, a.alias("__a"), b.alias("__b"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    w_a = Window.partitionBy(*keys, "__a")
-    w_b = Window.partitionBy(*keys, "__b")
-    w_g = Window.partitionBy(*keys)
-    cells = cells.select(
+    return cells.select(
         *keys,
         "__a",
         "__b",
         "__c",
-        F.sum("__c").over(w_a).alias("__ra"),
-        F.sum("__c").over(w_b).alias("__cb"),
-        F.sum("__c").over(w_g).alias("__n"),
+        F.sum("__c").over(Window.partitionBy(*keys, "__a")).alias("__ra"),
+        F.sum("__c").over(Window.partitionBy(*keys, "__b")).alias("__cb"),
+        F.sum("__c").over(Window.partitionBy(*keys)).alias("__n"),
     )
-    # chi2 over observed cells plus the correction for the zero cells
-    # that never materialize: sum over ALL (a, b) of e_ij equals n, so
-    # chi2 = sum_obs((o-e)^2/e) + (n - sum_obs(e)); folding the second
-    # term avoids densifying the table.
+
+
+def _chi2_agg() -> Column:
+    """Pearson chi-squared over marginal-attached contingency cells:
+    the observed-cell sum plus the correction for the zero cells that
+    never materialize — the sum over ALL (a, b) of e_ij equals n, so
+    ``chi2 = sum_obs((o-e)^2/e) + (n - sum_obs(e))`` without ever
+    densifying the table.
+    """
     e = F.col("__ra") * F.col("__cb") / F.col("__n")
     chi2_obs = F.sum((F.col("__c") - e) * (F.col("__c") - e) / e)
-    e_obs = F.sum(e)
+    return chi2_obs + (F.first("__n") - F.sum(e))
+
+
+def contingency(
+    df: DataFrame,
+    keys: Sequence[str],
+    a_col: str,
+    b_col: str,
+    out: str = "contingency",
+) -> DataFrame:
+    """ClickHouse ``contingency(a, b)``: Pearson's contingency
+    coefficient ``sqrt(chi2 / (chi2 + n))`` — the [0, 1) association
+    measure that, unlike Cramér's V, needs no dof normalization. Same
+    cell-level plan as :func:`cramers_v`.
+    """
+    cells = _contingency_cells(df, keys, a_col, b_col)
+    chi2 = _chi2_agg()
+    return cells.groupBy(*keys).agg(
+        F.sqrt(chi2 / (chi2 + F.first("__n"))).alias(out)
+    )
+
+
+def theils_u(
+    df: DataFrame,
+    keys: Sequence[str],
+    a_col: str,
+    b_col: str,
+    out: str = "theils_u",
+) -> DataFrame:
+    """ClickHouse ``theilsU(a, b)``: the uncertainty coefficient
+    ``U(a|b) = (H(a) - H(a|b)) / H(a)`` — the asymmetric "how much does
+    knowing b tell us about a" measure in [0, 1].
+
+    Folds both entropies from the same marginal-attached cells in one
+    aggregation pass using ``sum_b c = ra``:
+    ``H(a) = ln n - sum_cells(c*ln ra)/n`` and
+    ``H(a|b) = (sum_cells(c*ln cb) - sum_cells(c*ln c))/n``. Natural
+    log throughout (the ratio is base-invariant). Groups where a is
+    constant (``H(a) = 0``) yield NULL (ClickHouse nan).
+
+    Note the ClickHouse/conventional argument-order trap: this returns
+    U(a|b) — how predictable *a* is from b — not the reverse.
+    """
+    cells = _contingency_cells(df, keys, a_col, b_col)
+    c = F.col("__c")
     n = F.first("__n")
-    r = F.count_distinct(F.col("__a"))
-    c = F.count_distinct(F.col("__b"))
-    dof = F.least(r, c) - F.lit(1)
-    chi2 = chi2_obs + (n - e_obs)
-    v = F.when(dof > 0, F.sqrt(chi2 / n / dof))
-    return cells.groupBy(*keys).agg(v.alias(out))
+    h_a = F.log(n) - F.sum(c * F.log("__ra")) / n
+    h_a_given_b = (F.sum(c * F.log("__cb")) - F.sum(c * F.log("__c"))) / n
+    # tolerance, not > 0: for a constant `a` the two H(a) terms are the
+    # same quantity summed in different float orders, so h_a can land a
+    # few ulp either side of zero.
+    u = F.when(h_a > 1e-12, (h_a - h_a_given_b) / h_a)
+    return cells.groupBy(*keys).agg(u.alias(out))
 
 
 def exponential_time_decayed_sum(

@@ -1,0 +1,415 @@
+"""Two-sample hypothesis tests — the ClickHouse statistical-test
+aggregates (``studentTTest``, ``welchTTest``, ``mannWhitneyUTest``,
+``kolmogorovSmirnovTest``, ``rankCorr``) as grouped DataFrame plans.
+
+Scale shape shared by every test here: the per-row work (moments,
+rank cells, ECDF cells) is pure JVM column algebra over hash
+aggregations and cell-level windows — it shuffles distinct values or
+one row per group, never the raw rows more than once. The only Python
+is the p-value transform (incomplete-beta / normal / Kolmogorov
+tails), applied by an Arrow-batched pandas UDF to the *aggregated*
+result — one row per group — so its cost is O(groups), not O(rows).
+
+reference: the reference ETL (RothaSAMON/clickhouse_etl) loads scored
+facts into ClickHouse (apps/airflow/dags/student/*.py), where these
+tests are the standard follow-on analytics (cohort comparisons over
+the score columns); this module keeps those queries in-engine.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "student_t_test",
+    "welch_t_test",
+    "mann_whitney_u_test",
+    "kolmogorov_smirnov_test",
+    "spearman_rank_corr",
+]
+
+
+# --------------------------------------------------------------------------
+# p-value numerics (pure Python; only ever run on one row per group)
+# --------------------------------------------------------------------------
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the regularized incomplete beta, by the
+    modified Lentz algorithm (public algorithm; see e.g. DLMF 8.17.22).
+    """
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        # even step
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        # odd step
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return h
+
+
+def _betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log1p(-x)
+    )
+    front = math.exp(ln_front)
+    # the continued fraction converges fast for x < (a+1)/(a+b+2);
+    # otherwise use the symmetry I_x(a,b) = 1 - I_{1-x}(b,a).
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def _t_two_sided_p(t: float, dof: float) -> float:
+    """P(|T_dof| >= |t|) — exactly I_{dof/(dof+t^2)}(dof/2, 1/2)."""
+    if not (math.isfinite(t) and math.isfinite(dof)) or dof <= 0:
+        return float("nan")
+    return _betainc(dof / 2.0, 0.5, dof / (dof + t * t))
+
+
+def _norm_two_sided_p(z: float) -> float:
+    """P(|Z| >= |z|) for standard normal Z."""
+    if not math.isfinite(z):
+        return float("nan")
+    return math.erfc(abs(z) / math.sqrt(2.0))
+
+
+def _kolmogorov_sf(lam: float) -> float:
+    """Kolmogorov distribution tail Q(lam) = 2 sum (-1)^{k-1} e^{-2 k^2 lam^2}."""
+    if not math.isfinite(lam):
+        return float("nan")
+    if lam <= 0.0:
+        return 1.0
+    s = 0.0
+    for k in range(1, 101):
+        term = 2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        s += term
+        if abs(term) < 1e-16:
+            break
+    return min(max(s, 0.0), 1.0)
+
+
+# pandas_udf objects capture the active session, so they are built
+# lazily at call time (importing this module must not require Spark).
+
+def _series_map(fn):
+    def apply(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fn(v) if v is not None and not pd.isna(v) else None for v in s],
+            dtype="float64",
+        )
+    return apply
+
+
+def _t_p_udf(t, dof):
+    @pandas_udf("double")
+    def f(t: pd.Series, dof: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _t_two_sided_p(ti, di)
+                if not (pd.isna(ti) or pd.isna(di))
+                else None
+                for ti, di in zip(t, dof)
+            ],
+            dtype="float64",
+        )
+    return f(t, dof)
+
+
+def _norm_p_udf(z):
+    return pandas_udf(_series_map(_norm_two_sided_p), "double")(z)
+
+
+def _ks_p_udf(lam):
+    return pandas_udf(_series_map(_kolmogorov_sf), "double")(lam)
+
+
+# --------------------------------------------------------------------------
+# shared two-sample moment aggregation
+# --------------------------------------------------------------------------
+
+def _two_sample_moments(
+    df: DataFrame, keys: Sequence[str], value_col: str, index_col: str
+) -> DataFrame:
+    """One hash aggregation producing per-group per-sample
+    (n, mean, variance) via conditional aggregates — sample membership
+    is ``index_col`` = 0 or 1 (ClickHouse's convention). Rows with a
+    NULL value, NULL index, or an index outside {0, 1} are ignored.
+    """
+    v, ix = F.col(value_col), F.col(index_col)
+    s0 = F.when(ix == 0, v)
+    s1 = F.when(ix == 1, v)
+    return df.where(v.isNotNull() & ix.isin(0, 1)).groupBy(*keys).agg(
+        F.count(s0).alias("__n0"),
+        F.count(s1).alias("__n1"),
+        F.avg(s0).alias("__m0"),
+        F.avg(s1).alias("__m1"),
+        F.var_samp(s0).alias("__v0"),
+        F.var_samp(s1).alias("__v1"),
+    )
+
+
+def _finish_t_test(
+    mom: DataFrame,
+    keys: Sequence[str],
+    t_expr,
+    dof_expr,
+    defined,
+    stat_out: str,
+    p_out: str,
+) -> DataFrame:
+    t = F.when(defined, t_expr)
+    dof = F.when(defined, dof_expr)
+    out = mom.select(
+        *keys, t.alias(stat_out), dof.alias("dof"),
+    ).withColumn(p_out, _t_p_udf(F.col(stat_out), F.col("dof")))
+    return out
+
+
+def student_t_test(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    index_col: str,
+    stat_out: str = "t_stat",
+    p_out: str = "p_value",
+) -> DataFrame:
+    """ClickHouse ``studentTTest(v, sample_index)``: two-sample t-test
+    with pooled variance (equal-variance assumption), returning the t
+    statistic, its degrees of freedom, and the two-sided p-value.
+
+    One hash aggregation builds both samples' moments in a single pass
+    (conditional aggregates — no second scan, no join of the two
+    samples); t and dof are JVM projections over the one-row-per-group
+    result; the p-value is the Arrow-batched incomplete-beta transform.
+    Groups where either sample has < 2 rows, or the pooled variance is
+    zero, yield NULL stat/p (ClickHouse returns nan).
+    """
+    mom = _two_sample_moments(df, keys, value_col, index_col)
+    n0, n1 = F.col("__n0"), F.col("__n1")
+    m0, m1 = F.col("__m0"), F.col("__m1")
+    v0, v1 = F.col("__v0"), F.col("__v1")
+    dof = n0 + n1 - 2
+    sp2 = ((n0 - 1) * v0 + (n1 - 1) * v1) / dof
+    defined = (n0 >= 2) & (n1 >= 2) & (sp2 > 0)
+    t = (m0 - m1) / F.sqrt(sp2 * (1.0 / n0 + 1.0 / n1))
+    return _finish_t_test(mom, keys, t, dof.cast("double"), defined, stat_out, p_out)
+
+
+def welch_t_test(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    index_col: str,
+    stat_out: str = "t_stat",
+    p_out: str = "p_value",
+) -> DataFrame:
+    """ClickHouse ``welchTTest(v, sample_index)``: two-sample t-test
+    WITHOUT the equal-variance assumption — Welch's statistic with
+    Welch–Satterthwaite degrees of freedom. Same single-pass moment
+    plan as :func:`student_t_test`.
+    """
+    mom = _two_sample_moments(df, keys, value_col, index_col)
+    n0, n1 = F.col("__n0"), F.col("__n1")
+    m0, m1 = F.col("__m0"), F.col("__m1")
+    v0, v1 = F.col("__v0"), F.col("__v1")
+    se0, se1 = v0 / n0, v1 / n1
+    defined = (n0 >= 2) & (n1 >= 2) & ((se0 + se1) > 0)
+    t = (m0 - m1) / F.sqrt(se0 + se1)
+    dof = (se0 + se1) * (se0 + se1) / (
+        se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)
+    )
+    return _finish_t_test(mom, keys, t, dof, defined, stat_out, p_out)
+
+
+def mann_whitney_u_test(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    index_col: str,
+    u_out: str = "u_stat",
+    p_out: str = "p_value",
+) -> DataFrame:
+    """ClickHouse ``mannWhitneyUTest(v, sample_index)``: rank-sum test.
+    Returns U for sample 0, the tie-corrected continuity-corrected
+    normal z, and the two-sided asymptotic p-value.
+
+    Plan: collapse to one cell per distinct ``(keys, value)`` carrying
+    per-sample counts (hash aggregation — the shuffle is distinct
+    values, not rows), attach cumulative counts with one ordered
+    cell-level window, fold the rank sum and the tie-correction term
+    with a second hash aggregation. Average ranks for ties follow the
+    standard midrank convention, so U matches the exact pair-count
+    definition (each cross-sample tie counts 1/2). Rows with NULL
+    value or index outside {0, 1} are ignored; a group missing either
+    sample yields NULLs.
+    """
+    v, ix = F.col(value_col), F.col(index_col)
+    cells = (
+        df.where(v.isNotNull() & ix.isin(0, 1))
+        .groupBy(*keys, v.alias("__v"))
+        .agg(
+            F.count(F.when(ix == 0, 1)).alias("__c0"),
+            F.count(F.when(ix == 1, 1)).alias("__c1"),
+        )
+        .withColumn("__c", F.col("__c0") + F.col("__c1"))
+    )
+    cum = Window.partitionBy(*keys).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = cells.withColumn("__cum", F.sum("__c").over(cum))
+    # midrank of every row in this cell: (rows before) + (c + 1)/2
+    midrank = F.col("__cum") - F.col("__c") + (F.col("__c") + 1) / 2.0
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(F.col("__c0") * midrank).alias("__r0"),
+        F.sum("__c0").alias("__n0"),
+        F.sum("__c1").alias("__n1"),
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).alias("__tie3"),
+    )
+    n0, n1 = F.col("__n0"), F.col("__n1")
+    n = n0 + n1
+    u0 = F.col("__r0") - n0 * (n0 + 1) / 2.0
+    mean_u = n0 * n1 / 2.0
+    var_u = (n0 * n1 / 12.0) * (
+        (n + 1) - F.col("__tie3") / (n * (n - 1))
+    )
+    defined = (n0 >= 1) & (n1 >= 1) & (var_u > 0)
+    # continuity correction of 1/2 toward the mean
+    z = F.when(
+        defined,
+        (u0 - mean_u - F.when(u0 > mean_u, 0.5).when(u0 < mean_u, -0.5).otherwise(0.0))
+        / F.sqrt(var_u),
+    )
+    out = agg.select(
+        *keys,
+        F.when((n0 >= 1) & (n1 >= 1), u0).alias(u_out),
+        z.alias("z_stat"),
+    ).withColumn(p_out, _norm_p_udf(F.col("z_stat")))
+    return out
+
+
+def kolmogorov_smirnov_test(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    index_col: str,
+    d_out: str = "d_stat",
+    p_out: str = "p_value",
+) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest(v, sample_index)``: two-sample
+    KS test — D = sup |ECDF0 - ECDF1| and the asymptotic Kolmogorov
+    p-value Q(sqrt(n0*n1/(n0+n1)) * D).
+
+    Same cell-level shape as the rank test: distinct-value cells with
+    per-sample counts, one ordered cell window for the cumulative
+    counts, then a max over cells. The supremum over a step function
+    is attained at a jump, so evaluating at distinct values is exact.
+    """
+    v, ix = F.col(value_col), F.col(index_col)
+    cells = (
+        df.where(v.isNotNull() & ix.isin(0, 1))
+        .groupBy(*keys, v.alias("__v"))
+        .agg(
+            F.count(F.when(ix == 0, 1)).alias("__c0"),
+            F.count(F.when(ix == 1, 1)).alias("__c1"),
+        )
+    )
+    cum = Window.partitionBy(*keys).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*keys)
+    ranked = cells.select(
+        *keys,
+        F.sum("__c0").over(cum).alias("__cum0"),
+        F.sum("__c1").over(cum).alias("__cum1"),
+        F.sum("__c0").over(tot).alias("__n0"),
+        F.sum("__c1").over(tot).alias("__n1"),
+    )
+    gap = F.abs(
+        F.col("__cum0") / F.col("__n0") - F.col("__cum1") / F.col("__n1")
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.max(F.when((F.col("__n0") > 0) & (F.col("__n1") > 0), gap)).alias(d_out),
+        F.first("__n0").alias("__n0"),
+        F.first("__n1").alias("__n1"),
+    )
+    lam = F.sqrt(
+        F.col("__n0") * F.col("__n1") / (F.col("__n0") + F.col("__n1"))
+    ) * F.col(d_out)
+    return agg.select(*keys, d_out, lam.alias("__lam")).withColumn(
+        p_out, _ks_p_udf(F.col("__lam"))
+    ).drop("__lam")
+
+
+def spearman_rank_corr(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    out: str = "rank_corr",
+) -> DataFrame:
+    """ClickHouse ``rankCorr(x, y)``: Spearman rank correlation per
+    group — Pearson correlation of the midranks (average ranks for
+    ties), the tie-safe definition both ClickHouse and standard
+    statistics use.
+
+    Plan: two ordered windows assign midranks
+    (``rank() + (tie_count - 1)/2`` — ``rank`` gives the min rank of a
+    tie run, the count window widens it to the midrank), then one hash
+    aggregation folds Pearson ``corr`` over the rank pairs. Each
+    window is one per-group sort; rows where either coordinate is NULL
+    are dropped first so both rankings see the same row set. Constant
+    x or y (all midranks equal) yields NULL (ClickHouse nan).
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    base = df.where(x.isNotNull() & y.isNotNull())
+    wx = Window.partitionBy(*keys).orderBy(x_col)
+    wy = Window.partitionBy(*keys).orderBy(y_col)
+    tx = Window.partitionBy(*keys, x_col)
+    ty = Window.partitionBy(*keys, y_col)
+    rx = F.rank().over(wx) + (F.count(F.lit(1)).over(tx) - 1) / 2.0
+    ry = F.rank().over(wy) + (F.count(F.lit(1)).over(ty) - 1) / 2.0
+    ranked = base.select(*keys, rx.alias("__rx"), ry.alias("__ry"))
+    return ranked.groupBy(*keys).agg(F.corr("__rx", "__ry").alias(out))

@@ -52,6 +52,40 @@ _DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to the executors via ``addPyFile``.
+
+    Python-UDF closures that reference module-level helpers are
+    cloudpickled *by reference* — the executor's Python worker must be
+    able to ``import clickhouse_etl_spark`` to deserialize them. That
+    happens to work when the driver's cwd is the repo root (local mode
+    workers inherit the JVM cwd) but breaks from any other cwd, and on
+    a real cluster would require every deployment to remember
+    ``--py-files``. Self-shipping the package zip once per session
+    removes the deployment trap; pure-Python-only, so the zip is tiny
+    and built in milliseconds.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_clickhouse_etl_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="clickhouse_etl_spark_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._clickhouse_etl_spark_shipped = True
+
+
 def get_spark(
     app_name: str = "clickhouse_etl_spark",
     master: str | None = None,
@@ -71,4 +105,6 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark

@@ -234,6 +234,115 @@ def test_cramers_v_extremes(spark):
     assert got[3] is None
 
 
+# --- contingency coefficient ----------------------------------------------
+
+_CONTINGENCY_ORACLE = """
+WITH src AS (
+  SELECT o_orderpriority AS g, o_orderstatus AS a,
+         CAST(o_custkey % 4 AS VARCHAR) AS b
+  FROM orders WHERE o_orderstatus IS NOT NULL
+), cells AS (
+  SELECT g, a, b, COUNT(*) AS c FROM src GROUP BY g, a, b
+), marg AS (
+  SELECT g, a, b, c,
+         SUM(c) OVER (PARTITION BY g, a) AS ra,
+         SUM(c) OVER (PARTITION BY g, b) AS cb,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM cells
+), chi AS (
+  SELECT g,
+         SUM((c - ra*cb/n)*(c - ra*cb/n)/(ra*cb/n))
+           + (ANY_VALUE(n) - SUM(ra*cb/n)) AS chi2,
+         ANY_VALUE(n) AS n
+  FROM marg GROUP BY g
+)
+SELECT g, ROUND(SQRT(chi2 / (chi2 + n)), 6) AS contingency FROM chi
+"""
+
+
+def test_contingency_matches_duckdb(spark):
+    from clickhouse_etl_spark.operators.stats import contingency
+
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderstatus").alias("a"),
+        (F.col("o_custkey") % 4).cast("string").alias("b"),
+    )
+    out = contingency(o, ["g"], "a", "b")
+    out = out.select("g", F.round("contingency", 6).alias("contingency"))
+    assert_matches_oracle(out, _CONTINGENCY_ORACLE, SF)
+
+
+# --- theilsU ---------------------------------------------------------------
+
+_THEILS_ORACLE = """
+WITH src AS (
+  SELECT o_orderpriority AS g, o_orderstatus AS a,
+         CAST(o_custkey % 4 AS VARCHAR) AS b
+  FROM orders WHERE o_orderstatus IS NOT NULL
+), cells AS (
+  SELECT g, a, b, COUNT(*) AS c FROM src GROUP BY g, a, b
+), marg AS (
+  SELECT g, c,
+         SUM(c) OVER (PARTITION BY g, a) AS ra,
+         SUM(c) OVER (PARTITION BY g, b) AS cb,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM cells
+)
+SELECT g,
+       ROUND(((LN(ANY_VALUE(n)) - SUM(c * LN(ra)) / ANY_VALUE(n))
+              - (SUM(c * LN(cb)) - SUM(c * LN(c))) / ANY_VALUE(n))
+             / (LN(ANY_VALUE(n)) - SUM(c * LN(ra)) / ANY_VALUE(n)), 6)
+         AS theils_u
+FROM marg GROUP BY g
+"""
+
+
+def test_theils_u_matches_duckdb(spark):
+    from clickhouse_etl_spark.operators.stats import theils_u
+
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderstatus").alias("a"),
+        (F.col("o_custkey") % 4).cast("string").alias("b"),
+    )
+    out = theils_u(o, ["g"], "a", "b")
+    out = out.select("g", F.round("theils_u", 6).alias("theils_u"))
+    assert_matches_oracle(out, _THEILS_ORACLE, SF)
+
+
+def test_theils_u_extremes_and_asymmetry(spark):
+    from clickhouse_etl_spark.operators.stats import theils_u
+
+    # g=1: a is a function of b (but not vice versa):
+    #   b in {u,v,w,x}; a = "p" for {u,v}, "q" for {w,x}
+    #   -> U(a|b) = 1, U(b|a) < 1
+    rows_1 = [(1, "p", "u"), (1, "p", "v"), (1, "q", "w"), (1, "q", "x")]
+    # g=2: independent balanced 2x2 -> U = 0
+    rows_2 = [(2, a, b) for a in ["x", "y"] for b in ["u", "v"]] * 2
+    # g=3: constant a -> H(a)=0 -> NULL
+    rows_3 = [(3, "k", "u"), (3, "k", "v")]
+    df = spark.createDataFrame(rows_1 + rows_2 + rows_3, "g int, a string, b string")
+    got = {r["g"]: r["theils_u"]
+           for r in theils_u(df, ["g"], "a", "b").collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0, abs=1e-12)
+    assert got[3] is None
+    rev = {r["g"]: r["theils_u"]
+           for r in theils_u(df, ["g"], "b", "a").collect()}
+    assert rev[1] == pytest.approx(0.5)  # H(b)=2 bits, I(a;b)=1 bit
+
+
+def test_contingency_perfect_association_2x2(spark):
+    from clickhouse_etl_spark.operators.stats import contingency
+
+    # perfect 2x2 association: chi2 = n -> coefficient sqrt(1/2)
+    rows = [(1, x, x) for x in ["p", "q"] * 3]
+    df = spark.createDataFrame(rows, "g int, a string, b string")
+    got = contingency(df, ["g"], "a", "b").collect()[0]
+    assert got["contingency"] == pytest.approx(math.sqrt(0.5))
+
+
 # --- exponentialTimeDecayedSum / Avg -------------------------------------
 
 def _brute_decayed(rows, tau):

@@ -1,0 +1,261 @@
+"""Hypothesis-test operators (operators/stattests.py): p-value numerics
+pinned to textbook critical values, statistics pinned to brute-force
+pure-Python references, and DuckDB value-hash oracles for the
+SQL-expressible parts (U statistic, rank correlation).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from clickhouse_etl_spark.catalog import load_table  # noqa: E402
+from tools.oracle_check import assert_matches_oracle  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- p-value numerics ------------------------------------------------------
+
+def test_betainc_closed_form():
+    from clickhouse_etl_spark.operators.stattests import _betainc
+
+    # Beta(2,3) CDF has the closed form 6x^2 - 8x^3 + 3x^4
+    for x in [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]:
+        want = 6 * x**2 - 8 * x**3 + 3 * x**4
+        assert _betainc(2.0, 3.0, x) == pytest.approx(want, abs=1e-12)
+    # symmetry I_x(a,b) = 1 - I_{1-x}(b,a)
+    assert _betainc(3.7, 1.2, 0.3) == pytest.approx(
+        1.0 - _betainc(1.2, 3.7, 0.7), abs=1e-12)
+
+
+def test_tail_functions_hit_textbook_critical_values():
+    from clickhouse_etl_spark.operators.stattests import (
+        _kolmogorov_sf, _norm_two_sided_p, _t_two_sided_p)
+
+    # t_{0.025, 10} = 2.228139 -> two-sided p = 0.05
+    assert _t_two_sided_p(2.228139, 10.0) == pytest.approx(0.05, abs=2e-4)
+    # dof -> inf converges to the normal tail
+    assert _t_two_sided_p(1.959964, 1e7) == pytest.approx(0.05, abs=1e-4)
+    # z_{0.025} = 1.959964
+    assert _norm_two_sided_p(1.959964) == pytest.approx(0.05, abs=1e-6)
+    # Kolmogorov two-sided critical value at alpha = 0.05 is 1.358
+    assert _kolmogorov_sf(1.358) == pytest.approx(0.05, abs=1e-3)
+    assert _kolmogorov_sf(0.0) == 1.0
+
+
+# --- Student / Welch t-tests ------------------------------------------------
+
+_SAMPLE_A = [27.5, 21.0, 19.0, 23.6, 17.0, 17.9, 16.9, 20.1, 21.9, 22.6]
+_SAMPLE_B = [27.1, 22.0, 20.8, 23.4, 23.4, 23.5, 25.8, 22.0, 24.8, 20.2]
+
+
+def _brute_t(a, b, pooled):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    if pooled:
+        dof = na + nb - 2
+        sp2 = ((na - 1) * va + (nb - 1) * vb) / dof
+        t = (ma - mb) / math.sqrt(sp2 * (1 / na + 1 / nb))
+    else:
+        se = va / na + vb / nb
+        t = (ma - mb) / math.sqrt(se)
+        dof = se * se / (va**2 / (na**2 * (na - 1)) + vb**2 / (nb**2 * (nb - 1)))
+    return t, dof
+
+
+@pytest.mark.parametrize("pooled", [True, False])
+def test_t_tests_match_brute_force(spark, pooled):
+    from clickhouse_etl_spark.operators.stattests import (
+        _t_two_sided_p, student_t_test, welch_t_test)
+
+    rows = ([(1, 0, x) for x in _SAMPLE_A] + [(1, 1, x) for x in _SAMPLE_B]
+            # g=2: one sample missing -> NULLs
+            + [(2, 0, x) for x in _SAMPLE_A])
+    df = spark.createDataFrame(rows, "g int, ix int, v double")
+    fn = student_t_test if pooled else welch_t_test
+    got = {r["g"]: r for r in fn(df, ["g"], "v", "ix").collect()}
+
+    t_want, dof_want = _brute_t(_SAMPLE_A, _SAMPLE_B, pooled)
+    assert got[1]["t_stat"] == pytest.approx(t_want, rel=1e-12)
+    assert got[1]["dof"] == pytest.approx(dof_want, rel=1e-12)
+    assert got[1]["p_value"] == pytest.approx(
+        _t_two_sided_p(t_want, dof_want), rel=1e-9)
+    assert got[2]["t_stat"] is None and got[2]["p_value"] is None
+
+
+def test_t_test_null_and_bad_index_rows_ignored(spark):
+    from clickhouse_etl_spark.operators.stattests import student_t_test
+
+    rows = ([(1, 0, x) for x in _SAMPLE_A] + [(1, 1, x) for x in _SAMPLE_B]
+            + [(1, None, 99.0), (1, 2, 99.0), (1, 0, None)])
+    df = spark.createDataFrame(rows, "g int, ix int, v double")
+    t_want, _ = _brute_t(_SAMPLE_A, _SAMPLE_B, True)
+    got = student_t_test(df, ["g"], "v", "ix").collect()[0]
+    assert got["t_stat"] == pytest.approx(t_want, rel=1e-12)
+
+
+# --- Mann-Whitney U ----------------------------------------------------------
+
+def _brute_u(a, b):
+    """Exact pair-count U for sample a (ties count 1/2)."""
+    return sum(1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b)
+
+
+def test_mann_whitney_matches_pair_count(spark):
+    from clickhouse_etl_spark.operators.stattests import mann_whitney_u_test
+
+    a = [1.0, 2.0, 2.0, 5.0, 7.0, 7.0, 9.0]
+    b = [2.0, 3.0, 3.0, 6.0, 7.0, 10.0]
+    rows = [(1, 0, x) for x in a] + [(1, 1, x) for x in b]
+    df = spark.createDataFrame(rows, "g int, ix int, v double")
+    got = mann_whitney_u_test(df, ["g"], "v", "ix").collect()[0]
+    assert got["u_stat"] == pytest.approx(_brute_u(a, b))
+    assert 0.0 <= got["p_value"] <= 1.0
+
+    # z sign: u0 below its mean -> negative z
+    mean_u = len(a) * len(b) / 2.0
+    assert (got["z_stat"] < 0) == (_brute_u(a, b) < mean_u)
+
+
+_MWU_ORACLE = """
+WITH src AS (
+  SELECT event_type AS g, value AS v, user_id % 2 AS ix
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT g, v,
+         SUM(CASE WHEN ix = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN ix = 1 THEN 1 ELSE 0 END) AS c1
+  FROM src GROUP BY g, v
+), ranked AS (
+  SELECT g, c0, c1, c0 + c1 AS c,
+         SUM(c0 + c1) OVER (PARTITION BY g ORDER BY v) AS cum
+  FROM cells
+)
+SELECT g,
+       ROUND(SUM(c0 * (cum - c + (c + 1) / 2.0))
+             - SUM(c0) * (SUM(c0) + 1) / 2.0, 4) AS u_stat
+FROM ranked GROUP BY g
+"""
+
+
+def test_mann_whitney_u_matches_duckdb(spark):
+    from clickhouse_etl_spark.operators.stattests import mann_whitney_u_test
+
+    ev = load_table(spark, SF, "events").select(
+        F.col("event_type").alias("g"),
+        "value",
+        (F.col("user_id") % 2).alias("ix"),
+    )
+    out = mann_whitney_u_test(ev, ["g"], "value", "ix")
+    out = out.select("g", F.round("u_stat", 4).alias("u_stat"))
+    assert_matches_oracle(out, _MWU_ORACLE, SF)
+
+
+# --- Kolmogorov-Smirnov -------------------------------------------------------
+
+def _brute_ks(a, b):
+    xs = sorted(set(a) | set(b))
+    return max(
+        abs(sum(1 for x in a if x <= t) / len(a)
+            - sum(1 for y in b if y <= t) / len(b))
+        for t in xs
+    )
+
+
+def test_ks_matches_brute_ecdf(spark):
+    from clickhouse_etl_spark.operators.stattests import (
+        _kolmogorov_sf, kolmogorov_smirnov_test)
+
+    a = [0.1, 0.5, 0.5, 1.2, 3.0, 3.3, 4.4, 5.0]
+    b = [0.4, 0.9, 2.2, 2.2, 3.1, 6.0]
+    rows = [(1, 0, x) for x in a] + [(1, 1, x) for x in b]
+    df = spark.createDataFrame(rows, "g int, ix int, v double")
+    got = kolmogorov_smirnov_test(df, ["g"], "v", "ix").collect()[0]
+    d = _brute_ks(a, b)
+    assert got["d_stat"] == pytest.approx(d, rel=1e-12)
+    lam = math.sqrt(len(a) * len(b) / (len(a) + len(b))) * d
+    assert got["p_value"] == pytest.approx(_kolmogorov_sf(lam), rel=1e-9)
+
+
+def test_ks_identical_samples_gives_p_one_when_interleaved(spark):
+    from clickhouse_etl_spark.operators.stattests import kolmogorov_smirnov_test
+
+    # identical value multisets -> ECDFs coincide at every jump -> D = 0
+    a = [1.0, 2.0, 3.0, 4.0]
+    rows = [(1, 0, x) for x in a] + [(1, 1, x) for x in a]
+    df = spark.createDataFrame(rows, "g int, ix int, v double")
+    got = kolmogorov_smirnov_test(df, ["g"], "v", "ix").collect()[0]
+    assert got["d_stat"] == pytest.approx(0.0)
+    assert got["p_value"] == pytest.approx(1.0)
+
+
+# --- Spearman rank correlation ------------------------------------------------
+
+def _brute_spearman(pairs):
+    def midranks(vals):
+        s = sorted(vals)
+        return {  # midrank per value
+            v: (s.index(v) + 1 + len(s) - 1 - s[::-1].index(v) + 1) / 2.0
+            for v in set(vals)
+        }
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    rx_map, ry_map = midranks(xs), midranks(ys)
+    rx = [rx_map[x] for x in xs]
+    ry = [ry_map[y] for y in ys]
+    n = len(pairs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    return cov / math.sqrt(vx * vy)
+
+
+def test_spearman_matches_brute_midranks(spark):
+    from clickhouse_etl_spark.operators.stattests import spearman_rank_corr
+
+    pairs = [(1.0, 2.0), (2.0, 1.0), (2.0, 4.0), (3.0, 3.0),
+             (5.0, 8.0), (5.0, 8.0), (7.0, 6.0)]
+    rows = [(1, x, y) for x, y in pairs] + [(2, 1.0, 5.0), (2, 1.0, 9.0)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    got = {r["g"]: r["rank_corr"]
+           for r in spearman_rank_corr(df, ["g"], "x", "y").collect()}
+    assert got[1] == pytest.approx(_brute_spearman(pairs), rel=1e-12)
+    assert got[2] is None  # constant x -> undefined
+
+
+_SPEARMAN_ORACLE = """
+WITH src AS (
+  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), ranked AS (
+  SELECT g,
+         RANK() OVER (PARTITION BY g ORDER BY x)
+           + (COUNT(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+         RANK() OVER (PARTITION BY g ORDER BY y)
+           + (COUNT(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+  FROM src
+)
+SELECT g, ROUND(CORR(rx, ry), 6) AS rank_corr
+FROM ranked GROUP BY g
+"""
+
+
+def test_spearman_matches_duckdb(spark):
+    from clickhouse_etl_spark.operators.stattests import spearman_rank_corr
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_quantity", "l_extendedprice"
+    )
+    out = spearman_rank_corr(li, ["g"], "l_quantity", "l_extendedprice")
+    out = out.select("g", F.round("rank_corr", 6).alias("rank_corr"))
+    assert_matches_oracle(out, _SPEARMAN_ORACLE, SF)
