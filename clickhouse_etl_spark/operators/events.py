@@ -524,9 +524,13 @@ def fill_time_gaps(
     already bucket-aligned (build it with ``date_trunc``/``window`` —
     misaligned timestamps would interleave with the grid instead of
     merging into it). Missing buckets appear with ``value_cols`` filled
-    by policy: ``'null'`` (ClickHouse default), ``'zero'``, or
-    ``'locf'`` (last observation carried forward — the dashboard
-    gauge/state convention).
+    by policy: ``'null'`` (ClickHouse default), ``'zero'``, ``'locf'``
+    (last observation carried forward — the dashboard gauge/state
+    convention), or ``'linear'`` (straight-line interpolation between
+    the surrounding observations — the TimescaleDB ``interpolate()`` /
+    InfluxDB ``fill(linear)`` convention for sampled metrics; leading/
+    trailing gaps with only one neighbor stay NULL, and the filled
+    columns come back as double).
 
     Plan: per-group min/max aggregate → ``sequence(min, max, step)``
     explode → left join the observations back on (group, bucket). The
@@ -534,8 +538,8 @@ def fill_time_gaps(
     CALENDAR, not the data volume — and both shuffles key on the group,
     so the shape survives any corpus scale with bounded time ranges.
     """
-    if fill not in ("null", "zero", "locf"):
-        raise ValueError("fill must be 'null', 'zero', or 'locf'")
+    if fill not in ("null", "zero", "locf", "linear"):
+        raise ValueError("fill must be 'null', 'zero', 'locf', or 'linear'")
     missing = [c for c in value_cols if c not in df.columns]
     if missing:  # a typo here would otherwise silently skip the fill
         raise ValueError(f"value_cols not in df: {missing}")
@@ -603,6 +607,47 @@ def fill_time_gaps(
                 F.last(F.col(c), ignorenulls=True).over(w).alias(c)
                 if c in value_cols
                 else F.col(c)
+                for c in df.columns
+                if c not in gcols and c != ts_col
+            ],
+        )
+    elif fill == "linear":
+        # Both frames share one (group, ts) sort: Catalyst plans a
+        # single Sort feeding two Window operators, so this costs the
+        # same one shuffle + one sort as locf.
+        w_prev = (
+            Window.partitionBy(*[F.col(c) for c in gcols])
+            .orderBy(F.col(ts_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_next = (
+            Window.partitionBy(*[F.col(c) for c in gcols])
+            .orderBy(F.col(ts_col).asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+        def interp(c: str) -> F.Column:
+            v = F.col(c).cast("double")
+            # per-column known-timestamp: columns may have different
+            # null patterns, so each interpolates on its own anchors
+            kt = F.when(v.isNotNull(), t_us)
+            pv = F.last(v, ignorenulls=True).over(w_prev)
+            pt = F.last(kt, ignorenulls=True).over(w_prev)
+            nv = F.first(v, ignorenulls=True).over(w_next)
+            nt = F.first(kt, ignorenulls=True).over(w_next)
+            # observed rows short-circuit (also avoids nt == pt there);
+            # gaps with both neighbors interpolate; edges stay NULL
+            return F.when(v.isNotNull(), v).when(
+                pv.isNotNull() & nv.isNotNull(),
+                pv + (nv - pv) * (t_us - pt) / (nt - pt),
+            ).alias(c)
+
+        out = out.select(
+            *gcols,
+            ts_col,
+            *[
+                interp(c) if c in value_cols else F.col(c)
                 for c in df.columns
                 if c not in gcols and c != ts_col
             ],

@@ -852,6 +852,60 @@ def test_fill_time_gaps_oracle(spark):
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
     )
+    # linear interpolation: same grid, neighbors found by the same
+    # ignore-nulls window pair, straight-line formula spelled out
+    linear_sql = """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ),
+        bounds AS (
+          SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+          FROM hourly GROUP BY 1
+        ),
+        grid AS (
+          SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds
+        ),
+        joined AS (
+          SELECT grid.event_type AS event_type, grid.bucket AS bucket,
+                 hourly.n AS n
+          FROM grid LEFT JOIN hourly
+            ON grid.event_type = hourly.event_type
+           AND grid.bucket = hourly.bucket
+        ),
+        anno AS (
+          SELECT event_type, bucket,
+                 CAST(n AS DOUBLE) AS v,
+                 epoch_us(bucket) AS t,
+                 LAST_VALUE(CAST(n AS DOUBLE) IGNORE NULLS) OVER wprev AS pv,
+                 LAST_VALUE(CASE WHEN n IS NOT NULL
+                            THEN epoch_us(bucket) END IGNORE NULLS)
+                   OVER wprev AS pt,
+                 FIRST_VALUE(CAST(n AS DOUBLE) IGNORE NULLS) OVER wnext AS nv,
+                 FIRST_VALUE(CASE WHEN n IS NOT NULL
+                             THEN epoch_us(bucket) END IGNORE NULLS)
+                   OVER wnext AS nt
+          FROM joined
+          WINDOW wprev AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wnext AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, bucket,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+               END AS n
+        FROM anno
+    """
+    _assert_matches_oracle(
+        fill_time_gaps(hourly, "bucket", "1 hour", ["event_type"], ["n"],
+                       fill="linear"),
+        linear_sql,
+    )
 
 
 def test_unigram_lm_scores_oracle(spark):

@@ -218,6 +218,33 @@ def test_fill_time_gaps_explosion_guard(spark):
     assert ok.count() > 2
 
 
+def test_fill_time_gaps_linear_interpolation(spark):
+    """Hand-computed straight-line fill: interior gaps interpolate on
+    each column's OWN anchors, edges with one neighbor stay NULL."""
+    from clickhouse_etl_spark.operators.events import fill_time_gaps
+
+    rows = [
+        # n observed at 00:00 (10) and 03:00 (40): gap hours 01/02
+        # interpolate to 20, 30. m observed at 01:00 (5) and 03:00 (9):
+        # hour 02 interpolates to 7 on m's own anchors; hour 00 has no
+        # left neighbor for m -> NULL.
+        ("g", "2024-01-01 00:00:00", 10, None),
+        ("g", "2024-01-01 01:00:00", None, 5),
+        ("g", "2024-01-01 03:00:00", 40, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, n int, m int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = fill_time_gaps(df, "ts", "1 hour", ["k"], ["n", "m"],
+                         fill="linear")
+    got = {str(r["ts"]): (r["n"], r["m"]) for r in out.collect()}
+    assert len(got) == 4
+    assert got["2024-01-01 00:00:00"] == (10.0, None)
+    assert got["2024-01-01 01:00:00"] == (20.0, 5.0)
+    assert got["2024-01-01 02:00:00"] == (30.0, 7.0)
+    assert got["2024-01-01 03:00:00"] == (40.0, 9.0)
+
+
 def test_fill_time_gaps_subsecond_step_guard(spark):
     """The explosion guard must count buckets at MICROsecond precision:
     a '50 milliseconds' step over a minute is 1200 buckets, which
