@@ -29,9 +29,11 @@ from pyspark.sql.functions import pandas_udf
 __all__ = [
     "student_t_test",
     "welch_t_test",
+    "mean_z_test",
     "mann_whitney_u_test",
     "kolmogorov_smirnov_test",
     "spearman_rank_corr",
+    "one_way_anova",
 ]
 
 
@@ -160,6 +162,28 @@ def _norm_p_udf(z):
     return pandas_udf(_series_map(_norm_two_sided_p), "double")(z)
 
 
+def _f_sf(f: float, d1: float, d2: float) -> float:
+    """F-distribution tail P(F_{d1,d2} >= f) = I_{d2/(d2+d1*f)}(d2/2, d1/2)."""
+    if not (math.isfinite(f) and f >= 0) or d1 <= 0 or d2 <= 0:
+        return float("nan")
+    return _betainc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+
+
+def _f_p_udf(f, d1, d2):
+    @pandas_udf("double")
+    def udf(f: pd.Series, d1: pd.Series, d2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _f_sf(fi, a, b)
+                if not (pd.isna(fi) or pd.isna(a) or pd.isna(b))
+                else None
+                for fi, a, b in zip(f, d1, d2)
+            ],
+            dtype="float64",
+        )
+    return udf(f, d1, d2)
+
+
 def _ks_p_udf(lam):
     return pandas_udf(_series_map(_kolmogorov_sf), "double")(lam)
 
@@ -260,6 +284,96 @@ def welch_t_test(
         se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)
     )
     return _finish_t_test(mom, keys, t, dof, defined, stat_out, p_out)
+
+
+def mean_z_test(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    index_col: str,
+    pop_var_0: float,
+    pop_var_1: float,
+    stat_out: str = "z_stat",
+    p_out: str = "p_value",
+) -> DataFrame:
+    """ClickHouse ``meanZTest(pop_var_x, pop_var_y, conf)(v, idx)``:
+    two-sample z-test with KNOWN population variances — the large-
+    sample / calibrated-instrument variant of the t-test. Same
+    single-pass conditional-moment plan; the normal tail replaces the
+    incomplete beta.
+    """
+    if pop_var_0 <= 0 or pop_var_1 <= 0:
+        raise ValueError("mean_z_test needs positive population variances")
+    mom = _two_sample_moments(df, keys, value_col, index_col)
+    n0, n1 = F.col("__n0"), F.col("__n1")
+    defined = (n0 >= 1) & (n1 >= 1)
+    z = F.when(
+        defined,
+        (F.col("__m0") - F.col("__m1"))
+        / F.sqrt(F.lit(pop_var_0) / n0 + F.lit(pop_var_1) / n1),
+    )
+    return mom.select(*keys, z.alias(stat_out)).withColumn(
+        p_out, _norm_p_udf(F.col(stat_out))
+    )
+
+
+def one_way_anova(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    label_col: str,
+    stat_out: str = "f_stat",
+    p_out: str = "p_value",
+) -> DataFrame:
+    """ClickHouse ``analysisOfVariance(v, group_label)`` (one-way
+    ANOVA): does the mean of ``v`` differ across the categories of
+    ``label_col`` within each group? Returns the F statistic, both
+    degrees of freedom, and the p-value.
+
+    Two-level hash aggregation — per-category moments first (the
+    shuffle carries one row per (keys, label)), then the between/within
+    sum-of-squares fold per group; both levels map-side combinable.
+    The F tail is the same regularized incomplete beta as the t-tests:
+    ``P(F_{d1,d2} >= f) = I_{d2/(d2 + d1 f)}(d2/2, d1/2)``, applied to
+    the one-row-per-group result. Rows with NULL value or label are
+    ignored; groups with < 2 categories or zero within-variance yield
+    NULL (ClickHouse nan).
+    """
+    v, lab = F.col(value_col), F.col(label_col)
+    per_cat = (
+        df.where(v.isNotNull() & lab.isNotNull())
+        .groupBy(*keys, lab.alias("__lab"))
+        .agg(
+            F.count(v).alias("__ng"),
+            F.avg(v).alias("__mg"),
+            F.var_samp(v).alias("__vg"),
+        )
+    )
+    ng, mg, vg = F.col("__ng"), F.col("__mg"), F.col("__vg")
+    agg = per_cat.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(ng).alias("__n"),
+        F.sum(ng * mg).alias("__sum"),
+        F.sum(ng * mg * mg).alias("__sumsq_means"),
+        # a 1-row category has no sample variance: its within-SS is 0
+        F.sum(F.when(ng > 1, (ng - 1) * vg).otherwise(0.0)).alias("__ssw"),
+    )
+    k, n = F.col("__k"), F.col("__n")
+    grand = F.col("__sum") / n
+    ssb = F.col("__sumsq_means") - n * grand * grand
+    d1 = (k - 1).cast("double")
+    d2 = (n - k).cast("double")
+    defined = (k >= 2) & (d2 > 0) & (F.col("__ssw") > 0)
+    f = F.when(defined, (ssb / d1) / (F.col("__ssw") / d2))
+    out = agg.select(
+        *keys,
+        f.alias(stat_out),
+        F.when(defined, d1).alias("d1"),
+        F.when(defined, d2).alias("d2"),
+    )
+    return out.withColumn(
+        p_out, _f_p_udf(F.col(stat_out), F.col("d1"), F.col("d2"))
+    )
 
 
 def mann_whitney_u_test(

@@ -140,3 +140,61 @@ def lttb_downsample(
         F.col(y_col).cast("double").alias(y_col),
     )
     return shaped.groupBy(*gcols).applyInPandas(one_series, schema=out_schema)
+
+
+def moving_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    n: int,
+    out: str = "moving_sum",
+) -> DataFrame:
+    """ClickHouse ``groupArrayMovingSum(n)(v)``, row-per-element form:
+    for every row, the sum of the last ``n`` values (this row included)
+    in ``order_col`` order within the group. ClickHouse materializes
+    the whole group as one array cell; returning the running element
+    beside each row is the distributed-friendly shape — downstream can
+    ``collect_list`` it per group if the array form is really wanted.
+
+    One ordered window (one group shuffle + sort), bounded ROWS frame —
+    state per row is O(1) in the JVM's sliding-frame implementation.
+    Rows with a NULL value contribute nothing but still emit (SQL sum
+    semantics).
+    """
+    if n < 1:
+        raise ValueError(f"moving_sum needs n >= 1, got {n}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    return df.withColumn(out, F.sum(value_col).over(w))
+
+
+def moving_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    n: int,
+    out: str = "moving_avg",
+) -> DataFrame:
+    """ClickHouse ``groupArrayMovingAvg(n)(v)``, row-per-element form.
+
+    NOTE the ClickHouse quirk this mirrors deliberately: the divisor is
+    always ``n``, even for the first rows whose frame holds fewer than
+    ``n`` elements (ClickHouse docs call this out), so the leading edge
+    ramps up from ``v/n`` instead of averaging the partial window. Use
+    ``moving_sum`` / ``count`` for the partial-window mean.
+    """
+    if n < 1:
+        raise ValueError(f"moving_avg needs n >= 1, got {n}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    return df.withColumn(
+        out, F.sum(F.col(value_col).cast("double")).over(w) / F.lit(float(n))
+    )

@@ -103,6 +103,97 @@ def test_t_test_null_and_bad_index_rows_ignored(spark):
     assert got["t_stat"] == pytest.approx(t_want, rel=1e-12)
 
 
+# --- meanZTest ---------------------------------------------------------------
+
+def test_mean_z_test(spark):
+    from clickhouse_etl_spark.operators.stattests import (
+        _norm_two_sided_p, mean_z_test)
+
+    rows = [(1, 0, x) for x in _SAMPLE_A] + [(1, 1, x) for x in _SAMPLE_B]
+    df = spark.createDataFrame(rows, "g int, ix int, v double")
+    va, vb = 9.0, 4.0
+    got = mean_z_test(df, ["g"], "v", "ix", va, vb).collect()[0]
+    ma = sum(_SAMPLE_A) / len(_SAMPLE_A)
+    mb = sum(_SAMPLE_B) / len(_SAMPLE_B)
+    z = (ma - mb) / math.sqrt(va / len(_SAMPLE_A) + vb / len(_SAMPLE_B))
+    assert got["z_stat"] == pytest.approx(z, rel=1e-12)
+    assert got["p_value"] == pytest.approx(_norm_two_sided_p(z), rel=1e-9)
+    with pytest.raises(ValueError):
+        mean_z_test(df, ["g"], "v", "ix", 0.0, 1.0)
+
+
+# --- one-way ANOVA -------------------------------------------------------------
+
+def _brute_anova(groups):
+    """Textbook one-way ANOVA from raw per-category samples."""
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups)
+    ssw = sum(sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups)
+    return (ssb / (k - 1)) / (ssw / (n - k)), k - 1, n - k
+
+
+def test_one_way_anova_matches_brute_force(spark):
+    from clickhouse_etl_spark.operators.stattests import _f_sf, one_way_anova
+
+    groups = {
+        "a": [6.0, 8.0, 4.0, 5.0, 3.0, 4.0],
+        "b": [8.0, 12.0, 9.0, 11.0, 6.0, 8.0],
+        "c": [13.0, 9.0, 11.0, 8.0, 7.0, 12.0],
+    }
+    rows = ([(1, lab, x) for lab, g in groups.items() for x in g]
+            # g=2: single category -> NULL
+            + [(2, "only", x) for x in [1.0, 2.0, 3.0]])
+    df = spark.createDataFrame(rows, "g int, lab string, v double")
+    got = {r["g"]: r for r in one_way_anova(df, ["g"], "v", "lab").collect()}
+    f_want, d1, d2 = _brute_anova(list(groups.values()))
+    assert got[1]["f_stat"] == pytest.approx(f_want, rel=1e-12)
+    assert (got[1]["d1"], got[1]["d2"]) == (float(d1), float(d2))
+    assert got[1]["p_value"] == pytest.approx(_f_sf(f_want, d1, d2), rel=1e-9)
+    assert got[2]["f_stat"] is None and got[2]["p_value"] is None
+
+
+def test_f_tail_textbook_critical_value():
+    from clickhouse_etl_spark.operators.stattests import _f_sf
+
+    # F_{0.05}(2, 12) = 3.885 (standard table) -> tail = 0.05
+    assert _f_sf(3.885, 2, 12) == pytest.approx(0.05, abs=5e-4)
+    # F tail at 0 is 1; consistency with the t-test: F(1, d) = T(d)^2
+    assert _f_sf(0.0, 3, 7) == pytest.approx(1.0)
+    from clickhouse_etl_spark.operators.stattests import _t_two_sided_p
+    assert _f_sf(2.5**2, 1.0, 9.0) == pytest.approx(
+        _t_two_sided_p(2.5, 9.0), rel=1e-12)
+
+
+_ANOVA_ORACLE = """
+WITH per_cat AS (
+  SELECT l_returnflag AS g, l_linestatus AS lab,
+         COUNT(l_quantity) AS ng, AVG(l_quantity) AS mg,
+         VAR_SAMP(l_quantity) AS vg
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_linestatus IS NOT NULL
+  GROUP BY g, lab
+)
+SELECT g,
+       ROUND(((SUM(ng*mg*mg) - SUM(ng)*POW(SUM(ng*mg)/SUM(ng), 2))
+              / (COUNT(*) - 1))
+             / (SUM(CASE WHEN ng > 1 THEN (ng-1)*vg ELSE 0 END)
+                / (SUM(ng) - COUNT(*))), 6) AS f_stat
+FROM per_cat GROUP BY g HAVING COUNT(*) >= 2
+"""
+
+
+def test_one_way_anova_matches_duckdb(spark):
+    from clickhouse_etl_spark.operators.stattests import one_way_anova
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_quantity", "l_linestatus"
+    )
+    out = one_way_anova(li, ["g"], "l_quantity", "l_linestatus")
+    out = out.select("g", F.round("f_stat", 6).alias("f_stat"))
+    assert_matches_oracle(out, _ANOVA_ORACLE, SF)
+
+
 # --- Mann-Whitney U ----------------------------------------------------------
 
 def _brute_u(a, b):
