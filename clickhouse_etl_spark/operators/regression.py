@@ -1,0 +1,206 @@
+"""Multi-feature regression fitting — the batch-correct answer to
+ClickHouse's ``stochasticLinearRegression`` (and the multi-feature big
+sibling of ``simpleLinearRegression``): ordinary least squares /
+ridge via normal equations, fitted per group in ONE aggregation pass.
+
+Scale shape: the per-row work folds the moment matrix — the p(p+1)/2
+upper triangle of X'X plus X'y, y'y, Σy, n — as plain JVM ``sum``
+aggregates (map-side combinable, one hash shuffle on the group keys),
+which is the sufficient statistic for OLS at ANY row count. The only
+Python is the p×p solve, run by an Arrow-batched pandas UDF over the
+one-row-per-group moment vectors. ClickHouse reaches the same fit by
+SGD because its aggregate states must stream; a Spark batch engine
+can use the exact closed form.
+
+reference: the reference ETL (RothaSAMON/clickhouse_etl) loads scored
+facts (apps/airflow/dags/student/*.py) whose downstream analytics —
+score-vs-credit-vs-attendance trend fitting — are what ClickHouse
+users reach for stochasticLinearRegression for.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["linear_regression_fit", "categorical_information_value"]
+
+
+def linear_regression_fit(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_cols: Sequence[str],
+    y_col: str,
+    ridge: float = 0.0,
+    intercept: bool = True,
+) -> DataFrame:
+    """Per-group OLS (or ridge, ``ridge > 0``) of ``y`` on ``x_cols``.
+
+    Returns one row per group: ``coefs`` (array<double>, in ``x_cols``
+    order), ``intercept`` (NULL when ``intercept=False``), ``r2``, and
+    ``n``. Rows with a NULL in y or any feature are dropped (complete-
+    case, matching SQL REGR_* semantics). Groups whose moment matrix
+    is singular (fewer rows than features, or collinear features)
+    yield NULL coefs — ridge with any positive lambda removes the
+    singularity. The ridge penalty is NOT applied to the intercept
+    (the standard convention).
+
+    p features cost p(p+1)/2 + p + 3 JVM sum-aggregates — fine for the
+    tens-of-features regime this targets; past that you want SGD/LBFGS
+    (Spark MLlib), not normal equations.
+    """
+    x_cols = list(x_cols)
+    p = len(x_cols)
+    if p == 0:
+        raise ValueError("linear_regression_fit needs at least one feature")
+    if ridge < 0:
+        raise ValueError(f"ridge must be >= 0, got {ridge}")
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    base = df.where(cond)
+
+    aggs = [F.count(F.lit(1)).alias("__n"), F.sum(y).alias("__sy"),
+            F.sum(y * y).alias("__syy")]
+    for i in range(p):
+        aggs.append(F.sum(xs[i]).alias(f"__sx{i}"))
+        aggs.append(F.sum(xs[i] * y).alias(f"__sxy{i}"))
+        for j in range(i, p):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"__sxx{i}_{j}"))
+    mom = base.groupBy(*keys).agg(*aggs)
+
+    # flatten the moments into one array column for the solver UDF
+    moment_cols = ["__n", "__sy", "__syy"]
+    moment_cols += [f"__sx{i}" for i in range(p)]
+    moment_cols += [f"__sxy{i}" for i in range(p)]
+    moment_cols += [f"__sxx{i}_{j}" for i in range(p) for j in range(i, p)]
+    packed = mom.withColumn(
+        "__m", F.array(*[F.col(c).cast("double") for c in moment_cols])
+    )
+
+    use_icpt = bool(intercept)
+    lam = float(ridge)
+
+    @pandas_udf("struct<coefs:array<double>,intercept:double,r2:double>")
+    def solve(m: pd.Series) -> pd.DataFrame:
+        out = []
+        for vec in m:
+            a = np.asarray(vec, dtype=np.float64)
+            n, sy, syy = a[0], a[1], a[2]
+            sx = a[3 : 3 + p]
+            sxy = a[3 + p : 3 + 2 * p]
+            tri = a[3 + 2 * p :]
+            xtx = np.zeros((p, p))
+            t = 0
+            for i in range(p):
+                for j in range(i, p):
+                    xtx[i, j] = xtx[j, i] = tri[t]
+                    t += 1
+            if use_icpt:
+                # augment: [[X'X, X'1], [1'X, n]] b = [X'y, 1'y]
+                A = np.zeros((p + 1, p + 1))
+                A[:p, :p] = xtx
+                A[:p, p] = sx
+                A[p, :p] = sx
+                A[p, p] = n
+                b = np.concatenate([sxy, [sy]])
+                if lam > 0:
+                    A[np.arange(p), np.arange(p)] += lam  # not the intercept
+            else:
+                A = xtx.copy()
+                b = sxy.copy()
+                if lam > 0:
+                    A[np.arange(p), np.arange(p)] += lam
+            try:
+                beta = np.linalg.solve(A, b)
+            except np.linalg.LinAlgError:
+                out.append((None, None, None))
+                continue
+            coefs = beta[:p]
+            icpt = float(beta[p]) if use_icpt else None
+            # SSE = y'y - 2 b'[X'y] + b'A0 b with A0 the UNpenalized
+            # moment matrix (SSE measures fit, not the penalty)
+            if use_icpt:
+                A0 = A.copy()
+                A0[np.arange(p), np.arange(p)] -= lam
+            else:
+                A0 = xtx
+            sse = float(syy - 2 * beta @ b + beta @ A0 @ beta)
+            sst = float(syy - sy * sy / n) if use_icpt else float(syy)
+            r2 = 1.0 - sse / sst if sst > 0 else None
+            if r2 is not None and not math.isfinite(r2):
+                r2 = None
+            out.append(([float(c) for c in coefs], icpt, r2))
+        return pd.DataFrame(out, columns=["coefs", "intercept", "r2"])
+
+    fitted = packed.withColumn("__fit", solve(F.col("__m")))
+    return fitted.select(
+        *keys,
+        F.col("__fit.coefs").alias("coefs"),
+        F.col("__fit.intercept").alias("intercept"),
+        F.col("__fit.r2").alias("r2"),
+        F.col("__n").alias("n"),
+    )
+
+
+def categorical_information_value(
+    df: DataFrame,
+    keys: Sequence[str],
+    feature_col: str,
+    target_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """ClickHouse ``categoricalInformationValue(cat, target)``: per
+    category of ``feature_col``, the weight of evidence against the
+    binary ``target_col`` (0/1), and the category's information-value
+    contribution — the standard feature-screening statistic
+    ``IV = sum_cat (p_pos_cat - p_neg_cat) * WoE_cat`` with
+    ``WoE = ln(p_pos_cat / p_neg_cat)`` (shares of the group's
+    positives / negatives falling in the category).
+
+    One hash aggregation builds the per-category positive/negative
+    counts; one cell-level window attaches the group totals — cost
+    tracks distinct categories. ``smoothing`` (default 0.5, additive /
+    half-a-count) keeps empty cells finite, the conventional fix for
+    the log-of-zero problem; pass 0 for the raw definition (categories
+    pure in either class then produce infinite WoE, as the math says).
+    Sum ``iv`` over categories for the feature's total IV. Rows with
+    NULL feature or target are ignored; target must be 0/1.
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    f_, t = F.col(feature_col), F.col(target_col)
+    cells = (
+        df.where(f_.isNotNull() & t.isin(0, 1))
+        .groupBy(*keys, f_.alias("category"))
+        .agg(
+            F.sum(t.cast("double")).alias("__pos"),
+            F.sum(F.lit(1.0) - t.cast("double")).alias("__neg"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    s = F.lit(float(smoothing))
+    n_cat = F.count(F.lit(1)).over(w)
+    tot_pos = F.sum("__pos").over(w) + s * n_cat
+    tot_neg = F.sum("__neg").over(w) + s * n_cat
+    p_pos = (F.col("__pos") + s) / tot_pos
+    p_neg = (F.col("__neg") + s) / tot_neg
+    woe = F.log(p_pos / p_neg)
+    return cells.select(
+        *keys,
+        "category",
+        F.col("__pos").alias("n_pos"),
+        F.col("__neg").alias("n_neg"),
+        woe.alias("woe"),
+        ((p_pos - p_neg) * woe).alias("iv"),
+    )

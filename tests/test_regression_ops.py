@@ -1,0 +1,175 @@
+"""Multi-feature OLS/ridge fit + WoE/IV (operators/regression.py) vs
+numpy closed-form references and DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from clickhouse_etl_spark.catalog import load_table  # noqa: E402
+from tools.oracle_check import assert_matches_oracle  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mkrows(n=40, seed=7):
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(-2, 2, n)
+    x2 = rng.uniform(0, 5, n)
+    y = 3.0 * x1 - 1.5 * x2 + 4.0 + rng.normal(0, 0.3, n)
+    return [(1, float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)]
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    from clickhouse_etl_spark.operators.regression import linear_regression_fit
+
+    rows = _mkrows()
+    df = spark.createDataFrame(rows, "g int, x1 double, x2 double, y double")
+    got = linear_regression_fit(df, ["g"], ["x1", "x2"], "y").collect()[0]
+
+    X = np.array([[r[1], r[2], 1.0] for r in rows])
+    yv = np.array([r[3] for r in rows])
+    beta, _, _, _ = np.linalg.lstsq(X, yv, rcond=None)
+    assert got["coefs"][0] == pytest.approx(beta[0], rel=1e-9)
+    assert got["coefs"][1] == pytest.approx(beta[1], rel=1e-9)
+    assert got["intercept"] == pytest.approx(beta[2], rel=1e-9)
+    resid = yv - X @ beta
+    sst = float(((yv - yv.mean()) ** 2).sum())
+    assert got["r2"] == pytest.approx(1 - float(resid @ resid) / sst, rel=1e-9)
+    assert got["n"] == len(rows)
+
+
+def test_ols_single_feature_matches_duckdb_regr(spark):
+    from clickhouse_etl_spark.operators.regression import linear_regression_fit
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_quantity", "l_extendedprice"
+    )
+    out = linear_regression_fit(li, ["g"], ["l_quantity"], "l_extendedprice")
+    out = out.select(
+        "g",
+        F.round(F.col("coefs")[0], 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+    )
+    assert_matches_oracle(
+        out,
+        """
+        SELECT l_returnflag AS g,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        FROM lineitem GROUP BY g
+        """,
+        SF,
+    )
+
+
+def test_ridge_matches_closed_form_and_fixes_collinearity(spark):
+    from clickhouse_etl_spark.operators.regression import linear_regression_fit
+
+    rows = _mkrows(n=30, seed=3)
+    # x3 = 2*x1 exactly -> OLS singular, ridge defined
+    rows3 = [(g, a, b, 2 * a, y) for g, a, b, y in rows]
+    df = spark.createDataFrame(
+        rows3, "g int, x1 double, x2 double, x3 double, y double"
+    )
+    sing = linear_regression_fit(df, ["g"], ["x1", "x2", "x3"], "y").collect()[0]
+    assert sing["coefs"] is None
+
+    lam = 0.7
+    got = linear_regression_fit(
+        df, ["g"], ["x1", "x2", "x3"], "y", ridge=lam
+    ).collect()[0]
+    X = np.array([[r[1], r[2], r[3]] for r in rows3])
+    yv = np.array([r[4] for r in rows3])
+    n, p = X.shape
+    A = np.zeros((p + 1, p + 1))
+    A[:p, :p] = X.T @ X + lam * np.eye(p)
+    A[:p, p] = X.sum(axis=0)
+    A[p, :p] = X.sum(axis=0)
+    A[p, p] = n
+    b = np.concatenate([X.T @ yv, [yv.sum()]])
+    beta = np.linalg.solve(A, b)
+    for i in range(p):
+        assert got["coefs"][i] == pytest.approx(beta[i], rel=1e-8)
+    assert got["intercept"] == pytest.approx(beta[p], rel=1e-8)
+
+
+def test_ols_no_intercept_and_validation(spark):
+    from clickhouse_etl_spark.operators.regression import linear_regression_fit
+
+    rows = [(1, 1.0, 2.1), (1, 2.0, 3.9), (1, 3.0, 6.1)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    got = linear_regression_fit(df, ["g"], ["x"], "y",
+                                intercept=False).collect()[0]
+    X = np.array([[r[1]] for r in rows])
+    yv = np.array([r[2] for r in rows])
+    beta = np.linalg.lstsq(X, yv, rcond=None)[0]
+    assert got["coefs"][0] == pytest.approx(beta[0], rel=1e-9)
+    assert got["intercept"] is None
+    with pytest.raises(ValueError):
+        linear_regression_fit(df, ["g"], [], "y")
+    with pytest.raises(ValueError):
+        linear_regression_fit(df, ["g"], ["x"], "y", ridge=-1)
+
+
+# --- categorical information value ------------------------------------------
+
+def test_iv_hand_computed_no_smoothing(spark):
+    from clickhouse_etl_spark.operators.regression import (
+        categorical_information_value)
+
+    # category A: 8 pos / 2 neg; B: 2 pos / 8 neg; totals 10/10
+    rows = ([(1, "A", 1)] * 8 + [(1, "A", 0)] * 2
+            + [(1, "B", 1)] * 2 + [(1, "B", 0)] * 8)
+    df = spark.createDataFrame(rows, "g int, cat string, t int")
+    got = {r["category"]: r for r in categorical_information_value(
+        df, ["g"], "cat", "t", smoothing=0.0).collect()}
+    woe_a = math.log((8 / 10) / (2 / 10))
+    assert got["A"]["woe"] == pytest.approx(woe_a, rel=1e-12)
+    assert got["A"]["iv"] == pytest.approx((0.8 - 0.2) * woe_a, rel=1e-12)
+    assert got["B"]["woe"] == pytest.approx(-woe_a, rel=1e-12)
+    assert (got["A"]["n_pos"], got["A"]["n_neg"]) == (8.0, 2.0)
+
+
+_IV_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS category,
+         SUM(CASE WHEN o_custkey % 2 = 1 THEN 1.0 ELSE 0.0 END) AS pos,
+         SUM(CASE WHEN o_custkey % 2 = 1 THEN 0.0 ELSE 1.0 END) AS neg
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT category, pos, neg,
+         SUM(pos) OVER () + 0.5 * COUNT(*) OVER () AS tp,
+         SUM(neg) OVER () + 0.5 * COUNT(*) OVER () AS tn
+  FROM cells
+)
+SELECT category,
+       ROUND(LN(((pos + 0.5) / tp) / ((neg + 0.5) / tn)), 6) AS woe,
+       ROUND(((pos + 0.5) / tp - (neg + 0.5) / tn)
+             * LN(((pos + 0.5) / tp) / ((neg + 0.5) / tn)), 6) AS iv
+FROM tot
+"""
+
+
+def test_iv_matches_duckdb(spark):
+    from clickhouse_etl_spark.operators.regression import (
+        categorical_information_value)
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderpriority", (F.col("o_custkey") % 2).alias("t")
+    )
+    out = categorical_information_value(o, [], "o_orderpriority", "t")
+    out = out.select(
+        "category",
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv"),
+    )
+    assert_matches_oracle(out, _IV_ORACLE, SF)
