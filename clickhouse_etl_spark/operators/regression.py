@@ -27,9 +27,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["linear_regression_fit", "categorical_information_value"]
+__all__ = [
+    "linear_regression_fit",
+    "logistic_regression_fit",
+    "categorical_information_value",
+]
 
 
 def linear_regression_fit(
@@ -149,6 +154,142 @@ def linear_regression_fit(
         F.col("__fit.r2").alias("r2"),
         F.col("__n").alias("n"),
     )
+
+
+def logistic_regression_fit(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_cols: Sequence[str],
+    y_col: str,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+    ridge: float = 0.0,
+) -> DataFrame:
+    """Per-group logistic regression — the batch-correct
+    ``stochasticLogisticRegression``: Newton/IRLS where EVERY iteration
+    is one JVM aggregation pass over the data with the current
+    coefficients broadcast in.
+
+    Scale shape: the data is never collected and never reshaped — each
+    Newton step broadcast-joins the k-models-×-p coefficient table onto
+    the rows, computes ``mu``/weights as JVM column math, and folds the
+    per-group Hessian (X'WX upper triangle) and gradient as plain sum
+    aggregates; the driver sees k rows of p(p+3)/2 floats per step (the
+    MODELS, not the data) and solves the p×p updates in numpy. A 100 TB
+    single group costs max_iter scans; groups converge independently
+    and drop out of later passes. This is the same iteration MLlib's
+    LogisticRegression runs — provided here as a DataFrame-native
+    operator so a fit is one call away from the rest of the engine.
+
+    Rows with NULL y/feature, or y outside {0, 1}, are ignored.
+    Returns ``coefs`` (x_cols order), ``intercept``, ``n_iter``, and
+    ``converged`` per group. Perfectly separable groups cannot converge
+    (the MLE is at infinity — the math, not a bug): they stop at
+    ``max_iter`` with ``converged=false``; any ``ridge > 0`` restores a
+    finite optimum. The ridge penalty skips the intercept.
+    """
+    x_cols = list(x_cols)
+    p = len(x_cols)
+    if p == 0:
+        raise ValueError("logistic_regression_fit needs at least one feature")
+    if ridge < 0 or max_iter < 1:
+        raise ValueError("need ridge >= 0 and max_iter >= 1")
+    keys = list(keys)
+    spark = df.sparkSession
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = y.isin(0.0, 1.0)
+    for x in xs:
+        cond = cond & x.isNotNull()
+    base = df.where(cond).select(
+        *keys, *[x.alias(f"__x{i}") for i, x in enumerate(xs)], y.alias("__y")
+    )
+    base = base.persist()
+    try:
+        out_schema = (
+            base.select(*keys).schema
+            .add("coefs", T.ArrayType(T.DoubleType()))
+            .add("intercept", T.DoubleType())
+            .add("n_iter", T.IntegerType())
+            .add("converged", T.BooleanType())
+        )
+        groups = [tuple(r) for r in base.select(*keys).distinct().collect()]
+        if not groups:
+            return spark.createDataFrame([], out_schema)
+
+        beta = {g: np.zeros(p + 1) for g in groups}  # [coefs..., intercept]
+        done: dict[tuple, tuple[int, bool]] = {}
+        eps = 1e-12
+
+        for it in range(1, max_iter + 1):
+            active = [g for g in groups if g not in done]
+            if not active:
+                break
+            # broadcast the current models onto the rows
+            brows = [
+                (*g, [float(v) for v in beta[g]]) for g in active
+            ]
+            bschema = base.select(*keys).schema.add(
+                "__beta", T.ArrayType(T.DoubleType())
+            )
+            bdf = F.broadcast(spark.createDataFrame(brows, bschema))
+            cur = base.join(bdf, on=keys, how="inner")
+            eta = F.col("__beta")[p]
+            for i in range(p):
+                eta = eta + F.col("__beta")[i] * F.col(f"__x{i}")
+            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            mu = F.least(F.greatest(mu, F.lit(eps)), F.lit(1.0 - eps))
+            w = mu * (1.0 - mu)
+            r = F.col("__y") - mu
+            aggs = []
+            feats = [F.col(f"__x{i}") for i in range(p)] + [F.lit(1.0)]
+            for i in range(p + 1):
+                aggs.append(F.sum(r * feats[i]).alias(f"__g{i}"))
+                for j in range(i, p + 1):
+                    aggs.append(
+                        F.sum(w * feats[i] * feats[j]).alias(f"__h{i}_{j}")
+                    )
+            stats = cur.groupBy(*keys).agg(*aggs).collect()
+
+            for row in stats:
+                g = tuple(row[k] for k in keys)
+                grad = np.array([row[f"__g{i}"] for i in range(p + 1)])
+                H = np.zeros((p + 1, p + 1))
+                for i in range(p + 1):
+                    for j in range(i, p + 1):
+                        H[i, j] = H[j, i] = row[f"__h{i}_{j}"]
+                if ridge > 0:  # penalty on coefs, not the intercept
+                    grad[:p] -= ridge * beta[g][:p]
+                    H[np.arange(p), np.arange(p)] += ridge
+                try:
+                    step = np.linalg.solve(H, grad)
+                except np.linalg.LinAlgError:
+                    done[g] = (it, False)
+                    continue
+                beta[g] = beta[g] + step
+                if float(np.max(np.abs(step))) < tol:
+                    done[g] = (it, True)
+            # groups absent from `stats` (no surviving rows) can't fit
+            seen = {tuple(row[k] for k in keys) for row in stats}
+            for g in active:
+                if g not in seen:
+                    done[g] = (it, False)
+    finally:
+        base.unpersist()
+
+    out_rows = []
+    for g in groups:
+        it, conv = done.get(g, (max_iter, False))
+        out_rows.append(
+            (
+                *g,
+                [float(v) for v in beta[g][:p]],
+                float(beta[g][p]),
+                it,
+                conv,
+            )
+        )
+    return spark.createDataFrame(out_rows, out_schema)
 
 
 def categorical_information_value(

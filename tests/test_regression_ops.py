@@ -120,6 +120,100 @@ def test_ols_no_intercept_and_validation(spark):
         linear_regression_fit(df, ["g"], ["x"], "y", ridge=-1)
 
 
+# --- logistic regression -----------------------------------------------------
+
+def _numpy_irls(X, yv, ridge=0.0, max_iter=50, tol=1e-10):
+    """Independent IRLS reference (numpy matrix form, no moment sums)."""
+    n, p = X.shape
+    Xa = np.hstack([X, np.ones((n, 1))])
+    beta = np.zeros(p + 1)
+    for _ in range(max_iter):
+        mu = 1.0 / (1.0 + np.exp(-Xa @ beta))
+        mu = np.clip(mu, 1e-12, 1 - 1e-12)
+        W = mu * (1 - mu)
+        grad = Xa.T @ (yv - mu)
+        H = Xa.T @ (Xa * W[:, None])
+        if ridge > 0:
+            grad[:p] -= ridge * beta[:p]
+            H[np.arange(p), np.arange(p)] += ridge
+        step = np.linalg.solve(H, grad)
+        beta = beta + step
+        if np.max(np.abs(step)) < tol:
+            break
+    return beta
+
+
+def _logit_rows(n=200, seed=11):
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(-2, 2, n)
+    x2 = rng.uniform(-1, 3, n)
+    eta = 1.2 * x1 - 0.8 * x2 + 0.5
+    pr = 1 / (1 + np.exp(-eta))
+    yv = (rng.uniform(size=n) < pr).astype(float)
+    return x1, x2, yv
+
+
+def test_logistic_matches_numpy_irls(spark):
+    from clickhouse_etl_spark.operators.regression import logistic_regression_fit
+
+    x1, x2, yv = _logit_rows()
+    rows = [(1, float(a), float(b), float(c)) for a, b, c in zip(x1, x2, yv)]
+    df = spark.createDataFrame(rows, "g int, x1 double, x2 double, y double")
+    got = logistic_regression_fit(df, ["g"], ["x1", "x2"], "y").collect()[0]
+    assert got["converged"]
+
+    X = np.column_stack([x1, x2])
+    want = _numpy_irls(X, yv)
+    assert got["coefs"][0] == pytest.approx(want[0], abs=1e-6)
+    assert got["coefs"][1] == pytest.approx(want[1], abs=1e-6)
+    assert got["intercept"] == pytest.approx(want[2], abs=1e-6)
+
+    # first-order optimality: gradient of the log-likelihood ~ 0
+    Xa = np.hstack([X, np.ones((len(yv), 1))])
+    beta = np.array([*got["coefs"], got["intercept"]])
+    mu = 1 / (1 + np.exp(-Xa @ beta))
+    assert float(np.max(np.abs(Xa.T @ (yv - mu)))) < 1e-6
+
+
+def test_logistic_groups_fit_independently(spark):
+    from clickhouse_etl_spark.operators.regression import logistic_regression_fit
+
+    x1a, x2a, ya = _logit_rows(seed=1)
+    x1b, x2b, yb = _logit_rows(seed=2)
+    rows = ([(1, float(a), float(b), float(c))
+             for a, b, c in zip(x1a, x2a, ya)]
+            + [(2, float(a), float(b), float(c))
+               for a, b, c in zip(x1b, x2b, yb)])
+    df = spark.createDataFrame(rows, "g int, x1 double, x2 double, y double")
+    got = {r["g"]: r for r in
+           logistic_regression_fit(df, ["g"], ["x1", "x2"], "y").collect()}
+    wa = _numpy_irls(np.column_stack([x1a, x2a]), ya)
+    wb = _numpy_irls(np.column_stack([x1b, x2b]), yb)
+    assert got[1]["coefs"][0] == pytest.approx(wa[0], abs=1e-6)
+    assert got[2]["coefs"][0] == pytest.approx(wb[0], abs=1e-6)
+    assert got[1]["coefs"][0] != pytest.approx(got[2]["coefs"][0], abs=1e-3)
+
+
+def test_logistic_separable_needs_ridge(spark):
+    from clickhouse_etl_spark.operators.regression import logistic_regression_fit
+
+    # perfectly separable: y = 1 iff x > 0 -> MLE at infinity
+    rows = [(1, float(x), 1.0 if x > 0 else 0.0)
+            for x in np.linspace(-3, 3, 40) if abs(x) > 0.2]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    free = logistic_regression_fit(df, ["g"], ["x"], "y",
+                                   max_iter=8).collect()[0]
+    assert not free["converged"]
+    reg = logistic_regression_fit(df, ["g"], ["x"], "y",
+                                  ridge=1.0).collect()[0]
+    assert reg["converged"]
+    want = _numpy_irls(np.array([[r[1]] for r in rows]),
+                       np.array([r[2] for r in rows]), ridge=1.0)
+    assert reg["coefs"][0] == pytest.approx(want[0], abs=1e-6)
+    with pytest.raises(ValueError):
+        logistic_regression_fit(df, ["g"], ["x"], "y", max_iter=0)
+
+
 # --- categorical information value ------------------------------------------
 
 def test_iv_hand_computed_no_smoothing(spark):
