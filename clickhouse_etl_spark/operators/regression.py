@@ -124,6 +124,12 @@ def linear_regression_fit(
                 b = sxy.copy()
                 if lam > 0:
                     A[np.arange(p), np.arange(p)] += lam
+            # cond guard, not just LinAlgError: NUMERICALLY collinear
+            # features (x2 = 2*x1 built from float data) leave a
+            # nonzero pivot and solve() would return garbage silently
+            if not np.all(np.isfinite(A)) or np.linalg.cond(A) > 1e12:
+                out.append((None, None, None))
+                continue
             try:
                 beta = np.linalg.solve(A, b)
             except np.linalg.LinAlgError:
@@ -201,8 +207,18 @@ def logistic_regression_fit(
     cond = y.isin(0.0, 1.0)
     for x in xs:
         cond = cond & x.isNotNull()
+    # keys=[] fits one global model: run the same machinery over an
+    # internal constant group and drop it at the end
+    global_fit = not keys
+    if global_fit:
+        keys = ["__g"]
+        key_cols: list = [F.lit(1).alias("__g")]
+    else:
+        key_cols = list(keys)
     base = df.where(cond).select(
-        *keys, *[x.alias(f"__x{i}") for i, x in enumerate(xs)], y.alias("__y")
+        *key_cols,
+        *[x.alias(f"__x{i}") for i, x in enumerate(xs)],
+        y.alias("__y"),
     )
     base = base.persist()
     try:
@@ -233,7 +249,17 @@ def logistic_regression_fit(
                 "__beta", T.ArrayType(T.DoubleType())
             )
             bdf = F.broadcast(spark.createDataFrame(brows, bschema))
-            cur = base.join(bdf, on=keys, how="inner")
+            # eqNullSafe join: a NULL key value is a legitimate group
+            # (groupBy semantics); a plain equi-join would silently
+            # drop it and report an unfitted all-zero model
+            b, m = base.alias("__b"), bdf.alias("__m")
+            jc = F.lit(True)
+            for k in keys:
+                jc = jc & F.col(f"__b.{k}").eqNullSafe(F.col(f"__m.{k}"))
+            cur = b.join(m, jc, "inner").select(
+                *[F.col(f"__b.{c}") for c in base.columns],
+                F.col("__m.__beta").alias("__beta"),
+            )
             eta = F.col("__beta")[p]
             for i in range(p):
                 eta = eta + F.col("__beta")[i] * F.col(f"__x{i}")
@@ -269,7 +295,10 @@ def logistic_regression_fit(
                 beta[g] = beta[g] + step
                 if float(np.max(np.abs(step))) < tol:
                     done[g] = (it, True)
-            # groups absent from `stats` (no surviving rows) can't fit
+            # pure guard: every active group has rows by construction
+            # (groups came from base itself), so this only fires if the
+            # aggregation lost a group — mark it failed rather than
+            # looping to max_iter on a model that never updates
             seen = {tuple(row[k] for k in keys) for row in stats}
             for g in active:
                 if g not in seen:
@@ -289,7 +318,8 @@ def logistic_regression_fit(
                 conv,
             )
         )
-    return spark.createDataFrame(out_rows, out_schema)
+    result = spark.createDataFrame(out_rows, out_schema)
+    return result.drop("__g") if global_fit else result
 
 
 def categorical_information_value(
@@ -336,7 +366,14 @@ def categorical_information_value(
     tot_neg = F.sum("__neg").over(w) + s * n_cat
     p_pos = (F.col("__pos") + s) / tot_pos
     p_neg = (F.col("__neg") + s) / tot_neg
-    woe = F.log(p_pos / p_neg)
+    # explicit infinities for pure cells under smoothing=0: Spark's
+    # log() returns NULL for non-positive input (non-ANSI), which would
+    # silently DROP the strongest categories from the summed IV
+    woe = (
+        F.when(p_neg == 0, F.lit(float("inf")))
+        .when(p_pos == 0, F.lit(float("-inf")))
+        .otherwise(F.log(p_pos / p_neg))
+    )
     return cells.select(
         *keys,
         "category",

@@ -117,11 +117,29 @@ def _norm_two_sided_p(z: float) -> float:
 
 
 def _kolmogorov_sf(lam: float) -> float:
-    """Kolmogorov distribution tail Q(lam) = 2 sum (-1)^{k-1} e^{-2 k^2 lam^2}."""
+    """Kolmogorov distribution tail Q(lam).
+
+    Two expansions (the standard split, cf. Marsaglia-Tsang-Wang): the
+    alternating series 2 sum (-1)^{k-1} e^{-2 k^2 lam^2} converges fast
+    only for large lam; below ~1.18 the dual theta-function form
+    1 - (sqrt(2 pi)/lam) sum e^{-(2k-1)^2 pi^2 / (8 lam^2)} is used —
+    the alternating series would need hundreds of terms there and a
+    fixed cutoff silently returns a p off by up to ~0.13.
+    """
     if not math.isfinite(lam):
         return float("nan")
     if lam <= 0.0:
         return 1.0
+    if lam < 1.18:
+        t = math.pi * math.pi / (8.0 * lam * lam)
+        s = 0.0
+        for k in range(1, 21):
+            term = math.exp(-((2 * k - 1) ** 2) * t)
+            s += term
+            if term < 1e-18:
+                break
+        cdf = math.sqrt(2.0 * math.pi) / lam * s
+        return min(max(1.0 - cdf, 0.0), 1.0)
     s = 0.0
     for k in range(1, 101):
         term = 2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
@@ -360,7 +378,12 @@ def one_way_anova(
     )
     k, n = F.col("__k"), F.col("__n")
     grand = F.col("__sum") / n
-    ssb = F.col("__sumsq_means") - n * grand * grand
+    # clamp at 0: ssb is a difference of two float summations of the
+    # same quantity, so the all-means-equal case can land a few ulp
+    # negative and would push a negative F into the beta tail (NaN p)
+    ssb = F.greatest(
+        F.col("__sumsq_means") - n * grand * grand, F.lit(0.0)
+    )
     d1 = (k - 1).cast("double")
     d2 = (n - k).cast("double")
     defined = (k >= 2) & (d2 > 0) & (F.col("__ssw") > 0)

@@ -68,20 +68,39 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_clickhouse_etl_spark_shipped", False):
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="clickhouse_etl_spark_pkg_")
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, dirs, files in os.walk(pkg_dir):
-            dirs[:] = [d for d in dirs if d != "__pycache__"]
-            for fn in sorted(files):
-                if fn.endswith(".py"):
-                    full = os.path.join(root, fn)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
+    entries = []
+    digest = hashlib.sha256()
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                with open(full, "rb") as fh:
+                    data = fh.read()
+                digest.update(rel.encode())
+                digest.update(data)
+                entries.append((rel, data))
+    # Content-addressed path: the zip must OUTLIVE this call (local-mode
+    # executors re-fetch it from the original path per task, so eager
+    # deletion breaks every job), and a stable name means one file per
+    # package version instead of one per session.
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"clickhouse_etl_spark_pkg_{digest.hexdigest()[:16]}.zip",
+    )
+    if not os.path.exists(zpath):
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for rel, data in entries:
+                zf.writestr(rel, data)
+        os.replace(tmp, zpath)  # atomic vs concurrent sessions
     sc.addPyFile(zpath)
     sc._clickhouse_etl_spark_shipped = True
 

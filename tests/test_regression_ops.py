@@ -214,6 +214,57 @@ def test_logistic_separable_needs_ridge(spark):
         logistic_regression_fit(df, ["g"], ["x"], "y", max_iter=0)
 
 
+def test_logistic_null_key_is_a_group(spark):
+    """A NULL key value is a legitimate group (groupBy semantics) and
+    must be FITTED, not silently returned as an all-zero model."""
+    from clickhouse_etl_spark.operators.regression import logistic_regression_fit
+
+    x1, x2, yv = _logit_rows(seed=5)
+    rows = ([(None, float(a), float(b), float(c))
+             for a, b, c in zip(x1, x2, yv)]
+            + [(1, float(a), float(b), float(c))
+               for a, b, c in zip(x1, x2, yv)])
+    df = spark.createDataFrame(rows, "g int, x1 double, x2 double, y double")
+    got = {r["g"]: r for r in
+           logistic_regression_fit(df, ["g"], ["x1", "x2"], "y").collect()}
+    want = _numpy_irls(np.column_stack([x1, x2]), yv)
+    assert got[None]["converged"]
+    assert got[None]["coefs"][0] == pytest.approx(want[0], abs=1e-6)
+    assert got[1]["coefs"][0] == pytest.approx(want[0], abs=1e-6)
+
+
+def test_logistic_global_fit_empty_keys(spark):
+    from clickhouse_etl_spark.operators.regression import logistic_regression_fit
+
+    x1, x2, yv = _logit_rows(seed=9)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, yv)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = logistic_regression_fit(df, [], ["x1", "x2"], "y").collect()
+    assert len(got) == 1
+    want = _numpy_irls(np.column_stack([x1, x2]), yv)
+    assert got[0]["coefs"][0] == pytest.approx(want[0], abs=1e-6)
+    assert "__g" not in got[0].asDict()
+
+
+def test_ols_numerically_collinear_guard(spark):
+    """x3 = x1 + x2 in floats is only NEAR-singular — solve() would
+    return garbage without raising; the cond guard must yield NULL."""
+    from clickhouse_etl_spark.operators.regression import linear_regression_fit
+
+    rows = _mkrows(n=30, seed=13)
+    rows3 = [(g, a, b, a + b, y) for g, a, b, y in rows]
+    df = spark.createDataFrame(
+        rows3, "g int, x1 double, x2 double, x3 double, y double"
+    )
+    got = linear_regression_fit(df, ["g"], ["x1", "x2", "x3"], "y").collect()[0]
+    assert got["coefs"] is None
+    # ridge restores a well-conditioned system
+    reg = linear_regression_fit(
+        df, ["g"], ["x1", "x2", "x3"], "y", ridge=1.0
+    ).collect()[0]
+    assert reg["coefs"] is not None
+
+
 # --- categorical information value ------------------------------------------
 
 def test_iv_hand_computed_no_smoothing(spark):
@@ -231,6 +282,25 @@ def test_iv_hand_computed_no_smoothing(spark):
     assert got["A"]["iv"] == pytest.approx((0.8 - 0.2) * woe_a, rel=1e-12)
     assert got["B"]["woe"] == pytest.approx(-woe_a, rel=1e-12)
     assert (got["A"]["n_pos"], got["A"]["n_neg"]) == (8.0, 2.0)
+
+
+def test_iv_pure_category_infinite_woe(spark):
+    """smoothing=0 on a pure category must produce the infinite WoE the
+    math says (Spark log(<=0) -> NULL would silently drop the strongest
+    categories from a summed IV)."""
+    from clickhouse_etl_spark.operators.regression import (
+        categorical_information_value)
+
+    rows = ([(1, "pure_pos", 1)] * 5 + [(1, "pure_neg", 0)] * 5
+            + [(1, "mixed", 1)] * 2 + [(1, "mixed", 0)] * 2)
+    df = spark.createDataFrame(rows, "g int, cat string, t int")
+    got = {r["category"]: r for r in categorical_information_value(
+        df, ["g"], "cat", "t", smoothing=0.0).collect()}
+    assert got["pure_pos"]["woe"] == float("inf")
+    assert got["pure_pos"]["iv"] == float("inf")
+    assert got["pure_neg"]["woe"] == float("-inf")
+    assert got["pure_neg"]["iv"] == float("inf")
+    assert math.isfinite(got["mixed"]["woe"])
 
 
 _IV_ORACLE = """

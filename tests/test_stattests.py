@@ -48,6 +48,14 @@ def test_tail_functions_hit_textbook_critical_values():
     # Kolmogorov two-sided critical value at alpha = 0.05 is 1.358
     assert _kolmogorov_sf(1.358) == pytest.approx(0.05, abs=1e-3)
     assert _kolmogorov_sf(0.0) == 1.0
+    # small-lam branch: K CDF at 0.5 is 0.0361 (table) -> tail 0.9639
+    assert _kolmogorov_sf(0.5) == pytest.approx(0.9639, abs=1e-3)
+    assert _kolmogorov_sf(0.02) == pytest.approx(1.0, abs=1e-12)
+    # the two expansions agree AT the same point (1.0 < 1.18 uses the
+    # theta form; the alternating series is computed here directly)
+    alt = sum(2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k)
+              for k in range(1, 30))
+    assert _kolmogorov_sf(1.0) == pytest.approx(alt, abs=1e-7)
 
 
 # --- Student / Welch t-tests ------------------------------------------------
@@ -181,6 +189,20 @@ SELECT g,
                 / (SUM(ng) - COUNT(*))), 6) AS f_stat
 FROM per_cat GROUP BY g HAVING COUNT(*) >= 2
 """
+
+
+def test_one_way_anova_equal_means_p_is_one(spark):
+    """All category means identical (non-representable 0.1 values):
+    float cancellation must not push ssb negative -> p NaN; the clamp
+    yields F ~ 0 and p ~ 1."""
+    from clickhouse_etl_spark.operators.stattests import one_way_anova
+
+    sample = [0.1, 0.2, 0.3, 0.1, 0.2, 0.3, 0.7]
+    rows = [(1, lab, v) for lab in ["a", "b", "c"] for v in sample]
+    df = spark.createDataFrame(rows, "g int, lab string, v double")
+    got = one_way_anova(df, ["g"], "v", "lab").collect()[0]
+    assert got["f_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert got["p_value"] == pytest.approx(1.0, abs=1e-9)
 
 
 def test_one_way_anova_matches_duckdb(spark):
