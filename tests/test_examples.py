@@ -26,6 +26,23 @@ def test_reference_warehouse_example(spark, tmp_path):
     assert isinstance(r["retention_deleted"], list)
 
 
+def test_cohort_analytics_example(spark):
+    from examples.cohort_analytics import run
+
+    r = run(spark, SF_DIR)
+    assert r["input"] == 1000
+    for name in ["student", "welch", "mwu", "ks"]:
+        assert 0.0 <= r[f"{name}_min_p"] <= 1.0
+        assert r[f"{name}_groups"] >= 2
+    assert r["anova_f"] is not None and 0.0 <= r["anova_p"] <= 1.0
+    assert r["iv_total"] >= 0.0
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["propensity_converged"]
+    assert len(r["propensity_coefs"]) == 2
+    assert r["engaged_users"] > 0
+    assert r["lttb_points"] <= min(50, r["daily_points"])
+
+
 def test_training_corpus_example(spark):
     from examples.training_corpus import run
 
