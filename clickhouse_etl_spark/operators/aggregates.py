@@ -175,12 +175,66 @@ def sum_map(
     the already-compacted distinct keys. Both shuffles are on hash
     keys; nothing is collected.
     """
+    per_key = _map_entries_per_key(
+        df, keys, map_keys_col, map_values_col, F.sum, "sum_map"
+    )
+    if drop_zero:
+        per_key = per_key.filter(F.col("__s").isNotNull() & (F.col("__s") != 0))
+    return _reassemble_map(per_key, keys, keys_out, values_out)
+
+
+def min_map(
+    df: DataFrame,
+    keys: Sequence[str],
+    map_keys_col: str,
+    map_values_col: str,
+    keys_out: str = "keys",
+    values_out: str = "values",
+) -> DataFrame:
+    """ClickHouse ``minMap(keyArr, valueArr)``: per group, the MINIMUM
+    value seen for each key across rows — same parallel-array shape and
+    plan as :func:`sum_map` (explode → per-(group, key) min with
+    map-side partials → sorted re-assembly). No zero-compaction: unlike
+    a summed counter, a zero minimum is information.
+    """
+    per_key = _map_entries_per_key(
+        df, keys, map_keys_col, map_values_col, F.min, "min_map"
+    )
+    return _reassemble_map(per_key, keys, keys_out, values_out)
+
+
+def max_map(
+    df: DataFrame,
+    keys: Sequence[str],
+    map_keys_col: str,
+    map_values_col: str,
+    keys_out: str = "keys",
+    values_out: str = "values",
+) -> DataFrame:
+    """ClickHouse ``maxMap(keyArr, valueArr)``: per-key MAXIMUM —
+    see :func:`min_map`."""
+    per_key = _map_entries_per_key(
+        df, keys, map_keys_col, map_values_col, F.max, "max_map"
+    )
+    return _reassemble_map(per_key, keys, keys_out, values_out)
+
+
+def _map_entries_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    map_keys_col: str,
+    map_values_col: str,
+    agg_fn,
+    op_name: str,
+) -> DataFrame:
+    """Shared first stage of the *Map aggregates: length-checked zip,
+    explode, and the per-(group, key) fold as ``__s``."""
     nk, nv = F.size(F.col(map_keys_col)), F.size(F.col(map_values_col))
     both_null = F.col(map_keys_col).isNull() & F.col(map_values_col).isNull()
     ok = F.assert_true(
         both_null | (nk == nv),
         F.lit(
-            f"sum_map: {map_keys_col!r} and {map_values_col!r} lengths "
+            f"{op_name}: {map_keys_col!r} and {map_values_col!r} lengths "
             "differ on some row (zip would silently NULL-pad)"
         ),
     )
@@ -194,13 +248,17 @@ def sum_map(
             ),
         )
     ).alias("__e")
-    per_key = (
+    return (
         df.select(*keys, entry)
         .groupBy(*keys, F.col("__e.k").alias("__k"))
-        .agg(F.sum("__e.v").alias("__s"))
+        .agg(agg_fn(F.col("__e.v")).alias("__s"))
     )
-    if drop_zero:
-        per_key = per_key.filter(F.col("__s").isNotNull() & (F.col("__s") != 0))
+
+
+def _reassemble_map(
+    per_key: DataFrame, keys: Sequence[str], keys_out: str, values_out: str
+) -> DataFrame:
+    """Shared last stage: per-group key-sorted parallel arrays."""
     kv = F.array_sort(
         F.collect_list(F.struct(F.col("__k").alias("k"), F.col("__s").alias("v")))
     )

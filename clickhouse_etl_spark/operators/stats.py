@@ -258,6 +258,48 @@ def theils_u(
     return cells.groupBy(*keys).agg(u.alias(out))
 
 
+def corr_matrix(
+    df: DataFrame,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    out: str = "matrix",
+) -> DataFrame:
+    """ClickHouse ``corrMatrix(x1, ..., xn)``: the pairwise Pearson
+    correlation matrix of the given columns per group, as
+    ``array<array<double>>`` in ``cols`` order.
+
+    One hash aggregation — Catalyst folds all p(p+1)/2 ``corr``
+    aggregates in a single pass over the rows (each maintains its own
+    co-moment state, all map-side combinable), then the nested array is
+    a free projection. Entries are SQL ``corr`` semantics: each pair
+    uses the rows where BOTH of its columns are non-NULL (pairwise
+    deletion), and a constant column yields NULL against everything —
+    including itself, which keeps "no variance" distinguishable from a
+    true diagonal 1.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    aggs = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i <= j:
+                aggs.append(
+                    F.corr(F.col(a), F.col(b)).alias(f"__c{i}_{j}")
+                )
+    mom = df.groupBy(*keys).agg(*aggs)
+    rows = [
+        F.array(
+            *[
+                F.col(f"__c{min(i, j)}_{max(i, j)}")
+                for j in range(len(cols))
+            ]
+        )
+        for i in range(len(cols))
+    ]
+    return mom.select(*keys, F.array(*rows).alias(out))
+
+
 def exponential_time_decayed_sum(
     df: DataFrame,
     keys: Sequence[str],

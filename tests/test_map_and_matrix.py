@@ -1,0 +1,141 @@
+"""min/max map aggregates and the correlation matrix vs DuckDB oracles
+and numpy references.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from clickhouse_etl_spark.catalog import load_table  # noqa: E402
+from tools.oracle_check import assert_matches_oracle  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _kv_df(spark):
+    rows = [
+        (1, ["a", "b"], [3.0, 1.0]),
+        (1, ["b", "c"], [5.0, -2.0]),
+        (1, ["a"], [7.0]),
+        (1, None, None),          # contributes nothing
+        (2, ["z"], [0.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "g int, ks array<string>, vs array<double>"
+    )
+
+
+def test_min_max_map_micro(spark):
+    from clickhouse_etl_spark.operators.aggregates import max_map, min_map
+
+    df = _kv_df(spark)
+    mn = {r["g"]: (r["keys"], r["values"])
+          for r in min_map(df, ["g"], "ks", "vs").collect()}
+    mx = {r["g"]: (r["keys"], r["values"])
+          for r in max_map(df, ["g"], "ks", "vs").collect()}
+    assert mn[1] == (["a", "b", "c"], [3.0, 1.0, -2.0])
+    assert mx[1] == (["a", "b", "c"], [7.0, 5.0, -2.0])
+    # zero minimum survives (no sumMap-style compaction)
+    assert mn[2] == (["z"], [0.0])
+
+
+def test_min_map_length_mismatch_raises(spark):
+    from clickhouse_etl_spark.operators.aggregates import min_map
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], [1.0])], "g int, ks array<string>, vs array<double>"
+    )
+    with pytest.raises(Exception, match="lengths"):
+        min_map(df, ["g"], "ks", "vs").collect()
+
+
+_MINMAP_ORACLE = """
+WITH entries AS (
+  SELECT o_orderpriority AS g, o_orderstatus AS k, o_totalprice AS v
+  FROM orders
+), per_key AS (
+  SELECT g, k, MIN(v) AS mn FROM entries GROUP BY g, k
+)
+SELECT g,
+       list(k ORDER BY k) AS keys,
+       list(ROUND(mn, 4) ORDER BY k) AS values
+FROM per_key GROUP BY g
+"""
+
+
+def test_min_map_matches_duckdb(spark):
+    """Single-entry maps (one key/value per row) make the parquet
+    tables usable as *Map inputs without synthesizing arrays in SQL."""
+    from clickhouse_etl_spark.operators.aggregates import min_map
+
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.array("o_orderstatus").alias("ks"),
+        F.array("o_totalprice").alias("vs"),
+    )
+    out = min_map(o, ["g"], "ks", "vs")
+    out = out.select(
+        "g", "keys", F.transform("values", lambda v: F.round(v, 4)).alias("values")
+    )
+    assert_matches_oracle(out, _MINMAP_ORACLE, SF)
+
+
+def test_corr_matrix_matches_numpy(spark):
+    from clickhouse_etl_spark.operators.stats import corr_matrix
+
+    rng = np.random.RandomState(4)
+    a = rng.uniform(0, 1, 60)
+    b = 2 * a + rng.normal(0, 0.1, 60)
+    c = rng.uniform(-1, 1, 60)
+    rows = [(1, float(x), float(y), float(z)) for x, y, z in zip(a, b, c)]
+    df = spark.createDataFrame(rows, "g int, a double, b double, c double")
+    got = corr_matrix(df, ["g"], ["a", "b", "c"]).collect()[0]["matrix"]
+    want = np.corrcoef(np.vstack([a, b, c]))
+    for i in range(3):
+        for j in range(3):
+            assert got[i][j] == pytest.approx(want[i, j], abs=1e-12)
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["g"], ["a"])
+
+
+def test_corr_matrix_constant_column_null(spark):
+    from clickhouse_etl_spark.operators.stats import corr_matrix
+
+    rows = [(1, float(i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g int, a double, k double")
+    m = corr_matrix(df, ["g"], ["a", "k"]).collect()[0]["matrix"]
+    assert m[0][0] == pytest.approx(1.0)
+    assert m[0][1] is None and m[1][1] is None  # no variance -> NULL
+
+
+_CORRM_ORACLE = """
+SELECT l_returnflag AS g,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS c01,
+       ROUND(CORR(l_quantity, l_discount), 6) AS c02,
+       ROUND(CORR(l_extendedprice, l_discount), 6) AS c12
+FROM lineitem GROUP BY g
+"""
+
+
+def test_corr_matrix_matches_duckdb(spark):
+    from clickhouse_etl_spark.operators.stats import corr_matrix
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    out = corr_matrix(li, ["g"], ["l_quantity", "l_extendedprice", "l_discount"])
+    out = out.select(
+        "g",
+        F.round(F.col("matrix")[0][1], 6).alias("c01"),
+        F.round(F.col("matrix")[0][2], 6).alias("c02"),
+        F.round(F.col("matrix")[1][2], 6).alias("c12"),
+    )
+    assert_matches_oracle(out, _CORRM_ORACLE, SF)
