@@ -223,3 +223,54 @@ def histogram_fixed(
             "n",
         )
     )
+
+
+_SPARK_GLYPHS = "▁▂▃▄▅▆▇█"
+
+
+def sparkbar(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 20,
+    group_cols: Sequence[str] = (),
+    lo: float | None = None,
+    hi: float | None = None,
+    out: str = "sparkbar",
+) -> DataFrame:
+    """ClickHouse ``sparkbar(buckets)(x)``: the distribution of
+    ``value_col`` rendered as a fixed-width unicode bar string per
+    group — the glanceable histogram for dashboards and data cards.
+
+    Built directly on :func:`histogram_fixed` (same exact counts, same
+    clamped edge bins), then a per-group densify + glyph projection:
+    empty buckets render as a space, non-empty ones as the 8
+    block-element glyphs with ``ceil(8 * n / max_n)`` scaling, so the
+    tallest bucket is always a full block. (ClickHouse's own glyph
+    scaling differs in sub-glyph rounding; the shape reads the same.)
+    All JVM: the only aggregation beyond the histogram is one
+    collect_list over the ≤ ``buckets`` non-empty bins per group.
+    """
+    hist = histogram_fixed(
+        df, value_col, bins=buckets, group_cols=group_cols, lo=lo, hi=hi
+    )
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bin"), F.col("n")))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(buckets - 1)),
+        lambda i: F.coalesce(F.element_at(entries, i), F.lit(0)),
+    )
+    # NOTE: `entries`/`dense` are aggregate-valued expressions used
+    # inside one agg() below — Catalyst evaluates the collect_list once.
+    glyphs = F.array(*[F.lit(c) for c in _SPARK_GLYPHS])
+    mx = F.array_max(dense)
+    bar = F.array_join(
+        F.transform(
+            dense,
+            lambda n: F.when(n == 0, F.lit(" ")).otherwise(
+                F.element_at(glyphs, F.ceil(n * 8 / mx).cast("int"))
+            ),
+        ),
+        "",
+    )
+    return hist.groupBy(*group_cols).agg(bar.alias(out))

@@ -431,3 +431,51 @@ def quantile_exact_weighted(
     )
     hit = ranked.where(F.col("__cum") >= F.lit(float(q)) * F.col("__tot"))
     return hit.groupBy(*keys).agg(F.min("__v").alias(out))
+
+
+def quantiles_exact_weighted(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float],
+    out: str = "quantiles",
+) -> DataFrame:
+    """ClickHouse ``quantilesExactWeighted(q1, ..., qn)(x, w)``: all the
+    requested quantiles in ONE pass — same distinct-value weight cells
+    and single cumulative window as :func:`quantile_exact_weighted`,
+    with one conditional-min aggregate per q folded in the same final
+    hash aggregation. Returns ``array<...>`` in ``qs`` order.
+    """
+    qs = [float(q) for q in qs]
+    if not qs:
+        raise ValueError("quantiles_exact_weighted needs at least one q")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"each q must be in [0, 1], got {q}")
+    v, w = F.col(value_col), F.col(weight_col)
+    cells = (
+        df.where(v.isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(*keys, v.alias("__v"))
+        .agg(F.sum(w).alias("__w"))
+    )
+    cum = Window.partitionBy(*keys).orderBy("__v").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy(*keys)
+    ranked = cells.select(
+        *keys,
+        "__v",
+        F.sum("__w").over(cum).alias("__cum"),
+        F.sum("__w").over(total).alias("__tot"),
+    )
+    picks = [
+        F.min(
+            F.when(F.col("__cum") >= F.lit(q) * F.col("__tot"), F.col("__v"))
+        ).alias(f"__q{i}")
+        for i, q in enumerate(qs)
+    ]
+    agg = ranked.groupBy(*keys).agg(*picks)
+    return agg.select(
+        *keys, F.array(*[F.col(f"__q{i}") for i in range(len(qs))]).alias(out)
+    )

@@ -139,3 +139,81 @@ def test_corr_matrix_matches_duckdb(spark):
         F.round(F.col("matrix")[1][2], 6).alias("c12"),
     )
     assert_matches_oracle(out, _CORRM_ORACLE, SF)
+
+
+# --- quantilesExactWeighted (multi-q) ----------------------------------------
+
+_QSEW_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v, SUM(l_quantity) AS w
+  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+  GROUP BY g, v
+), ranked AS (
+  SELECT g, v,
+         SUM(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+         SUM(w) OVER (PARTITION BY g) AS tot
+  FROM cells
+)
+SELECT g,
+       MIN(CASE WHEN cum >= 0.25 * tot THEN v END) AS q25,
+       MIN(CASE WHEN cum >= 0.5 * tot THEN v END) AS q50,
+       MIN(CASE WHEN cum >= 0.95 * tot THEN v END) AS q95
+FROM ranked GROUP BY g
+"""
+
+
+def test_quantiles_exact_weighted_multi_q(spark):
+    from clickhouse_etl_spark.operators.stats import (
+        quantile_exact_weighted,
+        quantiles_exact_weighted,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_extendedprice", "l_quantity"
+    )
+    out = quantiles_exact_weighted(
+        li, ["g"], "l_extendedprice", "l_quantity", [0.25, 0.5, 0.95]
+    )
+    flat = out.select(
+        "g",
+        F.col("quantiles")[0].alias("q25"),
+        F.col("quantiles")[1].alias("q50"),
+        F.col("quantiles")[2].alias("q95"),
+    )
+    assert_matches_oracle(flat, _QSEW_ORACLE, SF)
+    # consistency with the single-q operator
+    single = {r["g"]: r["quantile"] for r in quantile_exact_weighted(
+        li, ["g"], "l_extendedprice", "l_quantity", 0.5).collect()}
+    for r in out.collect():
+        assert r["quantiles"][1] == single[r["g"]]
+    with pytest.raises(ValueError):
+        quantiles_exact_weighted(li, ["g"], "l_extendedprice", "l_quantity", [])
+
+
+# --- sparkbar ----------------------------------------------------------------
+
+def test_sparkbar_shape_and_scaling(spark):
+    from clickhouse_etl_spark.operators.grouped import sparkbar
+
+    # 4 buckets over [0, 4): counts 8, 4, 0, 1 -> full, half-ish, gap, low
+    rows = ([(1, 0.5)] * 8 + [(1, 1.5)] * 4 + [(1, 3.5)] * 1)
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = sparkbar(df, "v", buckets=4, group_cols=["g"],
+                   lo=0.0, hi=4.0).collect()[0]["sparkbar"]
+    assert len(got) == 4
+    assert got[0] == "█"          # max bucket -> full block
+    assert got[2] == " "          # empty bucket -> space
+    assert got[1] == "▄"          # ceil(8*4/8) = 4th glyph
+    assert got[3] == "▁"          # ceil(8*1/8) = 1st glyph
+
+
+def test_sparkbar_groups_independent(spark):
+    from clickhouse_etl_spark.operators.grouped import sparkbar
+
+    rows = [(g, float(v)) for g in (1, 2) for v in range(10)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {r["g"]: r["sparkbar"]
+           for r in sparkbar(df, "v", buckets=5, group_cols=["g"],
+                             lo=0.0, hi=10.0).collect()}
+    # uniform distribution -> all full blocks, identical per group
+    assert got[1] == got[2] == "█████"
