@@ -180,6 +180,25 @@ def _norm_p_udf(z):
     return pandas_udf(_series_map(_norm_two_sided_p), "double")(z)
 
 
+def _t_critical(dof: float, confidence: float) -> float:
+    """Two-sided t critical value: the t with P(|T_dof| >= t) = 1-conf.
+    Bisection on the closed-form tail — 80 halvings of [0, 1e6] pin it
+    to ~1e-9 relative, plenty for a CI bound."""
+    if not (0.0 < confidence < 1.0) or dof <= 0:
+        return float("nan")
+    alpha = 1.0 - confidence
+    lo, hi = 0.0, 1e6
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if _t_two_sided_p(mid, dof) > alpha:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-12 * max(1.0, lo):
+            break
+    return (lo + hi) / 2.0
+
+
 def _f_sf(f: float, d1: float, d2: float) -> float:
     """F-distribution tail P(F_{d1,d2} >= f) = I_{d2/(d2+d1*f)}(d2/2, d1/2)."""
     if not (math.isfinite(f) and f >= 0) or d1 <= 0 or d2 <= 0:
@@ -239,12 +258,37 @@ def _finish_t_test(
     defined,
     stat_out: str,
     p_out: str,
+    diff_expr=None,
+    se_expr=None,
+    confidence: float | None = None,
 ) -> DataFrame:
     t = F.when(defined, t_expr)
     dof = F.when(defined, dof_expr)
-    out = mom.select(
-        *keys, t.alias(stat_out), dof.alias("dof"),
-    ).withColumn(p_out, _t_p_udf(F.col(stat_out), F.col("dof")))
+    cols = [*keys, t.alias(stat_out), dof.alias("dof")]
+    if confidence is not None:
+        cols += [
+            F.when(defined, diff_expr).alias("__diff"),
+            F.when(defined, se_expr).alias("__se"),
+        ]
+    out = mom.select(*cols).withColumn(
+        p_out, _t_p_udf(F.col(stat_out), F.col("dof"))
+    )
+    if confidence is not None:
+        conf = float(confidence)
+
+        @pandas_udf("double")
+        def tcrit(dof: pd.Series) -> pd.Series:
+            return pd.Series(
+                [_t_critical(d, conf) if not pd.isna(d) else None for d in dof],
+                dtype="float64",
+            )
+
+        half = tcrit(F.col("dof")) * F.col("__se")
+        out = (
+            out.withColumn("ci_low", F.col("__diff") - half)
+            .withColumn("ci_high", F.col("__diff") + half)
+            .drop("__diff", "__se")
+        )
     return out
 
 
@@ -255,10 +299,14 @@ def student_t_test(
     index_col: str,
     stat_out: str = "t_stat",
     p_out: str = "p_value",
+    confidence: float | None = None,
 ) -> DataFrame:
-    """ClickHouse ``studentTTest(v, sample_index)``: two-sample t-test
-    with pooled variance (equal-variance assumption), returning the t
-    statistic, its degrees of freedom, and the two-sided p-value.
+    """ClickHouse ``studentTTest([confidence])(v, sample_index)``:
+    two-sample t-test with pooled variance (equal-variance assumption),
+    returning the t statistic, its degrees of freedom, and the
+    two-sided p-value. With ``confidence`` (e.g. 0.95), also the
+    ``ci_low``/``ci_high`` bounds on the mean difference (sample 0
+    minus sample 1), via the inverse-t critical value.
 
     One hash aggregation builds both samples' moments in a single pass
     (conditional aggregates — no second scan, no join of the two
@@ -274,8 +322,12 @@ def student_t_test(
     dof = n0 + n1 - 2
     sp2 = ((n0 - 1) * v0 + (n1 - 1) * v1) / dof
     defined = (n0 >= 2) & (n1 >= 2) & (sp2 > 0)
-    t = (m0 - m1) / F.sqrt(sp2 * (1.0 / n0 + 1.0 / n1))
-    return _finish_t_test(mom, keys, t, dof.cast("double"), defined, stat_out, p_out)
+    se = F.sqrt(sp2 * (1.0 / n0 + 1.0 / n1))
+    t = (m0 - m1) / se
+    return _finish_t_test(
+        mom, keys, t, dof.cast("double"), defined, stat_out, p_out,
+        diff_expr=m0 - m1, se_expr=se, confidence=confidence,
+    )
 
 
 def welch_t_test(
@@ -285,11 +337,13 @@ def welch_t_test(
     index_col: str,
     stat_out: str = "t_stat",
     p_out: str = "p_value",
+    confidence: float | None = None,
 ) -> DataFrame:
-    """ClickHouse ``welchTTest(v, sample_index)``: two-sample t-test
-    WITHOUT the equal-variance assumption — Welch's statistic with
-    Welch–Satterthwaite degrees of freedom. Same single-pass moment
-    plan as :func:`student_t_test`.
+    """ClickHouse ``welchTTest([confidence])(v, sample_index)``:
+    two-sample t-test WITHOUT the equal-variance assumption — Welch's
+    statistic with Welch–Satterthwaite degrees of freedom, optional
+    mean-difference CI. Same single-pass moment plan as
+    :func:`student_t_test`.
     """
     mom = _two_sample_moments(df, keys, value_col, index_col)
     n0, n1 = F.col("__n0"), F.col("__n1")
@@ -297,11 +351,15 @@ def welch_t_test(
     v0, v1 = F.col("__v0"), F.col("__v1")
     se0, se1 = v0 / n0, v1 / n1
     defined = (n0 >= 2) & (n1 >= 2) & ((se0 + se1) > 0)
-    t = (m0 - m1) / F.sqrt(se0 + se1)
+    se = F.sqrt(se0 + se1)
+    t = (m0 - m1) / se
     dof = (se0 + se1) * (se0 + se1) / (
         se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)
     )
-    return _finish_t_test(mom, keys, t, dof, defined, stat_out, p_out)
+    return _finish_t_test(
+        mom, keys, t, dof, defined, stat_out, p_out,
+        diff_expr=m0 - m1, se_expr=se, confidence=confidence,
+    )
 
 
 def mean_z_test(
@@ -313,26 +371,35 @@ def mean_z_test(
     pop_var_1: float,
     stat_out: str = "z_stat",
     p_out: str = "p_value",
+    confidence: float | None = None,
 ) -> DataFrame:
     """ClickHouse ``meanZTest(pop_var_x, pop_var_y, conf)(v, idx)``:
     two-sample z-test with KNOWN population variances — the large-
     sample / calibrated-instrument variant of the t-test. Same
     single-pass conditional-moment plan; the normal tail replaces the
-    incomplete beta.
+    incomplete beta. With ``confidence``, the mean-difference CI is a
+    pure JVM projection (the normal critical value is a constant).
     """
     if pop_var_0 <= 0 or pop_var_1 <= 0:
         raise ValueError("mean_z_test needs positive population variances")
     mom = _two_sample_moments(df, keys, value_col, index_col)
     n0, n1 = F.col("__n0"), F.col("__n1")
     defined = (n0 >= 1) & (n1 >= 1)
-    z = F.when(
-        defined,
-        (F.col("__m0") - F.col("__m1"))
-        / F.sqrt(F.lit(pop_var_0) / n0 + F.lit(pop_var_1) / n1),
-    )
-    return mom.select(*keys, z.alias(stat_out)).withColumn(
-        p_out, _norm_p_udf(F.col(stat_out))
-    )
+    se = F.sqrt(F.lit(pop_var_0) / n0 + F.lit(pop_var_1) / n1)
+    diff = F.col("__m0") - F.col("__m1")
+    z = F.when(defined, diff / se)
+    cols = [*keys, z.alias(stat_out)]
+    if confidence is not None:
+        if not 0.0 < confidence < 1.0:
+            raise ValueError(f"confidence must be in (0, 1), got {confidence}")
+        from statistics import NormalDist
+
+        zc = F.lit(NormalDist().inv_cdf((1.0 + confidence) / 2.0))
+        cols += [
+            F.when(defined, diff - zc * se).alias("ci_low"),
+            F.when(defined, diff + zc * se).alias("ci_high"),
+        ]
+    return mom.select(*cols).withColumn(p_out, _norm_p_udf(F.col(stat_out)))
 
 
 def one_way_anova(

@@ -111,6 +111,36 @@ def test_t_test_null_and_bad_index_rows_ignored(spark):
     assert got["t_stat"] == pytest.approx(t_want, rel=1e-12)
 
 
+def test_t_critical_matches_tables():
+    from clickhouse_etl_spark.operators.stattests import _t_critical
+
+    # t_{0.025, 10} = 2.228139; t_{0.025, inf} -> z = 1.959964
+    assert _t_critical(10.0, 0.95) == pytest.approx(2.228139, abs=1e-5)
+    assert _t_critical(1e7, 0.95) == pytest.approx(1.959964, abs=1e-4)
+    assert _t_critical(5.0, 0.99) == pytest.approx(4.032143, abs=1e-5)
+
+
+def test_t_test_confidence_interval(spark):
+    from clickhouse_etl_spark.operators.stattests import (
+        _t_critical, student_t_test, welch_t_test)
+
+    rows = [(1, 0, x) for x in _SAMPLE_A] + [(1, 1, x) for x in _SAMPLE_B]
+    df = spark.createDataFrame(rows, "g int, ix int, v double")
+    for fn, pooled in [(student_t_test, True), (welch_t_test, False)]:
+        got = fn(df, ["g"], "v", "ix", confidence=0.95).collect()[0]
+        t_want, dof = _brute_t(_SAMPLE_A, _SAMPLE_B, pooled)
+        na, nb = len(_SAMPLE_A), len(_SAMPLE_B)
+        ma = sum(_SAMPLE_A) / na
+        mb = sum(_SAMPLE_B) / nb
+        se = (ma - mb) / t_want
+        tc = _t_critical(dof, 0.95)
+        assert got["ci_low"] == pytest.approx((ma - mb) - tc * se, rel=1e-9)
+        assert got["ci_high"] == pytest.approx((ma - mb) + tc * se, rel=1e-9)
+        # the 95% CI excludes 0 exactly when p < 0.05
+        excludes = got["ci_low"] > 0 or got["ci_high"] < 0
+        assert excludes == (got["p_value"] < 0.05)
+
+
 # --- meanZTest ---------------------------------------------------------------
 
 def test_mean_z_test(spark):
@@ -128,6 +158,15 @@ def test_mean_z_test(spark):
     assert got["p_value"] == pytest.approx(_norm_two_sided_p(z), rel=1e-9)
     with pytest.raises(ValueError):
         mean_z_test(df, ["g"], "v", "ix", 0.0, 1.0)
+
+    # CI: diff +- 1.959964 * se at 95%
+    ci = mean_z_test(df, ["g"], "v", "ix", va, vb,
+                     confidence=0.95).collect()[0]
+    se = math.sqrt(va / len(_SAMPLE_A) + vb / len(_SAMPLE_B))
+    assert ci["ci_low"] == pytest.approx(ma - mb - 1.959964 * se, abs=1e-5)
+    assert ci["ci_high"] == pytest.approx(ma - mb + 1.959964 * se, abs=1e-5)
+    with pytest.raises(ValueError):
+        mean_z_test(df, ["g"], "v", "ix", va, vb, confidence=1.5)
 
 
 # --- one-way ANOVA -------------------------------------------------------------
