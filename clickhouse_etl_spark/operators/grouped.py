@@ -241,36 +241,67 @@ def sparkbar(
     ``value_col`` rendered as a fixed-width unicode bar string per
     group — the glanceable histogram for dashboards and data cards.
 
-    Built directly on :func:`histogram_fixed` (same exact counts, same
-    clamped edge bins), then a per-group densify + glyph projection:
-    empty buckets render as a space, non-empty ones as the 8
+    Bounds: with ``lo``/``hi`` omitted, each group is binned over its
+    OWN min/max (ClickHouse semantics — a per-group bar must show that
+    group's shape, not its position in the global range); the bounds
+    come from one cheap pre-aggregation broadcast back onto the rows.
+    Explicit ``lo``/``hi`` apply to every group with
+    :func:`histogram_fixed`-style clamped edge bins.
+
+    Rendering: empty buckets are a space, non-empty ones the 8
     block-element glyphs with ``ceil(8 * n / max_n)`` scaling, so the
     tallest bucket is always a full block. (ClickHouse's own glyph
     scaling differs in sub-glyph rounding; the shape reads the same.)
-    All JVM: the only aggregation beyond the histogram is one
-    collect_list over the ≤ ``buckets`` non-empty bins per group.
+    All JVM: counts are one hash aggregation with map-side partials,
+    the glyph assembly one collect_list over the ≤ ``buckets``
+    non-empty bins per group.
     """
-    hist = histogram_fixed(
-        df, value_col, bins=buckets, group_cols=group_cols, lo=lo, hi=hi
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    if lo is not None and hi is not None and float(lo) >= float(hi):
+        raise ValueError(f"lo must be < hi, got lo={lo} hi={hi}")
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & ~F.isnan(v))
+    if lo is None:
+        bounds = base.groupBy(*gcols).agg(
+            F.min(v).alias("__lo"), F.max(v).alias("__hi")
+        )
+        joined = (
+            base.join(F.broadcast(bounds), on=gcols)
+            if gcols
+            else base.crossJoin(F.broadcast(bounds))
+        )
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        joined = base
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(buckets)
+    raw = F.when(width > 0, F.floor((v - lo_c) / width)).otherwise(F.lit(0))
+    bin_idx = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    counts = joined.groupBy(*gcols, bin_idx.alias("__bin")).agg(
+        F.count(F.lit(1)).alias("__n")
     )
     entries = F.map_from_entries(
-        F.collect_list(F.struct(F.col("bin"), F.col("n")))
+        F.collect_list(F.struct(F.col("__bin"), F.col("__n")))
     )
+    # try_element_at, not element_at: missing keys must be NULL->0 even
+    # under ANSI mode (a caller's own session may not pin ansi=false)
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(buckets - 1)),
-        lambda i: F.coalesce(F.element_at(entries, i), F.lit(0)),
+        lambda i: F.coalesce(F.try_element_at(entries, i), F.lit(0)),
     )
-    # NOTE: `entries`/`dense` are aggregate-valued expressions used
-    # inside one agg() below — Catalyst evaluates the collect_list once.
     glyphs = F.array(*[F.lit(c) for c in _SPARK_GLYPHS])
     mx = F.array_max(dense)
     bar = F.array_join(
         F.transform(
             dense,
             lambda n: F.when(n == 0, F.lit(" ")).otherwise(
-                F.element_at(glyphs, F.ceil(n * 8 / mx).cast("int"))
+                F.try_element_at(glyphs, F.ceil(n * 8 / mx).cast("int"))
             ),
         ),
         "",
     )
-    return hist.groupBy(*group_cols).agg(bar.alias(out))
+    return counts.groupBy(*gcols).agg(bar.alias(out))

@@ -405,32 +405,21 @@ def quantile_exact_weighted(
     Plan: collapse to one row per distinct ``(keys, value)`` with its
     summed weight (hash aggregation, map-side combinable — the shuffle
     carries distinct values, not rows), one ordered window for the
-    cumulative weight, then ``min_by`` over the qualifying rows picks
-    the answer per group. No driver collect, no full sort of the raw
-    rows. Rows with NULL value or non-positive/NULL weight are dropped
-    (ClickHouse ignores zero-weight entries; negative weights are
-    undefined there and rejected here by the filter).
+    cumulative weight, then a conditional min over the qualifying rows
+    picks the answer per group. No driver collect, no full sort of the
+    raw rows. Rows with NULL value or non-positive/NULL weight are
+    dropped (ClickHouse ignores zero-weight entries; negative weights
+    are undefined there and rejected here by the filter).
+
+    Delegates to :func:`quantiles_exact_weighted` with one q so the
+    single- and multi-quantile operators can never drift apart.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"quantile_exact_weighted needs 0 <= q <= 1, got {q}")
-    v, w = F.col(value_col), F.col(weight_col)
-    cells = (
-        df.where(v.isNotNull() & w.isNotNull() & (w > 0))
-        .groupBy(*keys, v.alias("__v"))
-        .agg(F.sum(w).alias("__w"))
+    multi = quantiles_exact_weighted(
+        df, keys, value_col, weight_col, [q], out="__qs"
     )
-    cum = Window.partitionBy(*keys).orderBy("__v").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    total = Window.partitionBy(*keys)
-    ranked = cells.select(
-        *keys,
-        "__v",
-        F.sum("__w").over(cum).alias("__cum"),
-        F.sum("__w").over(total).alias("__tot"),
-    )
-    hit = ranked.where(F.col("__cum") >= F.lit(float(q)) * F.col("__tot"))
-    return hit.groupBy(*keys).agg(F.min("__v").alias(out))
+    return multi.select(*keys, F.col("__qs")[0].alias(out))
 
 
 def quantiles_exact_weighted(

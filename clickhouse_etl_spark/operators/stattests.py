@@ -188,6 +188,11 @@ def _t_critical(dof: float, confidence: float) -> float:
         return float("nan")
     alpha = 1.0 - confidence
     lo, hi = 0.0, 1e6
+    # widen the bracket for heavy tails: at dof ~ 1 the Cauchy-like
+    # tail puts extreme-confidence criticals far past 1e6, and a fixed
+    # cap would silently return a too-narrow CI
+    while _t_two_sided_p(hi, dof) > alpha and hi < 1e300:
+        lo, hi = hi, hi * 1e3
     for _ in range(200):
         mid = (lo + hi) / 2.0
         if _t_two_sided_p(mid, dof) > alpha:
@@ -266,6 +271,10 @@ def _finish_t_test(
     dof = F.when(defined, dof_expr)
     cols = [*keys, t.alias(stat_out), dof.alias("dof")]
     if confidence is not None:
+        if not 0.0 < confidence < 1.0:
+            # fail at the API, not as silent NaN CI bounds (a user
+            # passing 95 means 0.95)
+            raise ValueError(f"confidence must be in (0, 1), got {confidence}")
         cols += [
             F.when(defined, diff_expr).alias("__diff"),
             F.when(defined, se_expr).alias("__se"),

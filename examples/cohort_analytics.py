@@ -65,9 +65,10 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     }
     for name, df in tests.items():
         rows = df.collect()
-        report[f"{name}_min_p"] = min(
-            r["p_value"] for r in rows if r["p_value"] is not None
-        )
+        ps = [r["p_value"] for r in rows if r["p_value"] is not None]
+        # every-p-NULL means no cohort had both samples populated —
+        # report the degenerate input instead of crashing on min([])
+        report[f"{name}_min_p"] = min(ps) if ps else None
         report[f"{name}_groups"] = len(rows)
 
     # 2. Does mean value differ across event types at all? (one-way

@@ -217,3 +217,23 @@ def test_sparkbar_groups_independent(spark):
                              lo=0.0, hi=10.0).collect()}
     # uniform distribution -> all full blocks, identical per group
     assert got[1] == got[2] == "█████"
+
+
+def test_sparkbar_auto_bounds_are_per_group(spark):
+    """Each group bins over its OWN min/max: a group living at
+    [1000, 1010] must show its shape, not one spike in a global
+    [0, 1010] range."""
+    from clickhouse_etl_spark.operators.grouped import sparkbar
+
+    rows = ([(1, float(v)) for v in range(11)]
+            + [(2, 1000.0 + float(v)) for v in range(11)])
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {r["g"]: r["sparkbar"]
+           for r in sparkbar(df, "v", buckets=5, group_cols=["g"]).collect()}
+    # both uniform over their own ranges -> no empty buckets anywhere
+    assert " " not in got[1] and " " not in got[2]
+    assert len(got[1]) == len(got[2]) == 5
+    with pytest.raises(ValueError):
+        sparkbar(df, "v", buckets=0, group_cols=["g"])
+    with pytest.raises(ValueError):
+        sparkbar(df, "v", buckets=5, group_cols=["g"], lo=0.0)
