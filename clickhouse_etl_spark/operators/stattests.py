@@ -30,10 +30,13 @@ __all__ = [
     "student_t_test",
     "welch_t_test",
     "mean_z_test",
+    "proportions_z_test",
     "mann_whitney_u_test",
     "kolmogorov_smirnov_test",
     "spearman_rank_corr",
     "one_way_anova",
+    "min_sample_size_conversion",
+    "min_sample_size_continuous",
 ]
 
 
@@ -473,6 +476,117 @@ def one_way_anova(
     return out.withColumn(
         p_out, _f_p_udf(F.col(stat_out), F.col("d1"), F.col("d2"))
     )
+
+
+def proportions_z_test(
+    df: DataFrame,
+    keys: Sequence[str],
+    success_col: str,
+    index_col: str,
+    confidence: float | None = None,
+    pooled: bool = True,
+) -> DataFrame:
+    """ClickHouse ``proportionsZTest``: two-sample test of proportions.
+    ``success_col`` is 0/1 per trial row, ``index_col`` assigns the
+    sample (0/1). Returns z, the two-sided p-value, both observed
+    proportions, and (with ``confidence``) the difference CI.
+
+    One conditional hash aggregation (successes and trials per sample
+    in a single pass). ``pooled=True`` uses the pooled proportion in
+    the z denominator (the standard null-hypothesis form, ClickHouse's
+    ``'unpooled'`` flag maps to ``pooled=False``); the CI always uses
+    the unpooled standard error, per convention. Rows with NULL
+    success, success outside {0,1}, or index outside {0,1} are ignored.
+    """
+    s, ix = F.col(success_col).cast("double"), F.col(index_col)
+    base = df.where(s.isin(0.0, 1.0) & ix.isin(0, 1))
+    agg = base.groupBy(*keys).agg(
+        F.count(F.when(ix == 0, 1)).alias("__n0"),
+        F.count(F.when(ix == 1, 1)).alias("__n1"),
+        F.sum(F.when(ix == 0, s)).alias("__s0"),
+        F.sum(F.when(ix == 1, s)).alias("__s1"),
+    )
+    n0, n1 = F.col("__n0"), F.col("__n1")
+    p0, p1 = F.col("__s0") / n0, F.col("__s1") / n1
+    diff = p0 - p1
+    if pooled:
+        pp = (F.col("__s0") + F.col("__s1")) / (n0 + n1)
+        var = pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)
+    else:
+        var = p0 * (1.0 - p0) / n0 + p1 * (1.0 - p1) / n1
+    defined = (n0 >= 1) & (n1 >= 1) & (var > 0)
+    z = F.when(defined, diff / F.sqrt(var))
+    cols = [
+        *keys,
+        F.when(n0 >= 1, p0).alias("p0"),
+        F.when(n1 >= 1, p1).alias("p1"),
+        z.alias("z_stat"),
+    ]
+    if confidence is not None:
+        if not 0.0 < confidence < 1.0:
+            raise ValueError(f"confidence must be in (0, 1), got {confidence}")
+        from statistics import NormalDist
+
+        zc = F.lit(NormalDist().inv_cdf((1.0 + confidence) / 2.0))
+        se_ci = F.sqrt(p0 * (1.0 - p0) / n0 + p1 * (1.0 - p1) / n1)
+        ok_ci = (n0 >= 1) & (n1 >= 1)
+        cols += [
+            F.when(ok_ci, diff - zc * se_ci).alias("ci_low"),
+            F.when(ok_ci, diff + zc * se_ci).alias("ci_high"),
+        ]
+    return agg.select(*cols).withColumn("p_value", _norm_p_udf(F.col("z_stat")))
+
+
+def min_sample_size_conversion(
+    baseline: float,
+    mde: float,
+    power: float = 0.8,
+    alpha: float = 0.05,
+) -> float:
+    """ClickHouse ``minSampleSizeConversion``: per-group sample size for
+    a two-proportion A/B test to detect an absolute uplift of ``mde``
+    over conversion rate ``baseline`` at the given power and two-sided
+    alpha. Pure driver-side arithmetic (it sizes the experiment — there
+    is no data yet to distribute):
+    ``n = (z_{1-a/2} + z_{power})^2 * (p1 q1 + p2 q2) / mde^2``.
+    """
+    from statistics import NormalDist
+
+    if not 0.0 < baseline < 1.0:
+        raise ValueError(f"baseline must be in (0, 1), got {baseline}")
+    p2 = baseline + mde
+    if mde == 0 or not 0.0 < p2 < 1.0:
+        raise ValueError(f"mde {mde} pushes the variant rate out of (0, 1)")
+    if not (0.0 < power < 1.0 and 0.0 < alpha < 1.0):
+        raise ValueError("power and alpha must be in (0, 1)")
+    nd = NormalDist()
+    za = nd.inv_cdf(1.0 - alpha / 2.0)
+    zb = nd.inv_cdf(power)
+    var = baseline * (1 - baseline) + p2 * (1 - p2)
+    return (za + zb) ** 2 * var / (mde * mde)
+
+
+def min_sample_size_continuous(
+    sigma: float,
+    mde: float,
+    power: float = 0.8,
+    alpha: float = 0.05,
+) -> float:
+    """ClickHouse ``minSampleSizeContinuous``: per-group sample size for
+    a two-mean A/B test to detect an absolute mean shift of ``mde``
+    given the metric's standard deviation ``sigma``:
+    ``n = 2 * (z_{1-a/2} + z_{power})^2 * sigma^2 / mde^2``.
+    """
+    from statistics import NormalDist
+
+    if sigma <= 0 or mde == 0:
+        raise ValueError("need sigma > 0 and mde != 0")
+    if not (0.0 < power < 1.0 and 0.0 < alpha < 1.0):
+        raise ValueError("power and alpha must be in (0, 1)")
+    nd = NormalDist()
+    za = nd.inv_cdf(1.0 - alpha / 2.0)
+    zb = nd.inv_cdf(power)
+    return 2.0 * (za + zb) ** 2 * sigma * sigma / (mde * mde)
 
 
 def mann_whitney_u_test(

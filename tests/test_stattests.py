@@ -169,6 +169,68 @@ def test_mean_z_test(spark):
         mean_z_test(df, ["g"], "v", "ix", va, vb, confidence=1.5)
 
 
+# --- proportionsZTest ---------------------------------------------------------
+
+def test_proportions_z_test(spark):
+    from clickhouse_etl_spark.operators.stattests import (
+        _norm_two_sided_p, proportions_z_test)
+
+    # sample 0: 40/100 convert; sample 1: 25/100
+    rows = ([(1, 0, 1)] * 40 + [(1, 0, 0)] * 60
+            + [(1, 1, 1)] * 25 + [(1, 1, 0)] * 75)
+    df = spark.createDataFrame(rows, "g int, ix int, s int")
+    got = proportions_z_test(df, ["g"], "s", "ix",
+                             confidence=0.95).collect()[0]
+    p0, p1, n = 0.40, 0.25, 100
+    pp = (40 + 25) / 200
+    z = (p0 - p1) / math.sqrt(pp * (1 - pp) * (2 / n))
+    assert got["p0"] == pytest.approx(p0)
+    assert got["p1"] == pytest.approx(p1)
+    assert got["z_stat"] == pytest.approx(z, rel=1e-12)
+    assert got["p_value"] == pytest.approx(_norm_two_sided_p(z), rel=1e-9)
+    se = math.sqrt(p0 * (1 - p0) / n + p1 * (1 - p1) / n)
+    assert got["ci_low"] == pytest.approx(0.15 - 1.959964 * se, abs=1e-5)
+    assert got["ci_high"] == pytest.approx(0.15 + 1.959964 * se, abs=1e-5)
+
+    # unpooled variant uses the per-sample variances in z
+    up = proportions_z_test(df, ["g"], "s", "ix", pooled=False).collect()[0]
+    assert up["z_stat"] == pytest.approx((p0 - p1) / se, rel=1e-12)
+    with pytest.raises(ValueError):
+        proportions_z_test(df, ["g"], "s", "ix", confidence=2.0)
+
+
+def test_proportions_z_test_degenerate(spark):
+    from clickhouse_etl_spark.operators.stattests import proportions_z_test
+
+    # all-converted in both samples -> pooled variance 0 -> NULL z
+    rows = [(1, 0, 1)] * 5 + [(1, 1, 1)] * 5
+    df = spark.createDataFrame(rows, "g int, ix int, s int")
+    got = proportions_z_test(df, ["g"], "s", "ix").collect()[0]
+    assert got["z_stat"] is None and got["p_value"] is None
+    assert got["p0"] == 1.0 and got["p1"] == 1.0
+
+
+# --- sample-size calculators -----------------------------------------------
+
+def test_min_sample_sizes_match_textbook():
+    from clickhouse_etl_spark.operators.stattests import (
+        min_sample_size_continuous, min_sample_size_conversion)
+
+    # classic example: baseline 10%, +2pp uplift, 80% power, 5% alpha
+    # (z 1.959964 + 0.841621)^2 * (0.09 + 0.1056) / 0.0004 = ~3841
+    n = min_sample_size_conversion(0.10, 0.02)
+    assert n == pytest.approx(3841.0, rel=2e-3)
+    # continuous: sigma=1, mde=0.1 -> 2 * 7.849 * 100 = ~1570
+    n2 = min_sample_size_continuous(1.0, 0.1)
+    assert n2 == pytest.approx(1570.0, rel=2e-3)
+    # detecting a larger effect needs fewer samples
+    assert min_sample_size_continuous(1.0, 0.2) < n2
+    with pytest.raises(ValueError):
+        min_sample_size_conversion(0.99, 0.02)
+    with pytest.raises(ValueError):
+        min_sample_size_continuous(0.0, 0.1)
+
+
 # --- one-way ANOVA -------------------------------------------------------------
 
 def _brute_anova(groups):
