@@ -267,3 +267,65 @@ def test_scd2_lookup_plans_as_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_stats_family_plan_contracts(spark):
+    """The r6 statistical aggregates keep their shuffle contracts:
+    entropy = exactly two exchanges (cells, then groups); the weighted
+    quantile = ONE sort with both windows riding it; corrMatrix = a
+    single aggregation pass with no window/sort/join; the t-test family
+    never joins its two samples."""
+    from clickhouse_etl_spark.operators.stats import (
+        corr_matrix, entropy, quantile_exact_weighted)
+    from clickhouse_etl_spark.operators.stattests import student_t_test
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        "l_quantity", "l_extendedprice", "l_discount",
+        (F.col("l_orderkey") % 2).alias("ix"),
+    )
+
+    plan = _explain(entropy(li, ["g"], "l_quantity"), mode="simple")
+    assert plan.count("Exchange") == 2
+    assert "Sort" not in plan and "Window" not in plan
+
+    plan = _explain(
+        quantile_exact_weighted(li, ["g"], "l_extendedprice", "l_quantity", 0.5),
+        mode="simple",
+    )
+    assert plan.count("Sort") == 1         # both windows share one sort
+    assert plan.count("Window") == 2
+
+    plan = _explain(
+        corr_matrix(li, ["g"], ["l_quantity", "l_extendedprice", "l_discount"]),
+        mode="simple",
+    )
+    assert plan.count("Exchange") == 1     # one aggregation pass
+    assert "Join" not in plan and "Window" not in plan
+
+    plan = _explain(student_t_test(li, ["g"], "l_quantity", "ix"),
+                    mode="simple")
+    assert "Join" not in plan              # conditional moments, no self-join
+    assert plan.count("Exchange") == 1
+
+
+def test_linear_fit_single_aggregation_pass(spark):
+    """The OLS moment fold is ONE hash aggregation; the solver UDF runs
+    on the one-row-per-group result, never on the data."""
+    from clickhouse_etl_spark.operators.regression import linear_regression_fit
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        "l_quantity", "l_discount", "l_extendedprice",
+    )
+    plan = _explain(
+        linear_regression_fit(li, ["g"], ["l_quantity", "l_discount"],
+                              "l_extendedprice"),
+        mode="simple",
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    # the Arrow UDF must sit ABOVE the final aggregate, not below it
+    agg_pos = plan.rfind("HashAggregate")
+    udf_pos = plan.find("ArrowEvalPython")
+    assert udf_pos != -1 and udf_pos < agg_pos
