@@ -258,6 +258,97 @@ def theils_u(
     return cells.groupBy(*keys).agg(u.alias(out))
 
 
+def moments_suite(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """ClickHouse ``skewPop`` / ``skewSamp`` / ``kurtPop`` /
+    ``kurtSamp`` in one aggregation: population skewness and EXCESS
+    population kurtosis come straight from Spark's built-in moment
+    aggregates; the sample (bias-corrected) variants follow from the
+    standard closed-form identities —
+    ``G1 = g1 * sqrt(n(n-1))/(n-2)`` and
+    ``G2 = ((n+1) g2 + 6) (n-1)/((n-2)(n-3))`` — so everything is one
+    JVM hash aggregation plus a projection. Note ClickHouse's
+    ``kurtPop`` is the RAW kurtosis (no -3); this returns the excess
+    convention both Spark and DuckDB use, with the raw value one +3
+    away. Sample variants are NULL below their minimum group size
+    (n < 3 for skewness, n < 4 for kurtosis), where the corrections
+    divide by zero.
+    """
+    v = F.col(value_col)
+    agg = df.groupBy(*keys).agg(
+        F.count(v).alias("__n"),
+        F.skewness(v).alias("skew_pop"),
+        F.kurtosis(v).alias("kurt_pop"),
+    )
+    n = F.col("__n").cast("double")
+    g1, g2 = F.col("skew_pop"), F.col("kurt_pop")
+    skew_samp = F.when(
+        n >= 3, g1 * F.sqrt(n * (n - 1)) / (n - 2)
+    )
+    kurt_samp = F.when(
+        n >= 4, ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    )
+    return agg.select(
+        *keys,
+        "skew_pop",
+        skew_samp.alias("skew_samp"),
+        "kurt_pop",
+        kurt_samp.alias("kurt_samp"),
+        F.col("__n").alias("n"),
+    )
+
+
+def group_array_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 0,
+    out: str = "sample",
+) -> DataFrame:
+    """ClickHouse ``groupArraySample(k[, seed])(x)``: a uniform
+    without-replacement sample of up to ``k`` values per group, as an
+    array — deterministic for a given seed, so retries and
+    re-partitions reproduce the same sample (ClickHouse's own is
+    merge-order-dependent; hash-ranking is the distributed-stable
+    form).
+
+    ``id_col`` must identify rows uniquely within a group: the ranking
+    hashes ``(id, seed)``, which makes every ROW equally likely.
+    Hashing the value instead would be wrong — duplicate values would
+    share a rank, so the top-k degenerates to k copies of the
+    lowest-hash value on low-cardinality columns (caught by driving
+    the operator on l_quantity).
+
+    One ranking window, then the usual collect over ≤ k rows per
+    group. NULL values are excluded (they carry no sample information
+    and ClickHouse skips them too).
+    """
+    if k < 1:
+        raise ValueError(f"group_array_sample needs k >= 1, got {k}")
+    w = Window.partitionBy(*keys).orderBy(
+        F.xxhash64(F.col("__id"), F.lit(int(seed))).asc(), F.col("__id").asc()
+    )
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            F.col(value_col).alias("__v"),
+            F.col(id_col).alias("__id"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    return (
+        ranked.where(F.col("__rn") <= k)
+        .groupBy(*keys)
+        .agg(F.collect_list("__v").alias(out))
+    )
+
+
 def corr_matrix(
     df: DataFrame,
     keys: Sequence[str],

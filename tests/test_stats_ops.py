@@ -343,6 +343,90 @@ def test_contingency_perfect_association_2x2(spark):
     assert got["contingency"] == pytest.approx(math.sqrt(0.5))
 
 
+# --- skew/kurt moment suite ---------------------------------------------
+
+_MOMENTS_ORACLE = """
+SELECT l_returnflag AS g,
+       ROUND(skewness(l_quantity), 6) AS skew_samp,
+       ROUND(kurtosis(l_quantity), 6) AS kurt_samp
+FROM lineitem GROUP BY g
+"""
+
+
+def test_moments_suite_sample_variants_match_duckdb(spark):
+    """DuckDB's skewness/kurtosis ARE the sample-corrected variants —
+    a true cross-engine check of the bias-correction identities."""
+    from clickhouse_etl_spark.operators.stats import moments_suite
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_quantity"
+    )
+    out = moments_suite(li, ["g"], "l_quantity").select(
+        "g",
+        F.round("skew_samp", 6).alias("skew_samp"),
+        F.round("kurt_samp", 6).alias("kurt_samp"),
+    )
+    assert_matches_oracle(out, _MOMENTS_ORACLE, SF)
+
+
+def test_moments_suite_small_group_nulls(spark):
+    from clickhouse_etl_spark.operators.stats import moments_suite
+
+    rows = ([(1, float(v)) for v in [1, 2, 4]]      # n=3: skew ok, kurt NULL
+            + [(2, 1.0), (2, 2.0)])                 # n=2: both NULL
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {r["g"]: r for r in moments_suite(df, ["g"], "v").collect()}
+    assert got[1]["skew_samp"] is not None
+    assert got[1]["kurt_samp"] is None
+    assert got[2]["skew_samp"] is None and got[2]["kurt_samp"] is None
+
+
+# --- groupArraySample ------------------------------------------------------
+
+def test_group_array_sample_deterministic_uniform(spark):
+    from clickhouse_etl_spark.operators.stats import group_array_sample
+
+    rows = ([(1, i, float(v)) for i, v in enumerate(range(100))]
+            + [(2, 200, 5.0), (2, 201, None)])
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+    a = {r["g"]: sorted(r["sample"])
+         for r in group_array_sample(df, ["g"], "v", 10, "id",
+                                     seed=7).collect()}
+    b = {r["g"]: sorted(r["sample"])
+         for r in group_array_sample(
+             df.repartition(13), ["g"], "v", 10, "id", seed=7).collect()}
+    assert a == b                        # partitioning-independent
+    assert len(a[1]) == 10
+    assert set(a[1]) <= {float(v) for v in range(100)}
+    assert a[2] == [5.0]                 # NULL excluded, short group intact
+    c = {r["g"]: sorted(r["sample"])
+         for r in group_array_sample(df, ["g"], "v", 10, "id",
+                                     seed=8).collect()}
+    assert c[1] != a[1]                  # seed changes the sample
+    with pytest.raises(ValueError):
+        group_array_sample(df, ["g"], "v", 0, "id")
+
+
+def test_group_array_sample_duplicates_sampled_by_row(spark):
+    """Low-cardinality values must still sample by ROW: with 99 copies
+    of 1.0 and one 2.0, a 10-sample should usually include duplicates
+    of 1.0 but must NOT be systematically 10 copies of whichever value
+    hashes lowest (the value-hash bug this API shape prevents)."""
+    from clickhouse_etl_spark.operators.stats import group_array_sample
+
+    rows = ([(1, i, 1.0) for i in range(99)] + [(1, 99, 2.0)]
+            + [(2, i, float(i % 3)) for i in range(300)])
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+    got = {r["g"]: r["sample"]
+           for r in group_array_sample(df, ["g"], "v", 10, "id",
+                                       seed=1).collect()}
+    assert len(got[1]) == 10
+    # group 2 has only 3 distinct values but 300 rows: a row-uniform
+    # 10-sample virtually always carries at least 2 distinct values,
+    # and deterministically does for this seed
+    assert len(set(got[2])) >= 2
+
+
 # --- exponentialTimeDecayedSum / Avg -------------------------------------
 
 def _brute_decayed(rows, tau):
