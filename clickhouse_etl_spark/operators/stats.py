@@ -142,6 +142,7 @@ def cramers_v(
     a_col: str,
     b_col: str,
     out: str = "cramers_v",
+    bias_corrected: bool = False,
 ) -> DataFrame:
     """ClickHouse ``cramersV(a, b)``: association strength between two
     categorical columns per group — ``sqrt((chi2/n) / (min(r,c) - 1))``
@@ -158,13 +159,29 @@ def cramers_v(
     non-Nullable args). Groups where either column is constant
     (``min(r,c) = 1``) have an undefined statistic and yield NULL
     (ClickHouse returns ``nan``).
+
+    ``bias_corrected=True`` is ClickHouse ``cramersVBiasCorrected``:
+    the Bergsma correction —
+    ``phi2' = max(0, chi2/n - (r-1)(c-1)/(n-1))``,
+    ``r' = r - (r-1)^2/(n-1)``, ``c' = c - (c-1)^2/(n-1)``,
+    ``V = sqrt(phi2' / min(r'-1, c'-1))`` — removing the upward bias V
+    shows on small samples with many categories.
     """
     cells = _contingency_cells(df, keys, a_col, b_col)
     n = F.first("__n")
     r = F.count_distinct(F.col("__a"))
     c = F.count_distinct(F.col("__b"))
-    dof = F.least(r, c) - F.lit(1)
-    v = F.when(dof > 0, F.sqrt(_chi2_agg() / n / dof))
+    if bias_corrected:
+        phi2c = F.greatest(
+            _chi2_agg() / n - (r - 1) * (c - 1) / (n - 1), F.lit(0.0)
+        )
+        rc = r - (r - 1) * (r - 1) / (n - 1)
+        cc = c - (c - 1) * (c - 1) / (n - 1)
+        dof = F.least(rc, cc) - F.lit(1.0)
+        v = F.when((F.least(r, c) > 1) & (dof > 0), F.sqrt(phi2c / dof))
+    else:
+        dof = F.least(r, c) - F.lit(1)
+        v = F.when(dof > 0, F.sqrt(_chi2_agg() / n / dof))
     return cells.groupBy(*keys).agg(v.alias(out))
 
 
@@ -368,15 +385,42 @@ def corr_matrix(
     including itself, which keeps "no variance" distinguishable from a
     true diagonal 1.
     """
+    return _pairwise_matrix(df, keys, cols, F.corr, out, "corr_matrix")
+
+
+def covar_matrix(
+    df: DataFrame,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    sample: bool = True,
+    out: str = "matrix",
+) -> DataFrame:
+    """ClickHouse ``covarSampMatrix`` / ``covarPopMatrix``: the pairwise
+    covariance matrix per group — same single-pass plan and pairwise-
+    deletion NULL semantics as :func:`corr_matrix`, with the sample
+    (n-1) or population (n) normalization chosen by ``sample``.
+    """
+    fn = F.covar_samp if sample else F.covar_pop
+    return _pairwise_matrix(df, keys, cols, fn, out, "covar_matrix")
+
+
+def _pairwise_matrix(
+    df: DataFrame,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    pair_fn,
+    out: str,
+    op_name: str,
+) -> DataFrame:
     cols = list(cols)
     if len(cols) < 2:
-        raise ValueError("corr_matrix needs at least two columns")
+        raise ValueError(f"{op_name} needs at least two columns")
     aggs = []
     for i, a in enumerate(cols):
         for j, b in enumerate(cols):
             if i <= j:
                 aggs.append(
-                    F.corr(F.col(a), F.col(b)).alias(f"__c{i}_{j}")
+                    pair_fn(F.col(a), F.col(b)).alias(f"__c{i}_{j}")
                 )
     mom = df.groupBy(*keys).agg(*aggs)
     rows = [

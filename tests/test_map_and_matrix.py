@@ -141,6 +141,54 @@ def test_corr_matrix_matches_duckdb(spark):
     assert_matches_oracle(out, _CORRM_ORACLE, SF)
 
 
+_COVARM_ORACLE = """
+SELECT l_returnflag AS g,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS c01,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS p01,
+       ROUND(VAR_SAMP(l_quantity), 6) AS v00
+FROM lineitem GROUP BY g
+"""
+
+
+def test_covar_matrix_matches_duckdb(spark):
+    from clickhouse_etl_spark.operators.stats import covar_matrix
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_quantity", "l_extendedprice"
+    )
+    samp = covar_matrix(li, ["g"], ["l_quantity", "l_extendedprice"])
+    pop = covar_matrix(li, ["g"], ["l_quantity", "l_extendedprice"],
+                       sample=False)
+    out = samp.alias("s").join(pop.alias("p"), on="g").select(
+        "g",
+        F.round(F.col("s.matrix")[0][1], 4).alias("c01"),
+        F.round(F.col("p.matrix")[0][1], 4).alias("p01"),
+        # diagonal of the sample covariance matrix IS the variance
+        F.round(F.col("s.matrix")[0][0], 6).alias("v00"),
+    )
+    assert_matches_oracle(out, _COVARM_ORACLE, SF)
+
+
+def test_cramers_v_bias_corrected(spark):
+    from clickhouse_etl_spark.operators.stats import cramers_v
+
+    # small sample, many categories: correction must pull V down,
+    # and independent-ish data can hit the max(0, .) floor -> 0
+    rows = [(1, str(i % 5), str((i * 7) % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "g int, a string, b string")
+    plain = cramers_v(df, ["g"], "a", "b").collect()[0]["cramers_v"]
+    corr = cramers_v(df, ["g"], "a", "b",
+                     bias_corrected=True).collect()[0]["cramers_v"]
+    assert corr is not None and corr <= plain
+
+    # perfect association stays (near) 1 under the correction
+    perf = [(1, x, x) for x in ["p", "q", "r"] * 30]
+    dfp = spark.createDataFrame(perf, "g int, a string, b string")
+    got = cramers_v(dfp, ["g"], "a", "b",
+                    bias_corrected=True).collect()[0]["cramers_v"]
+    assert got == pytest.approx(1.0, abs=0.02)
+
+
 # --- quantilesExactWeighted (multi-q) ----------------------------------------
 
 _QSEW_ORACLE = """
