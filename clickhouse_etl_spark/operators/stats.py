@@ -279,6 +279,7 @@ def moments_suite(
     df: DataFrame,
     keys: Sequence[str],
     value_col: str,
+    out_prefix: str = "",
 ) -> DataFrame:
     """ClickHouse ``skewPop`` / ``skewSamp`` / ``kurtPop`` /
     ``kurtSamp`` in one aggregation: population skewness and EXCESS
@@ -292,16 +293,21 @@ def moments_suite(
     convention both Spark and DuckDB use, with the raw value one +3
     away. Sample variants are NULL below their minimum group size
     (n < 3 for skewness, n < 4 for kurtosis), where the corrections
-    divide by zero.
+    divide by zero. ``out_prefix`` renames the five outputs
+    (``{p}skew_pop``, ``{p}skew_samp``, ``{p}kurt_pop``,
+    ``{p}kurt_samp``, ``{p}n``) so callers whose key columns collide
+    with the bare names (a group key called ``n``) can avoid the
+    ambiguity.
     """
+    p = out_prefix
     v = F.col(value_col)
     agg = df.groupBy(*keys).agg(
         F.count(v).alias("__n"),
-        F.skewness(v).alias("skew_pop"),
-        F.kurtosis(v).alias("kurt_pop"),
+        F.skewness(v).alias("__g1"),
+        F.kurtosis(v).alias("__g2"),
     )
     n = F.col("__n").cast("double")
-    g1, g2 = F.col("skew_pop"), F.col("kurt_pop")
+    g1, g2 = F.col("__g1"), F.col("__g2")
     skew_samp = F.when(
         n >= 3, g1 * F.sqrt(n * (n - 1)) / (n - 2)
     )
@@ -310,11 +316,11 @@ def moments_suite(
     )
     return agg.select(
         *keys,
-        "skew_pop",
-        skew_samp.alias("skew_samp"),
-        "kurt_pop",
-        kurt_samp.alias("kurt_samp"),
-        F.col("__n").alias("n"),
+        g1.alias(f"{p}skew_pop"),
+        skew_samp.alias(f"{p}skew_samp"),
+        g2.alias(f"{p}kurt_pop"),
+        kurt_samp.alias(f"{p}kurt_samp"),
+        F.col("__n").alias(f"{p}n"),
     )
 
 
@@ -343,10 +349,23 @@ def group_array_sample(
 
     One ranking window, then the usual collect over ≤ k rows per
     group. NULL values are excluded (they carry no sample information
-    and ClickHouse skips them too).
+    and ClickHouse skips them too). A NULL id fails loudly in-pass
+    (``assert_true``): NULL ids all share one sort key, which would
+    silently make the selection partition-order dependent — the exact
+    nondeterminism this operator exists to rule out. Duplicate ids
+    within a group likewise tie and must not occur (documented
+    contract; checking uniqueness would cost an extra shuffle).
     """
     if k < 1:
         raise ValueError(f"group_array_sample needs k >= 1, got {k}")
+    id_ok = F.assert_true(
+        F.col(id_col).isNotNull(),
+        F.lit(
+            f"group_array_sample: NULL {id_col!r} on a row — NULL ids "
+            "share a sort key and make the sample partition-order "
+            "dependent; supply a non-NULL unique row id"
+        ),
+    )
     w = Window.partitionBy(*keys).orderBy(
         F.xxhash64(F.col("__id"), F.lit(int(seed))).asc(), F.col("__id").asc()
     )
@@ -355,7 +374,7 @@ def group_array_sample(
         .select(
             *keys,
             F.col(value_col).alias("__v"),
-            F.col(id_col).alias("__id"),
+            F.when(id_ok.isNull(), F.col(id_col)).alias("__id"),
         )
         .withColumn("__rn", F.row_number().over(w))
     )

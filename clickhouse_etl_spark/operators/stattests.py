@@ -19,6 +19,7 @@ the score columns); this module keeps those queries in-engine.
 from __future__ import annotations
 
 import math
+from statistics import NormalDist
 from typing import Sequence
 
 import pandas as pd
@@ -110,6 +111,18 @@ def _t_two_sided_p(t: float, dof: float) -> float:
     if not (math.isfinite(t) and math.isfinite(dof)) or dof <= 0:
         return float("nan")
     return _betainc(dof / 2.0, 0.5, dof / (dof + t * t))
+
+
+def _normal_ci_cols(defined, diff, se, confidence: float):
+    """Shared normal-approximation CI pair: validates confidence and
+    returns the (ci_low, ci_high) column expressions."""
+    if not 0.0 < confidence < 1.0:
+        raise ValueError(f"confidence must be in (0, 1), got {confidence}")
+    zc = F.lit(NormalDist().inv_cdf((1.0 + confidence) / 2.0))
+    return (
+        F.when(defined, diff - zc * se).alias("ci_low"),
+        F.when(defined, diff + zc * se).alias("ci_high"),
+    )
 
 
 def _norm_two_sided_p(z: float) -> float:
@@ -402,15 +415,7 @@ def mean_z_test(
     z = F.when(defined, diff / se)
     cols = [*keys, z.alias(stat_out)]
     if confidence is not None:
-        if not 0.0 < confidence < 1.0:
-            raise ValueError(f"confidence must be in (0, 1), got {confidence}")
-        from statistics import NormalDist
-
-        zc = F.lit(NormalDist().inv_cdf((1.0 + confidence) / 2.0))
-        cols += [
-            F.when(defined, diff - zc * se).alias("ci_low"),
-            F.when(defined, diff + zc * se).alias("ci_high"),
-        ]
+        cols += list(_normal_ci_cols(defined, diff, se, confidence))
     return mom.select(*cols).withColumn(p_out, _norm_p_udf(F.col(stat_out)))
 
 
@@ -485,6 +490,8 @@ def proportions_z_test(
     index_col: str,
     confidence: float | None = None,
     pooled: bool = True,
+    stat_out: str = "z_stat",
+    p_out: str = "p_value",
 ) -> DataFrame:
     """ClickHouse ``proportionsZTest``: two-sample test of proportions.
     ``success_col`` is 0/1 per trial row, ``index_col`` assigns the
@@ -520,21 +527,14 @@ def proportions_z_test(
         *keys,
         F.when(n0 >= 1, p0).alias("p0"),
         F.when(n1 >= 1, p1).alias("p1"),
-        z.alias("z_stat"),
+        z.alias(stat_out),
     ]
     if confidence is not None:
-        if not 0.0 < confidence < 1.0:
-            raise ValueError(f"confidence must be in (0, 1), got {confidence}")
-        from statistics import NormalDist
-
-        zc = F.lit(NormalDist().inv_cdf((1.0 + confidence) / 2.0))
         se_ci = F.sqrt(p0 * (1.0 - p0) / n0 + p1 * (1.0 - p1) / n1)
-        ok_ci = (n0 >= 1) & (n1 >= 1)
-        cols += [
-            F.when(ok_ci, diff - zc * se_ci).alias("ci_low"),
-            F.when(ok_ci, diff + zc * se_ci).alias("ci_high"),
-        ]
-    return agg.select(*cols).withColumn("p_value", _norm_p_udf(F.col("z_stat")))
+        cols += list(
+            _normal_ci_cols((n0 >= 1) & (n1 >= 1), diff, se_ci, confidence)
+        )
+    return agg.select(*cols).withColumn(p_out, _norm_p_udf(F.col(stat_out)))
 
 
 def min_sample_size_conversion(
@@ -550,8 +550,6 @@ def min_sample_size_conversion(
     is no data yet to distribute):
     ``n = (z_{1-a/2} + z_{power})^2 * (p1 q1 + p2 q2) / mde^2``.
     """
-    from statistics import NormalDist
-
     if not 0.0 < baseline < 1.0:
         raise ValueError(f"baseline must be in (0, 1), got {baseline}")
     p2 = baseline + mde
@@ -577,8 +575,6 @@ def min_sample_size_continuous(
     given the metric's standard deviation ``sigma``:
     ``n = 2 * (z_{1-a/2} + z_{power})^2 * sigma^2 / mde^2``.
     """
-    from statistics import NormalDist
-
     if sigma <= 0 or mde == 0:
         raise ValueError("need sigma > 0 and mde != 0")
     if not (0.0 < power < 1.0 and 0.0 < alpha < 1.0):

@@ -216,13 +216,15 @@ def test_min_sample_sizes_match_textbook():
     from clickhouse_etl_spark.operators.stattests import (
         min_sample_size_continuous, min_sample_size_conversion)
 
-    # classic example: baseline 10%, +2pp uplift, 80% power, 5% alpha
-    # (z 1.959964 + 0.841621)^2 * (0.09 + 0.1056) / 0.0004 = ~3841
+    # baseline 10%, +2pp uplift, 80% power, 5% alpha — pinned TIGHT to
+    # the documented formula (a looser pin would also pass Evan
+    # Miller's split-sqrt variant, ~3841, the exact drift to police):
+    # (1.959964 + 0.841621)^2 * (0.09 + 0.1056) / 0.0004 = 3838.07
     n = min_sample_size_conversion(0.10, 0.02)
-    assert n == pytest.approx(3841.0, rel=2e-3)
-    # continuous: sigma=1, mde=0.1 -> 2 * 7.849 * 100 = ~1570
+    assert n == pytest.approx(3838.07, rel=1e-4)
+    # continuous: sigma=1, mde=0.1 -> 2 * 2.801585^2 * 100 = 1569.78
     n2 = min_sample_size_continuous(1.0, 0.1)
-    assert n2 == pytest.approx(1570.0, rel=2e-3)
+    assert n2 == pytest.approx(1569.78, rel=1e-4)
     # detecting a larger effect needs fewer samples
     assert min_sample_size_continuous(1.0, 0.2) < n2
     with pytest.raises(ValueError):
