@@ -55,3 +55,38 @@ from clickhouse_etl_spark.operators.timeseries import (  # noqa: F401
     delta_sum,
     lttb_downsample,
 )
+from clickhouse_etl_spark.operators.stats import (  # noqa: F401
+    bounding_ratio,
+    contingency,
+    corr_matrix,
+    covar_matrix,
+    cramers_v,
+    entropy,
+    exponential_moving_average,
+    exponential_time_decayed_avg,
+    exponential_time_decayed_sum,
+    group_array_sample,
+    moments_suite,
+    quantile_exact_weighted,
+    quantiles_exact_weighted,
+    simple_linear_regression,
+    theils_u,
+    uniq_up_to,
+)
+from clickhouse_etl_spark.operators.stattests import (  # noqa: F401
+    kolmogorov_smirnov_test,
+    mann_whitney_u_test,
+    mean_z_test,
+    min_sample_size_continuous,
+    min_sample_size_conversion,
+    one_way_anova,
+    proportions_z_test,
+    spearman_rank_corr,
+    student_t_test,
+    welch_t_test,
+)
+from clickhouse_etl_spark.operators.regression import (  # noqa: F401
+    categorical_information_value,
+    linear_regression_fit,
+    logistic_regression_fit,
+)

@@ -16,6 +16,7 @@ the Spark-side equivalents so those follow-on queries run in-engine.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -539,6 +540,28 @@ def exponential_time_decayed_avg(
         .withColumn("__w1", decay)
         .withColumn(out, F.sum("__wv").over(w) / F.sum("__w1").over(w))
         .drop("__wv", "__w1")
+    )
+
+
+def exponential_moving_average(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    halflife: float,
+    out: str = "ema",
+) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage(halflife)(v, t)``: the
+    event-time EMA where a point's weight halves every ``halflife``
+    time units. Exactly :func:`exponential_time_decayed_avg` with
+    ``tau = halflife / ln 2`` (``2^(-dt/h) = e^(-dt/(h/ln2))``) — the
+    wrapper exists so the ClickHouse name and parameterization resolve
+    directly.
+    """
+    if halflife <= 0:
+        raise ValueError(f"exponential_moving_average needs halflife > 0, got {halflife}")
+    return exponential_time_decayed_avg(
+        df, keys, ts_col, value_col, tau=halflife / math.log(2.0), out=out
     )
 
 

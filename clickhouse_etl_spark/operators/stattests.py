@@ -144,7 +144,9 @@ def _kolmogorov_sf(lam: float) -> float:
     """
     if not math.isfinite(lam):
         return float("nan")
-    if lam <= 0.0:
+    # below ~1e-8 the tail is 1 to machine precision; lam**2 on a
+    # subnormal would also underflow to a literal zero divide
+    if lam <= 1e-8:
         return 1.0
     if lam < 1.18:
         t = math.pi * math.pi / (8.0 * lam * lam)

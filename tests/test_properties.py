@@ -539,3 +539,56 @@ def test_percent_normalization_matches_reference(spark, strings):
     for r in got:
         assert r.n == ref(strings[r.i]), (strings[r.i], r.n)
         assert r.nn == r.n, f"not idempotent: {r.n!r} -> {r.nn!r}"
+
+
+# --- p-value numerics (no Spark job: pure-Python, so full example counts) ---
+
+_FAST = settings(max_examples=200, deadline=None)
+
+pos_shape = st.floats(min_value=0.1, max_value=50, allow_nan=False)
+unit = st.floats(min_value=0.0, max_value=1.0, allow_nan=False)
+# the symmetry identity is evaluated through 1-x, so x must stay far
+# enough from the endpoints that 1-x doesn't round to exactly 0/1
+# (at x=1e-38 the identity breaks by the TEST's own float rounding)
+unit_interior = st.floats(min_value=1e-6, max_value=1 - 1e-6,
+                          allow_nan=False)
+
+
+@_FAST
+@given(pos_shape, pos_shape, unit, unit, unit_interior)
+def test_betainc_bounded_monotone_symmetric(a, b, x1, x2, xs):
+    from clickhouse_etl_spark.operators.stattests import _betainc
+
+    lo, hi = sorted((x1, x2))
+    v_lo, v_hi = _betainc(a, b, lo), _betainc(a, b, hi)
+    assert 0.0 <= v_lo and v_hi <= 1.0
+    # monotone up to a few-ulp wobble (adjacent floats cross the
+    # continued-fraction branch switch)
+    assert v_lo <= v_hi + 1e-12
+    # symmetry I_x(a,b) = 1 - I_{1-x}(b,a), on the interior
+    assert _betainc(a, b, xs) == pytest.approx(
+        1.0 - _betainc(b, a, 1.0 - xs), abs=1e-9)
+
+
+@_FAST
+@given(st.floats(min_value=0.0, max_value=5.0, allow_nan=False),
+       st.floats(min_value=0.0, max_value=5.0, allow_nan=False))
+def test_kolmogorov_tail_bounded_monotone(l1, l2):
+    from clickhouse_etl_spark.operators.stattests import _kolmogorov_sf
+
+    lo, hi = sorted((l1, l2))
+    q_lo, q_hi = _kolmogorov_sf(lo), _kolmogorov_sf(hi)
+    assert 0.0 <= q_hi <= q_lo <= 1.0          # survival: decreasing
+
+
+@_FAST
+@given(st.floats(min_value=-50, max_value=50, allow_nan=False),
+       st.floats(min_value=1.0, max_value=1000.0, allow_nan=False))
+def test_t_tail_valid_probability(t, dof):
+    from clickhouse_etl_spark.operators.stattests import (
+        _norm_two_sided_p, _t_two_sided_p)
+
+    p = _t_two_sided_p(t, dof)
+    assert 0.0 <= p <= 1.0
+    # the t tail is always at least as heavy as the normal tail
+    assert p >= _norm_two_sided_p(t) - 1e-9

@@ -480,6 +480,23 @@ def test_exponential_time_decayed_sum_null_rows_dropped(spark):
     assert by_t[2.0] == pytest.approx(3.0 + 5.0 * math.exp(-2.0))
 
 
+def test_exponential_moving_average_halflife_semantics(spark):
+    """A point exactly one halflife older carries exactly half the
+    weight; checked against the brute 2^(-dt/h) definition."""
+    from clickhouse_etl_spark.operators.stats import exponential_moving_average
+
+    h = 10.0
+    rows = [(1, 0.0, 4.0), (1, 10.0, 1.0)]
+    df = spark.createDataFrame(rows, "g int, t double, v double")
+    got = {r["t"]: r["ema"]
+           for r in exponential_moving_average(df, ["g"], "t", "v", h).collect()}
+    # at t=10: weights 0.5 (for the t=0 point) and 1.0 -> (4*0.5 + 1)/1.5
+    assert got[10.0] == pytest.approx((4.0 * 0.5 + 1.0) / 1.5, rel=1e-12)
+    assert got[0.0] == pytest.approx(4.0)
+    with pytest.raises(ValueError):
+        exponential_moving_average(df, ["g"], "t", "v", 0.0)
+
+
 # --- quantileExactWeighted ------------------------------------------------
 
 _QEW_ORACLE = """
