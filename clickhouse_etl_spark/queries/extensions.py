@@ -532,3 +532,121 @@ def ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type = 'signup'", "event_type = 'click'",
          "event_type = 'purchase'"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 rotation, batch 2: the statistical-aggregate family gets driver
+# CORRECTNESS rows. Rotated in for a12_avg_null_semantics (both averaging
+# semantics stay driver-verified inside pl_monthly_subject_fact),
+# ns_dedup_exact (exact dedup is the core of the still-registered
+# ns_url_dedup), and ns_multimodal_features (subsumed by ns_mm_pipeline,
+# the same Arrow-UDF path) — all three keep identical value-hash oracles
+# in tests/test_demoted_oracles.py.
+# ---------------------------------------------------------------------------
+@register(
+    "ext_cramers_v",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderpriority AS g, o_orderstatus AS a,
+             CAST(o_custkey % 4 AS VARCHAR) AS b
+      FROM orders WHERE o_orderstatus IS NOT NULL
+    ), cells AS (
+      SELECT g, a, b, COUNT(*) AS c FROM src GROUP BY g, a, b
+    ), marg AS (
+      SELECT g, a, b, c,
+             SUM(c) OVER (PARTITION BY g, a) AS ra,
+             SUM(c) OVER (PARTITION BY g, b) AS cb,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM cells
+    )
+    SELECT g,
+           ROUND(SQRT((SUM((c - ra*cb/n)*(c - ra*cb/n)/(ra*cb/n))
+                       + (ANY_VALUE(n) - SUM(ra*cb/n)))
+                      / ANY_VALUE(n)
+                      / (LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1)), 6)
+             AS cramers_v
+    FROM marg GROUP BY g
+    """,
+)
+def ext_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV``: categorical association from contingency
+    cells + marginal windows (operators/stats.py)."""
+    from clickhouse_etl_spark.operators.stats import cramers_v
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderstatus").alias("a"),
+        (F.col("o_custkey") % 4).cast("string").alias("b"),
+    )
+    out = cramers_v(o, ["g"], "a", "b")
+    return out.select("g", F.round("cramers_v", 6).alias("cramers_v"))
+
+
+@register(
+    "ext_quantiles_weighted",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v, SUM(l_quantity) AS w
+      FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+      GROUP BY g, v
+    ), ranked AS (
+      SELECT g, v,
+             SUM(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY g) AS tot
+      FROM cells
+    )
+    SELECT g,
+           MIN(CASE WHEN cum >= 0.25 * tot THEN v END) AS q25,
+           MIN(CASE WHEN cum >= 0.5 * tot THEN v END) AS q50,
+           MIN(CASE WHEN cum >= 0.95 * tot THEN v END) AS q95
+    FROM ranked GROUP BY g
+    """,
+)
+def ext_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantilesExactWeighted``: all three quantiles from
+    ONE cells+window pass (operators/stats.py)."""
+    from clickhouse_etl_spark.operators.stats import quantiles_exact_weighted
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_extendedprice", "l_quantity"
+    )
+    out = quantiles_exact_weighted(
+        li, ["g"], "l_extendedprice", "l_quantity", [0.25, 0.5, 0.95]
+    )
+    return out.select(
+        "g",
+        F.col("quantiles")[0].alias("q25"),
+        F.col("quantiles")[1].alias("q50"),
+        F.col("quantiles")[2].alias("q95"),
+    )
+
+
+@register(
+    "ext_rank_corr",
+    oracle="""
+    WITH src AS (
+      SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), ranked AS (
+      SELECT g,
+             RANK() OVER (PARTITION BY g ORDER BY x)
+               + (COUNT(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+             RANK() OVER (PARTITION BY g ORDER BY y)
+               + (COUNT(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+      FROM src
+    )
+    SELECT g, ROUND(CORR(rx, ry), 6) AS rank_corr
+    FROM ranked GROUP BY g
+    """,
+)
+def ext_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``rankCorr``: Spearman via midrank windows + JVM corr
+    (operators/stattests.py)."""
+    from clickhouse_etl_spark.operators.stattests import spearman_rank_corr
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_quantity", "l_extendedprice"
+    )
+    out = spearman_rank_corr(li, ["g"], "l_quantity", "l_extendedprice")
+    return out.select("g", F.round("rank_corr", 6).alias("rank_corr"))

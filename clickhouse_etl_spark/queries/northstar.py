@@ -51,13 +51,9 @@ from clickhouse_etl_spark.text.similarity import (
 # ---------------------------------------------------------------------------
 # Exact dedup — hash-groupBy on content digest
 # ---------------------------------------------------------------------------
-@register(
-    "ns_dedup_exact",
-    oracle="""
-    SELECT MIN(doc_id) AS keep_id, count(*) AS dup_count
-    FROM documents GROUP BY text
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-6 rotation,
+# batch 2 (identical value-hash oracle there); exact hash-dedup stays
+# driver-verified as the core of the still-registered ns_url_dedup.
 def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs)
@@ -320,16 +316,10 @@ _MM_FEATURES = ",\n           ".join(
 )
 
 
-@register(
-    "ns_multimodal_features",
-    oracle=f"""
-    SELECT doc_id, 'image' AS modality,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS content_sha,
-           {_MM_FEATURES}
-    FROM documents
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-6 rotation,
+# batch 2 (identical value-hash oracle there, built from _MM_FEATURES);
+# the same attach/extract Arrow-UDF path stays driver-verified inside
+# the composed ns_mm_pipeline.
 def ns_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, source_col="text", modality="image")

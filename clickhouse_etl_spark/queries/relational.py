@@ -99,15 +99,9 @@ def s7_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference: …etl_student_scores_subject_month_to_clickhouse.py:160-204;
 #            …etl_student_transcript_to_clickhouse.py:240-245
 # ---------------------------------------------------------------------------
-@register(
-    "a12_avg_null_semantics",
-    oracle="""
-    SELECT event_type,
-           ROUND(AVG(value), 6) AS avg_value,
-           ROUND(AVG(COALESCE(value, 0)), 6) AS avg_value_z
-    FROM events GROUP BY event_type
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-6 rotation,
+# batch 2 (identical value-hash oracle there); BOTH averaging semantics
+# stay driver-verified composed inside pl_monthly_subject_fact.
 def a12_avg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     a1 = avg_null_dropped(events, ["event_type"], "value", alias="avg_value")

@@ -1398,3 +1398,54 @@ def test_frequent_items_weighted_null_weight_carries_no_mass(spark):
         for r in frequent_items(df, "v", k=2, weight_col="w").collect()
     ]
     assert got == [("a", 5), ("c", 2)]  # b's NULL row adds nothing
+
+
+# --- round-6 rotation, batch 2 -------------------------------------------
+
+
+def test_a12_avg_null_semantics(spark):
+    """A1+A2 averaging semantics side by side — identical oracle to the
+    row's registry days."""
+    from clickhouse_etl_spark.queries.relational import a12_avg_null_semantics
+
+    _assert_matches_oracle(
+        a12_avg_null_semantics(spark, SF_DIR),
+        """
+        SELECT event_type,
+               ROUND(AVG(value), 6) AS avg_value,
+               ROUND(AVG(COALESCE(value, 0)), 6) AS avg_value_z
+        FROM events GROUP BY event_type
+        """,
+    )
+
+
+def test_ns_dedup_exact(spark):
+    """Exact hash-groupBy dedup — identical oracle to the row's
+    registry days."""
+    from clickhouse_etl_spark.queries.northstar import ns_dedup_exact
+
+    _assert_matches_oracle(
+        ns_dedup_exact(spark, SF_DIR),
+        """
+        SELECT MIN(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY text
+        """,
+    )
+
+
+def test_ns_multimodal_features(spark):
+    """Arrow-UDF multimodal feature extraction with sha-derived stub
+    features — identical oracle (rebuilt from the module's own
+    _MM_FEATURES literal) to the row's registry days."""
+    from clickhouse_etl_spark.queries import northstar
+
+    _assert_matches_oracle(
+        northstar.ns_multimodal_features(spark, SF_DIR),
+        f"""
+        SELECT doc_id, 'image' AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS content_sha,
+               {northstar._MM_FEATURES}
+        FROM documents
+        """,
+    )
