@@ -529,6 +529,54 @@ def dedup_keep_list(clusters: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-cluster representative chosen by QUALITY, not by id: the
+    member with the highest ``score_col`` wins, ties broken by the
+    smaller id so the choice is total and rerun-stable. This is what a
+    curation pipeline actually wants from near-dup groups — keep the
+    best copy (longest, highest quality-classifier score, least
+    boilerplate), drop the rest; :func:`dedup_keep_list`'s min-id form
+    is the score-free special case.
+
+    ``scores`` carries ``(id_col, score_col)`` — typically a projection
+    of ``gopher_quality_stats``/``text_stats``/model scores. A member
+    missing from ``scores`` (or with a NULL score) ranks below every
+    scored member (its score coalesces to -inf) but can still win an
+    all-unscored cluster via the id tiebreak — clusters are never
+    silently dropped.
+
+    Shape: one equi-join of the cluster list to the score table (both
+    keyed by doc id — AQE broadcasts the smaller), then a single
+    ``max_by`` hash aggregation on a (score, -id)-ordered struct:
+    map-side combinable, no window, no sort. Ids must be numeric (the
+    tiebreak negates them; the corpus tables' doc ids are longs).
+    """
+    joined = clusters.join(
+        scores.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(score_col).cast("double").alias("__score"),
+        ),
+        on="doc_id",
+        how="left",
+    )
+    # total order: higher score first, then smaller id — encoded as a
+    # struct so ONE max_by carries the whole decision
+    rank = F.struct(
+        F.coalesce(F.col("__score"), F.lit(float("-inf"))).alias("s"),
+        (-F.col("doc_id")).alias("neg_id"),
+    )
+    return joined.groupBy("cluster_id").agg(
+        F.max_by(F.col("doc_id"), rank).alias("keep_id"),
+        F.max(F.col("__score")).alias("keep_score"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1449,3 +1449,82 @@ def test_ns_multimodal_features(spark):
         FROM documents
         """,
     )
+
+
+def test_dedup_keep_best(spark):
+    """Quality-chosen representatives: highest score wins, smaller-id
+    tiebreak, unscored members lose to scored ones, all-unscored
+    clusters survive via the id tiebreak."""
+    from clickhouse_etl_spark.text.dedup import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        # cluster 1: clear winner (doc 3); cluster 10: tie on score ->
+        # smaller id (10); cluster 20: only doc 21 scored; cluster 30:
+        # nobody scored -> min id 30
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+         (20, 20), (21, 20), (30, 30), (31, 30)],
+        ["doc_id", "cluster_id"],
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.95), (10, 0.5), (11, 0.5), (21, 0.1)],
+        ["doc_id", "score"],
+    )
+    got = {r["cluster_id"]: (r["keep_id"], r["keep_score"], r["n_members"])
+           for r in dedup_keep_best(clusters, scores).collect()}
+    assert got[1] == (3, 0.95, 3)
+    assert got[10] == (10, 0.5, 2)
+    assert got[20] == (21, 0.1, 2)
+    assert got[30] == (30, None, 2)
+
+
+def test_dedup_keep_best_oracle_on_real_clusters(spark):
+    """On the REAL MinHash clusters (poly family), keeping the longest
+    document per group — mirrored in DuckDB over the same recursive
+    closure."""
+    from clickhouse_etl_spark.queries.northstar import _minhash_oracle
+    from clickhouse_etl_spark.text.dedup import (
+        dedup_keep_best,
+        minhash_near_duplicates,
+        neardup_clusters,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_near_duplicates(
+        docs, jaccard_threshold=0.2, hash_family="poly"
+    )
+    clusters = neardup_clusters(pairs)
+    out = dedup_keep_best(
+        clusters, docs.select("doc_id", "n_chars"), score_col="n_chars"
+    )
+    oracle = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src, src AS dst FROM edges
+      UNION
+      SELECT r.src, e.dst
+      FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    scored AS (
+      SELECT c.cluster_id, c.doc_id, CAST(d.n_chars AS DOUBLE) AS s,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY CAST(d.n_chars AS DOUBLE) DESC
+                                         NULLS LAST,
+                                         c.doc_id ASC) AS rn,
+             MAX(CAST(d.n_chars AS DOUBLE))
+               OVER (PARTITION BY c.cluster_id) AS mx,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cnt
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_id, mx AS keep_score,
+           cnt AS n_members
+    FROM scored WHERE rn = 1
+    """
+    _assert_matches_oracle(out, oracle)
