@@ -64,6 +64,7 @@ def curate_corpus(
     url_col: str | None = None,
     domain_blocklist: Sequence[str] | DataFrame | None = None,
     url_dedup_strategy: str = "auto",
+    neardup_score_col: str | None = None,
 ) -> CurationResult:
     """Run the full curation chain; see module doc for stage order.
 
@@ -85,6 +86,12 @@ def curate_corpus(
     adds nothing" cost contract — recorded in the data card as
     ``url_dedup_plan``); pass ``'window'`` or ``'agg'`` to pin the form
     and skip the measurement.
+
+    ``neardup_score_col``: when set (a numeric column of ``df``), the
+    near-dup stage keeps each duplicate GROUP's highest-scoring member
+    (:func:`text.dedup.dedup_keep_best` — e.g. ``n_chars`` to keep the
+    longest copy) instead of the min-id member. Same join shape; the
+    data card records the policy as ``neardup_keep``.
     """
     if domain_blocklist is not None and url_col is None:
         # silently skipping the blocklist would ship blocked domains
@@ -154,11 +161,31 @@ def curate_corpus(
         cur, text_col=text_col, id_col=id_col, jaccard_threshold=minhash_threshold
     )
     clusters = neardup_clusters(pairs)
-    # The cluster representative IS the cluster id (minimum member —
-    # dedup_keep_list's keep_id); every other member drops.
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if neardup_score_col is not None:
+        # quality-chosen representative: drop every member that is not
+        # its cluster's keep_id (highest score, id tiebreak)
+        from clickhouse_etl_spark.text.dedup import dedup_keep_best
+
+        keeps = dedup_keep_best(
+            clusters,
+            cur.select(F.col(id_col).alias("doc_id"), neardup_score_col),
+            score_col=neardup_score_col,
+        ).select(F.col("keep_id").alias("__keep"))
+        drop = (
+            clusters.join(
+                keeps, clusters["doc_id"] == keeps["__keep"], "left_anti"
+            ).select(F.col("doc_id").alias(id_col))
+        )
+    else:
+        # The cluster representative IS the cluster id (minimum member —
+        # dedup_keep_list's keep_id); every other member drops.
+        drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    if with_report:
+        report["neardup_keep"] = (
+            f"best:{neardup_score_col}" if neardup_score_col else "min_id"
+        )
     cur = note("near_dedup", cur.join(drop, on=id_col, how="left_anti"))
 
     # 3. Substring dedup: cut every non-first duplicated >=k-token span

@@ -150,3 +150,26 @@ def test_curate_corpus_url_stage(spark):
     assert rep["url_dedup"] == 40
     assert rep["final"] <= rep["url_dedup"]
     assert "url" in out.corpus.columns
+
+
+def test_neardup_keep_best_policy(spark):
+    """neardup_score_col keeps the highest-scoring member of each
+    duplicate group (here: the longest copy), while the default keeps
+    the min id — same survivor COUNT, different survivors whenever a
+    longer near-dup copy carries a higher id."""
+    docs = load_table(spark, SF_DIR, "documents")
+    base = curate_corpus(docs, with_report=False).corpus
+    best = curate_corpus(docs, neardup_score_col="n_chars").corpus
+    ids_base = {r.doc_id for r in base.select("doc_id").collect()}
+    ids_best = {r.doc_id for r in best.select("doc_id").collect()}
+    assert len(ids_base) == len(ids_best)   # one survivor per group
+    assert ids_base != ids_best             # policy actually changes picks
+
+    # every swapped-in survivor is at least as long as some swapped-out
+    # one (globally: total kept chars can only grow under keep-longest)
+    chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    assert (sum(chars[i] for i in ids_best)
+            >= sum(chars[i] for i in ids_base))
+
+    rep = curate_corpus(docs, neardup_score_col="n_chars").report
+    assert rep["neardup_keep"] == "best:n_chars"
