@@ -96,6 +96,12 @@ def curate_corpus(
     if domain_blocklist is not None and url_col is None:
         # silently skipping the blocklist would ship blocked domains
         raise ValueError("domain_blocklist requires url_col")
+    if neardup_score_col is not None and neardup_score_col not in df.columns:
+        # fail here, not as a column-resolution error deep inside the
+        # MinHash plan three stages later
+        raise ValueError(
+            f"neardup_score_col {neardup_score_col!r} is not a column of df"
+        )
     report: dict[str, int | str] = {}
 
     def note(stage: str, d: DataFrame) -> DataFrame:

@@ -544,34 +544,36 @@ def dedup_keep_best(
     is the score-free special case.
 
     ``scores`` carries ``(id_col, score_col)`` — typically a projection
-    of ``gopher_quality_stats``/``text_stats``/model scores. A member
-    missing from ``scores`` (or with a NULL score) ranks below every
-    scored member (its score coalesces to -inf) but can still win an
+    of ``gopher_quality_stats``/``text_stats``/model scores; duplicate
+    rows per id are collapsed to their max first (so a per-span or
+    per-snapshot score table can't fan the join out and inflate
+    ``n_members``). A member missing from ``scores``, or whose score is
+    NULL or NaN (NaN would otherwise sort ABOVE +inf in Spark and
+    silently win), ranks below every scored member but can still win an
     all-unscored cluster via the id tiebreak — clusters are never
     silently dropped.
 
-    Shape: one equi-join of the cluster list to the score table (both
-    keyed by doc id — AQE broadcasts the smaller), then a single
-    ``max_by`` hash aggregation on a (score, -id)-ordered struct:
-    map-side combinable, no window, no sort. Ids must be numeric (the
-    tiebreak negates them; the corpus tables' doc ids are longs).
+    Shape: one equi-join of the cluster list to the collapsed score
+    table (both keyed by doc id — AQE broadcasts the smaller), then a
+    single ``min_by`` hash aggregation on a (-score, id)-ordered
+    struct: negating the SCORE (always a double) rather than the id
+    keeps the tiebreak correct for any orderable id type — string ids
+    under unary minus would cast to NULL and break ties arbitrarily.
+    Map-side combinable, no window, no sort.
     """
-    joined = clusters.join(
-        scores.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(score_col).cast("double").alias("__score"),
-        ),
-        on="doc_id",
-        how="left",
+    s = F.col(score_col).cast("double")
+    collapsed = scores.groupBy(F.col(id_col).alias("doc_id")).agg(
+        F.max(F.when(~F.isnan(s), s)).alias("__score")
     )
-    # total order: higher score first, then smaller id — encoded as a
-    # struct so ONE max_by carries the whole decision
+    joined = clusters.join(collapsed, on="doc_id", how="left")
+    # total order via min: lower -score == higher score first, then
+    # smaller id; unscored members get -(-inf) = +inf and sort last
     rank = F.struct(
-        F.coalesce(F.col("__score"), F.lit(float("-inf"))).alias("s"),
-        (-F.col("doc_id")).alias("neg_id"),
+        (-F.coalesce(F.col("__score"), F.lit(float("-inf")))).alias("neg_s"),
+        F.col("doc_id").alias("id"),
     )
     return joined.groupBy("cluster_id").agg(
-        F.max_by(F.col("doc_id"), rank).alias("keep_id"),
+        F.min_by(F.col("doc_id"), rank).alias("keep_id"),
         F.max(F.col("__score")).alias("keep_score"),
         F.count(F.lit(1)).alias("n_members"),
     )

@@ -1477,6 +1477,30 @@ def test_dedup_keep_best(spark):
     assert got[30] == (30, None, 2)
 
 
+def test_dedup_keep_best_nan_dup_scores_and_string_ids(spark):
+    """NaN scores must LOSE (Spark sorts NaN above +inf — a raw max_by
+    would crown them); duplicate score rows collapse instead of
+    inflating n_members; string ids tiebreak correctly (negating an id
+    would NULL-cast a string and pick arbitrarily)."""
+    from clickhouse_etl_spark.text.dedup import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("b1", "b1"), ("b2", "b1")],
+        ["doc_id", "cluster_id"],
+    )
+    scores = spark.createDataFrame(
+        # a2 has NaN (loses to a1's real score); b1/b2 tie at 0.5 with
+        # b2 carrying a duplicate score row
+        [("a1", 0.3), ("a2", float("nan")), ("b1", 0.5),
+         ("b2", 0.5), ("b2", 0.5)],
+        ["doc_id", "score"],
+    )
+    got = {r["cluster_id"]: (r["keep_id"], r["keep_score"], r["n_members"])
+           for r in dedup_keep_best(clusters, scores).collect()}
+    assert got["a1"] == ("a1", 0.3, 2)      # NaN never wins
+    assert got["b1"] == ("b1", 0.5, 2)      # string-id tiebreak; no fan-out
+
+
 def test_dedup_keep_best_oracle_on_real_clusters(spark):
     """On the REAL MinHash clusters (poly family), keeping the longest
     document per group — mirrored in DuckDB over the same recursive
