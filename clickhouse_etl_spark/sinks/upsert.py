@@ -173,6 +173,48 @@ def histogram_quantile(
     return F.when(col.isNull() | (total == 0), F.lit(None)).otherwise(est)
 
 
+def moment_state_agg(src: str) -> F.Column:
+    """Mergeable second-moment state: ``struct<n: long, s: double,
+    s2: double>`` — count, sum, and sum of squares of the source
+    expression's non-NULL values. Component-wise addition is its
+    exactly-associative merge, so incremental == full holds
+    bit-for-bit up to float addition order — ClickHouse's
+    ``avgState``/``varState`` family with one state serving avg,
+    variance, and stddev reads. NULLs contribute nothing; a key with
+    no values carries ``n = 0`` and reads as NULL."""
+    v = F.expr(src).cast("double")
+    return F.struct(
+        F.count(v).alias("n"),
+        F.coalesce(F.sum(v), F.lit(0.0)).alias("s"),
+        F.coalesce(F.sum(v * v), F.lit(0.0)).alias("s2"),
+    )
+
+
+def moment_avg(state) -> F.Column:
+    """Read the mean out of a :func:`moment_state_agg` state column
+    (name or Column). Empty state (``n = 0``) reads as NULL."""
+    col = F.col(state) if isinstance(state, str) else state
+    return F.when(col["n"] > 0, col["s"] / col["n"])
+
+
+def moment_var(state, sample: bool = True) -> F.Column:
+    """Read the variance (sample by default, population with
+    ``sample=False``) out of a moment state. The sum-of-squares form
+    can land a few ulp negative on constant data, so it clamps at 0;
+    ``n`` below the denominator's minimum reads as NULL."""
+    col = F.col(state) if isinstance(state, str) else state
+    n = col["n"].cast("double")
+    ss = F.greatest(col["s2"] - col["s"] * col["s"] / n, F.lit(0.0))
+    denom = n - 1 if sample else n
+    floor_n = 2 if sample else 1
+    return F.when(col["n"] >= floor_n, ss / denom)
+
+
+def moment_stddev(state, sample: bool = True) -> F.Column:
+    """Read the standard deviation out of a moment state."""
+    return F.sqrt(moment_var(state, sample=sample))
+
+
 def summing_merge(
     current: DataFrame | None,
     delta: DataFrame,
@@ -182,6 +224,7 @@ def summing_merge(
     max_cols: Sequence[str] = (),
     hll_cols: Mapping[str, str] | None = None,
     hist_cols: Mapping[str, tuple] | None = None,
+    moment_cols: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Incremental aggregate-snapshot maintenance — ClickHouse's
     SummingMergeTree / AggregatingMergeTree semantics (sum/min/max are
@@ -222,10 +265,19 @@ def summing_merge(
     :func:`histogram_quantile` reads any quantile out of the state —
     ClickHouse's ``quantileState``/``quantileMerge`` with declared
     bounds and a one-bin-width error contract.
+
+    ``moment_cols`` maps ``state_col -> source_expr``: the delta's
+    values fold into a ``(n, sum, sum_sq)`` struct
+    (:func:`moment_state_agg`), merges add the components, and
+    :func:`moment_avg` / :func:`moment_var` / :func:`moment_stddev`
+    read the statistics out — ClickHouse's ``avgState``/``varState``
+    family, so incremental snapshots carry means and variances without
+    a full recompute.
     """
     keys = list(keys)
     hll_cols = dict(hll_cols or {})
     hist_cols = dict(hist_cols or {})
+    moment_cols = dict(moment_cols or {})
     aggs = (
         [F.sum(c).alias(c) for c in sum_cols]
         + [F.min(c).alias(c) for c in min_cols]
@@ -238,13 +290,18 @@ def summing_merge(
             histogram_state_agg(src, lo, hi, nbins).alias(st)
             for st, (src, lo, hi, nbins) in hist_cols.items()
         ]
+        + [moment_state_agg(src).alias(st) for st, src in moment_cols.items()]
     )
     if not aggs:
-        raise ValueError("at least one of sum/min/max/hll/hist cols is required")
+        raise ValueError(
+            "at least one of sum/min/max/hll/hist/moment cols is required"
+        )
     d = delta.groupBy(*keys).agg(*aggs)
     if current is None:
         return d
-    state_cols = [*sum_cols, *min_cols, *max_cols, *hll_cols, *hist_cols]
+    state_cols = [
+        *sum_cols, *min_cols, *max_cols, *hll_cols, *hist_cols, *moment_cols
+    ]
     missing = [c for c in state_cols if c not in current.columns]
     if missing:
         raise ValueError(f"current snapshot lacks state columns {missing}")
@@ -284,6 +341,17 @@ def summing_merge(
                 a.isNotNull() & b.isNotNull(),
                 F.when(ok.isNull(), F.zip_with(a, b, lambda x, y: x + y)),
             ).otherwise(F.coalesce(a, b)).alias(c)
+        if how == "moment":
+            # component-wise add when both sides exist; one-sided keys
+            # pass their state through unchanged
+            combined = F.struct(
+                (a["n"] + b["n"]).alias("n"),
+                (a["s"] + b["s"]).alias("s"),
+                (a["s2"] + b["s2"]).alias("s2"),
+            )
+            return F.when(
+                a.isNotNull() & b.isNotNull(), combined
+            ).otherwise(F.coalesce(a, b)).alias(c)
         return (F.least(a, b) if how == "min" else F.greatest(a, b)).alias(c)
 
     folded = (
@@ -292,6 +360,7 @@ def summing_merge(
         + [fold(c, "max") for c in max_cols]
         + [fold(c, "hll") for c in hll_cols]
         + [fold(c, "hist") for c in hist_cols]
+        + [fold(c, "moment") for c in moment_cols]
     )
     # Null-safe key equality: a NULL-keyed state row must merge with a
     # NULL-keyed delta row (plain `on=keys` never matches NULLs, so the

@@ -716,3 +716,60 @@ def test_histogram_quantile_edges(spark):
     assert got["b"] == 10.0     # all overflow -> hi
     assert 5.0 <= got["c"] <= 6.0  # inside the [5,6) bin
     assert got["d"] is None     # no observed values
+
+
+def test_summing_merge_moment_states(spark):
+    """avgState/varState analog: incremental == full for the (n, s, s2)
+    struct state, and the avg/var/stddev readers match DuckDB on the
+    merged snapshot."""
+    import duckdb
+
+    from clickhouse_etl_spark.sinks.upsert import (
+        moment_avg,
+        moment_stddev,
+        moment_var,
+        summing_merge,
+    )
+
+    schema = "k string, v double"
+    d1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None), ("c", 10.0)], schema)
+    d2 = spark.createDataFrame(
+        [("a", 6.0), ("b", None), ("d", 7.0), ("c", 2.0)], schema)
+    args = dict(keys=["k"], sum_cols=[], moment_cols={"v_state": "v"})
+    incr = summing_merge(summing_merge(None, d1, **args), d2, **args)
+    full = summing_merge(None, d1.unionByName(d2), **args)
+    read = lambda df: {
+        r.k: (r.n, r.avg, r.var_s, r.sd)
+        for r in df.select(
+            "k",
+            F.col("v_state")["n"].alias("n"),
+            F.round(moment_avg("v_state"), 9).alias("avg"),
+            F.round(moment_var("v_state"), 9).alias("var_s"),
+            F.round(moment_stddev("v_state"), 9).alias("sd"),
+        ).collect()
+    }
+    gi, gf = read(incr), read(full)
+    assert gi == gf
+
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in duckdb.sql("""
+            SELECT k, COUNT(v), ROUND(AVG(v), 9), ROUND(VAR_SAMP(v), 9),
+                   ROUND(STDDEV_SAMP(v), 9)
+            FROM (VALUES ('a', 1.0), ('a', 2.0), ('b', NULL), ('c', 10.0),
+                         ('a', 6.0), ('b', NULL), ('d', 7.0), ('c', 2.0))
+                 t(k, v)
+            GROUP BY k
+        """).fetchall()
+    }
+    assert gi == want
+
+    # population variance reader + constant-data clamp (no negative var)
+    const = spark.createDataFrame([("x", 0.1), ("x", 0.1), ("x", 0.1)], schema)
+    snap = summing_merge(None, const, **args)
+    row = snap.select(
+        moment_var("v_state", sample=False).alias("vp"),
+        moment_var("v_state").alias("vs"),
+    ).collect()[0]
+    assert row.vp == 0.0 and row.vs == 0.0
