@@ -568,6 +568,9 @@ def _apply_summing_batch(
     min_cols: tuple = (),
     max_cols: tuple = (),
     checkpoint_dir: str = "",
+    hll_cols: dict | None = None,
+    hist_cols: dict | None = None,
+    moment_cols: dict | None = None,
 ) -> bool:
     """One micro-batch of :func:`foreach_batch_summing` (module-level so
     tests can drive replay directly). Returns False when the batch was
@@ -630,7 +633,8 @@ def _apply_summing_batch(
     else:
         current = None
     merged = summing_merge(
-        current, batch_df, keys, sum_cols, min_cols, max_cols
+        current, batch_df, keys, sum_cols, min_cols, max_cols,
+        hll_cols=hll_cols, hist_cols=hist_cols, moment_cols=moment_cols,
     )
     # Materialize BEFORE publishing: the merge reads the _CURRENT
     # snapshot it is about to supersede.
@@ -648,6 +652,9 @@ def foreach_batch_summing(
     min_cols: tuple = (),
     max_cols: tuple = (),
     timeout_sec: int = 120,
+    hll_cols: dict | None = None,
+    hist_cols: dict | None = None,
+    moment_cols: dict | None = None,
 ):
     """Continuous incremental AGGREGATE maintenance: each micro-batch
     folds its per-key sum/min/max states into a versioned snapshot
@@ -666,6 +673,7 @@ def foreach_batch_summing(
         _apply_summing_batch(
             batch_df, batch_id, table_root, keys, sum_cols, min_cols, max_cols,
             checkpoint_dir=checkpoint_dir,
+            hll_cols=hll_cols, hist_cols=hist_cols, moment_cols=moment_cols,
         )
 
     q = (

@@ -582,3 +582,34 @@ def test_streaming_funnel_expire_closed_windows(spark, tmp_path):
     assert sorted(r.funnel_level for r in u3) == [1, 1]
     a3 = sorted(r.anchor_ts for r in u3)
     assert a3[0] != a3[1]
+
+
+def test_summing_batch_carries_moment_states(spark, tmp_path):
+    """moment_cols flows through the foreachBatch path: two applied
+    micro-batches leave a snapshot whose moment reader equals the
+    one-shot aggregate over all rows."""
+    from clickhouse_etl_spark.sinks.staging import read_current
+    from clickhouse_etl_spark.sinks.upsert import moment_avg, moment_var
+    from clickhouse_etl_spark.streaming import _apply_summing_batch
+
+    root = str(tmp_path / "msnap")
+    b1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double")
+    b2 = spark.createDataFrame(
+        [("a", 6.0), ("b", 7.0), ("c", 9.0)], "k string, v double")
+    for i, b in enumerate((b1, b2)):
+        assert _apply_summing_batch(
+            b, i, root, ["k"], ["v"], checkpoint_dir=str(tmp_path / "ck"),
+            moment_cols={"v_state": "v"},
+        )
+    snap = read_current(spark, root)
+    got = {r.k: (r.avg, r.var)
+           for r in snap.select(
+               "k",
+               F.round(moment_avg("v_state"), 9).alias("avg"),
+               F.round(moment_var("v_state"), 9).alias("var"),
+           ).collect()}
+    import statistics
+    assert got["a"] == (3.0, round(statistics.variance([1.0, 2.0, 6.0]), 9))
+    assert got["b"] == (6.0, round(statistics.variance([5.0, 7.0]), 9))
+    assert got["c"] == (9.0, None)
