@@ -79,15 +79,22 @@ class MaterializedView:
     max_cols: Sequence[str] = field(default_factory=tuple)
     #: state_col -> source_col HLL sketch states (see summing_merge)
     hll_cols: dict | None = None
+    #: state_col -> (source_expr, lo, hi, nbins) histogram states
+    hist_cols: dict | None = None
+    #: state_col -> source_expr mergeable (n, sum, sum_sq) moment states
+    moment_cols: dict | None = None
     ledger: WatermarkLedger | None = None
 
     def __post_init__(self) -> None:
         if self.strategy not in ("summing", "replace"):
             raise ValueError("strategy must be 'summing' or 'replace'")
         if self.strategy == "summing" and not (
-            self.sum_cols or self.min_cols or self.max_cols or self.hll_cols
+            self.sum_cols or self.min_cols or self.max_cols
+            or self.hll_cols or self.hist_cols or self.moment_cols
         ):
-            raise ValueError("summing views need sum/min/max/hll cols")
+            raise ValueError(
+                "summing views need sum/min/max/hll/hist/moment cols"
+            )
         if self.ledger is None:
             self.ledger = WatermarkLedger(f"{self.table_root}/_watermarks.jsonl")
 
@@ -141,7 +148,7 @@ class MaterializedView:
                 max_cols.append(self.ts_col)
             return summing_merge(
                 current, delta, self.keys, self.sum_cols, self.min_cols,
-                max_cols, self.hll_cols,
+                max_cols, self.hll_cols, self.hist_cols, self.moment_cols,
             )
         if current is None:
             return merge_upsert(delta.limit(0), delta, list(self.keys), self.ts_col)

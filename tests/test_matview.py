@@ -202,3 +202,42 @@ def test_matview_refuses_summing_sink_root(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="summing sink"):
         view.refresh_full(spark)
+
+
+def test_summing_view_with_moment_states(spark, tmp_path):
+    """Incremental refreshes maintain mean/variance through the
+    (n, sum, sum_sq) moment state: three refreshes equal the one-shot
+    statistics over all rows."""
+    import statistics
+
+    from clickhouse_etl_spark.sinks.upsert import moment_avg, moment_var
+
+    batches = [B1]
+    view = MaterializedView(
+        name="vstats",
+        table_root=str(tmp_path / "vstats"),
+        source=_mk_source(spark, batches),
+        keys=["k"],
+        ts_col="ts",
+        sum_cols=["v"],
+        moment_cols={"v_state": "v"},
+    )
+    view.refresh_incremental(spark)
+    batches.append(B2)
+    view.refresh_incremental(spark)
+    batches.append(B3)
+    view.refresh_incremental(spark)
+
+    snap = view.read(spark)
+    got = {r.k: (r.avg, r.var)
+           for r in snap.select(
+               "k",
+               F.round(moment_avg("v_state"), 9).alias("avg"),
+               F.round(moment_var("v_state"), 9).alias("var"),
+           ).collect()}
+    vals = {"a": [1.0, 3.0, 6.0], "b": [2.0, 5.0], "c": [4.0]}
+    for k, vs in vals.items():
+        assert got[k][0] == round(statistics.mean(vs), 9)
+        want_var = (round(statistics.variance(vs), 9)
+                    if len(vs) > 1 else None)
+        assert got[k][1] == want_var
