@@ -95,6 +95,17 @@ class MaterializedView:
             raise ValueError(
                 "summing views need sum/min/max/hll/hist/moment cols"
             )
+        if self.strategy == "replace" and (
+            self.sum_cols or self.min_cols or self.max_cols
+            or self.hll_cols or self.hist_cols or self.moment_cols
+        ):
+            # these configs are only consumed by the summing merge; a
+            # replace view would silently publish snapshots WITHOUT the
+            # requested state columns
+            raise ValueError(
+                "replace views carry whole rows — sum/min/max/hll/hist/"
+                "moment cols only apply to strategy='summing'"
+            )
         if self.ledger is None:
             self.ledger = WatermarkLedger(f"{self.table_root}/_watermarks.jsonl")
 

@@ -174,19 +174,37 @@ def histogram_quantile(
 
 
 def moment_state_agg(src: str) -> F.Column:
-    """Mergeable second-moment state: ``struct<n: long, s: double,
-    s2: double>`` — count, sum, and sum of squares of the source
-    expression's non-NULL values. Component-wise addition is its
-    exactly-associative merge, so incremental == full holds
-    bit-for-bit up to float addition order — ClickHouse's
-    ``avgState``/``varState`` family with one state serving avg,
-    variance, and stddev reads. NULLs contribute nothing; a key with
-    no values carries ``n = 0`` and reads as NULL."""
+    """Mergeable second-moment state: ``struct<n: long, mean: double,
+    m2: double>`` — count, mean, and centered sum of squares
+    (``sum((x - mean)^2)``) of the source expression's non-NULL values.
+
+    The CENTERED form, not the naive ``(n, sum, sum_sq)``: for values
+    of large magnitude relative to their spread (epoch seconds: mean
+    ~1.7e9, spread ~30) ``sum_sq - sum^2/n`` cancels catastrophically —
+    measured: raw result -38923 where the true value is 3e7 — and a
+    zero-clamp would then read variance 0.0 with total confidence.
+    ``mean``/``m2`` come from Spark's built-in central-moment
+    aggregates (``avg``, ``var_pop * n``), and merges use Chan's
+    parallel update, which is equally associative and stable.
+    NULLs contribute nothing; a key with no values carries ``n = 0``
+    and reads as NULL."""
     v = F.expr(src).cast("double")
     return F.struct(
         F.count(v).alias("n"),
-        F.coalesce(F.sum(v), F.lit(0.0)).alias("s"),
-        F.coalesce(F.sum(v * v), F.lit(0.0)).alias("s2"),
+        F.avg(v).alias("mean"),
+        (F.var_pop(v) * F.count(v)).alias("m2"),
+    )
+
+
+def _moment_merge(a: F.Column, b: F.Column) -> F.Column:
+    """Chan's parallel combine of two (n, mean, m2) states."""
+    na, nb = a["n"].cast("double"), b["n"].cast("double")
+    n = na + nb
+    delta = b["mean"] - a["mean"]
+    return F.struct(
+        (a["n"] + b["n"]).alias("n"),
+        (a["mean"] + delta * nb / n).alias("mean"),
+        (a["m2"] + b["m2"] + delta * delta * na * nb / n).alias("m2"),
     )
 
 
@@ -194,20 +212,20 @@ def moment_avg(state) -> F.Column:
     """Read the mean out of a :func:`moment_state_agg` state column
     (name or Column). Empty state (``n = 0``) reads as NULL."""
     col = F.col(state) if isinstance(state, str) else state
-    return F.when(col["n"] > 0, col["s"] / col["n"])
+    return F.when(col["n"] > 0, col["mean"])
 
 
 def moment_var(state, sample: bool = True) -> F.Column:
     """Read the variance (sample by default, population with
-    ``sample=False``) out of a moment state. The sum-of-squares form
-    can land a few ulp negative on constant data, so it clamps at 0;
-    ``n`` below the denominator's minimum reads as NULL."""
+    ``sample=False``) out of a moment state. m2 is structurally
+    non-negative (a clamp catches float dust only); ``n`` below the
+    denominator's minimum reads as NULL."""
     col = F.col(state) if isinstance(state, str) else state
     n = col["n"].cast("double")
-    ss = F.greatest(col["s2"] - col["s"] * col["s"] / n, F.lit(0.0))
+    m2 = F.greatest(col["m2"], F.lit(0.0))
     denom = n - 1 if sample else n
     floor_n = 2 if sample else 1
-    return F.when(col["n"] >= floor_n, ss / denom)
+    return F.when(col["n"] >= floor_n, m2 / denom)
 
 
 def moment_stddev(state, sample: bool = True) -> F.Column:
@@ -342,16 +360,17 @@ def summing_merge(
                 F.when(ok.isNull(), F.zip_with(a, b, lambda x, y: x + y)),
             ).otherwise(F.coalesce(a, b)).alias(c)
         if how == "moment":
-            # component-wise add when both sides exist; one-sided keys
-            # pass their state through unchanged
-            combined = F.struct(
-                (a["n"] + b["n"]).alias("n"),
-                (a["s"] + b["s"]).alias("s"),
-                (a["s2"] + b["s2"]).alias("s2"),
+            # Chan's combine when both sides carry data; an n=0 or
+            # absent side passes the other through unchanged (the Chan
+            # update divides by n_a + n_b and mixes a NULL mean in)
+            both = a.isNotNull() & b.isNotNull()
+            return (
+                F.when(both & (a["n"] > 0) & (b["n"] > 0), _moment_merge(a, b))
+                .when(both & (a["n"] > 0), a)
+                .when(both, b)
+                .otherwise(F.coalesce(a, b))
+                .alias(c)
             )
-            return F.when(
-                a.isNotNull() & b.isNotNull(), combined
-            ).otherwise(F.coalesce(a, b)).alias(c)
         return (F.least(a, b) if how == "min" else F.greatest(a, b)).alias(c)
 
     folded = (

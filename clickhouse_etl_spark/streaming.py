@@ -657,7 +657,10 @@ def foreach_batch_summing(
     moment_cols: dict | None = None,
 ):
     """Continuous incremental AGGREGATE maintenance: each micro-batch
-    folds its per-key sum/min/max states into a versioned snapshot
+    folds its per-key states — sum/min/max, plus the mergeable HLL
+    distinct (``hll_cols``), fixed-bin histogram (``hist_cols``), and
+    second-moment mean/variance (``moment_cols``) families, all with
+    ``summing_merge``'s semantics — into a versioned snapshot
     (sinks.staging + sinks.upsert.summing_merge under ``foreachBatch``)
     — the streaming form of a SummingMergeTree table, with an explicit
     replay guard because additive merges are not replay-idempotent

@@ -241,3 +241,15 @@ def test_summing_view_with_moment_states(spark, tmp_path):
         want_var = (round(statistics.variance(vs), 9)
                     if len(vs) > 1 else None)
         assert got[k][1] == want_var
+
+    # state configs on a replace view are consumed by nothing — refuse
+    with pytest.raises(ValueError, match="replace views"):
+        MaterializedView(
+            name="bad",
+            table_root=str(tmp_path / "bad"),
+            source=_mk_source(spark, batches),
+            keys=["k"],
+            ts_col="ts",
+            strategy="replace",
+            moment_cols={"v_state": "v"},
+        )

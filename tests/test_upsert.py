@@ -773,3 +773,34 @@ def test_summing_merge_moment_states(spark):
         moment_var("v_state").alias("vs"),
     ).collect()[0]
     assert row.vp == 0.0 and row.vs == 0.0
+
+
+def test_moment_state_large_magnitude_values(spark):
+    """Catastrophic-cancellation regression: epoch-second-magnitude
+    values (mean ~1.7e9, spread ~30). The naive (n, sum, sum_sq) state
+    computed variance -38923 here and a zero-clamp read it as 0.0; the
+    centered (n, mean, m2) state with Chan's merge must stay accurate
+    across an incremental merge chain."""
+    import statistics
+
+    from clickhouse_etl_spark.sinks.upsert import (
+        moment_avg,
+        moment_var,
+        summing_merge,
+    )
+
+    base = 1_700_000_000.0
+    vals1 = [base + (i % 60) for i in range(500)]
+    vals2 = [base + ((i * 7) % 60) for i in range(500)]
+    d1 = spark.createDataFrame([("k", v) for v in vals1], "k string, v double")
+    d2 = spark.createDataFrame([("k", v) for v in vals2], "k string, v double")
+    args = dict(keys=["k"], sum_cols=[], moment_cols={"v_state": "v"})
+    snap = summing_merge(summing_merge(None, d1, **args), d2, **args)
+    got = snap.select(
+        moment_avg("v_state").alias("avg"),
+        moment_var("v_state").alias("var"),
+    ).collect()[0]
+    want_var = statistics.variance(vals1 + vals2)
+    assert got.avg == pytest.approx(statistics.mean(vals1 + vals2), rel=1e-12)
+    assert want_var > 100  # the spread is real
+    assert got.var == pytest.approx(want_var, rel=1e-6)
