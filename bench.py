@@ -97,6 +97,49 @@ def warm_session(spark) -> None:
     spark.range(1_000).mapInPandas(_identity, schema="id long").count()
 
 
+def ambient_check() -> dict[str, float | bool]:
+    """Sample ambient host pressure BEFORE the run (r6 judge ask: three
+    tainted runs and a ~7% fleet-wide drift went unannotated). loadavg1
+    is sampled directly; steal% over a short window. Above thresholds
+    the run is NOT refused (the driver runs unattended and an annotated
+    number beats a missing artifact) — it is loudly flagged both here
+    and in the compact stdout line, and stderr carries the warning for
+    interactive runs. SPARK_GRAFT_BENCH_REFUSE_HOT=1 upgrades the flag
+    to a refusal for attended re-baselines."""
+    pre: dict[str, float | bool] = {}
+    try:
+        pre["loadavg1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    s0 = _cpu_sample()
+    if s0:
+        time.sleep(0.5)
+        s1 = _cpu_sample()
+        if s1 and s1[1] > s0[1]:
+            pre["steal_pct"] = round(
+                100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]), 2
+            )
+    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0"))
+    steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "10.0"))
+    hot = bool(
+        pre.get("loadavg1", 0.0) > load_max
+        or pre.get("steal_pct", 0.0) > steal_max
+    )
+    pre["hot"] = hot
+    if hot:
+        sys.stderr.write(
+            f"bench: AMBIENT HOT before run {pre} "
+            f"(thresholds loadavg1>{load_max}, steal>{steal_max}%) — "
+            "timings will drift high; prefer re-running when cool\n"
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_REFUSE_HOT") == "1":
+            raise SystemExit(
+                f"bench: refusing under ambient load {pre} "
+                "(SPARK_GRAFT_BENCH_REFUSE_HOT=1)"
+            )
+    return pre
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -105,6 +148,7 @@ def main() -> int:
     except ValueError:
         sf = None
 
+    host_pre = ambient_check()
     spark = build_bench_session(cpus)
 
     import __spark_entry__ as entrymod
@@ -180,6 +224,7 @@ def main() -> int:
         host["loadavg1"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
+    host["pre"] = host_pre
 
     total = round(sum(per_query.values()), 3)
     out = {
@@ -260,6 +305,10 @@ def main() -> int:
     }
     if failed:
         compact["failed"] = {n: msg[:60] for n, msg in failed.items()}
+    if host_pre.get("hot"):
+        # surfaced in the driver-parsed line so a hot-host round is
+        # self-describing in BENCH_r{N}.json, not just in BENCH_OUT
+        compact["ambient_hot"] = True
     line = json.dumps(compact, separators=(",", ":"))
     # Hard guard: a line that outgrows the driver's capture window must
     # fail LOUDLY here, not silently produce a null BENCH artifact.

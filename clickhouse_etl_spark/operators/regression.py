@@ -170,6 +170,7 @@ def logistic_regression_fit(
     max_iter: int = 25,
     tol: float = 1e-8,
     ridge: float = 0.0,
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Per-group logistic regression — the batch-correct
     ``stochasticLogisticRegression``: Newton/IRLS where EVERY iteration
@@ -187,6 +188,15 @@ def logistic_regression_fit(
     LogisticRegression runs — provided here as a DataFrame-native
     operator so a fit is one call away from the rest of the engine.
 
+    The driver-side footprint is k·(p+1) floats of coefficients — fine
+    for thousands of groups, NOT for millions. ``max_groups`` (default
+    10 000) makes that boundary loud: the distinct group-key count is
+    checked (one cheap aggregate) before anything is collected, and a
+    higher-cardinality key raises with guidance instead of silently
+    OOM-ing the driver mid-fit. For per-entity models at that scale use
+    ``linear_regression_fit``'s packed one-row-per-group Arrow path, or
+    coarsen the key.
+
     Rows with NULL y/feature, or y outside {0, 1}, are ignored.
     Returns ``coefs`` (x_cols order), ``intercept``, ``n_iter``, and
     ``converged`` per group. Perfectly separable groups cannot converge
@@ -200,6 +210,8 @@ def logistic_regression_fit(
         raise ValueError("logistic_regression_fit needs at least one feature")
     if ridge < 0 or max_iter < 1:
         raise ValueError("need ridge >= 0 and max_iter >= 1")
+    if max_groups < 1:
+        raise ValueError("need max_groups >= 1")
     keys = list(keys)
     spark = df.sparkSession
     y = F.col(y_col).cast("double")
@@ -229,7 +241,21 @@ def logistic_regression_fit(
             .add("n_iter", T.IntegerType())
             .add("converged", T.BooleanType())
         )
-        groups = [tuple(r) for r in base.select(*keys).distinct().collect()]
+        distinct_keys = base.select(*keys).distinct()
+        # Loud cardinality guard BEFORE the collect: count() is one
+        # aggregate over the already-distinct frame, and the limit+1
+        # cap keeps even a pathological key from materializing fully.
+        n_groups = distinct_keys.limit(max_groups + 1).count()
+        if n_groups > max_groups:
+            raise ValueError(
+                f"logistic_regression_fit: more than {max_groups} distinct "
+                f"groups for keys {keys} — the Newton driver state is "
+                "k·(p+1) coefficients and this key would overwhelm it. "
+                "Coarsen the key, fit a global model (keys=[]), or raise "
+                "max_groups explicitly if you know k·p fits in driver "
+                "memory."
+            )
+        groups = [tuple(r) for r in distinct_keys.collect()]
         if not groups:
             return spark.createDataFrame([], out_schema)
 

