@@ -164,7 +164,10 @@ def sum_map(
     (``assert_true`` — zip would silently NULL-pad); NULL VALUES are
     ignored by the sum (a key seen only with NULL values totals NULL,
     which ``drop_zero`` also removes — it carries no information);
-    NULL KEYS are a key like any other and sort last. A group with no
+    NULL KEYS are a key like any other and sort FIRST —
+    ``array_sort``'s struct ordering puts a NULL field before every
+    non-NULL value (``keys=[NULL, 'a', 'b']``; note ClickHouse
+    ``sumMap`` output places them oppositely, so diff accordingly). A group with no
     surviving keys (only NULL-array rows, or every total dropped by
     ``drop_zero``) does not appear in the output at all — left-join
     the result back to the group list if empty-map groups must persist.

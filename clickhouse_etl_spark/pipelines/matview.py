@@ -81,7 +81,8 @@ class MaterializedView:
     hll_cols: dict | None = None
     #: state_col -> (source_expr, lo, hi, nbins) histogram states
     hist_cols: dict | None = None
-    #: state_col -> source_expr mergeable (n, sum, sum_sq) moment states
+    #: state_col -> source_expr mergeable centered (n, mean, m2) moment
+    #: states, combined via Chan's parallel update (see moment_state_agg)
     moment_cols: dict | None = None
     ledger: WatermarkLedger | None = None
 

@@ -170,28 +170,9 @@ def ns_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equal to this in tests. DuckDB's quantile_cont uses the same linear
 # interpolation as Spark's percentile / numpy's median.
 # ---------------------------------------------------------------------------
-@register(
-    "ns_outlier_mad",
-    oracle="""
-    WITH med AS (
-      SELECT user_id, quantile_cont(value, 0.5) AS m
-      FROM events WHERE value IS NOT NULL GROUP BY user_id
-    ),
-    mad AS (
-      SELECT e.user_id, quantile_cont(abs(e.value - med.m), 0.5) AS d
-      FROM events e JOIN med ON e.user_id = med.user_id
-      WHERE e.value IS NOT NULL GROUP BY e.user_id
-    )
-    SELECT e.user_id, e.value,
-           ROUND(med.m, 6) AS group_median,
-           ROUND(mad.d, 6) AS group_mad,
-           (mad.d > 0 AND abs(e.value - med.m) > 3.0 * mad.d) AS is_outlier
-    FROM events e
-    JOIN med ON e.user_id = med.user_id
-    JOIN mad ON e.user_id = mad.user_id
-    WHERE e.value IS NOT NULL
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-7 rotation
+# (identical value-hash oracle there); the registry slot goes to the
+# r6 SemDeDup tier below.
 def ns_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.operators.grouped import mad_outliers_jvm
 
@@ -228,28 +209,237 @@ def ns_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k (exact; DuckDB list_cosine_similarity oracle)
 # ---------------------------------------------------------------------------
-@register(
-    "ns_cosine_topk",
-    oracle="""
-    SELECT query_id, vec_id, cosine, rank FROM (
-      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-             ROUND(list_cosine_similarity(
-                 CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
-             ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(
-                 CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-                 c.vec_id ASC) AS rank
-      FROM embeddings c
-      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
-      WHERE q.vec_id <> c.vec_id
-    ) WHERE rank <= 5
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-7 rotation
+# (identical value-hash oracle there): it is the brute twin of the
+# still-registered ns_ann_lsh / ns_ann_ivf, and the compressed-domain
+# IVFADC row below inherits the exact-L2 re-rank machinery.
 def ns_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return brute_force_cosine_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (PQ + coarse cells + exact re-rank) — the r6 headline ANN tier
+# promoted to a driver row (round-7 rotation). Fully deterministic:
+# codebooks are the ksub lowest-id vectors' subvector slices
+# (init_codebooks), coarse cells the NCELLS lowest-id vectors — so the
+# WHOLE chain (encode, cell assign, nprobe probing, ADC shortlist,
+# exact re-rank) mirrors into self-contained SQL, no literals.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_KSUB, _PQ_DIMS = 4, 16, 64
+_PQ_DSUB = _PQ_DIMS // _PQ_M
+_PQ_CELLS, _PQ_NPROBE, _PQ_K, _PQ_SHORTLIST = 8, 3, 5, 25
+
+
+def _ivfadc_oracle() -> str:
+    m, ksub, dsub = _PQ_M, _PQ_KSUB, _PQ_DSUB
+    sq = (
+        f"list_sum(list_transform(range(1, {dsub} + 1), "
+        f"i -> (e.v[s.sub * {dsub} + i] - c.v[s.sub * {dsub} + i])"
+        f" * (e.v[s.sub * {dsub} + i] - c.v[s.sub * {dsub} + i])))"
+    )
+    cellsq = (
+        "list_sum(list_transform(range(1, len(e.v) + 1), "
+        "i -> (e.v[i] - g.gv[i]) * (e.v[i] - g.gv[i])))"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cw, v
+      FROM emb ORDER BY vec_id LIMIT {ksub}
+    ),
+    coarse AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS gv
+      FROM emb ORDER BY vec_id LIMIT {_PQ_CELLS}
+    ),
+    subs AS (SELECT unnest(range(0, {m})) AS sub),
+    d AS (
+      SELECT e.vec_id, s.sub, c.cw, {sq} AS sq
+      FROM emb e CROSS JOIN subs s CROSS JOIN cent c
+    ),
+    best AS (
+      SELECT vec_id, sub, cw,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY sq ASC, cw ASC) AS rk
+      FROM d
+    ),
+    codes AS (
+      SELECT vec_id, list(CAST(cw AS INT) ORDER BY sub) AS codes
+      FROM best WHERE rk = 1 GROUP BY vec_id
+    ),
+    cellsd AS (
+      SELECT e.vec_id, g.cell, {cellsq} AS sq FROM emb e CROSS JOIN coarse g
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sq ASC, cell ASC) AS rk
+        FROM cellsd
+      ) WHERE rk = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v FROM emb WHERE vec_id % 100 = 0
+    ),
+    qcells AS (
+      SELECT query_id, cell FROM (
+        SELECT cd.vec_id AS query_id, cd.cell,
+               ROW_NUMBER() OVER (PARTITION BY cd.vec_id
+                                  ORDER BY cd.sq ASC, cd.cell ASC) AS rk
+        FROM cellsd cd JOIN q ON q.query_id = cd.vec_id
+      ) WHERE rk <= {_PQ_NPROBE}
+    ),
+    lutd AS (
+      SELECT q.query_id, s.sub, c.cw,
+             list_sum(list_transform(range(1, {dsub} + 1),
+               i -> (q.v[s.sub * {dsub} + i] - c.v[s.sub * {dsub} + i])
+                  * (q.v[s.sub * {dsub} + i] - c.v[s.sub * {dsub} + i])))
+               AS pd
+      FROM q CROSS JOIN subs s CROSS JOIN cent c
+    ),
+    lut AS (
+      SELECT query_id, list(pd ORDER BY sub, cw) AS lut
+      FROM lutd GROUP BY query_id
+    ),
+    shortl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT l.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY l.query_id
+                 ORDER BY list_sum(list_transform(range(0, {m}),
+                   j -> l.lut[j * {ksub} + e.codes[j + 1] + 1])) ASC,
+                 e.vec_id ASC) AS rk
+        FROM codes e
+        JOIN cells cl ON cl.vec_id = e.vec_id
+        JOIN qcells qc ON qc.cell = cl.cell
+        JOIN lut l ON l.query_id = qc.query_id
+        WHERE l.query_id <> e.vec_id
+      ) WHERE rk <= {_PQ_SHORTLIST}
+    ),
+    exact AS (
+      SELECT sh.query_id, sh.vec_id,
+             list_sum(list_transform(range(1, len(cv.v) + 1),
+               i -> (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]))) AS d2
+      FROM shortl sh
+      JOIN emb cv ON cv.vec_id = sh.vec_id
+      JOIN q qv ON qv.query_id = sh.query_id
+    )
+    SELECT query_id, vec_id, ROUND(d2, 6) AS sq_dist, CAST(rk AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, vec_id ASC) AS rk
+      FROM exact
+    ) WHERE rk <= {_PQ_K}
+    """
+
+
+@register("ns_pq_ivfadc", oracle=_ivfadc_oracle())
+def ns_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC over the embeddings table (text/pq.py): deterministic
+    init codebooks + lowest-id coarse cells, ADC shortlist, exact
+    re-rank — the compressed-domain ANN path a 100 TB corpus runs."""
+    from clickhouse_etl_spark.text.pq import init_codebooks, ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = init_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(_PQ_CELLS).select("embedding").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_pq_topk(
+        emb,
+        queries,
+        cents,
+        books,
+        k=_PQ_K,
+        nprobe=_PQ_NPROBE,
+        shortlist=_PQ_SHORTLIST,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r6 headline, promoted round 7): k-means cells prune the
+# pair search, exact in-cell cosine above threshold forms duplicate
+# groups (min-label transitive closure), one representative (min id)
+# kept per group. Deterministic lowest-id centroids make the whole
+# chain — cells, pairs, closure, keep-set — a recursive-CTE SQL mirror.
+# ---------------------------------------------------------------------------
+_SEM_K, _SEM_THRESH = 8, 0.35
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+    WITH RECURSIVE emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+      FROM emb ORDER BY vec_id LIMIT {_SEM_K}
+    ),
+    d AS (
+      SELECT e.vec_id, c.cluster,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS sq
+      FROM emb e CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sq ASC, cluster ASC) AS rk
+        FROM d
+      ) WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT p.id_a, p.id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(range(1, len(ea.v) + 1),
+                 i -> ea.v[i] * eb.v[i]))
+               / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cos
+        FROM cells a JOIN cells b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN emb ea ON ea.vec_id = a.vec_id
+        JOIN emb eb ON eb.vec_id = b.vec_id
+      ) p WHERE p.cos >= {_SEM_THRESH}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src, src AS dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT e.vec_id FROM emb e
+    WHERE e.vec_id NOT IN (
+      SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+    )
+    """
+
+
+@register("ns_semantic_dedup", oracle=_semantic_dedup_oracle())
+def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set over the embeddings table
+    (text/similarity.py:semantic_dedup): cells prune, exact in-cell
+    cosine pairs, min-label closure, min-id representative kept."""
+    from clickhouse_etl_spark.text.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(_SEM_K).select("embedding").collect()
+    ]
+    return semantic_dedup(emb, cents, threshold=_SEM_THRESH).select("vec_id")
 
 
 # ---------------------------------------------------------------------------

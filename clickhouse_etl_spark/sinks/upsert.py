@@ -285,8 +285,12 @@ def summing_merge(
     bounds and a one-bin-width error contract.
 
     ``moment_cols`` maps ``state_col -> source_expr``: the delta's
-    values fold into a ``(n, sum, sum_sq)`` struct
-    (:func:`moment_state_agg`), merges add the components, and
+    values fold into a CENTERED ``struct<n:long, mean:double,
+    m2:double>`` state (:func:`moment_state_agg` — NOT raw
+    ``(n, sum, sum_sq)``, whose ``sum_sq - sum²/n`` read-out
+    catastrophically cancels; see that function's docstring for the
+    measured case), merges combine states with Chan's parallel
+    update, and
     :func:`moment_avg` / :func:`moment_var` / :func:`moment_stddev`
     read the statistics out — ClickHouse's ``avgState``/``varState``
     family, so incremental snapshots carry means and variances without

@@ -174,6 +174,21 @@ def read_jdbc_table(
             "predicates must be a sequence of Spark-SQL filters, not a "
             f"string — wrap it in a list: [{predicates!r}]"
         )
+    if predicates and dedup_latest is not None:
+        # Transition warning (r6 ADVICE): before round 6 this combination
+        # filtered BEFORE the dedup; it now filters AFTER it, so keys
+        # whose latest row fails the predicate vanish instead of falling
+        # back to their latest matching row. Make callers opt in loudly.
+        import warnings
+
+        warnings.warn(
+            "read_jdbc_table: predicates now filter AFTER dedup_latest "
+            "(post-dedup). For the pre-round-6 filter-then-dedup "
+            "semantics pass source_where instead; pass predicates only "
+            "if you want each key's LATEST row, then filtered.",
+            UserWarning,
+            stacklevel=2,
+        )
     conj = _conjoin_fragments(source_where, "source_where")
     if conj and dedup_latest is None:
         table = f"(SELECT * FROM {table} WHERE {conj}) etl_src"

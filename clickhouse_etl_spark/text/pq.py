@@ -51,11 +51,14 @@ def _check_books(codebooks) -> tuple[int, int, int]:
 
 
 def _check_dims(df: DataFrame, vec_col: str, m: int, dsub: int, side: str):
-    """Vectors shorter/longer than m*dsub would slice into short arrays,
-    NULL out the distance folds, and rank garbage FIRST (NULLs sort low
-    ascending) — fail loudly instead. An EMPTY input (a delta batch with
-    no vectors) or a NULL probe row has nothing to validate and passes
-    through (downstream simply produces an empty result)."""
+    """SAMPLED fast pre-check (row 1 only — same convention as
+    ``_probe_dims``): catches the common whole-corpus dims mismatch
+    before any work with a friendly error. Ragged rows PAST row 1 are
+    caught in-pass by :func:`_vec_expr`'s per-row assert (r6 ADVICE:
+    without it a ragged row slices short, NULLs the distance folds,
+    and ranks garbage FIRST since NULLs sort low ascending). An EMPTY
+    input (a delta batch with no vectors) or a NULL probe row has
+    nothing to validate and passes through."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     if not row or row[0]["d"] is None or row[0]["d"] < 0:
         return
@@ -65,6 +68,23 @@ def _check_dims(df: DataFrame, vec_col: str, m: int, dsub: int, side: str):
             f"{side} vectors have {dims} dims but codebooks cover "
             f"{m}*{dsub}={m * dsub}"
         )
+
+
+def _vec_expr(vec_col: str, m: int, dsub: int, side: str):
+    """The double-cast vector with IN-PASS dims enforcement: every row
+    must carry exactly m*dsub dims or the job fails loudly (assert_true
+    in the projection — no extra pass, codegen'd with the folds). NULL
+    vectors pass through untouched (matching _check_dims); the fold
+    then yields no candidate for that row."""
+    v = F.expr(_as_double(vec_col))
+    ok = F.assert_true(
+        v.isNull() | (F.size(v) == m * dsub),
+        F.lit(
+            f"pq: ragged {side} vector (size != {m * dsub}) past the "
+            "sampled dims check"
+        ),
+    )
+    return F.when(ok.isNull(), v)
 
 
 def _subvec(j: int, dsub: int, vec: str = "__v") -> str:
@@ -152,7 +172,9 @@ def pq_encode(
     # project narrow FIRST, then spread: the rebalance shuffle carries
     # only (id, vector), not the full input row
     base = rebalance_for_compute(
-        df.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
+        df.select(
+            F.col(id_col), _vec_expr(vec_col, m, dsub, "corpus").alias("__v")
+        )
     )
     return _codes_projection(base, codebooks, id_col)
 
@@ -232,7 +254,7 @@ def _lut_df(
     _check_dims(queries, vec_col, m, dsub, "query")
     q = queries.select(
         F.col(id_col).alias(query_id_col),
-        F.expr(_as_double(vec_col)).alias("__qv"),
+        _vec_expr(vec_col, m, dsub, "query").alias("__qv"),
     )
     qsubs = q.select(
         query_id_col,
@@ -439,7 +461,9 @@ def ivf_pq_topk(
     # from the same (rebalanced, narrow) projection — a byte-small scan
     # otherwise serializes the distance folds onto one core
     base = rebalance_for_compute(
-        corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
+        corpus.select(
+            F.col(id_col), _vec_expr(vec_col, m, dsub, "corpus").alias("__v")
+        )
     )
     codes = _codes_projection(base, codebooks, id_col, cell_centroids=centroids)
 

@@ -209,6 +209,25 @@ def test_sum_map_zero_cancel_and_null_semantics(spark):
     assert kept == {"g": (["a", "b", "n"], [0, 7, None])}
 
 
+def test_sum_map_null_key_sorts_first(spark):
+    """Pin the NULL-key position (r6 ADVICE): array_sort's struct
+    ordering places a NULL field BEFORE every non-NULL value, so a
+    NULL key leads the output arrays — the docstring and any consumer
+    aligning the parallel arrays by position rely on this."""
+    from clickhouse_etl_spark.operators.aggregates import sum_map
+
+    rows = [
+        ("g", ["b", None], [1, 10]),
+        ("g", ["a", None], [2, 20]),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, mk array<string>, mv array<long>"
+    )
+    out = sum_map(df, ["g"], "mk", "mv").collect()[0]
+    assert out["keys"] == [None, "a", "b"]
+    assert out["values"] == [30, 2, 1]
+
+
 def test_sum_map_length_mismatch_raises(spark):
     from clickhouse_etl_spark.operators.aggregates import sum_map
 

@@ -1552,3 +1552,57 @@ def test_dedup_keep_best_oracle_on_real_clusters(spark):
     FROM scored WHERE rn = 1
     """
     _assert_matches_oracle(out, oracle)
+
+
+def test_ns_cosine_topk(spark):
+    """Brute-force cosine top-k — identical oracle to the row's registry
+    days (demoted round 7: the brute twin of ns_ann_lsh/ns_ann_ivf)."""
+    from clickhouse_etl_spark.queries.northstar import ns_cosine_topk
+
+    _assert_matches_oracle(
+        ns_cosine_topk(spark, SF_DIR),
+        """
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 ROUND(list_cosine_similarity(
+                     CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                     CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                     c.vec_id ASC) AS rank
+          FROM embeddings c
+          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+          WHERE q.vec_id <> c.vec_id
+        ) WHERE rank <= 5
+        """,
+    )
+
+
+def test_ns_outlier_mad(spark):
+    """Grouped MAD outliers — identical oracle to the row's registry
+    days (demoted round 7)."""
+    from clickhouse_etl_spark.queries.northstar import ns_outlier_mad
+
+    _assert_matches_oracle(
+        ns_outlier_mad(spark, SF_DIR),
+        """
+        WITH med AS (
+          SELECT user_id, quantile_cont(value, 0.5) AS m
+          FROM events WHERE value IS NOT NULL GROUP BY user_id
+        ),
+        mad AS (
+          SELECT e.user_id, quantile_cont(abs(e.value - med.m), 0.5) AS d
+          FROM events e JOIN med ON e.user_id = med.user_id
+          WHERE e.value IS NOT NULL GROUP BY e.user_id
+        )
+        SELECT e.user_id, e.value,
+               ROUND(med.m, 6) AS group_median,
+               ROUND(mad.d, 6) AS group_mad,
+               (mad.d > 0 AND abs(e.value - med.m) > 3.0 * mad.d) AS is_outlier
+        FROM events e
+        JOIN med ON e.user_id = med.user_id
+        JOIN mad ON e.user_id = mad.user_id
+        WHERE e.value IS NOT NULL
+        """,
+    )

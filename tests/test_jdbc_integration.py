@@ -190,16 +190,19 @@ def test_jdbc_predicates_stay_post_dedup(spark, derby_versions_url):
     """predicates keep ONE meaning (Spark post-read filters) even with
     dedup_latest: dedup first, then filter — so keys whose latest
     version fails the filter VANISH (contrast with source_where above,
-    which filters before the dedup)."""
-    df = read_jdbc_table(
-        spark,
-        derby_versions_url,
-        "student_log",
-        predicates=["version < 125"],  # Spark-SQL syntax, post-dedup
-        properties={"driver": DRIVER},
-        dedup_latest=(["student_id"], "version"),
-        dedup_style="group_max",
-    )
+    which filters before the dedup). The combination also emits the
+    transition UserWarning pointing callers at source_where (r6
+    ADVICE: the pre-r6 semantics changed under them silently)."""
+    with pytest.warns(UserWarning, match="AFTER dedup_latest"):
+        df = read_jdbc_table(
+            spark,
+            derby_versions_url,
+            "student_log",
+            predicates=["version < 125"],  # Spark-SQL syntax, post-dedup
+            properties={"driver": DRIVER},
+            dedup_latest=(["student_id"], "version"),
+            dedup_style="group_max",
+        )
     got = {r.student_id: r.version for r in df.collect()}
     # latest version per key is key + 100; only keys 0..24 survive < 125
     assert len(got) == 25

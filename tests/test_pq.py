@@ -211,6 +211,27 @@ def test_pq_validation(spark):
         pq_encode(emb, [[[1.0, 2.0]], [[1.0]]])
 
 
+def test_pq_ragged_row_past_sample_fails_in_pass(spark):
+    """r6 ADVICE: _check_dims samples row 1 only; a ragged vector later
+    in the corpus must fail the job IN-PASS (assert_true in the encode
+    projection), never NULL the folds and promote garbage."""
+    from py4j.protocol import Py4JJavaError
+
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]),
+            (3, [1.0, 2.0])]  # ragged, beyond the sampled first row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = [[[1.0, 2.0]], [[3.0, 4.0]]]  # m=2, dsub=2 → needs 4 dims
+    with pytest.raises(Exception, match="ragged corpus vector"):
+        pq_encode(df, books).collect()
+    # NULL vectors still pass through (nothing to validate)
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = pq_encode(ok, books).collect()
+    assert len(got) == 2
+
+
 def test_ivf_pq_full_probe_equals_rerank(spark):
     """IVFADC with every cell probed must equal the cell-free
     shortlist+re-rank pipeline — cells prune, never re-rank."""

@@ -38,7 +38,14 @@ HEADLINERS = {
     "broadcast), vectors never ride a shuffle (r5 de-staging)",
     "ext_scd2_lookup": "one window over the change log + interval "
     "equi-join on the key; at most one match per fact is structural",
-    "ns_cosine_topk": "tiny query side broadcast; corpus never shuffles",
+    # round-7 registry promotions (ns_cosine_topk demoted with its twin
+    # oracle; the IVFADC row inherits its exact re-rank machinery)
+    "ns_pq_ivfadc": "ONE fused map-only corpus pass (cell argmin + code "
+    "argmins as literals); query cells + LUTs broadcast; shuffles only "
+    "the two per-query top-k windows over shortlisted rows",
+    "ns_semantic_dedup": "cells prune the pair search (ids-only in-cell "
+    "self-join), min-label closure over pair ids, anti-join keep-set; "
+    "vectors never ride a shuffle",
     "stream_session_30m": "built-in session_window merge (batch form)",
     "ext_running_revenue": "single window sort per customer partition",
     "ext_range_join_windows": "binned range equi-join; aggregation pushed "
