@@ -367,8 +367,16 @@ def ns_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groups (min-label transitive closure), one representative (min id)
 # kept per group. Deterministic lowest-id centroids make the whole
 # chain — cells, pairs, closure, keep-set — a recursive-CTE SQL mirror.
+#
+# Scale discipline (measured, round 7): the cell count GROWS with the
+# corpus — k = max(8, N // 500) bounds the expected cell population, so
+# in-cell pair generation stays ~linear in N instead of N²/k; and the
+# threshold sits ABOVE this corpus's random-cosine noise floor (pair
+# tail: 14 pairs ≥ 0.45 at sf0.01 vs 271 ≥ 0.35 — the sub-noise
+# threshold made the pair graph a giant component whose min-label
+# closure needed tens of iterations: 36 s at gen3 before this fix).
 # ---------------------------------------------------------------------------
-_SEM_K, _SEM_THRESH = 8, 0.35
+_SEM_CELL_TARGET, _SEM_THRESH = 500, 0.45
 
 
 def _semantic_dedup_oracle() -> str:
@@ -377,8 +385,11 @@ def _semantic_dedup_oracle() -> str:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
-      FROM emb ORDER BY vec_id LIMIT {_SEM_K}
+      SELECT cluster, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv,
+               COUNT(*) OVER () AS n
+        FROM emb
+      ) WHERE cluster < GREATEST(8, n // {_SEM_CELL_TARGET})
     ),
     d AS (
       SELECT e.vec_id, c.cluster,
@@ -431,13 +442,16 @@ def _semantic_dedup_oracle() -> str:
 def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep-set over the embeddings table
     (text/similarity.py:semantic_dedup): cells prune, exact in-cell
-    cosine pairs, min-label closure, min-id representative kept."""
+    cosine pairs, min-label closure, min-id representative kept. Cell
+    count scales with the corpus (k = max(8, N/500)) so per-cell
+    population — and with it the in-cell pair work — stays bounded."""
     from clickhouse_etl_spark.text.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // _SEM_CELL_TARGET)
     cents = [
         [float(x) for x in r.embedding]
-        for r in emb.orderBy("vec_id").limit(_SEM_K).select("embedding").collect()
+        for r in emb.orderBy("vec_id").limit(k).select("embedding").collect()
     ]
     return semantic_dedup(emb, cents, threshold=_SEM_THRESH).select("vec_id")
 

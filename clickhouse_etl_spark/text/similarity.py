@@ -439,6 +439,7 @@ def semantic_cluster_pairs(
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
     log_fn=None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style candidate generation (Abbas et al. 2023): exact
     cosine pairs computed WITHIN k-means cells only.
@@ -452,12 +453,36 @@ def semantic_cluster_pairs(
     keeps the whole operator SQL-mirrorable). Cross-cell duplicates are
     missed by construction — the recall trade the paper accepts.
 
-    Scale shape mirrors the LSH path: the self-join carries ids+cell
-    only; vectors re-attach to the collision-bounded pair list
-    (AQE-elective). ``max_cluster_size`` caps any cell's membership
-    (hashed order) so one degenerate cell cannot go quadratic — the
-    same flood guard as the LSH buckets.
+    Kernel choice (round 7, MEASURED at gen10 — 20 k vectors, 40 cells
+    of ~500, 5M in-cell candidate pairs, 2 450 survivors):
+
+    - ``'gemm'`` (what ``'auto'`` picks): groupBy(cell) →
+      ``applyInPandas`` → one numpy ``U @ U.T`` per cell on the
+      L2-normalized member matrix, emit only the ``i<j`` entries ≥
+      threshold. A cell's pair work is ONE BLAS call (5M dots ≈ 320M
+      FLOPs ≈ milliseconds); the whole gen10 pass drops 75 s → ~4 s.
+      The only shuffle is one cell-keyed pass of (id, vector); the
+      sub-threshold candidate set never exists as rows anywhere.
+    - ``'join'``: the pure-JVM cell self-join with the cosine folded
+      inline. Kept because its float path (left-to-right ``aggregate``
+      fold) is the one the DuckDB oracles mirror BIT-for-bit, and for
+      tiny cells where an Arrow round-trip isn't worth it. Spark's
+      higher-order ``aggregate`` costs ~15 µs per pair (three
+      64-element lambda folds — measured; the earlier
+      ids-only-then-re-attach variant paid the same folds PLUS two
+       5M-row sort-merge joins), so this kernel is quadratic-per-cell
+      with a large constant: correctness mirror, not the scale path.
+
+    Both kernels emit identical rows (same ids, cosine rounded to 6 —
+    BLAS vs sequential-fold float drift is ~1e-15, far below the
+    rounding grain; round-trip equality is test-pinned). Cross-cell
+    duplicates are missed by construction — the recall trade the paper
+    accepts. ``max_cluster_size`` caps any cell's membership (hashed
+    order) so one degenerate cell cannot go quadratic — the same flood
+    guard as the LSH buckets.
     """
+    if kernel not in ("auto", "gemm", "join"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     from clickhouse_etl_spark.text.kmeans import assign_clusters
 
     vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
@@ -470,32 +495,84 @@ def semantic_cluster_pairs(
             membership, ["cluster"], id_col, max_cluster_size, log_fn,
             order="hashed",
         )
-    l, r = membership.alias("l"), membership.alias("r")
-    pairs = (
+    memb_v = membership.join(vecs, id_col)
+    if kernel in ("auto", "gemm"):
+        return _gemm_cell_pairs(memb_v, id_col, float(threshold),
+                                len(centroids[0]))
+    l, r = memb_v.alias("l"), memb_v.alias("r")
+    dot = _DOT.format(a="l.__v", b="r.__v")
+    na = _NORM.format(a="l.__v")
+    nb = _NORM.format(a="r.__v")
+    return (
         l.join(
             r,
             (F.col("l.cluster") == F.col("r.cluster"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .withColumn("__cos", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+        .filter(F.col("__cos") >= threshold)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
+            F.round("__cos", 6).alias("cosine"),
         )
     )
-    dot = _DOT.format(a="__va", b="__vb")
-    na = _NORM.format(a="__va")
-    nb = _NORM.format(a="__vb")
+
+
+def _gemm_cell_pairs(
+    memb_v: DataFrame, id_col: str, threshold: float, dims: int
+) -> DataFrame:
+    """Per-cell GEMM kernel for :func:`semantic_cluster_pairs`: one
+    Arrow-batched pandas group per cell, one BLAS ``U @ U.T`` per
+    group. Rows sort by id inside the kernel so ``id_a < id_b`` means
+    id ORDER (the join kernel's contract), not batch position. NULL,
+    ragged, and zero-norm vectors drop out — exactly the rows whose
+    cosine the join kernel NULLs and filters. The raw cosines round
+    Spark-side (``F.round``, HALF_UP) so both kernels share one
+    rounding rule."""
+    from pyspark.sql import types as T
+
+    idt = memb_v.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", idt),
+            T.StructField("id_b", idt),
+            T.StructField("__cos", T.DoubleType()),
+        ]
+    )
+
+    def per_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
+        ok = pdf["__v"].map(
+            lambda v: v is not None and len(v) == dims
+        )
+        pdf = pdf[ok].sort_values(id_col)
+        if len(pdf) < 2:
+            return empty
+        X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(X, axis=1)
+        nz = n > 0.0
+        X, n = X[nz], n[nz]
+        ids = pdf[id_col].to_numpy()[nz]
+        if len(ids) < 2:
+            return empty
+        S = (X / n[:, None]) @ (X / n[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "__cos": S[iu, ju][keep],
+            }
+        )
+
     return (
-        pairs.join(
-            vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va")),
-            on="id_a",
-        )
-        .join(
-            vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")),
-            on="id_b",
-        )
-        .withColumn("__cos", F.expr(f"({dot}) / (({na}) * ({nb}))"))
-        .filter(F.col("__cos") >= threshold)
+        memb_v.groupBy("cluster")
+        .applyInPandas(per_cell, schema=out_schema)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
     )
 
@@ -508,6 +585,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
     log_fn=None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Semantic dedup keep-set: the corpus minus in-cell duplicate
     groups, one representative kept per connected group.
@@ -529,6 +607,7 @@ def semantic_dedup(
         vec_col=vec_col,
         max_cluster_size=max_cluster_size,
         log_fn=log_fn,
+        kernel=kernel,
     )
     clusters = neardup_clusters(pairs, "id_a", "id_b")
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(

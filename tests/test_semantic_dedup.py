@@ -144,3 +144,34 @@ def test_semantic_dedup_keeps_one_per_group(spark):
         F.col("doc_id") != F.col("cluster_id")).collect()}
     assert mins <= kept_ids
     assert kept_ids.isdisjoint(dropped)
+
+
+def test_semantic_kernels_agree(spark):
+    """The GEMM (BLAS per-cell) and join (JVM fold) kernels must emit
+    identical pair lists after 6-dp rounding — the r7 contract that
+    lets the scale path diverge from the bit-exact-mirrored float
+    path without a second oracle."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _init_centroids(emb)
+    a = {
+        tuple(r)
+        for r in semantic_cluster_pairs(
+            emb, cents, threshold=THRESH, kernel="join"
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in semantic_cluster_pairs(
+            emb, cents, threshold=THRESH, kernel="gemm"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_semantic_kernel_validation(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _init_centroids(emb)
+    import pytest
+
+    with pytest.raises(ValueError, match="kernel"):
+        semantic_cluster_pairs(emb, cents, kernel="nope")
