@@ -65,6 +65,11 @@ def curate_corpus(
     domain_blocklist: Sequence[str] | DataFrame | None = None,
     url_dedup_strategy: str = "auto",
     neardup_score_col: str | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
+    dsir_num_buckets: int = 8192,
+    dsir_temperature: float = 1.0,
+    dsir_seed: int = 0,
 ) -> CurationResult:
     """Run the full curation chain; see module doc for stage order.
 
@@ -92,10 +97,23 @@ def curate_corpus(
     (:func:`text.dedup.dedup_keep_best` — e.g. ``n_chars`` to keep the
     longest copy) instead of the min-id member. Same join shape; the
     data card records the policy as ``neardup_keep``.
+
+    ``dsir_target`` + ``dsir_n``: targeted selection stage (5b) — after
+    the quality/model filters (so the importance model never fits to
+    junk the earlier stages would drop anyway) and before the PII scrub
+    (features see the text the selection policy is really about),
+    :mod:`text.dsir` fits hashed-n-gram log-ratios of the target corpus
+    against the surviving pool and keeps a Gumbel-top-``dsir_n``
+    resample. Deterministic under ``dsir_seed``; the data card records
+    the stage as ``dsir_select`` plus a ``dsir`` policy line.
     """
     if domain_blocklist is not None and url_col is None:
         # silently skipping the blocklist would ship blocked domains
         raise ValueError("domain_blocklist requires url_col")
+    if (dsir_target is None) != (dsir_n is None):
+        raise ValueError("dsir_target and dsir_n must be passed together")
+    if dsir_n is not None and dsir_n < 1:
+        raise ValueError("dsir_n must be >= 1")
     if neardup_score_col is not None and neardup_score_col not in df.columns:
         # fail here, not as a column-resolution error deep inside the
         # MinHash plan three stages later
@@ -226,6 +244,39 @@ def curate_corpus(
             filter_by_score(
                 cur, score_threshold, id_col=id_col, text_col=text_col
             ),
+        )
+
+    # 5b. Optional DSIR targeted selection: fit target-vs-pool hashed
+    #     n-gram log-ratios, keep a Gumbel-top-n importance resample.
+    #     After the filters (the model never fits to junk) and before
+    #     the scrub (features see the real text).
+    if dsir_target is not None:
+        from clickhouse_etl_spark.text.dsir import (
+            dsir_bucket_logratios,
+            dsir_resample,
+            dsir_scores,
+        )
+
+        lr = dsir_bucket_logratios(
+            dsir_target, cur, text_col=text_col, id_col=id_col,
+            num_buckets=dsir_num_buckets,
+        )
+        scores = dsir_scores(
+            cur, lr, text_col=text_col, id_col=id_col,
+            num_buckets=dsir_num_buckets,
+        )
+        picked = dsir_resample(
+            scores, dsir_n, id_col=id_col,
+            temperature=dsir_temperature, seed=dsir_seed,
+        )
+        if with_report:
+            report["dsir"] = (
+                f"n={dsir_n} buckets={dsir_num_buckets} "
+                f"temp={dsir_temperature} seed={dsir_seed}"
+            )
+        cur = note(
+            "dsir_select",
+            cur.join(picked.select(id_col), on=id_col, how="left_semi"),
         )
 
     # 6. PII scrub — last text rewrite, so redaction placeholders can't

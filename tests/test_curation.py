@@ -191,3 +191,33 @@ def test_neardup_keep_best_policy(spark):
     assert res.report["final"] > 0
     with pytest.raises(ValueError, match="neardup_score_col"):
         curate_corpus(docs, neardup_score_col="nchars_typo")
+
+
+def test_dsir_selection_stage(spark):
+    """Stage 5b: target-vs-pool DSIR selection caps the corpus at
+    dsir_n, deterministically under the seed, and the data card
+    records the policy."""
+    import pytest
+    from clickhouse_etl_spark.text.curation import curate_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    target = docs.filter("doc_id % 10 = 0")
+    res = curate_corpus(
+        docs, dsir_target=target, dsir_n=50, dsir_num_buckets=64,
+        dsir_seed=11,
+    )
+    assert res.report["dsir_select"] == 50
+    assert res.report["final"] == 50
+    assert "n=50" in res.report["dsir"]
+    # deterministic under the same seed
+    res2 = curate_corpus(
+        docs, dsir_target=target, dsir_n=50, dsir_num_buckets=64,
+        dsir_seed=11, with_report=False,
+    )
+    a = sorted(r.doc_id for r in res.corpus.select("doc_id").collect())
+    b = sorted(r.doc_id for r in res2.corpus.select("doc_id").collect())
+    assert a == b
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, dsir_target=target)
+    with pytest.raises(ValueError, match="dsir_n"):
+        curate_corpus(docs, dsir_target=target, dsir_n=0)
