@@ -43,9 +43,10 @@ HEADLINERS = {
     "ns_pq_ivfadc": "ONE fused map-only corpus pass (cell argmin + code "
     "argmins as literals); query cells + LUTs broadcast; shuffles only "
     "the two per-query top-k windows over shortlisted rows",
-    "ns_semantic_dedup": "cells prune the pair search (ids-only in-cell "
-    "self-join), min-label closure over pair ids, anti-join keep-set; "
-    "vectors never ride a shuffle",
+    "ns_semantic_dedup": "cells prune the pair search; per-cell BLAS "
+    "GEMM kernel (applyInPandas) scores pairs — sub-threshold "
+    "candidates never exist as rows; min-label closure over pair ids, "
+    "anti-join keep-set",
     "stream_session_30m": "built-in session_window merge (batch form)",
     "ext_running_revenue": "single window sort per customer partition",
     "ext_range_join_windows": "binned range equi-join; aggregation pushed "
