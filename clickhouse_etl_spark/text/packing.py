@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from clickhouse_etl_spark.text.dedup import _shingles
 
@@ -291,3 +292,153 @@ def write_shards(
         .parquet(path)
     )
     return plan
+
+
+def ngram_contamination_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fpp: float = 0.001,
+    expected_grams: int | None = None,
+) -> DataFrame:
+    """:func:`ngram_contamination` with the documented beyond-broadcast
+    refinement: the benchmark's distinct n-grams fold into ONE Bloom
+    bitset (built with plain Spark aggregations — ``k`` xxhash64 probe
+    positions per gram, 64-bit words OR-combined with ``bit_or``; Spark
+    exposes no SQL ``bloom_filter_agg``), which rides as a single-row
+    broadcast array exactly like the PQ lookup tables. Each corpus
+    occurrence tests its ``k`` probes with ``element_at`` + bit masks —
+    pure JVM expressions, no shuffle of the non-matching majority, no
+    Python.
+
+    Guarantee direction: false POSITIVES only, so ``matched_ngrams`` /
+    ``contamination_frac`` are UPPER BOUNDS on the exact values
+    (superset-of-exact is test-pinned) — the safe direction for
+    decontamination, which drops on match. Size with ``fpp`` (default
+    0.1%) and ``expected_grams`` (defaults to one count() of the
+    benchmark's distinct grams — an aggregate over the SMALL side).
+    The dense bitset (m = -n·ln p/ln²2 bits ≈ 1.8 MB per million grams
+    at the default fpp) is materialized once on the driver; a guard
+    raises past 2³¹ bits (~256 MB) — at that point raise ``fpp`` or
+    use the exact :func:`ngram_contamination`.
+
+    Output schema matches :func:`ngram_contamination`:
+    ``(id_col, n_ngrams, matched_ngrams, contamination_frac)``.
+    """
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("fpp must be in (0, 1)")
+    spark = docs.sparkSession
+    b_grams = benchmark.select(
+        F.explode(F.array_distinct(_shingles(text_col, n))).alias("gram")
+    ).distinct()
+    if expected_grams is None:
+        expected_grams = b_grams.count()
+    occ = docs.select(
+        F.col(id_col),
+        F.explode_outer(_shingles(text_col, n)).alias("gram"),
+    )
+    if expected_grams <= 0:
+        out = occ.groupBy(id_col).agg(F.count("gram").alias("n_ngrams"))
+        return out.select(
+            id_col,
+            "n_ngrams",
+            F.lit(0).cast("long").alias("matched_ngrams"),
+            F.when(F.col("n_ngrams") > 0, F.lit(0.0)).alias(
+                "contamination_frac"
+            ),
+        )
+    m_bits, k = _bloom_geometry(int(expected_grams), fpp)
+
+    def probe(col: str, i: int):
+        return F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+
+    positions = b_grams.select(
+        F.explode(F.array(*[probe("gram", i) for i in range(k)])).alias("pos")
+    ).distinct()
+    words = (
+        positions.select(
+            F.expr("CAST(pos / 64 AS BIGINT)").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
+    )
+    n_words = (m_bits + 63) // 64
+    dense = [0] * n_words
+    for r in words:
+        dense[int(r["w"])] = int(r["bits"])
+    bloom_row = spark.createDataFrame(
+        [(dense,)], T.StructType([T.StructField("__bloom", T.ArrayType(T.LongType()))])
+    )
+    hit = F.lit(True)
+    for i in range(k):
+        p_sql = f"pmod(xxhash64(gram, {i}), {m_bits})"
+        hit = hit & F.expr(
+            f"(element_at(__bloom, CAST({p_sql} / 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p_sql}, 64) AS INT)))"
+            " <> CAST(0 AS BIGINT)"
+        )
+    marked = occ.crossJoin(F.broadcast(bloom_row)).withColumn(
+        "__hit", F.when(F.col("gram").isNotNull() & hit, F.lit(1))
+    )
+    out = marked.groupBy(id_col).agg(
+        F.count("gram").alias("n_ngrams"),
+        F.count("__hit").alias("matched_ngrams"),
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "matched_ngrams",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.round(F.col("matched_ngrams") / F.col("n_ngrams"), 6),
+        ).alias("contamination_frac"),
+    )
+
+
+def _bloom_geometry(expected: int, fpp: float) -> tuple[int, int]:
+    """Textbook sizing: m = -n·ln(p)/ln²2 bits, k = (m/n)·ln2 probes.
+    Raises past 2³¹ bits — the driver materializes the dense bitset
+    once, and a quarter-gigabyte sketch means the benchmark is no
+    longer eval-set-sized (use the exact path or a larger fpp)."""
+    import math
+
+    m = max(64, int(-expected * math.log(fpp) / (math.log(2.0) ** 2)))
+    if m > (1 << 31):
+        raise ValueError(
+            f"bloom bitset would need {m} bits (> 2^31) for "
+            f"expected_grams={expected} at fpp={fpp}; raise fpp or use "
+            "the exact ngram_contamination"
+        )
+    k = max(1, round(m / expected * math.log(2.0)))
+    return m, k
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    max_frac: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fpp: float = 0.001,
+) -> DataFrame:
+    """:func:`decontaminate` on the Bloom pre-pass: drops every doc the
+    SKETCH flags above ``max_frac``. False positives can only drop
+    extra clean docs — never leak a contaminated one; the exact form
+    remains the precision option. SIZE ``fpp`` FOR THE DOC LENGTH when
+    ``max_frac=0``: any-overlap dropping compounds per-gram false
+    positives, so a doc's false-drop probability is ~``n_grams·fpp``
+    (a 1 000-gram doc at the 1e-3 default has a ~63% false-drop rate;
+    at 1e-6 it has ~0.1%). A positive ``max_frac`` threshold is far
+    less sensitive — FPs shift the fraction by ~``fpp``."""
+    c = ngram_contamination_bloom(
+        docs, benchmark, n, id_col, text_col, fpp
+    )
+    dirty = c.filter(F.col("contamination_frac") > max_frac).select(id_col)
+    return docs.join(dirty, on=id_col, how="left_anti")

@@ -267,3 +267,83 @@ def span_dedup_stats(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide EXACT paragraph dedup, keep-first — the Dolma-style
+    middle ground between document dedup (too coarse for shared
+    boilerplate) and k-token span dedup (finer, costlier): split each
+    document on ``sep``, keep only the FIRST occurrence (lowest
+    ``(id, position)``) of every exact paragraph string, reassemble.
+
+    Scale shape mirrors :func:`cut_duplicated_spans`' join-back
+    discipline: the keeper per paragraph comes from ONE hash
+    aggregation (``min(struct(id, pos))`` — map-side combinable; NEVER
+    a count/rank window over the paragraph key, which would serialize
+    a hot paragraph's million occurrences into one task), occurrences
+    join back on the paragraph key (AQE handles the skewed key), and
+    reassembly is a per-document sorted fold. Paragraphs shorter than
+    ``min_chars`` (default 1 — i.e. empty strings from consecutive
+    separators) pass through UNDEDUPED: they carry no content and
+    deduping them corpus-wide would silently rewrite unrelated
+    documents' spacing.
+
+    Returns the input rows (full width) with ``text_col`` rewritten
+    and ``n_paragraphs_dropped`` appended. Documents whose every
+    paragraph drops keep their row with empty text. NULL-text rows
+    pass through with 0 drops."""
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__p"),
+    )
+    dedupable = paras.filter(F.length("__p") >= min_chars)
+    keeper = dedupable.groupBy("__p").agg(
+        F.min(F.struct("__id", "__pos")).alias("__keep")
+    )
+    kept_dedupable = dedupable.join(keeper, on="__p").filter(
+        (F.col("__keep.__id") == F.col("__id"))
+        & (F.col("__keep.__pos") == F.col("__pos"))
+    )
+    survivors = kept_dedupable.select("__id", "__pos", "__p").unionByName(
+        paras.filter(F.length("__p") < min_chars)
+    )
+    rebuilt = survivors.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__p"))),
+                lambda s: s["__p"],
+            ),
+            sep,
+        ).alias("__new_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    n_orig = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+    out = (
+        df.withColumn("__n_orig", F.when(F.col(text_col).isNotNull(), n_orig))
+        .join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .withColumn(
+            # __n_kept coalesces separately: a doc whose EVERY paragraph
+            # dropped has no rebuilt row, and must report n_orig dropped,
+            # not 0 (coalescing the whole difference would zero it)
+            "n_paragraphs_dropped",
+            F.coalesce(
+                F.col("__n_orig") - F.coalesce(F.col("__n_kept"), F.lit(0)),
+                F.lit(0),
+            ).cast("int"),
+        )
+        .withColumn(
+            text_col,
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.coalesce(F.col("__new_text"), F.lit("")),
+            ),
+        )
+        .drop("__id", "__new_text", "__n_kept", "__n_orig")
+    )
+    return out
