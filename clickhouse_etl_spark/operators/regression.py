@@ -241,12 +241,12 @@ def logistic_regression_fit(
             .add("n_iter", T.IntegerType())
             .add("converged", T.BooleanType())
         )
-        distinct_keys = base.select(*keys).distinct()
-        # Loud cardinality guard BEFORE the collect: count() is one
-        # aggregate over the already-distinct frame, and the limit+1
-        # cap keeps even a pathological key from materializing fully.
-        n_groups = distinct_keys.limit(max_groups + 1).count()
-        if n_groups > max_groups:
+        # Loud cardinality guard folded into the ONE collect: limit+1
+        # bounds what the driver ever holds (max_groups+1 key tuples),
+        # and an over-full result proves the cap is exceeded without a
+        # second distinct-aggregation job.
+        rows = base.select(*keys).distinct().limit(max_groups + 1).collect()
+        if len(rows) > max_groups:
             raise ValueError(
                 f"logistic_regression_fit: more than {max_groups} distinct "
                 f"groups for keys {keys} — the Newton driver state is "
@@ -255,7 +255,7 @@ def logistic_regression_fit(
                 "max_groups explicitly if you know k·p fits in driver "
                 "memory."
             )
-        groups = [tuple(r) for r in distinct_keys.collect()]
+        groups = [tuple(r) for r in rows]
         if not groups:
             return spark.createDataFrame([], out_schema)
 

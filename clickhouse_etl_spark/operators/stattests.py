@@ -796,9 +796,31 @@ def spearman_rank_corr(
         )
         return cells.select(*keys, col, midrank.alias(rank_name))
 
-    ranked = pairs.join(
-        _axis_midranks("__x", "__rx"), [*keys, "__x"]
-    ).join(_axis_midranks("__y", "__ry"), [*keys, "__y"])
+    def _nullsafe_join(
+        left: DataFrame, right: DataFrame, on: list, take: str
+    ) -> DataFrame:
+        # NULL KEY VALUES form a legitimate group (groupBy semantics —
+        # both sides produced them with the same aggregation); a plain
+        # equi-join would silently drop that whole group. The value
+        # columns (__x/__y) are NULL-filtered, but ride the same
+        # null-safe build for one uniform condition. Only `take` (the
+        # midrank) is kept from the right side — a Column-based drop of
+        # the duplicated keys would leave ambiguous references.
+        l, r = left.alias("__l"), right.alias("__r")
+        cond = F.lit(True)
+        for c in on:
+            cond = cond & F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+        return l.join(r, cond).select(
+            *[F.col(f"__l.{c}") for c in left.columns],
+            F.col(f"__r.{take}"),
+        )
+
+    ranked = _nullsafe_join(
+        pairs, _axis_midranks("__x", "__rx"), [*keys, "__x"], "__rx"
+    )
+    ranked = _nullsafe_join(
+        ranked, _axis_midranks("__y", "__ry"), [*keys, "__y"], "__ry"
+    )
     w = F.col("__w")
     agg = ranked.groupBy(*keys).agg(
         F.sum(w).alias("__n"),

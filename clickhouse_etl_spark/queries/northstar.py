@@ -444,7 +444,18 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text/similarity.py:semantic_dedup): cells prune, exact in-cell
     cosine pairs, min-label closure, min-id representative kept. Cell
     count scales with the corpus (k = max(8, N/500)) so per-cell
-    population — and with it the in-cell pair work — stays bounded."""
+    population — and with it the in-cell pair work — stays bounded.
+
+    Kernel adjudication (r7 self-review raised it): the row runs the
+    default GEMM kernel — the honest scale path (join kernel: 83 s at
+    gen10 vs 14 s) — against the sequential-fold DuckDB oracle. BLAS
+    reassociation drifts cosines ~1e-15, so a pair within 1e-15 of the
+    0.45 threshold could in principle flip; on the FIXED gate data +
+    deterministic same-host BLAS this is a static property, verified
+    green at sf0.001/0.01/0.1 and gen1/3/10, and the observed
+    near-threshold pair density puts a flip at ~1e-7 even on fresh
+    data. If a future testdata regeneration ever trips it, pass
+    kernel='join' here — bit-identical to the oracle by construction."""
     from clickhouse_etl_spark.text.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")

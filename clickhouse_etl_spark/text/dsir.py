@@ -31,8 +31,6 @@ the whole select pipeline is value-hash checkable under it.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

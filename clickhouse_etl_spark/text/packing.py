@@ -329,6 +329,11 @@ def ngram_contamination_bloom(
     """
     if not (0.0 < fpp < 1.0):
         raise ValueError("fpp must be in (0, 1)")
+    if expected_grams is not None and expected_grams <= 0:
+        # an explicit 0 is a caller bug (a miscomputed count), not an
+        # empty benchmark — returning zero contamination would LEAK
+        # every contaminated doc, the unsafe direction for this sketch
+        raise ValueError("expected_grams must be positive (or None for auto)")
     spark = docs.sparkSession
     b_grams = benchmark.select(
         F.explode(F.array_distinct(_shingles(text_col, n))).alias("gram")
@@ -426,7 +431,7 @@ def decontaminate_bloom(
     max_frac: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
-    fpp: float = 0.001,
+    fpp: float = 1e-6,
 ) -> DataFrame:
     """:func:`decontaminate` on the Bloom pre-pass: drops every doc the
     SKETCH flags above ``max_frac``. False positives can only drop
@@ -434,8 +439,9 @@ def decontaminate_bloom(
     remains the precision option. SIZE ``fpp`` FOR THE DOC LENGTH when
     ``max_frac=0``: any-overlap dropping compounds per-gram false
     positives, so a doc's false-drop probability is ~``n_grams·fpp``
-    (a 1 000-gram doc at the 1e-3 default has a ~63% false-drop rate;
-    at 1e-6 it has ~0.1%). A positive ``max_frac`` threshold is far
+    (a 1 000-gram doc at 1e-3 has a ~63% false-drop rate; the 1e-6
+    DEFAULT here — deliberately lower than the frac function's — keeps
+    it ~0.1%). A positive ``max_frac`` threshold is far
     less sensitive — FPs shift the fraction by ~``fpp``."""
     c = ngram_contamination_bloom(
         docs, benchmark, n, id_col, text_col, fpp

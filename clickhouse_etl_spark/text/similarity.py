@@ -557,18 +557,35 @@ def _gemm_cell_pairs(
         nz = n > 0.0
         X, n = X[nz], n[nz]
         ids = pdf[id_col].to_numpy()[nz]
-        if len(ids) < 2:
+        c = len(ids)
+        if c < 2:
             return empty
-        S = (X / n[:, None]) @ (X / n[:, None]).T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = S[iu, ju] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "__cos": S[iu, ju][keep],
-            }
-        )
+        U = X / n[:, None]
+        # BLOCKED GEMM: a degenerate cell must not allocate the dense
+        # c×c similarity matrix (8·c² bytes — 320 GB at c=200k). Each
+        # block scores `block`×c entries (≤ ~128 MB) and keeps only the
+        # strict-upper-triangle survivors, so worker memory stays
+        # bounded by the block, never the cell.
+        block = max(1, min(c, (16 << 20) // max(c, 1)))
+        outs = []
+        for lo in range(0, c, block):
+            hi = min(lo + block, c)
+            Sb = U[lo:hi] @ U.T
+            ib, jb = np.nonzero(Sb >= threshold)
+            gi = ib + lo
+            upper = jb > gi
+            gi, jb = gi[upper], jb[upper]
+            if len(gi):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[gi],
+                            "id_b": ids[jb],
+                            "__cos": Sb[ib[upper], jb],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return (
         memb_v.groupBy("cluster")

@@ -297,10 +297,17 @@ def dedup_paragraphs(
     Returns the input rows (full width) with ``text_col`` rewritten
     and ``n_paragraphs_dropped`` appended. Documents whose every
     paragraph drops keep their row with empty text. NULL-text rows
-    pass through with 0 drops."""
+    pass through with 0 drops. ``sep`` is LITERAL on both sides: the
+    split pattern is Pattern.quote-wrapped, because ``F.split`` takes
+    a Java regex while the ``array_join`` reassembly is literal — an
+    unquoted metacharacter separator (``'||'``, ``'. '``) would split
+    per-character and reassemble garbage."""
+    sep_pattern = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__p"),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias(
+            "__pos", "__p"
+        ),
     )
     dedupable = paras.filter(F.length("__p") >= min_chars)
     keeper = dedupable.groupBy("__p").agg(
@@ -323,7 +330,9 @@ def dedup_paragraphs(
         ).alias("__new_text"),
         F.count(F.lit(1)).alias("__n_kept"),
     )
-    n_orig = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+    n_orig = F.size(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), sep_pattern)
+    )
     out = (
         df.withColumn("__n_orig", F.when(F.col(text_col).isNotNull(), n_orig))
         .join(rebuilt, df[id_col] == rebuilt["__id"], "left")

@@ -156,3 +156,22 @@ def test_bloom_contamination_empty_benchmark(spark):
     assert all(r.matched_ngrams == 0 for r in out)
     with pytest.raises(ValueError, match="fpp"):
         ngram_contamination_bloom(docs, docs, fpp=0.0)
+
+
+def test_bloom_explicit_zero_expected_raises(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="expected_grams"):
+        ngram_contamination_bloom(docs, docs, expected_grams=0)
+
+
+def test_dedup_paragraphs_regex_metachar_sep(spark):
+    """sep is literal: a regex-metacharacter separator must round-trip
+    (the split pattern is Pattern.quote-wrapped; unquoted '||' would
+    split per-character)."""
+    df = spark.createDataFrame(
+        [(1, "aa||bb"), (2, "bb||cc")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.text, r.n_paragraphs_dropped)
+           for r in dedup_paragraphs(df, sep="||").collect()}
+    assert got[1] == ("aa||bb", 0)
+    assert got[2] == ("cc", 1)  # 'bb' already kept in doc 1

@@ -475,3 +475,20 @@ def test_spearman_matches_duckdb(spark):
     out = spearman_rank_corr(li, ["g"], "l_quantity", "l_extendedprice")
     out = out.select("g", F.round("rank_corr", 6).alias("rank_corr"))
     assert_matches_oracle(out, _SPEARMAN_ORACLE, SF)
+
+
+def test_rank_corr_null_key_group_kept(spark):
+    """r7 self-review: the cell rebuild's midrank joins must be
+    null-safe — a NULL group key is a legitimate group (groupBy
+    semantics) and must appear in the output, as it did in the old
+    window form."""
+    from clickhouse_etl_spark.operators.stattests import spearman_rank_corr
+
+    rows = [(None, 1.0, 2.0), (None, 2.0, 4.0), (None, 3.0, 5.0),
+            ("a", 1.0, 3.0), ("a", 2.0, 1.0), ("a", 3.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r.rank_corr for r in
+           spearman_rank_corr(df, ["g"], "x", "y").collect()}
+    assert set(got) == {None, "a"}
+    assert got[None] == pytest.approx(1.0)
+    assert got["a"] == pytest.approx(-0.5)
