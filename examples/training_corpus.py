@@ -1,4 +1,5 @@
-"""End-to-end training-corpus preparation — the north-star tier as one
+"""End-to-end training-corpus preparation (r7: + paragraph dedup,
+Bloom decontamination, DSIR targeted selection) — the north-star tier as one
 program over the driver's ``documents``/``embeddings`` tables.
 
 Crawl layer (domain blocklist + canonical-URL dedup) → curate (dedup
@@ -25,10 +26,7 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     from clickhouse_etl_spark.text import curate_corpus
     from clickhouse_etl_spark.text.analysis import repetition_stats
     from clickhouse_etl_spark.text.index import bm25_topk
-    from clickhouse_etl_spark.text.packing import (
-        decontaminate,
-        pack_contiguous,
-    )
+    from clickhouse_etl_spark.text.packing import pack_contiguous
     from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
 
     docs = load_table(spark, sf_dir, "documents")
@@ -64,9 +62,19 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     ).select("doc_id")
     corpus = corpus.join(loops, "doc_id", "left_anti")
 
-    # 3. Contamination screen against a held-out benchmark slice.
+    # 2b. Paragraph-level dedup (Dolma-style): shared boilerplate
+    #     paragraphs keep one copy corpus-wide; docs survive rewritten.
+    from clickhouse_etl_spark.text.spans import dedup_paragraphs
+
+    corpus = dedup_paragraphs(corpus)
+
+    # 3. Contamination screen against a held-out benchmark slice —
+    #    the Bloom pre-pass form (the benchmark grams ride as one
+    #    broadcast bitset; fpp sized for any-overlap dropping).
+    from clickhouse_etl_spark.text.packing import decontaminate_bloom
+
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = decontaminate(corpus, bench, n=8)
+    corpus = decontaminate_bloom(corpus, bench, n=8, fpp=1e-6)
 
     # 3b. Language-model quality cut: drop the high-perplexity tail
     #     under a unigram LM trained on a trusted slice (CCNet-style).
@@ -74,6 +82,15 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
 
     trusted = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = perplexity_filter(corpus, trusted, max_perplexity=10_000.0)
+
+    # 3c. DSIR targeted selection: keep the 300 docs most like the
+    #     trusted slice (hashed-n-gram importance weights, Gumbel
+    #     resample — deterministic under the seed).
+    from clickhouse_etl_spark.text.dsir import dsir_select
+
+    corpus = dsir_select(
+        trusted, corpus, n=300, num_buckets=1024, seed=7
+    ).drop("dsir_logweight")
 
     # 4. Retrieval sanity probe: the corpus must answer keyword queries.
     probe = bm25_topk(corpus, ["the", "data"], k=5)
