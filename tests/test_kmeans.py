@@ -123,3 +123,45 @@ def test_trained_centroid_ivf_validates(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError):
         ivf_ann_topk(emb, emb.limit(1), trained_centroids=[])
+
+
+def test_assign_kernels_agree(spark):
+    """The BLAS gemm kernel and the literal-expression fold kernel must
+    assign identical clusters (and matching distances) — the r7
+    contract that lets 'auto' switch kernels by k without changing
+    results."""
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text.kmeans import assign_clusters
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(6).select("embedding").collect()
+    ]
+    a = {r.vec_id: (r.cluster, round(r.sq_dist, 9))
+         for r in assign_clusters(emb, cents, kernel="expr").collect()}
+    b = {r.vec_id: (r.cluster, round(r.sq_dist, 9))
+         for r in assign_clusters(emb, cents, kernel="gemm").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert abs(a[k][1] - b[k][1]) < 1e-9
+
+
+def test_assign_gemm_null_and_ragged_rows(spark):
+    from clickhouse_etl_spark.text.kmeans import assign_clusters
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.cluster, r.sq_dist)
+           for r in assign_clusters(df, [[0.0, 0.0], [5.0, 5.0]],
+                                    kernel="gemm").collect()}
+    assert got[1] == (0, 0.0)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+    import pytest
+
+    with pytest.raises(ValueError, match="kernel"):
+        assign_clusters(df, [[0.0, 0.0]], kernel="nope")
