@@ -175,3 +175,19 @@ def test_dedup_paragraphs_regex_metachar_sep(spark):
            for r in dedup_paragraphs(df, sep="||").collect()}
     assert got[1] == ("aa||bb", 0)
     assert got[2] == ("cc", 1)  # 'bb' already kept in doc 1
+
+
+def test_dedup_paragraphs_idempotent(spark):
+    """Running the dedup twice must be a no-op: after keep-first, every
+    surviving paragraph IS its own first occurrence."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.expr(_SALT_SPARK).alias("text")
+    )
+    once = dedup_paragraphs(docs).select("doc_id", "text")
+    twice = dedup_paragraphs(once).select(
+        "doc_id", "text", "n_paragraphs_dropped"
+    )
+    assert twice.filter(F.col("n_paragraphs_dropped") > 0).count() == 0
+    a = {(r.doc_id, r.text) for r in once.collect()}
+    b = {(r.doc_id, r.text) for r in twice.select("doc_id", "text").collect()}
+    assert a == b
