@@ -333,8 +333,28 @@ def embedding_cosine_neardup(
     vec_col: str = "embedding",
     max_bucket_size: int | None = 1000,
     log_fn=None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Embedding-space near-duplicate PAIRS: cosine ≥ threshold.
+
+    ``kernel`` (round 7, measured at gen10 — 20 k vectors, planes=8,
+    6 tables, 5.46 M candidate pairs, 56 k survivors): ``'expr'`` is
+    the original all-JVM chain — fold-based plane hashing, ids-only
+    bucket self-join, candidate ``distinct``, vector re-attach, fold
+    verify — the DuckDB-bit-mirrored float path. Its two measured
+    walls are the 48 plane-projection folds per vector (7.8 s — the
+    ~5-15 µs/fold cost BENCH_SCALE.md documents) and the 5.46 M-row
+    candidate materialization + re-attach (6.1 s+). ``'gemm'`` (what
+    ``'auto'`` picks) keeps the identical LSH geometry but runs both
+    hot products in Arrow: one ``X @ Sᵀ`` sign matmul hashes every
+    table's buckets per batch (vectors ride along, so nothing
+    re-joins), and one BLAS ``U @ U.T`` per (table, bucket) group
+    scores pairs — sub-threshold candidates never exist as rows; the
+    survivor pairs (tiny) dedup across tables with one max-aggregate.
+    Same adjudication as the SemDeDup kernel: BLAS reassociation
+    drifts projections/cosines ~1e-15 (a sign flip needs a projection
+    within 1e-15 of 0 — ~1e-8 odds corpus-wide), kernels pinned equal
+    in tests, oracle value-hash green at every gate SF.
 
     The dedup shape (all qualifying pairs), not the search shape (top-k
     per query): multi-table hyperplane LSH generates candidate pairs —
@@ -368,6 +388,8 @@ def embedding_cosine_neardup(
     an int to pin bucket geometry (the registered oracle query pins 8
     so its DuckDB mirror stays bit-exact across scale factors).
     """
+    if kernel not in ("auto", "expr", "gemm"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     if isinstance(num_planes, str):
         if num_planes != "auto":
             # fail at the entry, not as a TypeError deep in _table_buckets
@@ -379,6 +401,11 @@ def embedding_cosine_neardup(
             log_fn(f"auto_planes -> {num_planes}")
     dims = _probe_dims(corpus, vec_col)
     vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
+    if kernel in ("auto", "gemm"):
+        return _emb_neardup_gemm(
+            vecs, float(threshold), num_planes, num_tables, id_col, dims,
+            max_bucket_size, log_fn,
+        )
     buckets = vecs.select(
         id_col,
         F.posexplode(_table_buckets("__v", num_planes, num_tables, dims)).alias(
@@ -427,6 +454,94 @@ def embedding_cosine_neardup(
         )
         .withColumn("__cos", F.expr(f"({dot}) / (({na}) * ({nb}))"))
         .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
+    )
+
+
+def _emb_neardup_gemm(
+    vecs: DataFrame,
+    threshold: float,
+    num_planes: int,
+    num_tables: int,
+    id_col: str,
+    dims: int,
+    max_bucket_size: int | None,
+    log_fn,
+) -> DataFrame:
+    """The Arrow form of the LSH near-dup pipeline (see
+    :func:`embedding_cosine_neardup`): hash every table's bucket with
+    one sign matmul per batch (vectors ride the emitted rows — no
+    re-join), cap floods, score each (table, bucket) group with the
+    shared per-group GEMM kernel, dedup survivors across tables with
+    one max-aggregate. Identical LSH geometry and outputs to the expr
+    chain (pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    S = np.array(
+        [
+            _plane_signs(t * num_planes + p, dims)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    )
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+    idt = vecs.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, idt),
+            T.StructField("__table", T.IntegerType()),
+            T.StructField("__bucket", T.LongType()),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def hash_batches(it):
+        for pdf in it:
+            ok = pdf["__v"].map(
+                lambda v: v is not None and len(v) == dims
+            ).to_numpy()
+            if not ok.any():
+                continue
+            sub = pdf[ok]
+            X = np.array(sub["__v"].tolist(), dtype=np.float64)
+            bits = (X @ S.T) >= 0.0  # n × (tables*planes)
+            out = []
+            for t in range(num_tables):
+                b = bits[:, t * num_planes : (t + 1) * num_planes]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_col: sub[id_col],
+                            "__table": t,
+                            "__bucket": b @ weights,
+                            "__v": sub["__v"],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    buckets = vecs.mapInPandas(hash_batches, schema=schema)
+    if max_bucket_size is not None:
+        from clickhouse_etl_spark.operators.skew import cap_bucket_membership
+
+        buckets = cap_bucket_membership(
+            buckets, ["__table", "__bucket"], id_col, max_bucket_size,
+            log_fn, order="hashed",
+        )
+    raw = _gemm_cell_pairs(
+        buckets, id_col, threshold, dims,
+        group_cols=("__table", "__bucket"), round_out=False,
+    )
+    # the same pair surfaces in every table whose buckets collide; one
+    # hash aggregate collapses it (max of ~1-ulp-identical cosines —
+    # deterministic), THEN the shared rounding rule applies
+    return (
+        raw.groupBy("id_a", "id_b")
+        .agg(F.max("__cos").alias("__cos"))
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
     )
 
@@ -520,16 +635,25 @@ def semantic_cluster_pairs(
 
 
 def _gemm_cell_pairs(
-    memb_v: DataFrame, id_col: str, threshold: float, dims: int
+    memb_v: DataFrame,
+    id_col: str,
+    threshold: float,
+    dims: int,
+    group_cols: tuple = ("cluster",),
+    round_out: bool = True,
 ) -> DataFrame:
-    """Per-cell GEMM kernel for :func:`semantic_cluster_pairs`: one
-    Arrow-batched pandas group per cell, one BLAS ``U @ U.T`` per
-    group. Rows sort by id inside the kernel so ``id_a < id_b`` means
-    id ORDER (the join kernel's contract), not batch position. NULL,
-    ragged, and zero-norm vectors drop out — exactly the rows whose
-    cosine the join kernel NULLs and filters. The raw cosines round
-    Spark-side (``F.round``, HALF_UP) so both kernels share one
-    rounding rule."""
+    """Per-group GEMM pair kernel (shared by
+    :func:`semantic_cluster_pairs`'s k-means cells and
+    :func:`embedding_cosine_neardup`'s LSH (table, bucket) groups):
+    one Arrow-batched pandas group per ``group_cols`` value, one BLAS
+    ``U @ U.T`` per group. Rows sort by id inside the kernel so
+    ``id_a < id_b`` means id ORDER (the join kernel's contract), not
+    batch position. NULL, ragged, and zero-norm vectors drop out —
+    exactly the rows whose cosine the join kernel NULLs and filters.
+    With ``round_out`` the cosines round Spark-side (``F.round``,
+    HALF_UP — the one rounding rule both kernels share); without it
+    the raw ``__cos`` column is returned for callers that dedup
+    across groups first."""
     from pyspark.sql import types as T
 
     idt = memb_v.schema[id_col].dataType
@@ -587,10 +711,13 @@ def _gemm_cell_pairs(
                 )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return (
-        memb_v.groupBy("cluster")
-        .applyInPandas(per_cell, schema=out_schema)
-        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
+    grouped = memb_v.groupBy(*group_cols).applyInPandas(
+        per_cell, schema=out_schema
+    )
+    if not round_out:
+        return grouped
+    return grouped.select(
+        "id_a", "id_b", F.round("__cos", 6).alias("cosine")
     )
 
 

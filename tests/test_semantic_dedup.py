@@ -175,3 +175,21 @@ def test_semantic_kernel_validation(spark):
 
     with pytest.raises(ValueError, match="kernel"):
         semantic_cluster_pairs(emb, cents, kernel="nope")
+
+
+def test_emb_neardup_kernels_agree(spark):
+    """LSH near-dup: the all-JVM expr chain and the Arrow bucket-GEMM
+    chain must emit identical pair lists (same LSH geometry; BLAS
+    drift « the 6-dp rounding grain)."""
+    from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = {tuple(r) for r in embedding_cosine_neardup(
+        emb, threshold=0.35, num_planes=6, kernel="expr").collect()}
+    b = {tuple(r) for r in embedding_cosine_neardup(
+        emb, threshold=0.35, num_planes=6, kernel="gemm").collect()}
+    assert a == b and len(a) > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="kernel"):
+        embedding_cosine_neardup(emb, kernel="nope")
