@@ -458,6 +458,74 @@ def embedding_cosine_neardup(
     )
 
 
+def _hash_buckets_arrow(
+    vecs: DataFrame,
+    num_planes: int,
+    num_tables: int,
+    id_col: str,
+    dims: int,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Arrow LSH hashing shared by the near-dup and top-k gemm paths:
+    one ``X @ Sᵀ`` sign matmul per batch computes EVERY table's bucket
+    (the expr form pays tables×planes ``aggregate`` folds per row —
+    the measured ~5-15 µs/fold wall), emitting
+    ``(id, __table, __bucket[, vec_col])`` rows. ``vecs`` carries
+    ``(id_col, vec_col-or-__v)``; when ``vec_col`` is given the vector
+    rides the output so downstream scoring never re-joins the corpus.
+    NULL/ragged vectors emit nothing — the expr form's NULL buckets
+    never matched anything either."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    src = vec_col or "__v"
+    S = np.array(
+        [
+            _plane_signs(t * num_planes + p, dims)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    )
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+    idt = vecs.schema[id_col].dataType
+    fields = [
+        T.StructField(id_col, idt),
+        T.StructField("__table", T.IntegerType()),
+        T.StructField("__bucket", T.LongType()),
+    ]
+    if vec_col:
+        fields.append(T.StructField(vec_col, T.ArrayType(T.DoubleType())))
+    schema = T.StructType(fields)
+
+    def hash_batches(it):
+        for pdf in it:
+            ok = pdf[src].map(
+                lambda v: v is not None and len(v) == dims
+            ).to_numpy()
+            if not ok.any():
+                continue
+            sub = pdf[ok]
+            X = np.array(sub[src].tolist(), dtype=np.float64)
+            bits = (X @ S.T) >= 0.0  # n × (tables*planes)
+            out = []
+            for t in range(num_tables):
+                b = bits[:, t * num_planes : (t + 1) * num_planes]
+                cols = {
+                    id_col: sub[id_col],
+                    "__table": t,
+                    "__bucket": b @ weights,
+                }
+                if vec_col:
+                    cols[vec_col] = sub[src]
+                out.append(pd.DataFrame(cols))
+            yield pd.concat(out, ignore_index=True)
+
+    return vecs.mapInPandas(hash_batches, schema=schema)
+
+
 def _emb_neardup_gemm(
     vecs: DataFrame,
     threshold: float,
@@ -475,56 +543,9 @@ def _emb_neardup_gemm(
     shared per-group GEMM kernel, dedup survivors across tables with
     one max-aggregate. Identical LSH geometry and outputs to the expr
     chain (pinned)."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    S = np.array(
-        [
-            _plane_signs(t * num_planes + p, dims)
-            for t in range(num_tables)
-            for p in range(num_planes)
-        ],
-        dtype=np.float64,
+    buckets = _hash_buckets_arrow(
+        vecs, num_planes, num_tables, id_col, dims, vec_col="__v"
     )
-    weights = (1 << np.arange(num_planes)).astype(np.int64)
-    idt = vecs.schema[id_col].dataType
-    schema = T.StructType(
-        [
-            T.StructField(id_col, idt),
-            T.StructField("__table", T.IntegerType()),
-            T.StructField("__bucket", T.LongType()),
-            T.StructField("__v", T.ArrayType(T.DoubleType())),
-        ]
-    )
-
-    def hash_batches(it):
-        for pdf in it:
-            ok = pdf["__v"].map(
-                lambda v: v is not None and len(v) == dims
-            ).to_numpy()
-            if not ok.any():
-                continue
-            sub = pdf[ok]
-            X = np.array(sub["__v"].tolist(), dtype=np.float64)
-            bits = (X @ S.T) >= 0.0  # n × (tables*planes)
-            out = []
-            for t in range(num_tables):
-                b = bits[:, t * num_planes : (t + 1) * num_planes]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            id_col: sub[id_col],
-                            "__table": t,
-                            "__bucket": b @ weights,
-                            "__v": sub["__v"],
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
-
-    buckets = vecs.mapInPandas(hash_batches, schema=schema)
     if max_bucket_size is not None:
         from clickhouse_etl_spark.operators.skew import cap_bucket_membership
 
@@ -769,6 +790,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: compare only within shared LSH buckets.
 
@@ -781,7 +803,16 @@ def lsh_ann_topk(
     corpus via :func:`auto_planes` (same fixed-bucket-count rationale
     as the near-dup path); pass an int to pin bucket geometry (the
     registered oracle query pins 6 for its bit-exact DuckDB mirror).
+
+    ``kernel``: corpus-side plane hashing is the dominant cost at scale
+    (tables×planes JVM folds per row — 11 s of a gen30 run); ``'gemm'``
+    (what ``'auto'`` picks) hashes both sides with the shared
+    ``X @ Sᵀ`` Arrow matmul (:func:`_hash_buckets_arrow`), identical
+    geometry, kernels pinned equal; ``'expr'`` keeps the
+    DuckDB-bit-mirrored fold path the registered oracle pins.
     """
+    if kernel not in ("auto", "expr", "gemm"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     if isinstance(num_planes, str):
         if num_planes != "auto":
             raise ValueError(
@@ -789,25 +820,40 @@ def lsh_ann_topk(
             )
         num_planes = auto_planes(corpus.count())
     dims = _probe_dims(corpus, vec_col)
-    c = corpus.select(
-        F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv")
-    ).select(
-        id_col,
-        "__cv",
-        F.posexplode(_table_buckets("__cv", num_planes, num_tables, dims)).alias(
-            "__table", "__bucket"
-        ),
-    )
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.expr(_as_double(vec_col)).alias("__qv"),
-    ).select(
-        query_id_col,
-        "__qv",
-        F.posexplode(_table_buckets("__qv", num_planes, num_tables, dims)).alias(
-            "__table", "__bucket"
-        ),
-    )
+    if kernel in ("auto", "gemm"):
+        c = _hash_buckets_arrow(
+            corpus.select(
+                F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv")
+            ),
+            num_planes, num_tables, id_col, dims, vec_col="__cv",
+        )
+        q = _hash_buckets_arrow(
+            queries.select(
+                F.col(id_col).alias(query_id_col),
+                F.expr(_as_double(vec_col)).alias("__qv"),
+            ),
+            num_planes, num_tables, query_id_col, dims, vec_col="__qv",
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv")
+        ).select(
+            id_col,
+            "__cv",
+            F.posexplode(
+                _table_buckets("__cv", num_planes, num_tables, dims)
+            ).alias("__table", "__bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.expr(_as_double(vec_col)).alias("__qv"),
+        ).select(
+            query_id_col,
+            "__qv",
+            F.posexplode(
+                _table_buckets("__qv", num_planes, num_tables, dims)
+            ).alias("__table", "__bucket"),
+        )
 
     dot = _DOT.format(a="__qv", b="__cv")
     qn = _NORM.format(a="__qv")

@@ -193,3 +193,17 @@ def test_emb_neardup_kernels_agree(spark):
 
     with pytest.raises(ValueError, match="kernel"):
         embedding_cosine_neardup(emb, kernel="nope")
+
+
+def test_lsh_topk_kernels_agree(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.text.similarity import lsh_ann_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = {tuple(r) for r in lsh_ann_topk(
+        emb, q, k=5, num_planes=6, kernel="expr").collect()}
+    b = {tuple(r) for r in lsh_ann_topk(
+        emb, q, k=5, num_planes=6, kernel="gemm").collect()}
+    assert a == b and len(a) > 0
