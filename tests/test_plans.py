@@ -147,17 +147,18 @@ def test_range_join_query_has_no_row_level_outer_pass(spark):
 
 
 def test_embedding_neardup_self_join_carries_ids_only(spark):
-    """The LSH bucket self-join's inputs are (id, table, bucket) — the
-    embedding vector must NOT ride the candidate exchange (it re-attaches
-    to the deduped pair list via the payload joins)."""
+    """Per-kernel plan contracts (r7): the EXPR chain's LSH bucket
+    self-join inputs are (id, table, bucket) — the vector must NOT ride
+    the candidate exchange (it re-attaches to the deduped pair list via
+    the payload joins). The GEMM chain (the default) has the opposite
+    shape: vectors ride the LINEAR-sized bucket rows and there is NO
+    join anywhere — sub-threshold candidates never exist as rows, and
+    the only post-kernel machinery is the cross-table pair aggregate."""
     from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    df = embedding_cosine_neardup(emb, threshold=0.35)
+    df = embedding_cosine_neardup(emb, threshold=0.35, kernel="expr")
     plan = _explain(df, "formatted")
-    # the join/exchange nodes over (__table, __bucket) must not carry the
-    # vector column in their attribute lists (the Generate node that
-    # COMPUTES buckets from __v is the one legitimate consumer)
     shuffle_blocks = [
         b
         for b in plan.split("\n\n")
@@ -170,6 +171,14 @@ def test_embedding_neardup_self_join_carries_ids_only(spark):
     assert all("__v" not in b for b in shuffle_blocks), (
         "vector column rides the bucket self-join"
     )
+    gplan = _explain(
+        embedding_cosine_neardup(emb, threshold=0.35, kernel="gemm"),
+        "formatted",
+    )
+    assert "FlatMapGroupsInPandas" in gplan  # the per-bucket GEMM kernel
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in gplan, f"gemm chain must be join-free ({node})"
     spark.catalog.clearCache()
 
 
