@@ -455,7 +455,11 @@ def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     green at sf0.001/0.01/0.1 and gen1/3/10, and the observed
     near-threshold pair density puts a flip at ~1e-7 even on fresh
     data. If a future testdata regeneration ever trips it, pass
-    kernel='join' here — bit-identical to the oracle by construction."""
+    kernel='join' here — bit-identical to the oracle by construction
+    (since round 8 the join kernel threads kernel='expr' into the cell
+    assignment too, so the escape hatch covers the full chain even at
+    k > 32 where assign_clusters' own 'auto' would pick its gemm
+    argmin)."""
     from clickhouse_etl_spark.text.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")

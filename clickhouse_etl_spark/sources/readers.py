@@ -136,6 +136,7 @@ def read_jdbc_table(
     dedup_latest: tuple[Sequence[str], str] | None = None,
     dedup_style: str = "row_number",
     source_where: Sequence[str] | None = None,
+    predicates_post_dedup: bool = False,
 ) -> DataFrame:
     """S1/S2/S6 — JDBC scan (Postgres in the reference).
 
@@ -168,13 +169,20 @@ def read_jdbc_table(
     (Until round 6, ``predicates`` silently switched to source-dialect
     pre-dedup filters whenever ``dedup_latest`` was set; the split
     keeps each parameter single-meaning.)
+
+    ``predicates_post_dedup=True`` acknowledges the post-dedup
+    semantics of the ``predicates``+``dedup_latest`` combination and
+    silences the transition warning — for callers who have audited the
+    round-6 semantics change and opted in (steady-state pipelines
+    shouldn't log on every read, and warnings-as-errors suites
+    shouldn't trip).
     """
     if isinstance(predicates, str):
         raise TypeError(
             "predicates must be a sequence of Spark-SQL filters, not a "
             f"string — wrap it in a list: [{predicates!r}]"
         )
-    if predicates and dedup_latest is not None:
+    if predicates and dedup_latest is not None and not predicates_post_dedup:
         # Transition warning (r6 ADVICE): before round 6 this combination
         # filtered BEFORE the dedup; it now filters AFTER it, so keys
         # whose latest row fails the predicate vanish instead of falling
@@ -185,7 +193,8 @@ def read_jdbc_table(
             "read_jdbc_table: predicates now filter AFTER dedup_latest "
             "(post-dedup). For the pre-round-6 filter-then-dedup "
             "semantics pass source_where instead; pass predicates only "
-            "if you want each key's LATEST row, then filtered.",
+            "if you want each key's LATEST row, then filtered. "
+            "Acknowledge with predicates_post_dedup=True to silence.",
             UserWarning,
             stacklevel=2,
         )

@@ -8,8 +8,21 @@ Two tiers, as a 100 TB design requires:
   deterministic per-(plane, dim) hashes, so no fitted model/state ships
   to executors.
 
-Dot products use JVM higher-order functions (zip_with + aggregate) — no
-Python in the inner loop.
+Per-kernel split (round 7+): every hot operator here carries a
+``kernel`` parameter. ``'expr'``/``'join'`` is the all-JVM higher-order
+function chain (zip_with + aggregate folds) — the bit-exact float path
+the DuckDB oracles mirror, and the right tier for small inputs where an
+Arrow round-trip isn't worth it. ``'gemm'`` runs the measured hot
+products (plane hashing, pair scoring, centroid argmin) as Arrow-batched
+numpy/BLAS matmuls via mapInPandas/applyInPandas — the scale path
+(Spark's higher-order ``aggregate`` costs ~5-15 µs per fold; BLAS is
+milliseconds for millions of dots). ``'auto'`` (the default) picks gemm
+when the work is large enough to pay for the Python worker round-trip.
+NOTE the executor-side dependency this adds: the default kernels need
+numpy/pandas/pyarrow on executors (stock Spark Python-worker deps);
+pin ``kernel='expr'`` for a pure-JVM plan. Kernels are pinned equal in
+tests; BLAS-vs-fold float drift is ~1e-15, far below the 6-decimal
+output rounding.
 """
 
 from __future__ import annotations
@@ -21,6 +34,17 @@ from clickhouse_etl_spark.util import materialize
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+
+# kernel='auto' row-count floor (r8): below this many corpus vectors the
+# all-JVM expr chain wins — the Arrow worker round-trip costs more than
+# the folds save. MEASURED (BENCH_SCALE.md, emb near-dup chain, 64-dim):
+# 2k vectors expr 1.91 s vs gemm 1.98 s (~equal; at bench sf0.1 the gap
+# is ~0.4 s in expr's favor on a warm session), 6k vectors expr 3.91 s
+# vs gemm 1.57 s (gemm 2.5×), 20k vectors 12.19 vs 2.56 (4.8×). The
+# floor sits between those crossover points; a side benefit is that the
+# oracle-gate scale factors (≤ 2k vectors) ride the bit-deterministic
+# fold path by construction while every at-scale run gets BLAS.
+_GEMM_FLOOR_ROWS = 4096
 
 
 def _as_double(col: str) -> str:
@@ -345,7 +369,11 @@ def embedding_cosine_neardup(
     walls are the 48 plane-projection folds per vector (7.8 s — the
     ~5-15 µs/fold cost BENCH_SCALE.md documents) and the 5.46 M-row
     candidate materialization + re-attach (6.1 s+). ``'gemm'`` (what
-    ``'auto'`` picks) keeps the identical LSH geometry but runs both
+    ``'auto'`` picks at or above ``_GEMM_FLOOR_ROWS`` = 4096 corpus
+    vectors — below it the Arrow round-trip costs more than the folds
+    save, so small corpora keep the bit-deterministic expr chain; the
+    probe is one COUNT job, shared with ``num_planes='auto'`` when both
+    are auto) keeps the identical LSH geometry but runs both
     hot products in Arrow: one ``X @ Sᵀ`` sign matmul hashes every
     table's buckets per batch (vectors ride along, so nothing
     re-joins), and one BLAS ``U @ U.T`` per (table, bucket) group
@@ -390,18 +418,29 @@ def embedding_cosine_neardup(
     """
     if kernel not in ("auto", "expr", "gemm"):
         raise ValueError(f"unknown kernel {kernel!r}")
+    n_rows = None
     if isinstance(num_planes, str):
         if num_planes != "auto":
             # fail at the entry, not as a TypeError deep in _table_buckets
             raise ValueError(
                 f"num_planes must be an int or 'auto', got {num_planes!r}"
             )
-        num_planes = auto_planes(corpus.count())
+        n_rows = corpus.count()
+        num_planes = auto_planes(n_rows)
         if log_fn is not None:
             log_fn(f"auto_planes -> {num_planes}")
+    if kernel == "auto":
+        # Size-aware dispatch (one COUNT job when num_planes didn't
+        # already pay it — parquet-metadata cheap on scans; pin the
+        # kernel explicitly if the corpus plan makes counting expensive).
+        if n_rows is None:
+            n_rows = corpus.count()
+        kernel = "gemm" if n_rows >= _GEMM_FLOOR_ROWS else "expr"
+        if log_fn is not None:
+            log_fn(f"kernel auto -> {kernel} ({n_rows} vectors)")
     dims = _probe_dims(corpus, vec_col)
     vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
-    if kernel in ("auto", "gemm"):
+    if kernel == "gemm":
         return _emb_neardup_gemm(
             vecs, float(threshold), num_planes, num_tables, id_col, dims,
             max_bucket_size, log_fn,
@@ -622,7 +661,16 @@ def semantic_cluster_pairs(
     from clickhouse_etl_spark.text.kmeans import assign_clusters
 
     vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
-    cells = assign_clusters(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    # kernel='join' promises bit-identity to the sequential-fold oracle —
+    # that promise must cover the CELL ASSIGNMENT too: assign_clusters'
+    # own 'auto' flips to its gemm expanded-form argmin above k=32, which
+    # can diverge from the oracle's direct (x-c)² ordering on
+    # near-equidistant centroids (k = max(8, N/500) crosses 32 at
+    # N ≥ 16.5k — exactly the scales the escape hatch is for). Thread it.
+    cells = assign_clusters(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        kernel="expr" if kernel == "join" else "auto",
+    )
     membership = cells.select(id_col, "cluster").transform(materialize)
     if max_cluster_size is not None:
         from clickhouse_etl_spark.operators.skew import cap_bucket_membership
@@ -806,21 +854,41 @@ def lsh_ann_topk(
 
     ``kernel``: corpus-side plane hashing is the dominant cost at scale
     (tables×planes JVM folds per row — 11 s of a gen30 run); ``'gemm'``
-    (what ``'auto'`` picks) hashes both sides with the shared
+    (what ``'auto'`` picks at/above the 4096-vector floor — see
+    ``_GEMM_FLOOR_ROWS``) hashes both sides with the shared
     ``X @ Sᵀ`` Arrow matmul (:func:`_hash_buckets_arrow`), identical
     geometry, kernels pinned equal; ``'expr'`` keeps the
     DuckDB-bit-mirrored fold path the registered oracle pins.
     """
     if kernel not in ("auto", "expr", "gemm"):
         raise ValueError(f"unknown kernel {kernel!r}")
+    n_rows = None
     if isinstance(num_planes, str):
         if num_planes != "auto":
             raise ValueError(
                 f"num_planes must be an int or 'auto', got {num_planes!r}"
             )
-        num_planes = auto_planes(corpus.count())
+        n_rows = corpus.count()
+        num_planes = auto_planes(n_rows)
+    if kernel == "auto":
+        # Size-aware dispatch, same floor + rationale as
+        # embedding_cosine_neardup (_GEMM_FLOOR_ROWS).
+        if n_rows is None:
+            n_rows = corpus.count()
+        kernel = "gemm" if n_rows >= _GEMM_FLOOR_ROWS else "expr"
     dims = _probe_dims(corpus, vec_col)
-    if kernel in ("auto", "gemm"):
+    # Kernel-parity contract (r8): NULL/ragged vectors drop on ENTRY for
+    # BOTH kernels. The Arrow hasher always skipped them; the expr path
+    # used to hash them into bucket 0 (CASE WHEN NULL >= 0 falls to ELSE)
+    # where they could pad under-filled top-k with NULL cosines — so the
+    # default kernel swap silently changed output. Zero-norm vectors
+    # still hash (both kernels agree: all sign bits 1) but their cosine
+    # is NULL (x/0), so the NULL-cosine filter below keeps them out of
+    # the ranking in both kernels. Pinned in test_semantic_dedup.py.
+    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dims)
+    corpus = corpus.filter(valid)
+    queries = queries.filter(valid)
+    if kernel == "gemm":
         c = _hash_buckets_arrow(
             corpus.select(
                 F.col(id_col), F.expr(_as_double(vec_col)).alias("__cv")
@@ -864,5 +932,6 @@ def lsh_ann_topk(
         .select(query_id_col, id_col, "__qv", "__cv")
         .dropDuplicates([query_id_col, id_col])
         .withColumn("__cos_raw", F.expr(f"({dot}) / (({qn}) * ({cn}))"))
+        .filter(F.col("__cos_raw").isNotNull())
     )
     return _rank_topk(scored, k, query_id_col, id_col)

@@ -208,6 +208,26 @@ def test_jdbc_predicates_stay_post_dedup(spark, derby_versions_url):
     assert len(got) == 25
     assert got[0] == 100 and got[24] == 124 and 25 not in got
 
+    # predicates_post_dedup=True is the audited-caller acknowledgment
+    # (r7 ADVICE: steady-state pipelines shouldn't warn on every read):
+    # identical result, NO warning.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        df2 = read_jdbc_table(
+            spark,
+            derby_versions_url,
+            "student_log",
+            predicates=["version < 125"],
+            properties={"driver": DRIVER},
+            dedup_latest=(["student_id"], "version"),
+            dedup_style="group_max",
+            predicates_post_dedup=True,
+        )
+        got2 = {r.student_id: r.version for r in df2.collect()}
+    assert got2 == got
+
 
 def test_jdbc_source_where_without_dedup(spark, derby_versions_url):
     """source_where alone wraps the table in a filtered subquery that

@@ -207,3 +207,63 @@ def test_lsh_topk_kernels_agree(spark):
     b = {tuple(r) for r in lsh_ann_topk(
         emb, q, k=5, num_planes=6, kernel="gemm").collect()}
     assert a == b and len(a) > 0
+
+
+def test_lsh_topk_kernels_agree_on_degenerate_vectors(spark):
+    """r7 ADVICE parity pin: NULL, ragged, and zero-norm vectors must
+    not split the kernels. Pre-r8 the expr path hashed NULL vectors
+    into bucket 0 (CASE WHEN NULL >= 0 falls to ELSE) and let their
+    NULL cosines pad under-filled top-k, while the Arrow hasher dropped
+    them — so flipping the default kernel silently changed output. Both
+    kernels now drop NULL/ragged on entry and filter NULL cosines
+    (zero-norm vectors), and no emitted cosine is NULL."""
+    from clickhouse_etl_spark.text.similarity import lsh_ann_topk
+
+    base = load_table(spark, SF_DIR, "embeddings").limit(40)
+    dims = len(base.select("embedding").first()[0])
+    degenerate = spark.createDataFrame(
+        [
+            (100001, None),                      # NULL vector
+            (100002, [1.0] * (dims - 1)),        # ragged
+            (100003, [0.0] * dims),              # zero norm
+        ],
+        f"vec_id bigint, embedding array<double>",
+    )
+    emb = base.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(degenerate)
+    # queries include a NULL-vector and zero-vector query on purpose
+    q = emb.filter(F.col("vec_id").isin(0, 1, 100001, 100003))
+    a = {tuple(r) for r in lsh_ann_topk(
+        emb, q, k=5, num_planes=6, kernel="expr").collect()}
+    b = {tuple(r) for r in lsh_ann_topk(
+        emb, q, k=5, num_planes=6, kernel="gemm").collect()}
+    assert a == b and len(a) > 0
+    assert all(r[2] is not None for r in a)  # no NULL cosine emitted
+    ids_out = {r[0] for r in a} | {r[1] for r in a}
+    assert not ids_out & {100001, 100002, 100003}
+
+
+def test_semantic_join_kernel_threads_expr_assignment(spark, monkeypatch):
+    """r7 ADVICE (medium): kernel='join' promises bit-identity to the
+    sequential-fold oracle, so the CELL ASSIGNMENT must ride the expr
+    kernel too — assign_clusters' own 'auto' would flip to its gemm
+    argmin above k=32."""
+    from clickhouse_etl_spark.text import kmeans as km
+
+    seen = {}
+    real = km.assign_clusters
+
+    def spy(df, centroids, id_col="vec_id", vec_col="embedding",
+            kernel="auto"):
+        seen["kernel"] = kernel
+        return real(df, centroids, id_col=id_col, vec_col=vec_col,
+                    kernel=kernel)
+
+    monkeypatch.setattr(km, "assign_clusters", spy)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _init_centroids(emb)
+    semantic_cluster_pairs(emb, cents, threshold=THRESH, kernel="join").count()
+    assert seen["kernel"] == "expr"
+    semantic_cluster_pairs(emb, cents, threshold=THRESH, kernel="gemm").count()
+    assert seen["kernel"] == "auto"

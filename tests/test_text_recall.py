@@ -277,6 +277,45 @@ def test_embedding_neardup_auto_planes_runs(spark):
     }
 
 
+def test_kernel_auto_row_count_floor(spark):
+    """kernel='auto' is size-aware (r8): below _GEMM_FLOOR_ROWS corpus
+    vectors the Arrow worker round-trip costs more than the JVM folds
+    save, so small corpora keep the bit-deterministic expr chain and
+    large ones get the BLAS kernel. Pinned via the log_fn dispatch
+    message on both sides of the floor."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.catalog import load_table
+    from clickhouse_etl_spark.text.similarity import (
+        _GEMM_FLOOR_ROWS,
+        embedding_cosine_neardup,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    small_msgs = []
+    embedding_cosine_neardup(
+        emb, threshold=0.35, num_planes=6, log_fn=small_msgs.append
+    ).count()
+    n = emb.count()
+    assert f"kernel auto -> expr ({n} vectors)" in small_msgs
+
+    big = spark.range(_GEMM_FLOOR_ROWS).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "array(cast(id % 7 as double), cast(id % 11 as double),"
+            " cast(id % 13 as double), 1.0d)"
+        ).alias("embedding"),
+    )
+    big_msgs = []
+    embedding_cosine_neardup(
+        big, threshold=0.99999, num_planes=6, max_bucket_size=50,
+        log_fn=big_msgs.append,
+    ).count()
+    assert (
+        f"kernel auto -> gemm ({_GEMM_FLOOR_ROWS} vectors)" in big_msgs
+    )
+
+
 def test_embedding_neardup_rejects_unknown_planes_string(spark):
     import pytest
 
