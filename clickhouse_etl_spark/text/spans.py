@@ -282,13 +282,23 @@ def dedup_paragraphs(
     document on ``sep``, keep only the FIRST occurrence (lowest
     ``(id, position)``) of every exact paragraph string, reassemble.
 
-    Scale shape mirrors :func:`cut_duplicated_spans`' join-back
-    discipline: the keeper per paragraph comes from ONE hash
-    aggregation (``min(struct(id, pos))`` — map-side combinable; NEVER
-    a count/rank window over the paragraph key, which would serialize
-    a hot paragraph's million occurrences into one task), occurrences
-    join back on the paragraph key (AQE handles the skewed key), and
-    reassembly is a per-document sorted fold. Paragraphs shorter than
+    Scale shape (r8, digest-keyed): the keeper per paragraph comes
+    from ONE hash aggregation GROUPED ON ``sha2(paragraph, 256)`` —
+    the same never-shuffle-bodies-as-keys discipline as
+    :func:`text.dedup.exact_dedup` — carrying the winning occurrence
+    itself in the aggregate (``min(struct(id, pos, paragraph))``;
+    (id, pos) is unique so the body never participates in the
+    comparison). That makes the keeper rows the survivors directly:
+    no join-back at all, and the only exchange that carries paragraph
+    bodies is the partial-aggregated keeper shuffle (one body per
+    distinct digest per map partition — a hot paragraph's million
+    occurrences combine map-side) plus the unavoidable per-document
+    reassembly shuffle, which keys on the document id. (Pre-r8 this
+    grouped AND joined on the full paragraph string: every body
+    crossed the wire twice, keyed by itself.) Map-side combinable;
+    NEVER a count/rank window over the paragraph key, which would
+    serialize a hot paragraph's occurrences into one task.
+    Reassembly is a per-document sorted fold. Paragraphs shorter than
     ``min_chars`` (default 1 — i.e. empty strings from consecutive
     separators) pass through UNDEDUPED: they carry no content and
     deduping them corpus-wide would silently rewrite unrelated
@@ -310,14 +320,20 @@ def dedup_paragraphs(
         ),
     )
     dedupable = paras.filter(F.length("__p") >= min_chars)
-    keeper = dedupable.groupBy("__p").agg(
-        F.min(F.struct("__id", "__pos")).alias("__keep")
+    # keeper rows ARE the survivors: min(struct(id, pos, body)) under a
+    # 256-bit digest key — (id, pos) is unique, so the body rides the
+    # struct without ever ordering the comparison, and the exchange key
+    # is 32 bytes regardless of paragraph length.
+    kept_dedupable = (
+        dedupable.groupBy(F.sha2(F.col("__p"), 256).alias("__h"))
+        .agg(F.min(F.struct("__id", "__pos", "__p")).alias("__keep"))
+        .select(
+            F.col("__keep.__id").alias("__id"),
+            F.col("__keep.__pos").alias("__pos"),
+            F.col("__keep.__p").alias("__p"),
+        )
     )
-    kept_dedupable = dedupable.join(keeper, on="__p").filter(
-        (F.col("__keep.__id") == F.col("__id"))
-        & (F.col("__keep.__pos") == F.col("__pos"))
-    )
-    survivors = kept_dedupable.select("__id", "__pos", "__p").unionByName(
+    survivors = kept_dedupable.unionByName(
         paras.filter(F.length("__p") < min_chars)
     )
     rebuilt = survivors.groupBy("__id").agg(
