@@ -95,17 +95,11 @@ def ext_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within 2% in tests/test_scale_ops.py::test_approx_percentile_within_bound
 # (same pattern as the HLL twin above).
 # ---------------------------------------------------------------------------
-@register(
-    "ext_percentiles",
-    oracle="""
-    SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95,
-           count(*) AS n_orders
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-8 rotation,
+# batch 4 (identical value-hash oracle there): the quantile machinery
+# (percentile_approx-family interpolation) stays driver-verified via
+# the still-registered ext_quantiles_weighted, which rides the same
+# sorted-cume interpolation with the harder weighted contract.
 def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
@@ -511,18 +505,10 @@ def ext_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ClickHouse retention(): per-user cohort-conditioned flags in ONE
 # aggregation pass (no joins, no windows).
-@register(
-    "ext_retention",
-    oracle="""
-    SELECT user_id,
-           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
-           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-             * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r2,
-           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r3
-    FROM events GROUP BY user_id
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-8 rotation,
+# batch 4 (identical value-hash oracle there): retention flags ride the
+# same conditional-aggregation event machinery as the still-registered
+# ext_window_funnel (operators/events.py).
 def ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.operators.events import retention_flags
 
@@ -650,3 +636,167 @@ def ext_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = spearman_rank_corr(li, ["g"], "l_quantity", "l_extendedprice")
     return out.select("g", F.round("rank_corr", 6).alias("rank_corr"))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 rotation, batch 4: the fit/selection tier gets driver rows.
+# linear_regression_fit (operators/regression.py) — per-group OLS via
+# one moment-aggregation pass + p×p solve — against a Cramer's-rule
+# DuckDB oracle over the SAME moments. Features are centered/scaled in
+# the query (the standard conditioning move): on raw TPC-H magnitudes
+# the normal equations cancel catastrophically (~8 digits), so NO two
+# float paths could agree to the rounding grain — and neither would be
+# trustworthy. Centered, the moment matrix is well-conditioned
+# (cond ≈ 200) and numpy-LU vs Cramer agree to ~1e-12; the moments
+# themselves are bit-identical (plain JVM/DuckDB sums of identical
+# doubles; verified empirically at sf0.001/0.01/0.1).
+# ---------------------------------------------------------------------------
+_LINREG_X1 = "CAST(l_quantity AS DOUBLE) - 25.0"
+_LINREG_X2 = "(CAST(l_discount AS DOUBLE) - 0.05) * 500.0"
+_LINREG_Y = (
+    "(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE))"
+    " - 50000.0) / 1000.0"
+)
+
+
+@register(
+    "ext_linreg_fit",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag AS g, {_LINREG_X1} AS x1, {_LINREG_X2} AS x2,
+             {_LINREG_Y} AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT g, COUNT(*)::DOUBLE AS n, SUM(y) AS sy, SUM(y*y) AS syy,
+             SUM(x1) AS s1, SUM(x2) AS s2, SUM(x1*y) AS s1y,
+             SUM(x2*y) AS s2y, SUM(x1*x1) AS s11, SUM(x1*x2) AS s12,
+             SUM(x2*x2) AS s22
+      FROM b GROUP BY g
+    ),
+    s AS (
+      -- Cramer on A = [[s11,s12,s1],[s12,s22,s2],[s1,s2,n]], rhs
+      -- [s1y,s2y,sy] (the intercept-augmented normal equations)
+      SELECT *,
+        (s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1)
+          + s1*(s12*s2 - s22*s1)) AS det,
+        (s1y*(s22*n - s2*s2) - s12*(s2y*n - s2*sy)
+          + s1*(s2y*s2 - s22*sy)) AS det1,
+        (s11*(s2y*n - s2*sy) - s1y*(s12*n - s2*s1)
+          + s1*(s12*sy - s2y*s1)) AS det2,
+        (s11*(s22*sy - s2*s2y) - s12*(s12*sy - s1*s2y)
+          + s1y*(s12*s2 - s22*s1)) AS det3
+      FROM m
+    )
+    SELECT g, ROUND(det1/det, 6) AS b_qty, ROUND(det2/det, 6) AS b_disc,
+           ROUND(det3/det, 6) AS icpt,
+           ROUND(1.0 - (syy - 2*(det1/det*s1y + det2/det*s2y + det3/det*sy)
+                  + ((det1/det)^2*s11 + (det2/det)^2*s22 + (det3/det)^2*n
+                     + 2*(det1/det)*(det2/det)*s12
+                     + 2*(det1/det)*(det3/det)*s1
+                     + 2*(det2/det)*(det3/det)*s2))
+                 / (syy - sy*sy/n), 6) AS r2,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """,
+)
+def ext_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``stochasticLinearRegression``, batch-correct: per-group
+    OLS of the discounted price on centered quantity/discount — one JVM
+    moment-aggregation pass (map-side combinable), p×p solves on the
+    k-row moment table only (operators/regression.py:40)."""
+    from clickhouse_etl_spark.operators.regression import linear_regression_fit
+
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag AS g",
+        f"{_LINREG_X1} AS x1",
+        f"{_LINREG_X2} AS x2",
+        f"{_LINREG_Y} AS y",
+    )
+    out = linear_regression_fit(li, ["g"], ["x1", "x2"], "y")
+    return out.select(
+        "g",
+        F.round(F.col("coefs")[0], 6).alias("b_qty"),
+        F.round(F.col("coefs")[1], 6).alias("b_disc"),
+        F.round("intercept", 6).alias("icpt"),
+        F.round("r2", 6).alias("r2"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# logistic_regression_fit (operators/regression.py:165) — per-group
+# Newton/IRLS where every iteration is one aggregation pass — against a
+# DuckDB RECURSIVE-CTE oracle that replicates the exact iteration: same
+# mu clipping (1e-12), same 2×2 Newton solve (closed form), same
+# max|step| < 1e-8 stop rule, same max_iter. Newton is self-correcting,
+# so the two float paths land on the same optimum to ~1e-12 (verified
+# at sf0.001/0.01/0.1); the discrete n_iter can only flip if a step
+# lands within ~1e-15 of the tol boundary — the same measure-zero
+# adjudication as the threshold gates elsewhere in the registry.
+# ---------------------------------------------------------------------------
+_LOGREG_X = "(CAST(o_totalprice AS DOUBLE) - 250000.0) / 150000.0"
+_LOGREG_Y = "CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END"
+
+
+@register(
+    "ext_logreg_fit",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT o_orderpriority AS g, {_LOGREG_X} AS x, {_LOGREG_Y} AS y
+      FROM orders
+    ),
+    it AS (
+      SELECT g, 0 AS k, 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1,
+             1.0::DOUBLE AS step
+      FROM (SELECT DISTINCT g FROM d)
+      UNION ALL
+      SELECT g, k + 1, b0 + db0, b1 + db1, greatest(abs(db0), abs(db1))
+      FROM (
+        SELECT g, k, b0, b1,
+          -- closed-form 2x2 Newton solve: H [db1, db0] = grad with
+          -- feats = [x, 1] (b1 multiplies x, b0 the intercept)
+          ( h00*g1 - h01*g0) / (h11*h00 - h01*h01) AS db1,
+          ( h11*g0 - h01*g1) / (h11*h00 - h01*h01) AS db0
+        FROM (
+          SELECT it.g, it.k, it.b0, it.b1,
+            SUM(w) AS h00, SUM(w * x) AS h01, SUM(w * x * x) AS h11,
+            SUM(r) AS g0, SUM(r * x) AS g1
+          FROM (SELECT * FROM it WHERE k < 25 AND step >= 1e-8) it
+          JOIN d USING (g),
+            LATERAL (SELECT least(greatest(
+              1.0/(1.0+exp(-(it.b0 + it.b1*d.x))), 1e-12), 1.0-1e-12)
+              AS mu) m,
+            LATERAL (SELECT mu*(1.0-mu) AS w, d.y - mu AS r) v
+          GROUP BY it.g, it.k, it.b0, it.b1
+        )
+      )
+    )
+    SELECT g, ROUND(b1, 6) AS coef, ROUND(b0, 6) AS icpt,
+           k AS n_iter, step < 1e-8 AS converged
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY k DESC) AS rn
+      FROM it
+    ) WHERE rn = 1
+    """,
+)
+def ext_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``stochasticLogisticRegression``, batch-correct:
+    per-priority Newton/IRLS fit of P(order fully shipped) on the
+    centered total price; each iteration is one broadcast-join +
+    aggregation pass over the data (operators/regression.py:165)."""
+    from clickhouse_etl_spark.operators.regression import (
+        logistic_regression_fit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS g", f"{_LOGREG_X} AS x", f"{_LOGREG_Y} AS y"
+    )
+    out = logistic_regression_fit(orders, ["g"], ["x"], "y")
+    return out.select(
+        "g",
+        F.round(F.col("coefs")[0], 6).alias("coef"),
+        F.round("intercept", 6).alias("icpt"),
+        F.col("n_iter").cast("int").alias("n_iter"),
+        "converged",
+    )

@@ -190,17 +190,11 @@ def ns_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram (word-set) Jaccard — the verification kernel, SQL-checked
 # ---------------------------------------------------------------------------
-@register(
-    "ns_ngram_jaccard",
-    oracle="""
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                         list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
-                 / len(list_distinct(list_concat(string_split(a.text, ' '),
-                                                 string_split(b.text, ' ')))), 6) AS jaccard
-    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-8 rotation,
+# batch 4 (identical value-hash oracle there): the exact word-set
+# Jaccard is the verification kernel INSIDE the still-registered
+# ns_minhash_neardup (and now ns_curate_corpus), so the standalone
+# pairwise row was the registry's clearest near-twin.
 def ns_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs)
@@ -571,7 +565,13 @@ _SIGNED_SQL = (
 )
 
 
-def _minhash_oracle(num_hashes=16, bands=4, k=3, threshold=0.2) -> str:
+def _minhash_pair_ctes(
+    num_hashes=16, bands=4, k=3, threshold=0.2, src="documents"
+) -> str:
+    """The MinHash-LSH pair pipeline as a reusable CTE block ending in
+    ``mh_pairs(doc_a, doc_b, jaccard)`` — shared by the standalone
+    ns_minhash_neardup oracle and the ns_curate_corpus composition
+    oracle (which runs it over the exact-deduped subset)."""
     rpb = num_hashes // bands
     mh_exprs = []
     for i in range(num_hashes):
@@ -592,12 +592,11 @@ def _minhash_oracle(num_hashes=16, bands=4, k=3, threshold=0.2) -> str:
         f" ELSE v::HUGEINT END)),"
         f" (acc, v) -> (acc * 31 + v) % {_M64})"
     )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id,
         list_transform(range(0, greatest(len(string_split(text,' ')) - {k}, 0) + 1),
           i -> array_to_string(list_slice(string_split(text,' '), i+1, i+{k}), ' ')) AS sh
-      FROM documents
+      FROM {src}
     ),
     bases AS (
       SELECT doc_id, sh,
@@ -609,20 +608,29 @@ def _minhash_oracle(num_hashes=16, bands=4, k=3, threshold=0.2) -> str:
       SELECT doc_id, g.j AS band, {band_fold} AS band_hash
       FROM sigs CROSS JOIN (SELECT unnest(range(0, {bands})) AS j) g
     ),
-    pairs AS (
+    cand AS (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
       FROM banded l JOIN banded r
         ON l.band = r.band AND l.band_hash = r.band_hash
        AND l.doc_id < r.doc_id
-    )
-    SELECT doc_a, doc_b, jaccard FROM (
-      SELECT p.doc_a, p.doc_b,
-        ROUND(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
-              / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
-      FROM pairs p
-      JOIN sh sa ON sa.doc_id = p.doc_a
-      JOIN sh sb ON sb.doc_id = p.doc_b
-    ) WHERE jaccard >= {threshold}
+    ),
+    mh_pairs AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT p.doc_a, p.doc_b,
+          ROUND(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+        FROM cand p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b
+      ) WHERE jaccard >= {threshold}
+    )"""
+
+
+def _minhash_oracle(num_hashes=16, bands=4, k=3, threshold=0.2) -> str:
+    ctes = _minhash_pair_ctes(num_hashes, bands, k, threshold)
+    return f"""
+    WITH {ctes}
+    SELECT doc_a, doc_b, jaccard FROM mh_pairs
     """
 
 
@@ -689,7 +697,12 @@ def ns_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # point; text/dedup.py rejects radii the banding can't guarantee. The
 # pandas-UDF signature variant stays as the UDF-surface seam (impl=
 # 'pandas', tested in tests/test_multimodal.py).
-@register("ns_simhash_neardup", oracle=_simhash_oracle())
+# Demoted to tests/test_demoted_oracles.py in the round-8 rotation,
+# batch 4 (identical value-hash oracle there): the banded-signature
+# near-dup family keeps ns_minhash_neardup as its driver row; SimHash
+# is its Hamming-space sibling riding the same banding/verify machinery
+# (the pigeonhole completeness contract stays pinned in
+# tests/test_text_recall.py).
 def ns_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(
@@ -793,6 +806,12 @@ def _emb_neardup_oracle(threshold=0.35, num_planes=8, num_tables=6) -> str:
 
 @register("ns_ann_lsh", oracle=_lsh_ann_oracle())
 def ns_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kernel='auto' (r8, size-aware): below the 4096-vector floor —
+    every oracle-gate SF — this resolves to the all-JVM expr chain the
+    oracle mirrors BIT-for-bit, so the gate is deterministic by
+    construction; at scale it resolves to the Arrow sign-matmul kernel
+    (kernels pinned equal; ~1e-15 BLAS drift adjudication applies only
+    there)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     # num_planes pinned (API default is 'auto'): the oracle's literal
@@ -806,6 +825,9 @@ def ns_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinned in tests/test_text_recall.py.
 @register("ns_emb_neardup", oracle=_emb_neardup_oracle())
 def ns_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kernel='auto' (r8, size-aware): gate SFs (≤ 2k vectors) ride the
+    bit-mirrored expr chain — deterministic oracle by construction; at
+    scale the GEMM kernel takes over (pinned equal, exponent 0.31)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # max_bucket_size=None: exact oracle mirroring (see ns_minhash_neardup);
     # num_planes pinned (API default is 'auto') — the oracle's literal
@@ -1186,3 +1208,255 @@ def ns_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
     return frequent_items(words, "word", k=15, margin=4)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 rotation, batch 4: DSIR targeted selection (text/dsir.py) as a
+# driver row. hash_family='poly' makes the WHOLE pipeline — hashed
+# n-gram featurization, the two smoothed bucket models, per-doc log
+# importance weights, and the Gumbel top-n draw — a bit-deterministic
+# SQL mirror (the Gumbel noise derives from the wrapping-int64 affine
+# permutation of the doc id, never rand()). The strict top-n boundary
+# sits on unrounded keys (w + gumbel): a flip needs two keys within the
+# ln() drift (~1e-15) of each other — the registry's standing
+# measure-zero adjudication. Small bucket count (64) on purpose: the
+# gate corpus must EXERCISE bucket collisions, not avoid them.
+# ---------------------------------------------------------------------------
+_DSIR_NB = 64
+_DSIR_N = 100
+_DSIR_SEED = 7
+
+
+def _dsir_oracle() -> str:
+    a, b = poly_affine_constants(0)
+    u_bucket = f"(({_POLY_FOLD_SQL.format(s='g')}) * {a}::HUGEINT + {b}::HUGEINT) % {_M64}"
+    s_bucket = _SIGNED_SQL.format(v=f"({u_bucket})")
+    bucket = f"((({s_bucket}) % {_DSIR_NB}) + {_DSIR_NB}) % {_DSIR_NB}"
+    ga, gb = poly_affine_constants(_DSIR_SEED)
+    gu = f"((doc_id::HUGEINT * {ga}::HUGEINT + {gb}::HUGEINT) % {_M64})"
+    gs = _SIGNED_SQL.format(v=gu)
+    m = 1 << 52
+    gumbel_u = f"(((({gs}) % {m}) + {m}) % {m} + 1)::DOUBLE / {float(m + 2)!r}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_concat(t, list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS gs
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id, CAST({bucket} AS BIGINT) AS bucket
+      FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+    ),
+    tcnt AS (
+      SELECT bucket, count(*) AS t_n FROM feats
+      WHERE doc_id % 10 = 0 GROUP BY bucket
+    ),
+    rcnt AS (
+      SELECT bucket, count(*) AS r_n FROM feats
+      WHERE doc_id % 10 <> 0 GROUP BY bucket
+    ),
+    model AS (
+      SELECT b.bucket,
+             COALESCE(t.t_n, 0) AS t_n, COALESCE(r.r_n, 0) AS r_n
+      FROM (SELECT unnest(range(0, {_DSIR_NB})) AS bucket) b
+      LEFT JOIN tcnt t ON t.bucket = b.bucket
+      LEFT JOIN rcnt r ON r.bucket = b.bucket
+    ),
+    ratios AS (
+      SELECT bucket,
+             ln(t_n + 1.0) - ln((SELECT SUM(t_n) FROM model) + {_DSIR_NB}.0)
+             - ln(r_n + 1.0) + ln((SELECT SUM(r_n) FROM model) + {_DSIR_NB}.0)
+               AS log_ratio
+      FROM model
+    ),
+    scored AS (
+      SELECT d.doc_id, COALESCE(s.w, 0.0) AS w
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      LEFT JOIN (
+        SELECT f.doc_id, SUM(r.log_ratio) AS w
+        FROM feats f JOIN ratios r ON r.bucket = f.bucket
+        WHERE f.doc_id % 10 <> 0 GROUP BY f.doc_id
+      ) s ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, ROUND(w, 6) AS dsir_logweight
+    FROM (
+      SELECT doc_id, w,
+             w + (-ln(-ln({gumbel_u}))) AS gkey
+      FROM scored
+    )
+    ORDER BY gkey DESC, doc_id ASC LIMIT {_DSIR_N}
+    """
+
+
+@register("ns_dsir_select", oracle=_dsir_oracle())
+def ns_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (text/dsir.py:dsir_select): fit
+    target-vs-raw hashed-n-gram log-ratios (docs with id % 10 = 0 act
+    as the target corpus), score the raw pool, keep the Gumbel-top-100
+    draw. Log-ratio table is bounded by the bucket count (broadcast);
+    the only corpus shuffles are the per-(doc, bucket) count and the
+    per-doc score sum; top-n is a TakeOrdered."""
+    from clickhouse_etl_spark.text.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    out = dsir_select(
+        target, raw, n=_DSIR_N, num_buckets=_DSIR_NB,
+        hash_family="poly", seed=_DSIR_SEED,
+    )
+    return out.select(
+        "doc_id", F.round("dsir_logweight", 6).alias("dsir_logweight")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 rotation, batch 4: the END-TO-END curation pipeline
+# (text/curation.py:curate_corpus) as a driver row. Every stage was
+# already individually oracle-checked; this row pins the COMPOSITION —
+# stage order, inter-stage plumbing, and the survivor set it produces:
+# exact dedup → MinHash-LSH near-dup cluster removal (min-id keep) →
+# duplicated-span cutting → heuristic quality filter on the CUT text →
+# deterministic split assignment. hash_family='poly' threads the
+# SQL-reproducible hash family through every stage (r8), so the whole
+# chain mirrors into one DuckDB statement: keep-first GROUP BY, the
+# shared MinHash CTE block, a recursive-CTE transitive closure, the
+# span-island rebuild, the rounded-ratio quality gate, and the affine
+# split bucket. The PII scrub runs inside the query but is projected
+# out (it rewrites text without affecting survival; its regex chain is
+# oracle-checked standalone in pytest). minhash_max_bucket_size=None:
+# the oracle computes the exact uncapped pair set (the cap is a
+# production default, not oracle semantics).
+# ---------------------------------------------------------------------------
+_CURATE_MINHASH_THRESH = 0.2
+
+
+def _curate_oracle() -> str:
+    mh = _minhash_pair_ctes(threshold=_CURATE_MINHASH_THRESH, src="c1")
+    sa, sb = poly_affine_constants(1)
+    u_split = f"((doc_id::HUGEINT * {sa}::HUGEINT + {sb}::HUGEINT) % {_M64})"
+    s_split = _SIGNED_SQL.format(v=u_split)
+    bucket = f"((({s_split}) % 1000000) + 1000000) % 1000000"
+    punct = r"[!-/:-@\[-`{-~]"
+    return f"""
+    WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+    keep1 AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY text),
+    c1 AS (SELECT b.doc_id, b.text FROM base b
+           JOIN keep1 k ON k.doc_id = b.doc_id),
+    {mh},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src, src AS dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    c2 AS (
+      SELECT * FROM c1 WHERE doc_id NOT IN (
+        SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+      )
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM c2),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM grams
+      ) WHERE rn >= 2
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(max(pos + 8) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos, sum(brk) OVER (
+        PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM islands
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+      FROM grp GROUP BY doc_id, gid
+    ),
+    posn AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok FROM posn p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id AND p.pos >= s.s AND p.pos < s.e
+      )
+    ),
+    cut AS (
+      SELECT t.doc_id, COALESCE(k2.txt, '') AS text
+      FROM toks t LEFT JOIN (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id
+      ) k2 ON k2.doc_id = t.doc_id
+    ),
+    qual AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tok,
+        ROUND(CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+              / len(string_split(text, ' ')), 6) AS stop_ratio,
+        ROUND(CAST(length(text) -
+                length(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text), 1), 6) AS punct_ratio
+      FROM cut
+    ),
+    c3 AS (
+      SELECT doc_id FROM qual
+      WHERE NOT (n_tok < 5) AND NOT (stop_ratio > 0.6)
+        AND NOT (punct_ratio > 0.2)
+    )
+    SELECT doc_id,
+           CASE WHEN {bucket} < 900000 THEN 'train'
+                WHEN {bucket} < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM c3
+    """
+
+
+@register("ns_curate_corpus", oracle=_curate_oracle())
+def ns_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition (text/curation.py): the survivor
+    id set + deterministic split after exact dedup, near-dup cluster
+    removal, span cutting, and the quality gate. with_report=False —
+    the data card's per-stage counts are composition *accounting* (each
+    is a separate action); the row pins the composed RESULT."""
+    from clickhouse_etl_spark.text.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    res = curate_corpus(
+        docs,
+        span_k=8,
+        minhash_threshold=_CURATE_MINHASH_THRESH,
+        min_tokens=5,
+        hash_family="poly",
+        minhash_max_bucket_size=None,
+        with_report=False,
+    )
+    return res.corpus.select("doc_id", "split")

@@ -70,6 +70,8 @@ def curate_corpus(
     dsir_num_buckets: int = 8192,
     dsir_temperature: float = 1.0,
     dsir_seed: int = 0,
+    hash_family: str = "xxhash64",
+    minhash_max_bucket_size: int | None = 1000,
 ) -> CurationResult:
     """Run the full curation chain; see module doc for stage order.
 
@@ -106,6 +108,16 @@ def curate_corpus(
     against the surviving pool and keeps a Gumbel-top-``dsir_n``
     resample. Deterministic under ``dsir_seed``; the data card records
     the stage as ``dsir_select`` plus a ``dsir`` policy line.
+
+    ``hash_family`` (r8) threads the module-wide oracle convention
+    through the WHOLE composition: ``'poly'`` switches the MinHash
+    signatures, the DSIR featurization/noise, and the split-assignment
+    bucket (a wrapping-int64 affine permutation of the id instead of
+    xxhash64) to the SQL-reproducible family, making the end-to-end
+    pipeline value-hash checkable against one DuckDB oracle.
+    ``minhash_max_bucket_size`` is the near-dup stage's flood cap
+    (``None`` = exact LSH semantics for oracle runs — the production
+    default stays 1000).
     """
     if domain_blocklist is not None and url_col is None:
         # silently skipping the blocklist would ship blocked domains
@@ -182,7 +194,9 @@ def curate_corpus(
     #    drop every non-representative member. Runs on the exact-deduped
     #    corpus so identical texts don't re-cluster.
     pairs = minhash_near_duplicates(
-        cur, text_col=text_col, id_col=id_col, jaccard_threshold=minhash_threshold
+        cur, text_col=text_col, id_col=id_col,
+        jaccard_threshold=minhash_threshold, hash_family=hash_family,
+        max_bucket_size=minhash_max_bucket_size,
     )
     clusters = neardup_clusters(pairs)
     if neardup_score_col is not None:
@@ -259,15 +273,16 @@ def curate_corpus(
 
         lr = dsir_bucket_logratios(
             dsir_target, cur, text_col=text_col, id_col=id_col,
-            num_buckets=dsir_num_buckets,
+            num_buckets=dsir_num_buckets, hash_family=hash_family,
         )
         scores = dsir_scores(
             cur, lr, text_col=text_col, id_col=id_col,
-            num_buckets=dsir_num_buckets,
+            num_buckets=dsir_num_buckets, hash_family=hash_family,
         )
         picked = dsir_resample(
             scores, dsir_n, id_col=id_col,
             temperature=dsir_temperature, seed=dsir_seed,
+            hash_family=hash_family,
         )
         if with_report:
             report["dsir"] = (
@@ -290,8 +305,30 @@ def curate_corpus(
 
     # 7. Deterministic split assignment (documents never leak between
     #    train and eval across reruns).
+    split_bucket = None
+    if hash_family == "poly":
+        # SQL-mirrorable split bucket: wrapping-int64 affine permutation
+        # of the (numeric) id under poly_affine_constants(1), pmod 1e6 —
+        # the same family the MinHash/DSIR stages ride under 'poly'.
+        from clickhouse_etl_spark.operators.sampling import _BUCKETS
+        from clickhouse_etl_spark.text.dedup import (
+            _signed64,
+            poly_affine_constants,
+        )
+
+        a, b = poly_affine_constants(1)
+        split_bucket = F.pmod(
+            F.expr(
+                f"{id_col} * CAST({a} AS BIGINT)"
+                f" + CAST({_signed64(b)} AS BIGINT)"
+            ),
+            F.lit(_BUCKETS),
+        )
     cur = note(
         "final",
-        assign_splits(cur, key_cols=[id_col], weights=split_weights),
+        assign_splits(
+            cur, key_cols=[id_col], weights=split_weights,
+            bucket_expr=split_bucket,
+        ),
     )
     return CurationResult(corpus=cur, report=report)

@@ -188,26 +188,41 @@ def dsir_resample(
     weight_col: str = "dsir_logweight",
     temperature: float = 1.0,
     seed: int = 0,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Gumbel top-k resampling: keep the ``n`` docs maximizing
     ``log w(x)/temperature + Gumbel(id, seed)`` — a draw WITHOUT
     replacement with inclusion proportional-ish to the importance
     weights (the Gumbel-max trick), fully deterministic: the noise is
-    ``-log(-log(u))`` with ``u`` derived from ``xxhash64(id, seed)``,
-    never ``rand()``. Global top-n is a TakeOrdered (sort pushed into
+    ``-log(-log(u))`` with ``u`` derived from a hash of the id, never
+    ``rand()``. Global top-n is a TakeOrdered (sort pushed into
     per-partition heaps + one small merge), not a single-task sort.
 
     ``temperature`` interpolates policy: →0 approaches hard top-n by
-    weight; 1 is faithful DSIR; →∞ approaches a uniform sample."""
+    weight; 1 is faithful DSIR; →∞ approaches a uniform sample.
+
+    ``hash_family`` mirrors the module convention: ``'xxhash64'``
+    (default) hashes ``(id, seed)`` with the best mixing; ``'poly'``
+    derives ``u`` from the wrapping-int64 affine permutation of the
+    NUMERIC id under ``poly_affine_constants(seed)`` — bit-identical
+    in DuckDB HUGEINT SQL, making the whole Gumbel draw (and with it
+    :func:`dsir_select`) value-hash checkable."""
     if n < 1:
         raise ValueError("n must be >= 1")
     if temperature <= 0:
         raise ValueError("temperature must be positive")
     # u in (0,1) open: (h mod 2^52 + 1) / (2^52 + 2) never hits 0 or 1
     m = 1 << 52
-    u = (
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m)) + 1
-    ) / float(m + 2)
+    if hash_family == "poly":
+        a, b = poly_affine_constants(seed)
+        h = F.expr(
+            f"{id_col} * CAST({a} AS BIGINT) + CAST({_signed64(b)} AS BIGINT)"
+        )
+    elif hash_family == "xxhash64":
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    u = (F.pmod(h, F.lit(m)) + 1) / float(m + 2)
     gumbel = -F.log(-F.log(u))
     key = F.col(weight_col) / float(temperature) + gumbel
     return (
@@ -240,7 +255,8 @@ def dsir_select(
         raw, lr, text_col, id_col, num_buckets, hash_family
     )
     picked = dsir_resample(
-        scores, n, id_col, "dsir_logweight", temperature, seed
+        scores, n, id_col, "dsir_logweight", temperature, seed,
+        hash_family=hash_family,
     )
     return raw.join(picked, id_col)
 

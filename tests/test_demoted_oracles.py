@@ -1606,3 +1606,75 @@ def test_ns_outlier_mad(spark):
         WHERE e.value IS NOT NULL
         """,
     )
+
+
+def test_ns_simhash_neardup(spark):
+    """SimHash Hamming-banded near-dup pairs — identical oracle to the
+    row's registry days (demoted round 8: the Hamming-space sibling of
+    the still-registered ns_minhash_neardup; the pigeonhole recall
+    contract stays pinned in tests/test_text_recall.py)."""
+    from clickhouse_etl_spark.queries.northstar import (
+        _simhash_oracle,
+        ns_simhash_neardup,
+    )
+
+    _assert_matches_oracle(ns_simhash_neardup(spark, SF_DIR), _simhash_oracle())
+
+
+def test_ns_ngram_jaccard(spark):
+    """Adjacent-doc exact word-set Jaccard — identical oracle to the
+    row's registry days (demoted round 8: it is the verification kernel
+    inside ns_minhash_neardup / ns_curate_corpus)."""
+    from clickhouse_etl_spark.queries.northstar import ns_ngram_jaccard
+
+    _assert_matches_oracle(
+        ns_ngram_jaccard(spark, SF_DIR),
+        """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                             list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+                     / len(list_distinct(list_concat(string_split(a.text, ' '),
+                                                     string_split(b.text, ' ')))), 6) AS jaccard
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        """,
+    )
+
+
+def test_ext_percentiles(spark):
+    """Median/p95 per priority — identical oracle to the row's registry
+    days (demoted round 8: the quantile interpolation machinery stays
+    driver-verified via ext_quantiles_weighted)."""
+    from clickhouse_etl_spark.queries.extensions import ext_percentiles
+
+    _assert_matches_oracle(
+        ext_percentiles(spark, SF_DIR),
+        """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+    )
+
+
+def test_ext_retention(spark):
+    """ClickHouse retention() flags — identical oracle to the row's
+    registry days (demoted round 8: rides the same conditional-
+    aggregation event machinery as the still-registered
+    ext_window_funnel)."""
+    from clickhouse_etl_spark.queries.extensions import ext_retention
+
+    _assert_matches_oracle(
+        ext_retention(spark, SF_DIR),
+        """
+        SELECT user_id,
+               max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r2,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r3
+        FROM events GROUP BY user_id
+        """,
+    )

@@ -185,6 +185,29 @@ def test_dsir_resample_deterministic_and_bounded(spark):
     mw = lambda df: df.agg(F.avg("dsir_logweight")).collect()[0][0]
     assert mw(cold) >= mw(a) - 1e-9
 
+    # poly noise family (r8): deterministic, full-size, a DIFFERENT
+    # draw than xxhash64 under the same seed (independent permutation),
+    # and the same hard-top-n cold limit. Unknown family fails loudly.
+    p1 = sorted(
+        r.doc_id
+        for r in dsir_resample(scores, 25, seed=7, hash_family="poly").collect()
+    )
+    p2 = sorted(
+        r.doc_id
+        for r in dsir_resample(scores, 25, seed=7, hash_family="poly").collect()
+    )
+    assert p1 == p2 and len(p1) == 25 and p1 != got_a
+    cold_p = dsir_resample(
+        scores, 25, temperature=1e-9, seed=7, hash_family="poly"
+    )
+    assert {r.doc_id for r in cold_p.collect()} == {
+        r.doc_id for r in top.collect()
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_family"):
+        dsir_resample(scores, 25, hash_family="nope")
+
 
 def test_dsir_select_composes_and_keeps_width(spark):
     docs = load_table(spark, SF_DIR, "documents")
