@@ -43,6 +43,14 @@ HEADLINERS = {
     "ns_pq_ivfadc": "ONE fused map-only corpus pass (cell argmin + code "
     "argmins as literals); query cells + LUTs broadcast; shuffles only "
     "the two per-query top-k windows over shortlisted rows",
+    # round-8 rotation-4 promotions
+    "ext_linreg_fit": "per-group OLS: the p(p+3)/2 moment upper-triangle "
+    "folds as plain JVM sums (map-side combinable, ONE shuffle on the "
+    "group key); the p×p solve runs on the k-row moment table only",
+    "ns_curate_corpus": "the composed curation chain: digest-keyed exact "
+    "dedup, banded MinHash + min-label closure, span islands, quality "
+    "gate — each stage consumes the previous lazily; no stage adds an "
+    "exchange beyond its own operator's",
     "ns_semantic_dedup": "cells prune the pair search; per-cell BLAS "
     "GEMM kernel (applyInPandas) scores pairs — sub-threshold "
     "candidates never exist as rows; min-label closure over pair ids, "
