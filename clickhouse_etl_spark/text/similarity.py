@@ -172,6 +172,25 @@ def _probe_dims(df: DataFrame, vec_col: str) -> int:
     return int(row[0]["d"])
 
 
+def _probe_dims_and_floor(df: DataFrame, vec_col: str) -> tuple[int, bool]:
+    """(dims, at_or_above_floor) in ONE bounded job: scans at most
+    ``_GEMM_FLOOR_ROWS`` rows regardless of corpus size, so the
+    kernel='auto' dispatch costs the SAME single probe job the pre-floor
+    code already paid for dims — no extra job at toy scale (the r8 bench
+    showed a separate count() job costing ~0.14 s on sub-second rows),
+    and no full count at 100 TB scale either (the floor comparison only
+    needs min(n, floor))."""
+    rows = (
+        df.limit(_GEMM_FLOOR_ROWS)
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .collect()
+    )
+    dims = next(
+        (int(r["d"]) for r in rows if r["d"] is not None and r["d"] >= 0), 0
+    )
+    return dims, len(rows) >= _GEMM_FLOOR_ROWS
+
+
 def lsh_bucket(vec_col: str, num_planes: int = 8, dims: int = 64) -> F.Column:
     """Bucket id = concatenated hyperplane sign bits (0..2^planes-1)."""
     bits = [
@@ -430,15 +449,23 @@ def embedding_cosine_neardup(
         if log_fn is not None:
             log_fn(f"auto_planes -> {num_planes}")
     if kernel == "auto":
-        # Size-aware dispatch (one COUNT job when num_planes didn't
-        # already pay it — parquet-metadata cheap on scans; pin the
-        # kernel explicitly if the corpus plan makes counting expensive).
-        if n_rows is None:
-            n_rows = corpus.count()
-        kernel = "gemm" if n_rows >= _GEMM_FLOOR_ROWS else "expr"
+        # Size-aware dispatch fused into the dims probe (one bounded
+        # job — never a full count; num_planes='auto' already counted,
+        # so reuse its answer when available).
+        if n_rows is not None:
+            dims = _probe_dims(corpus, vec_col)
+            big = n_rows >= _GEMM_FLOOR_ROWS
+        else:
+            dims, big = _probe_dims_and_floor(corpus, vec_col)
+        kernel = "gemm" if big else "expr"
         if log_fn is not None:
-            log_fn(f"kernel auto -> {kernel} ({n_rows} vectors)")
-    dims = _probe_dims(corpus, vec_col)
+            detail = f"{n_rows} vectors" if n_rows is not None else (
+                f">={_GEMM_FLOOR_ROWS} vectors" if big
+                else f"<{_GEMM_FLOOR_ROWS} vectors"
+            )
+            log_fn(f"kernel auto -> {kernel} ({detail})")
+    else:
+        dims = _probe_dims(corpus, vec_col)
     vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
     if kernel == "gemm":
         return _emb_neardup_gemm(
@@ -871,12 +898,16 @@ def lsh_ann_topk(
         n_rows = corpus.count()
         num_planes = auto_planes(n_rows)
     if kernel == "auto":
-        # Size-aware dispatch, same floor + rationale as
-        # embedding_cosine_neardup (_GEMM_FLOOR_ROWS).
-        if n_rows is None:
-            n_rows = corpus.count()
-        kernel = "gemm" if n_rows >= _GEMM_FLOOR_ROWS else "expr"
-    dims = _probe_dims(corpus, vec_col)
+        # Size-aware dispatch fused into the dims probe (one bounded
+        # job), same floor + rationale as embedding_cosine_neardup.
+        if n_rows is not None:
+            dims = _probe_dims(corpus, vec_col)
+            big = n_rows >= _GEMM_FLOOR_ROWS
+        else:
+            dims, big = _probe_dims_and_floor(corpus, vec_col)
+        kernel = "gemm" if big else "expr"
+    else:
+        dims = _probe_dims(corpus, vec_col)
     # Kernel-parity contract (r8): NULL/ragged vectors drop on ENTRY for
     # BOTH kernels. The Arrow hasher always skipped them; the expr path
     # used to hash them into bucket 0 (CASE WHEN NULL >= 0 falls to ELSE)
