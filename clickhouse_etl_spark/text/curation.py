@@ -311,18 +311,10 @@ def curate_corpus(
         # of the (numeric) id under poly_affine_constants(1), pmod 1e6 —
         # the same family the MinHash/DSIR stages ride under 'poly'.
         from clickhouse_etl_spark.operators.sampling import _BUCKETS
-        from clickhouse_etl_spark.text.dedup import (
-            _signed64,
-            poly_affine_constants,
-        )
+        from clickhouse_etl_spark.text.dedup import poly_affine_id_expr
 
-        a, b = poly_affine_constants(1)
         split_bucket = F.pmod(
-            F.expr(
-                f"{id_col} * CAST({a} AS BIGINT)"
-                f" + CAST({_signed64(b)} AS BIGINT)"
-            ),
-            F.lit(_BUCKETS),
+            poly_affine_id_expr(cur, id_col, 1), F.lit(_BUCKETS)
         )
     cur = note(
         "final",

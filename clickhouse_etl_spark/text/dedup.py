@@ -89,6 +89,38 @@ def poly_affine_constants(i: int) -> tuple[int, int]:
     return a, b
 
 
+def poly_affine_id_expr(df: DataFrame, id_col: str, i: int):
+    """Wrapping-int64 affine permutation of a NUMERIC id column under
+    ``poly_affine_constants(i)`` — THE canonical Spark expression for
+    the 'poly' family applied to ids (IVF centroid sampling, the DSIR
+    Gumbel draw, curation split buckets). Single definition: the three
+    call sites' DuckDB oracles all mirror this exact HUGEINT arithmetic,
+    so the family must change in lockstep or not at all (same contract
+    as ``_POLY_FOLD`` below).
+
+    Fails LOUDLY on a non-integral id column: the implicit BIGINT cast
+    of a string/UUID id would yield NULL, and NULL keys downstream turn
+    'deterministic permutation' into silent garbage (every split bucket
+    NULL → the last split takes 100% of rows; every Gumbel key NULL →
+    the resample becomes 'n smallest ids')."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"hash_family='poly' permutes the id arithmetically and needs "
+            f"an integral id column; {id_col!r} is {dt.simpleString()}. "
+            "Use hash_family='xxhash64' (hashes any type) or project a "
+            "numeric id first."
+        )
+    a, b = poly_affine_constants(i)
+    return F.expr(
+        f"{id_col} * CAST({a} AS BIGINT) + CAST({_signed64(b)} AS BIGINT)"
+    )
+
+
 # Base-31 Java-style polynomial char fold — THE canonical definition.
 # analysis.rolling_hash and the queries/* oracle SQL strings mirror this
 # exact form; change it only in lockstep with those (the docstrings'

@@ -214,10 +214,9 @@ def dsir_resample(
     # u in (0,1) open: (h mod 2^52 + 1) / (2^52 + 2) never hits 0 or 1
     m = 1 << 52
     if hash_family == "poly":
-        a, b = poly_affine_constants(seed)
-        h = F.expr(
-            f"{id_col} * CAST({a} AS BIGINT) + CAST({_signed64(b)} AS BIGINT)"
-        )
+        from clickhouse_etl_spark.text.dedup import poly_affine_id_expr
+
+        h = poly_affine_id_expr(scores, id_col, seed)
     elif hash_family == "xxhash64":
         h = F.xxhash64(F.col(id_col), F.lit(seed))
     else:

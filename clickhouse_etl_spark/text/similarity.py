@@ -165,8 +165,16 @@ def _hyperplane_sign(vec_col: str, plane: int, dims: int) -> str:
 
 
 def _probe_dims(df: DataFrame, vec_col: str) -> int:
-    """Embedding dimensionality (tiny first-row probe, one-time)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    """Embedding dimensionality: first VALID vector's size (tiny probe,
+    one-time). Skips NULL vectors — ``size(NULL)`` is -1/NULL, and a
+    NULL-vector FIRST row would otherwise poison every ``size == dims``
+    validity filter downstream into dropping the whole corpus."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d") >= 0)
+        .limit(1)
+        .collect()
+    )
     if not row:
         return 0
     return int(row[0]["d"])
@@ -328,12 +336,9 @@ def ivf_ann_topk(
                           query_id_col)
 
     if hash_family == "poly":
-        from clickhouse_etl_spark.text.dedup import _signed64, poly_affine_constants
+        from clickhouse_etl_spark.text.dedup import poly_affine_id_expr
 
-        a, b = poly_affine_constants(0)
-        order_h = F.expr(
-            f"{id_col} * CAST({a} AS BIGINT) + CAST({_signed64(b)} AS BIGINT)"
-        )
+        order_h = poly_affine_id_expr(c, id_col, 0)
     else:
         order_h = F.xxhash64(F.col(id_col))
 
@@ -466,6 +471,17 @@ def embedding_cosine_neardup(
             log_fn(f"kernel auto -> {kernel} ({detail})")
     else:
         dims = _probe_dims(corpus, vec_col)
+    # Kernel-parity contract (r8 self-review): NULL/ragged vectors drop
+    # on ENTRY for BOTH kernels — the expr chain used to hash them into
+    # bucket 0 of every table (CASE WHEN NULL >= 0 falls to ELSE) where
+    # identical ragged rows could pair with cosine 1.0 and eat
+    # max_bucket_size cap slots, while the Arrow hasher dropped them —
+    # so kernel='auto' could change the emitted pair set at the floor.
+    # Zero-norm vectors still hash in both kernels (all sign bits 1);
+    # their NULL cosine fails the >= threshold filter in both.
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dims)
+    )
     vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
     if kernel == "gemm":
         return _emb_neardup_gemm(

@@ -267,3 +267,72 @@ def test_semantic_join_kernel_threads_expr_assignment(spark, monkeypatch):
     assert seen["kernel"] == "expr"
     semantic_cluster_pairs(emb, cents, threshold=THRESH, kernel="gemm").count()
     assert seen["kernel"] == "auto"
+
+
+def test_emb_neardup_kernels_agree_on_degenerate_vectors(spark):
+    """r8 self-review pin (the near-dup twin of the lsh_ann_topk parity
+    fix): NULL/ragged vectors drop on entry for BOTH kernels — the expr
+    chain used to hash them into bucket 0 where two identical ragged
+    rows pair with cosine 1.0 while the Arrow hasher dropped them, so
+    kernel='auto' changed the pair set at the size floor. A NULL-vector
+    FIRST row must also not poison the dims probe into dropping the
+    whole corpus."""
+    from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
+
+    base = load_table(spark, SF_DIR, "embeddings")
+    dims = len(base.select("embedding").first()[0])
+    # a NULL vector LEADS the corpus (the dims probe must skip it, not
+    # return -1 and drop everything); the ragged/zero rows follow the
+    # valid corpus — the probe's contract is "first VALID row's size",
+    # so a corpus whose first valid row is ragged is caller error.
+    null_first = spark.createDataFrame(
+        [(-1, None)], "vec_id bigint, embedding array<double>"
+    )
+    degenerate = spark.createDataFrame(
+        [
+            (100001, [2.0] * (dims - 1)),          # ragged twin A
+            (100002, [2.0] * (dims - 1)),          # ragged twin B (would pair)
+            (100003, [0.0] * dims),                # zero norm
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    emb = null_first.unionByName(
+        base.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    ).unionByName(degenerate)
+    a = {tuple(r) for r in embedding_cosine_neardup(
+        emb, threshold=0.35, num_planes=6, kernel="expr").collect()}
+    b = {tuple(r) for r in embedding_cosine_neardup(
+        emb, threshold=0.35, num_planes=6, kernel="gemm").collect()}
+    assert a == b and len(a) > 0  # NULL-first row didn't empty the corpus
+    ids_out = {r[0] for r in a} | {r[1] for r in a}
+    assert not ids_out & {-1, 100001, 100002, 100003}
+
+
+def test_poly_id_family_rejects_non_integral_ids(spark):
+    """r8 self-review pin: hash_family='poly' permutes the id
+    arithmetically; a string id would cast to NULL and silently send
+    every row to the last split / make the Gumbel draw degenerate.
+    The shared helper fails loudly instead."""
+    import pytest
+
+    from clickhouse_etl_spark.text.dsir import dsir_resample
+
+    scores = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "doc_id string, dsir_logweight double"
+    )
+    with pytest.raises(ValueError, match="integral id column"):
+        dsir_resample(scores, 1, hash_family="poly").collect()
+
+    from clickhouse_etl_spark.text.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [("u1", "some text here that is long enough to keep")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(ValueError, match="integral id column"):
+        curate_corpus(
+            docs, hash_family="poly", with_report=False
+        ).corpus.collect()
