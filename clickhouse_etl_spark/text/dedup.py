@@ -103,8 +103,6 @@ def poly_affine_id_expr(df: DataFrame, id_col: str, i: int):
     'deterministic permutation' into silent garbage (every split bucket
     NULL → the last split takes 100% of rows; every Gumbel key NULL →
     the resample becomes 'n smallest ids')."""
-    from pyspark.sql import types as T
-
     dt = df.schema[id_col].dataType
     if not isinstance(
         dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)

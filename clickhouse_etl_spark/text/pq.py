@@ -51,8 +51,11 @@ def _check_books(codebooks) -> tuple[int, int, int]:
 
 
 def _check_dims(df: DataFrame, vec_col: str, m: int, dsub: int, side: str):
-    """SAMPLED fast pre-check (row 1 only — same convention as
-    ``_probe_dims``): catches the common whole-corpus dims mismatch
+    """SAMPLED fast pre-check (row 1 only — deliberately cruder than
+    similarity's ``_probe_dims``, which since r8 takes the MODAL size
+    over a 1024-row sample and skips NULL rows; here a NULL probe row
+    simply skips the pre-check and defers to the in-pass assert):
+    catches the common whole-corpus dims mismatch
     before any work with a friendly error. Ragged rows PAST row 1 are
     caught in-pass by :func:`_vec_expr`'s per-row assert (r6 ADVICE:
     without it a ragged row slices short, NULLs the distance folds,

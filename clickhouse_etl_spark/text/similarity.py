@@ -164,20 +164,33 @@ def _hyperplane_sign(vec_col: str, plane: int, dims: int) -> str:
     return f"CASE WHEN ({proj}) >= 0 THEN 1 ELSE 0 END"
 
 
+def _modal_dims(sizes) -> int:
+    """Most common valid vector size in a probe sample (ties break to
+    the SMALLER size — any deterministic rule works; what matters is
+    that one ragged/corrupt LEADING row cannot define dims for the
+    whole corpus and silently invert the ``size == dims`` validity
+    filters into dropping every normal vector)."""
+    from collections import Counter
+
+    counts = Counter(int(d) for d in sizes if d is not None and d >= 0)
+    if not counts:
+        return 0
+    return max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+
 def _probe_dims(df: DataFrame, vec_col: str) -> int:
-    """Embedding dimensionality: first VALID vector's size (tiny probe,
-    one-time). Skips NULL vectors — ``size(NULL)`` is -1/NULL, and a
-    NULL-vector FIRST row would otherwise poison every ``size == dims``
-    validity filter downstream into dropping the whole corpus."""
-    row = (
+    """Embedding dimensionality: the MODAL size over the first 1024
+    valid vectors (one tiny job; the ``d >= 0`` filter skips NULL
+    vectors, whose size is -1/NULL — a NULL or ragged leading row must
+    not poison the downstream validity filters into dropping the whole
+    corpus)."""
+    rows = (
         df.select(F.size(F.col(vec_col)).alias("d"))
         .filter(F.col("d") >= 0)
-        .limit(1)
+        .limit(1024)
         .collect()
     )
-    if not row:
-        return 0
-    return int(row[0]["d"])
+    return _modal_dims(r["d"] for r in rows)
 
 
 def _probe_dims_and_floor(df: DataFrame, vec_col: str) -> tuple[int, bool]:
@@ -187,16 +200,20 @@ def _probe_dims_and_floor(df: DataFrame, vec_col: str) -> tuple[int, bool]:
     code already paid for dims — no extra job at toy scale (the r8 bench
     showed a separate count() job costing ~0.14 s on sub-second rows),
     and no full count at 100 TB scale either (the floor comparison only
-    needs min(n, floor))."""
+    needs min(n, floor)). Dims is the modal valid size in the sample;
+    if a full sample holds NO valid vector (a NULL-led corpus larger
+    than the floor), dims falls back to the filtered probe rather than
+    reporting 0 and silently filtering the corpus empty."""
     rows = (
         df.limit(_GEMM_FLOOR_ROWS)
         .select(F.size(F.col(vec_col)).alias("d"))
         .collect()
     )
-    dims = next(
-        (int(r["d"]) for r in rows if r["d"] is not None and r["d"] >= 0), 0
-    )
-    return dims, len(rows) >= _GEMM_FLOOR_ROWS
+    dims = _modal_dims(r["d"] for r in rows)
+    big = len(rows) >= _GEMM_FLOOR_ROWS
+    if dims == 0 and big:
+        dims = _probe_dims(df, vec_col)
+    return dims, big
 
 
 def lsh_bucket(vec_col: str, num_planes: int = 8, dims: int = 64) -> F.Column:

@@ -336,3 +336,38 @@ def test_poly_id_family_rejects_non_integral_ids(spark):
         curate_corpus(
             docs, hash_family="poly", with_report=False
         ).corpus.collect()
+
+
+def test_probe_dims_modal_and_null_led_fallback(spark):
+    """r8 re-review pins: (a) dims is the MODAL valid size, so one
+    ragged LEADING row can't define dims and silently invert the
+    validity filter into dropping every normal vector; (b) a NULL-led
+    corpus larger than the floor must not yield dims=0 from the bounded
+    sample — the fused probe falls back to the filtered probe."""
+    from clickhouse_etl_spark.text.similarity import (
+        _GEMM_FLOOR_ROWS,
+        _probe_dims,
+        _probe_dims_and_floor,
+    )
+
+    ragged_first = spark.createDataFrame(
+        [(0, [1.0] * 5)], "vec_id long, embedding array<double>"
+    ).unionByName(
+        spark.range(1, 101).select(
+            F.col("id").alias("vec_id"),
+            F.expr("array_repeat(cast(id as double), 8)").alias("embedding"),
+        )
+    )
+    assert _probe_dims(ragged_first, "embedding") == 8
+
+    null_led = spark.range(_GEMM_FLOOR_ROWS + 10).select(
+        F.col("id").alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+    ).unionByName(
+        spark.range(10).select(
+            (F.col("id") + 10_000_000).alias("vec_id"),
+            F.expr("array_repeat(cast(id as double), 8)").alias("embedding"),
+        )
+    )
+    dims, big = _probe_dims_and_floor(null_led, "embedding")
+    assert dims == 8 and big
