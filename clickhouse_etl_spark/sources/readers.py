@@ -182,6 +182,22 @@ def read_jdbc_table(
             "predicates must be a sequence of Spark-SQL filters, not a "
             f"string — wrap it in a list: [{predicates!r}]"
         )
+    if predicates_post_dedup and (not predicates or dedup_latest is None):
+        # The acknowledgment only means something on the combination it
+        # acknowledges; a misplaced opt-in (wrong read, or the predicates
+        # were later moved to source_where) should fail loudly rather
+        # than silently ride along doing nothing (r8 ADVICE).
+        raise ValueError(
+            "predicates_post_dedup=True acknowledges the post-dedup "
+            "semantics of predicates combined with dedup_latest, but "
+            + (
+                "no predicates were passed"
+                if not predicates
+                else "dedup_latest is None"
+            )
+            + " on this read — drop the flag, or move it to the read it "
+            "was meant for."
+        )
     if predicates and dedup_latest is not None and not predicates_post_dedup:
         # Transition warning (r6 ADVICE): before round 6 this combination
         # filtered BEFORE the dedup; it now filters AFTER it, so keys

@@ -412,9 +412,11 @@ def embedding_cosine_neardup(
     candidate materialization + re-attach (6.1 s+). ``'gemm'`` (what
     ``'auto'`` picks at or above ``_GEMM_FLOOR_ROWS`` = 4096 corpus
     vectors — below it the Arrow round-trip costs more than the folds
-    save, so small corpora keep the bit-deterministic expr chain; the
-    probe is one COUNT job, shared with ``num_planes='auto'`` when both
-    are auto) keeps the identical LSH geometry but runs both
+    save, so small corpora keep the bit-deterministic expr chain; with
+    ``kernel='auto'`` alone one fused bounded job answers dims AND the
+    floor; when ``num_planes='auto'`` too, its full COUNT is reused for
+    the floor decision and dims costs its own bounded probe — two jobs,
+    one of them needed anyway) keeps the identical LSH geometry but runs both
     hot products in Arrow: one ``X @ Sᵀ`` sign matmul hashes every
     table's buckets per batch (vectors ride along, so nothing
     re-joins), and one BLAS ``U @ U.T`` per (table, bucket) group
@@ -456,6 +458,13 @@ def embedding_cosine_neardup(
     tuning; the safe behavior shouldn't require reading that doc. Pass
     an int to pin bucket geometry (the registered oracle query pins 8
     so its DuckDB mirror stays bit-exact across scale factors).
+
+    Input contract: NULL and ragged vectors (size ≠ the corpus's modal
+    dimensionality) are DROPPED on entry — they can't participate in a
+    cosine and must not eat bucket-cap slots (kernel-parity, round 8).
+    The drop is silent by default (counting it is a full extra pass);
+    pass ``log_fn`` to get the dropped-row count. For a loud per-row
+    assert on corrupted vectors, see the PQ path (``text/pq.py``).
     """
     if kernel not in ("auto", "expr", "gemm"):
         raise ValueError(f"unknown kernel {kernel!r}")
@@ -496,9 +505,16 @@ def embedding_cosine_neardup(
     # so kernel='auto' could change the emitted pair set at the floor.
     # Zero-norm vectors still hash in both kernels (all sign bits 1);
     # their NULL cosine fails the >= threshold filter in both.
-    corpus = corpus.filter(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dims)
-    )
+    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dims)
+    if log_fn is not None:
+        # Diagnostic opt-in only — counting the drop is a full pass.
+        n_dropped = corpus.filter(~valid).count()
+        if n_dropped:
+            log_fn(
+                f"embedding_cosine_neardup: dropped {n_dropped} "
+                f"NULL/ragged vectors (expected size {dims}) on entry"
+            )
+    corpus = corpus.filter(valid)
     vecs = corpus.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("__v"))
     if kernel == "gemm":
         return _emb_neardup_gemm(
@@ -899,6 +915,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     kernel: str = "auto",
+    log_fn=None,
 ) -> DataFrame:
     """Approximate top-k: compare only within shared LSH buckets.
 
@@ -919,6 +936,13 @@ def lsh_ann_topk(
     ``X @ Sᵀ`` Arrow matmul (:func:`_hash_buckets_arrow`), identical
     geometry, kernels pinned equal; ``'expr'`` keeps the
     DuckDB-bit-mirrored fold path the registered oracle pins.
+
+    Input contract: NULL and ragged vectors are DROPPED on entry from
+    BOTH sides (corpus and queries) — they can't score a cosine and a
+    query that survives with a NULL vector would return an empty top-k
+    anyway (kernel-parity, round 8). The drop is silent by default;
+    pass ``log_fn`` for dropped-row counts (one extra pass per side).
+    For a loud per-row assert on corrupted vectors see ``text/pq.py``.
     """
     if kernel not in ("auto", "expr", "gemm"):
         raise ValueError(f"unknown kernel {kernel!r}")
@@ -950,6 +974,14 @@ def lsh_ann_topk(
     # is NULL (x/0), so the NULL-cosine filter below keeps them out of
     # the ranking in both kernels. Pinned in test_semantic_dedup.py.
     valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dims)
+    if log_fn is not None:
+        for side, df in (("corpus", corpus), ("queries", queries)):
+            n_dropped = df.filter(~valid).count()
+            if n_dropped:
+                log_fn(
+                    f"lsh_ann_topk: dropped {n_dropped} NULL/ragged "
+                    f"{side} vectors (expected size {dims}) on entry"
+                )
     corpus = corpus.filter(valid)
     queries = queries.filter(valid)
     if kernel == "gemm":

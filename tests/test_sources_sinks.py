@@ -319,3 +319,30 @@ def test_align_to_schema_rules(spark):
     required = T.StructType([T.StructField("absent", T.LongType(), False)])
     with pytest.raises(ValueError, match="non-nullable"):
         align_to_schema(df, required)
+
+
+def test_predicates_post_dedup_requires_the_combination(spark):
+    """predicates_post_dedup=True on a read without BOTH predicates and
+    dedup_latest fails loudly (r8 ADVICE) — the flag acknowledges the
+    post-dedup semantics of that specific combination, so a misplaced
+    opt-in (wrong read, or predicates later moved to source_where) must
+    not silently mean nothing. Raises before any JDBC connection."""
+    import pytest
+
+    from clickhouse_etl_spark.sources.readers import read_jdbc_table
+
+    with pytest.raises(ValueError, match="no predicates were passed"):
+        read_jdbc_table(
+            spark,
+            "jdbc:derby:memory:neverconnected",
+            "t",
+            predicates_post_dedup=True,
+        )
+    with pytest.raises(ValueError, match="dedup_latest is None"):
+        read_jdbc_table(
+            spark,
+            "jdbc:derby:memory:neverconnected",
+            "t",
+            predicates=["x > 1"],
+            predicates_post_dedup=True,
+        )

@@ -262,7 +262,7 @@ def test_embedding_neardup_auto_planes_runs(spark):
         embedding_cosine_neardup,
     )
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
     msgs = []
     got = embedding_cosine_neardup(
         emb, threshold=0.35, num_planes="auto", log_fn=msgs.append
@@ -291,7 +291,7 @@ def test_kernel_auto_row_count_floor(spark):
         embedding_cosine_neardup,
     )
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
     small_msgs = []
     embedding_cosine_neardup(
         emb, threshold=0.35, num_planes=6, log_fn=small_msgs.append
@@ -323,7 +323,7 @@ def test_embedding_neardup_rejects_unknown_planes_string(spark):
     from clickhouse_etl_spark.catalog import load_table
     from clickhouse_etl_spark.text.similarity import embedding_cosine_neardup
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
     with pytest.raises(ValueError, match="num_planes"):
         embedding_cosine_neardup(emb, num_planes="Auto")
 
@@ -332,7 +332,7 @@ def test_lsh_ann_auto_planes(spark):
     from clickhouse_etl_spark.catalog import load_table
     from clickhouse_etl_spark.text.similarity import auto_planes, lsh_ann_topk
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
     q = emb.filter(F.col("vec_id") < 2)
     got = lsh_ann_topk(emb, q, k=3, num_planes="auto").collect()
     want = lsh_ann_topk(emb, q, k=3, num_planes=auto_planes(emb.count())).collect()
