@@ -97,15 +97,10 @@ def warm_session(spark) -> None:
     spark.range(1_000).mapInPandas(_identity, schema="id long").count()
 
 
-def ambient_check() -> dict[str, float | bool]:
-    """Sample ambient host pressure BEFORE the run (r6 judge ask: three
-    tainted runs and a ~7% fleet-wide drift went unannotated). loadavg1
-    is sampled directly; steal% over a short window. Above thresholds
-    the run is NOT refused (the driver runs unattended and an annotated
-    number beats a missing artifact) — it is loudly flagged both here
-    and in the compact stdout line, and stderr carries the warning for
-    interactive runs. SPARK_GRAFT_BENCH_REFUSE_HOT=1 upgrades the flag
-    to a refusal for attended re-baselines."""
+def _ambient_sample() -> dict[str, float | bool]:
+    """One ambient-pressure sample (loadavg1 + steal% over 0.5s), with
+    the shared hot verdict — no side effects; used by the pre-run check
+    and the post-run hot-retry poll."""
     pre: dict[str, float | bool] = {}
     try:
         pre["loadavg1"] = round(os.getloadavg()[0], 2)
@@ -121,12 +116,26 @@ def ambient_check() -> dict[str, float | bool]:
             )
     load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0"))
     steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "10.0"))
-    hot = bool(
+    pre["hot"] = bool(
         pre.get("loadavg1", 0.0) > load_max
         or pre.get("steal_pct", 0.0) > steal_max
     )
-    pre["hot"] = hot
-    if hot:
+    return pre
+
+
+def ambient_check() -> dict[str, float | bool]:
+    """Sample ambient host pressure BEFORE the run (r6 judge ask: three
+    tainted runs and a ~7% fleet-wide drift went unannotated). loadavg1
+    is sampled directly; steal% over a short window. Above thresholds
+    the run is NOT refused (the driver runs unattended and an annotated
+    number beats a missing artifact) — it is loudly flagged both here
+    and in the compact stdout line, and stderr carries the warning for
+    interactive runs. SPARK_GRAFT_BENCH_REFUSE_HOT=1 upgrades the flag
+    to a refusal for attended re-baselines."""
+    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0"))
+    steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "10.0"))
+    pre = _ambient_sample()
+    if pre["hot"]:
         sys.stderr.write(
             f"bench: AMBIENT HOT before run {pre} "
             f"(thresholds loadavg1>{load_max}, steal>{steal_max}%) — "
@@ -192,7 +201,8 @@ def main() -> int:
     cpu0 = _cpu_sample()
     timings: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
-    for p in range(passes):
+
+    def run_pass() -> None:
         spark.catalog.clearCache()
         for name, fn in qs.items():
             t0 = time.perf_counter()
@@ -208,6 +218,39 @@ def main() -> int:
             except Exception as e:  # keep benching; a failure is its own signal
                 if name not in timings:
                     failed[name] = f"{type(e).__name__}: {e}"[:200]
+
+    for _p in range(passes):
+        run_pass()
+
+    # Hot-retry (r8 judge ask #3): the official r8 artifact carried
+    # ambient_hot inflation (53.2 s recorded vs 49.6 s on a clean host;
+    # three sub-second rows read as false regressions). If the host was
+    # hot at the pre-run sample OR is hot now, poll (bounded) for it to
+    # cool and fold ONE extra clean pass into the per-query minima — the
+    # committed artifact is then either clean-host or carries the
+    # retry-minimum per query, never a silently inflated number.
+    hot_retry: dict[str, float | bool] = {}
+    post = _ambient_sample()
+    if host_pre.get("hot") or post.get("hot"):
+        wait_max = float(os.environ.get("SPARK_GRAFT_BENCH_HOT_WAIT_MAX", "300"))
+        poll_s = float(os.environ.get("SPARK_GRAFT_BENCH_HOT_POLL_SEC", "30"))
+        waited = 0.0
+        cool = not post.get("hot")
+        while not cool and waited < wait_max:
+            step = min(poll_s, wait_max - waited)
+            time.sleep(step)
+            waited += step
+            cool = not _ambient_sample().get("hot")
+        hot_retry["waited_s"] = round(waited, 1)
+        hot_retry["clean_pass"] = bool(cool)
+        if cool:
+            run_pass()
+        else:
+            sys.stderr.write(
+                f"bench: host still hot after {waited:.0f}s wait — "
+                "no clean retry pass; timings may drift high\n"
+            )
+
     per_query = {n: min(ts) for n, ts in timings.items()}
     # max-min across passes: lets a reader separate noise from regression
     # without this box's interference folklore — a query whose spread
@@ -267,6 +310,8 @@ def main() -> int:
         out["warmup_sec"] = warmup_sec
     if host:
         out["host"] = host
+    if hot_retry:
+        out["hot_retry"] = hot_retry
     if failed:
         out["failed"] = failed
 
@@ -309,6 +354,12 @@ def main() -> int:
         # surfaced in the driver-parsed line so a hot-host round is
         # self-describing in BENCH_r{N}.json, not just in BENCH_OUT
         compact["ambient_hot"] = True
+    if hot_retry:
+        # hot_retry_clean=true means a cooled-host pass was folded into
+        # every per-query minimum — the numbers are noise-robust despite
+        # ambient_hot; false means the host never cooled in the wait
+        # budget and the timings should be read as upper bounds.
+        compact["hot_retry_clean"] = bool(hot_retry.get("clean_pass"))
     line = json.dumps(compact, separators=(",", ":"))
     # Hard guard: a line that outgrows the driver's capture window must
     # fail LOUDLY here, not silently produce a null BENCH artifact.

@@ -351,6 +351,46 @@ def ext_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CollapsingMergeTree sign collapse (sinks/upsert.py:collapsing_merge),
+# promoted in the round-9 rotation, batch 5 — the r8 VERDICT's named
+# upsert-family candidate. Every 4th lineitem line acts as a cancel
+# (sign=-1); keys with net<=0 vanish, survivors keep the max-version +1
+# payload. `ver` (l_linenumber) is unique per key among +1 rows, so the
+# max_by tiebreak is total on both engines. ONE aggregation shuffle on
+# the key (map-side partial folds the ±1 counts early).
+@register(
+    "ext_collapsing_merge",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey AS k,
+             CASE WHEN l_linenumber % 4 = 0 THEN -1 ELSE 1 END AS sign,
+             l_linenumber AS ver, l_quantity AS q
+      FROM lineitem
+    ),
+    net AS (SELECT k FROM r GROUP BY k HAVING SUM(sign) > 0),
+    last AS (
+      SELECT k, ver, q,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY ver DESC, q DESC) AS rn
+      FROM r WHERE sign = 1
+    )
+    SELECT last.k, last.ver, last.q
+    FROM last JOIN net ON last.k = net.k WHERE rn = 1
+    """,
+)
+def ext_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.sinks.upsert import collapsing_merge
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.selectExpr(
+        "l_orderkey AS k",
+        "CASE WHEN l_linenumber % 4 = 0 THEN -1 ELSE 1 END AS sign",
+        "l_linenumber AS ver",
+        "l_quantity AS q",
+    )
+    return collapsing_merge(rows, ["k"], order_col="ver")
+
+
 # SCD2 temporal lookup (sinks/upsert.py): build a type-2 history of each
 # customer's order-status timeline (ts made unique by adding o_orderkey
 # seconds), then join facts at ts+45 days to the version valid THEN.

@@ -68,9 +68,8 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 _PUNCT_SQL = r"[!-/:-@\[-`{-~]"
 
-@register(
-    "ns_text_stats",
-    oracle=f"""
+def _text_stats_oracle() -> str:
+    return f"""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS n_stopwords,
@@ -89,8 +88,16 @@ _PUNCT_SQL = r"[!-/:-@\[-`{-~]"
                 ELSE 'unknown' END AS lang_guess,
            len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_regex_tokens
     FROM documents
-    """,
-)
+    """
+
+
+# Demoted to tests/test_demoted_oracles.py in the round-9 rotation,
+# batch 5 (identical value-hash oracle there, via _text_stats_oracle):
+# the one-pass per-doc text-metrics family keeps ns_gopher_quality as
+# its driver row — the Gopher gate computes the same stopword/punct/
+# length columns PLUS the repetition rules, so this row was the
+# registry's clearest remaining near-twin. The registry slot goes to
+# the promoted ns_train_bpe tokenizer-training row below.
 def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_stats(docs, include_lang=True, include_regex_tokens=True)
@@ -571,20 +578,35 @@ def _minhash_pair_ctes(
     """The MinHash-LSH pair pipeline as a reusable CTE block ending in
     ``mh_pairs(doc_a, doc_b, jaccard)`` — shared by the standalone
     ns_minhash_neardup oracle and the ns_curate_corpus composition
-    oracle (which runs it over the exact-deduped subset)."""
+    oracle (which runs it over the exact-deduped subset).
+
+    Oracle-side performance shape (r9, semantics unchanged — the r8
+    VERDICT's #1 ask; measured on gen10 = 50k docs / 2.6M shingles):
+    the per-char HUGEINT fold AND the 16 affine permutations — the
+    HUGEINT hot loops — run ONCE per DISTINCT shingle (``dsh``, ~9.6×
+    fewer than total shingle occurrences), the per-doc signature
+    minima are a vectorized plain-BIGINT GROUP BY over the unnested
+    (doc, shingle) rows instead of 16 ``list_transform`` passes per
+    doc, and ``sh``/``banded``/``mh_pairs`` are ``AS MATERIALIZED`` so
+    DuckDB 1.0 (which inlines CTEs by default) can't re-execute the
+    chain per reference — the curate oracle's recursive closure used
+    to re-run the whole signature pipeline EVERY iteration (~21 min at
+    gen10; the full pair block is now ~18 s). ``dsh``/``sigs`` are
+    deliberately NOT materialized: DuckDB 1.0 materialization defeats
+    dead-CTE elimination and measured ~5× slower on the mid-chain
+    (127 s all-materialized vs 18 s this shape, identical results)."""
     rpb = num_hashes // bands
-    mh_exprs = []
+    h_exprs = []
     for i in range(num_hashes):
         a, b = poly_affine_constants(i)
-        affine = f"(x * {a}::HUGEINT + {b}::HUGEINT) % {_M64}"
-        mh_exprs.append(
-            "CAST(list_min(list_transform(list_transform(b, x -> "
-            + affine
-            + "), v -> "
-            + _SIGNED_SQL.format(v="v")
-            + ")) AS BIGINT)"
+        affine = f"((u * {a}::HUGEINT + {b}::HUGEINT) % {_M64})"
+        h_exprs.append(
+            f"CAST({_SIGNED_SQL.format(v=affine)} AS BIGINT) AS h{i}"
         )
-    sig_list = "[" + ", ".join(mh_exprs) + "]"
+    hcols = ", ".join(h_exprs)
+    sig_list = (
+        "[" + ", ".join(f"MIN(h{i})" for i in range(num_hashes)) + "]"
+    )
     band_fold = (
         f"list_reduce(list_prepend(0::HUGEINT,"
         f" list_transform(list_slice(sig, g.j * {rpb} + 1, g.j * {rpb} + {rpb}),"
@@ -592,19 +614,24 @@ def _minhash_pair_ctes(
         f" ELSE v::HUGEINT END)),"
         f" (acc, v) -> (acc * 31 + v) % {_M64})"
     )
-    return f"""sh AS (
+    return f"""sh AS MATERIALIZED (
       SELECT doc_id,
         list_transform(range(0, greatest(len(string_split(text,' ')) - {k}, 0) + 1),
           i -> array_to_string(list_slice(string_split(text,' '), i+1, i+{k}), ' ')) AS sh
       FROM {src}
     ),
-    bases AS (
-      SELECT doc_id, sh,
-        list_transform(sh, s -> {_POLY_FOLD_SQL.format(s="s")}) AS b
-      FROM sh
+    dsh AS (
+      SELECT s, {hcols}
+      FROM (SELECT s, {_POLY_FOLD_SQL.format(s="s")} AS u
+            FROM (SELECT DISTINCT unnest(sh) AS s FROM sh))
     ),
-    sigs AS (SELECT doc_id, {sig_list} AS sig FROM bases),
-    banded AS (
+    sigs AS (
+      SELECT e.doc_id, {sig_list} AS sig
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh) e
+      JOIN dsh USING (s)
+      GROUP BY e.doc_id
+    ),
+    banded AS MATERIALIZED (
       SELECT doc_id, g.j AS band, {band_fold} AS band_hash
       FROM sigs CROSS JOIN (SELECT unnest(range(0, {bands})) AS j) g
     ),
@@ -614,7 +641,7 @@ def _minhash_pair_ctes(
         ON l.band = r.band AND l.band_hash = r.band_hash
        AND l.doc_id < r.doc_id
     ),
-    mh_pairs AS (
+    mh_pairs AS MATERIALIZED (
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT p.doc_a, p.doc_b,
           ROUND(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
@@ -1249,9 +1276,15 @@ def _dsir_oracle() -> str:
                i -> t[i] || ' ' || t[i + 1])) AS gs
       FROM toks
     ),
-    feats AS (
-      SELECT doc_id, CAST({bucket} AS BIGINT) AS bucket
-      FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+    occ AS MATERIALIZED (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ),
+    dg AS MATERIALIZED (
+      SELECT g, CAST({bucket} AS BIGINT) AS bucket
+      FROM (SELECT DISTINCT g FROM occ)
+    ),
+    feats AS MATERIALIZED (
+      SELECT o.doc_id, d.bucket FROM occ o JOIN dg d USING (g)
     ),
     tcnt AS (
       SELECT bucket, count(*) AS t_n FROM feats
@@ -1261,7 +1294,7 @@ def _dsir_oracle() -> str:
       SELECT bucket, count(*) AS r_n FROM feats
       WHERE doc_id % 10 <> 0 GROUP BY bucket
     ),
-    model AS (
+    model AS MATERIALIZED (
       SELECT b.bucket,
              COALESCE(t.t_n, 0) AS t_n, COALESCE(r.r_n, 0) AS r_n
       FROM (SELECT unnest(range(0, {_DSIR_NB})) AS bucket) b
@@ -1345,12 +1378,12 @@ def _curate_oracle() -> str:
     bucket = f"((({s_split}) % 1000000) + 1000000) % 1000000"
     punct = r"[!-/:-@\[-`{-~]"
     return f"""
-    WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+    WITH RECURSIVE base AS MATERIALIZED (SELECT doc_id, text FROM documents),
     keep1 AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY text),
-    c1 AS (SELECT b.doc_id, b.text FROM base b
+    c1 AS MATERIALIZED (SELECT b.doc_id, b.text FROM base b
            JOIN keep1 k ON k.doc_id = b.doc_id),
     {mh},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
       UNION
       SELECT doc_b, doc_a FROM mh_pairs
@@ -1368,7 +1401,7 @@ def _curate_oracle() -> str:
         SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
       )
     ),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM c2),
+    toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM c2),
     grams AS (
       SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
       FROM toks,
@@ -1460,3 +1493,82 @@ def ns_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_report=False,
     )
     return res.corpus.select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 rotation, batch 5: canonical BPE training (text/bpe.py) as a
+# driver row — the r8 VERDICT's named rotation-5 candidate ("train_bpe
+# is now provably SQL-expressible"). The oracle UNROLLS each merge
+# round in SQL (tests/test_bpe.py proved the construction at smoke SF):
+# occurrence-weighted adjacent-pair counts, the count-desc /
+# lexicographic argmax, and greedy left-to-right merge application via
+# a fence-wrapped string replace — each symbol is wrapped
+# \x01sym\x02, so plain replace() of \x01a\x02\x01b\x02 -> \x01ab\x02
+# IS non-overlapping left-to-right BPE greedy semantics by construction
+# (a just-merged symbol can't re-match, runs of a==b merge floor(L/2)
+# times, and the fences make symbol boundaries exact — no prefix
+# aliasing). Symbols come from space-split words, so the corpus can't
+# contain the fence bytes. Each s{k} stage is AS MATERIALIZED: the
+# symbol table is referenced twice per round (argmax + fold), so DuckDB
+# 1.0's default inlining would re-derive stage k from scratch 2^(8-k)
+# times.
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 8
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    def stage(k: int) -> str:
+        wrap = "chr(1) || {s} || chr(2)"
+        pat = "chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2)"
+        rep = "chr(1) || b.a || b.b || chr(2)"
+        seq = (
+            "array_to_string(list_transform(syms,"
+            f" s -> {wrap.format(s='s')}), '')"
+        )
+        return f"""
+    s{k}_best AS (
+      SELECT a, b FROM (
+        SELECT p.a, p.b, SUM(p.n) AS cnt FROM (
+          SELECT n, syms[i] AS a, syms[i + 1] AS b
+          FROM s{k}, UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+        ) p GROUP BY p.a, p.b HAVING SUM(p.n) >= 2
+      ) ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    s{k + 1} AS MATERIALIZED (
+      SELECT word, n,
+        list_transform(
+          list_filter(string_split(
+            replace({seq}, {pat}, {rep}), chr(2)), x -> x <> ''),
+          x -> x[2:]) AS syms
+      FROM s{k} CROSS JOIN s{k}_best b
+    )"""
+
+    stages = ",".join(stage(k) for k in range(n_merges))
+    return f"""
+    WITH s0 AS MATERIALIZED (
+      SELECT word, COUNT(*) AS n,
+             list_filter(string_split(word, ''), x -> x <> '') AS syms
+      FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),{stages}
+    SELECT word, n, syms FROM s{n_merges}
+    """
+
+
+@register("ns_train_bpe", oracle=_bpe_oracle())
+def ns_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical sequential BPE training (text/bpe.py:train_bpe,
+    batch_size=1): 8 merge rounds over the corpus word-count
+    vocabulary, returning the final symbol table (word, n, syms). One
+    vocab-scale pair-argmax job per round — the driver sees one (a, b)
+    pair per merge, never data; the corpus-scale work is the single
+    word_counts pass. The frequency-batched variant (batch_size>1, the
+    100 TB training recipe) keeps its disjointness-equivalence and
+    losslessness pins in tests/test_bpe.py."""
+    from clickhouse_etl_spark.text.bpe import train_bpe, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = word_counts(docs)
+    _merges, symtab = train_bpe(vocab, n_merges=_BPE_MERGES, batch_size=1)
+    return symtab

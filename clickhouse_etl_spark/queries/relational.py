@@ -517,17 +517,14 @@ def j7_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference: …etl_student_scores_subject_month_to_clickhouse.py:216-231,
 # 373-374,426-427
 # ---------------------------------------------------------------------------
-@register(
-    "a8_json_custom_evals",
-    oracle="""
-    SELECT l_orderkey AS orderkey,
-           to_json(list_sort(list(struct_pack(
-               l_linenumber := l_linenumber, l_returnflag := l_returnflag
-           )))) AS customEvaluations,
-           count(*) AS customEvaluationCount
-    FROM lineitem GROUP BY l_orderkey
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-9 rotation,
+# batch 5 (identical value-hash oracle there): the per-order nested
+# detail aggregation keeps a7_nested_order_lines as its driver row —
+# A7 and A8 group the same lineitem keys through the same sort_array/
+# collect_list machinery and differ only in the JSON serialization of
+# the collected structs (json_details vs nested_details), which stays
+# composed-and-driver-checked inside pl_transcript_details. The
+# registry slot goes to the promoted ext_collapsing_merge row.
 def a8_json_custom_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.operators.aggregates import json_details
 

@@ -202,69 +202,19 @@ def test_select_batch_blocks_merged_output_aliasing():
 def test_train_bpe_matches_duckdb_unrolled_merges(spark):
     """The tokenizer tier under the registry's DuckDB value-hash regime
     (r7 VERDICT ask #5): canonical sequential BPE training (8 merges,
-    batch_size=1) against an oracle that UNROLLS each merge round in
-    SQL — occurrence-weighted adjacent-pair counts, the count-desc /
-    lexicographic argmax, and greedy left-to-right merge application.
+    batch_size=1) against the unrolled-merge fence-wrap oracle.
 
-    The merge application mirrors Spark's JVM fold exactly via a
-    fence-wrapped string replace: each symbol is wrapped \\x01sym\\x02,
-    so plain replace() of \\x01a\\x02\\x01b\\x02 -> \\x01ab\\x02 is
-    non-overlapping left-to-right BPE greedy semantics by construction
-    (a just-merged symbol can't re-match, runs of a==b merge
-    floor(L/2) times, and the fences make symbol boundaries exact —
-    no prefix aliasing). Symbols come from space-split words, so the
-    corpus can't contain the fence bytes.
-
-    Why a pytest oracle, not a registry row: the registry is capped at
-    exactly 50 (test_contract.py) and the merge LOOP is driver-
-    coordinated (one argmax collect per merge) — but the bounded
-    8-merge form is fully SQL-expressible, so the value-hash rigor is
-    identical here."""
+    This construction PROVED the row SQL-expressible, and the round-9
+    rotation promoted it to the driver registry (ns_train_bpe,
+    queries/northstar.py) — the oracle now lives there
+    (_bpe_oracle; the fence-wrap semantics argument is in its comment
+    block) and this test pins the identical check at smoke SF so the
+    tier stays covered even if a future rotation demotes the row."""
+    from clickhouse_etl_spark.queries.northstar import _bpe_oracle, _BPE_MERGES
     from tools.oracle_check import assert_matches_oracle
 
-    N_MERGES = 8
     docs = load_table(spark, SF_DIR, "documents")
     vocab = word_counts(docs)
-    merges, symtab = train_bpe(vocab, n_merges=N_MERGES, batch_size=1)
-    assert len(merges) == N_MERGES  # corpus is repetitive enough
-
-    def stage(k: int) -> str:
-        wrap = "chr(1) || {s} || chr(2)"
-        pat = (
-            f"chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2)"
-        )
-        rep = "chr(1) || b.a || b.b || chr(2)"
-        seq = (
-            "array_to_string(list_transform(syms,"
-            f" s -> {wrap.format(s='s')}), '')"
-        )
-        return f"""
-    s{k}_best AS (
-      SELECT a, b FROM (
-        SELECT p.a, p.b, SUM(p.n) AS cnt FROM (
-          SELECT n, syms[i] AS a, syms[i + 1] AS b
-          FROM s{k}, UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
-        ) p GROUP BY p.a, p.b HAVING SUM(p.n) >= 2
-      ) ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
-    ),
-    s{k + 1} AS (
-      SELECT word, n,
-        list_transform(
-          list_filter(string_split(
-            replace({seq}, {pat}, {rep}), chr(2)), x -> x <> ''),
-          x -> x[2:]) AS syms
-      FROM s{k} CROSS JOIN s{k}_best b
-    )"""
-
-    stages = ",".join(stage(k) for k in range(N_MERGES))
-    oracle = f"""
-    WITH s0 AS (
-      SELECT word, COUNT(*) AS n,
-             list_filter(string_split(word, ''), x -> x <> '') AS syms
-      FROM (
-        SELECT unnest(string_split(text, ' ')) AS word FROM documents
-      ) WHERE word <> '' GROUP BY word
-    ),{stages}
-    SELECT word, n, syms FROM s{N_MERGES}
-    """
-    assert_matches_oracle(symtab, oracle, SF_DIR)
+    merges, symtab = train_bpe(vocab, n_merges=_BPE_MERGES, batch_size=1)
+    assert len(merges) == _BPE_MERGES  # corpus is repetitive enough
+    assert_matches_oracle(symtab, _bpe_oracle(), SF_DIR)

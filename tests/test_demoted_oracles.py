@@ -1678,3 +1678,37 @@ def test_ext_retention(spark):
         FROM events GROUP BY user_id
         """,
     )
+
+def test_ns_text_stats(spark):
+    """Per-doc text metrics + lang-ID + regex token count — identical
+    oracle to the row's registry days (demoted round 9, batch 5: the
+    one-pass text-metrics family keeps ns_gopher_quality as its driver
+    row, which computes the same stopword/punct/length columns plus
+    the repetition rules)."""
+    from clickhouse_etl_spark.queries.northstar import (
+        _text_stats_oracle,
+        ns_text_stats,
+    )
+
+    _assert_matches_oracle(ns_text_stats(spark, SF_DIR), _text_stats_oracle())
+
+
+def test_a8_json_custom_evals(spark):
+    """A8 JSON-array detail aggregation — identical oracle to the row's
+    registry days (demoted round 9, batch 5: the per-order nested
+    detail grouping keeps a7_nested_order_lines as its driver row; the
+    JSON serialization stays composed-and-driver-checked inside
+    pl_transcript_details)."""
+    from clickhouse_etl_spark.queries.relational import a8_json_custom_evals
+
+    _assert_matches_oracle(
+        a8_json_custom_evals(spark, SF_DIR),
+        """
+        SELECT l_orderkey AS orderkey,
+               to_json(list_sort(list(struct_pack(
+                   l_linenumber := l_linenumber, l_returnflag := l_returnflag
+               )))) AS customEvaluations,
+               count(*) AS customEvaluationCount
+        FROM lineitem GROUP BY l_orderkey
+        """,
+    )

@@ -69,6 +69,109 @@ HEADLINERS = {
     "broadcast semi-join → exact counts; corpus never shuffles raw rows",
     "ext_window_funnel": "anchor aggregate + one user-keyed join per "
     "step; each join shuffles only the user key",
+    # --- round-9 completion: every remaining registry row gets a plan
+    # (r8 verdict #4 generalized: "every registry row represented") ---
+    "s7_incremental_watermark": "watermark predicate reaches the scan "
+    "(PushedFilters); one max-of-batch aggregate commits the new mark",
+    "f2_grade_distribution": "pure projection ladder + one hash agg",
+    "a7_nested_order_lines": "single groupBy; sort_array(collect_list) "
+    "builds the nested details map-side partial first",
+    "ext_asof_last_purchase": "right side deduped per (user, ts) then "
+    "ONE user-keyed sort-merge as-of (binned range equi-join)",
+    "f_scalar_suite": "map-only scalar battery — zero exchanges",
+    "pl_copy_students": "scrub + normalize projection over one scan; "
+    "runs through the pipeline graph (G1-G3) unchanged",
+    "pl_transcript_totals": "A6 credit/GPA totals: one student-keyed "
+    "aggregation over the persisted transcript intermediate",
+    "ext_rollup_part_stats": "ROLLUP grouping sets in one aggregation "
+    "pass (partial→final, no per-level re-scan)",
+    "ext_pivot_status_by_region": "pivot = one groupBy with literal "
+    "pivot columns; no per-status scan",
+    "ext_hypertable_rollup": "time_bucket projection then one hash agg "
+    "on (bucket, user)",
+    "ext_bm25_topk": "corpus stats as broadcast scalars; postings "
+    "capped; one topk window over scored docs",
+    "ext_summing_merge": "two incremental batches fold through the "
+    "same keyed aggregate; map-side partials do the summing",
+    "ext_collapsing_merge": "ONE aggregation shuffle on the key: "
+    "map-side partial folds the ±1 counts; max_by picks the surviving "
+    "+1 payload; net<=0 keys filtered post-agg (r9 promotion)",
+    "ext_fill_time_gaps": "per-key span aggregate + sequence() explode "
+    "— gap rows are GENERATED, not joined against a calendar table",
+    "ext_cramers_v": "one contingency aggregation per pair; the "
+    "chi-square fold runs on the bounded contingency table",
+    "ext_quantiles_weighted": "single pass: weighted quantile states "
+    "fold map-side; driver sees 3 state rows",
+    "ext_rank_corr": "per-cell rank windows feed one covariance "
+    "aggregate (the r7-adjudicated cell-rebuild trade, exp 0.06)",
+    "ns_fingerprint": "map-only md5 + rolling-hash projection",
+    "ns_chunk_documents": "map-only token-window explode (1 doc → N "
+    "chunks); no shuffle",
+    "ns_mm_pipeline": "Arrow mapInPandas decode/resize/frame-sample "
+    "seams; binary payloads never shuffle",
+    "ns_ann_lsh": "fused bounded probe (dims+floor, one job) then "
+    "ids-only hyperplane bucket join; Arrow GEMM verify",
+    "ns_ann_ivf": "coarse-cell prune (nprobe cells broadcast); exact "
+    "re-rank only inside probed cells",
+    "ns_gopher_quality": "one narrow pass: stopword/punct/repetition "
+    "columns as JVM expressions, no Python",
+    "ns_duplicated_spans": "xxhash64 gram keys → dup-set join-back; "
+    "islands merge + final agg share ONE doc_id exchange",
+}
+
+# Iterative / driver-coordinated rows: a single final-result plan is
+# unrepresentative (the work happens in per-step jobs whose plans are
+# identical in shape), so PLANS.md carries a job-level profile instead
+# — what runs per step, what is broadcast, what shuffles (r8 verdict
+# #4). The final-result plan is still printed under the profile.
+PROFILES = {
+    "ext_logreg_fit": (
+        "Newton/IRLS, one JVM aggregation JOB per step (max_iter=25 "
+        "cap): the k-models × (p+1) coefficient table is BROADCAST-"
+        "joined onto the rows each step; mu/weights are JVM column "
+        "math; the per-group Hessian upper triangle (p(p+3)/2 sums) "
+        "and gradient fold map-side and SHUFFLE only the group key; "
+        "the driver receives k rows of moments per step and solves "
+        "p×p updates in numpy. Converged groups drop out of later "
+        "passes. Cardinality guard = ONE limit(max_groups+1) collect "
+        "before the loop; the filtered base is persisted once and "
+        "re-scanned per step (at 100 TB: max_iter scans of the "
+        "projected base, the textbook IRLS cost). Final plan below is "
+        "the assembled coefficient table (LocalTableScan) — the "
+        "per-step aggregation plans are the workload."
+    ),
+    "ns_dsir_select": (
+        "Three bounded stages, each one job-chain: (1) featurize+fit — "
+        "hashed n-gram buckets explode map-side, per-bucket counts "
+        "SHUFFLE the bucket key only (num_buckets rows out), smoothed "
+        "log-ratios computed driver-side on the bounded bucket table "
+        "and re-BROADCAST; (2) score — per-doc sum of broadcast "
+        "ratios, ONE shuffle on doc_id for the score aggregation; "
+        "(3) Gumbel top-n — deterministic affine-permutation noise as "
+        "a projection, TakeOrdered(n) (no global sort), then the "
+        "picked ids join back to the raw rows (AQE-elective "
+        "broadcast: n rows). Corpus text never rides a shuffle."
+    ),
+    "ns_train_bpe": (
+        "Driver-coordinated merge loop (canonical BPE, batch_size=1, "
+        "8 merges): ONE corpus-scale word_counts pass up front (explode "
+        "+ groupBy word), then per merge round one vocab-scale job — "
+        "adjacent-pair counts fold map-side, orderBy+limit(1) is a "
+        "TakeOrdered argmax (driver sees ONE (a,b) pair per round, "
+        "never data) — and the merge applies as a map-only array fold. "
+        "Lineage is cut every 8 folds (materialize_every) so Catalyst "
+        "re-analysis can't grow per round. At 100 TB the corpus pass "
+        "dominates; rounds run at vocabulary scale (capped via "
+        "sample_vocabulary in the full recipe). Final plan below is "
+        "the last fold over the materialized symbol table."
+    ),
+    "ns_cluster_assign": (
+        "k-means: train iterates one GEMM-assignment + centroid-mean "
+        "job per round over a persisted sample (driver holds k×dims "
+        "floats only); the registered row then assigns the full corpus "
+        "in ONE Arrow mapInPandas pass with the trained centroids "
+        "broadcast. No corpus shuffle in either phase."
+    ),
 }
 
 
@@ -164,9 +267,20 @@ def main() -> int:
         "convert joins at runtime).",
         "",
     ]
+    # Every registry row gets an entry: the curated HEADLINERS first,
+    # then the remaining registered rows in registry order, then the
+    # library-operator extras. Iterative rows additionally carry their
+    # PROFILES paragraph (their final-result plan alone is
+    # unrepresentative).
+    rest = [
+        (n, "registry row — plan recorded for full-inventory coverage")
+        for n in QUERIES
+        if n not in HEADLINERS
+    ]
     items = [
         (name, QUERIES[name](spark, sf_dir), note)
-        for name, note in HEADLINERS.items()
+        for name, note in list(HEADLINERS.items()) + rest
+        if name in QUERIES
     ] + [
         (name, df, note)
         for name, (df, note) in _extra_plans(spark, sf_dir).items()
@@ -187,7 +301,12 @@ def main() -> int:
             for l in lines[tree_end:]
             if any(k in l for k in ("Scan parquet", "PushedFilters", "ReadSchema", "(1) "))
         ]
-        out += [f"## {name}", "", f"*{note}*", "", "```"]
+        out += [f"## {name}", "", f"*{note}*", ""]
+        if name in PROFILES:
+            out += ["**Job profile** (iterative/driver-coordinated row — "
+                    "the per-step jobs are the workload):", "",
+                    PROFILES[name], ""]
+        out += ["```"]
         out += tree
         if scan_details:
             out += ["", "-- scan details --"] + scan_details[:12]
