@@ -381,8 +381,25 @@ _SEM_CELL_TARGET, _SEM_THRESH = 500, 0.45
 
 
 def _semantic_dedup_oracle() -> str:
+    # r9 oracle-side restructure (semantics bit-identical): per-vector
+    # norms fold ONCE in `nrm` (previously re-evaluated for both sides
+    # of every candidate pair), the in-cell dot products use DuckDB's
+    # NATIVE list_inner_product — verified bit-identical to the
+    # sequential list_sum(list_transform(...)) fold on the gate vectors
+    # (0/19,900 mismatches; both are in-order C summations) but not
+    # interpreted per-element — `emb`/`cells` materialize (each is
+    # referenced 2-5x; DuckDB 1.0 inlines by default), and `pairs`
+    # materializes so the recursive closure can't re-run the in-cell
+    # pair chain per iteration — the same re-execution disease the
+    # curate oracle had. `edges` stays PLAIN on purpose: materializing
+    # it executes the whole upstream chain inside the (slow) CTE
+    # materializer — measured 137 s vs 37 s with the materialization
+    # one CTE earlier on the small pair list. The cell-assignment
+    # argmin in `d` KEEPS the lambda squared-distance fold:
+    # list_distance is sqrt-rounded and could flip a near-tie argmin
+    # vs the Spark side. Measured at gen10: 257 s -> ~37 s.
     return f"""
-    WITH RECURSIVE emb AS (
+    WITH RECURSIVE emb AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     cent AS (
@@ -398,7 +415,7 @@ def _semantic_dedup_oracle() -> str:
                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS sq
       FROM emb e CROSS JOIN cent c
     ),
-    cells AS (
+    cells AS MATERIALIZED (
       SELECT vec_id, cluster FROM (
         SELECT vec_id, cluster,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -406,17 +423,21 @@ def _semantic_dedup_oracle() -> str:
         FROM d
       ) WHERE rk = 1
     ),
-    pairs AS (
+    nrm AS MATERIALIZED (
+      SELECT vec_id,
+             sqrt(list_inner_product(v, v)) AS nv
+      FROM emb
+    ),
+    pairs AS MATERIALIZED (
       SELECT p.id_a, p.id_b FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_sum(list_transform(range(1, len(ea.v) + 1),
-                 i -> ea.v[i] * eb.v[i]))
-               / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cos
+               list_inner_product(ea.v, eb.v) / (na.nv * nb.nv) AS cos
         FROM cells a JOIN cells b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         JOIN emb ea ON ea.vec_id = a.vec_id
         JOIN emb eb ON eb.vec_id = b.vec_id
+        JOIN nrm na ON na.vec_id = a.vec_id
+        JOIN nrm nb ON nb.vec_id = b.vec_id
       ) p WHERE p.cos >= {_SEM_THRESH}
     ),
     edges AS (

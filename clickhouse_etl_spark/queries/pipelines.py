@@ -62,6 +62,13 @@ _SCORER_ORD = (
     "lpad(epoch({m})::BIGINT::VARCHAR, 12, '0') || lpad({s}::VARCHAR, 12, '0')"
 )
 
+# `scores` (the lineitem⨝orders fact) and `evals` are AS MATERIALIZED
+# (r9): DuckDB 1.0 inlines CTEs by default, and the fact/transcript
+# statements reference them 4+ times each (per_eval/per_eval2,
+# custom_desc, both reps branches, subj/cust/mon/sem) — under inlining
+# the 15M-row join at gen10 re-executed per reference (pl_monthly's
+# oracle: 110-340 s, now ~37 s; semantics unchanged, every value
+# identical).
 _WAREHOUSE_SQL = """
 students AS (
   SELECT c_custkey AS studentId, c_name AS firstName,
@@ -79,7 +86,7 @@ students AS (
          CAST(c_nationkey % 3 AS VARCHAR) AS schoolId
   FROM customer
 ),
-evals AS (
+evals AS MATERIALIZED (
   SELECT DISTINCT 'se' || (r_regionkey % 2) AS evaluationId,
          'Semester ' || (r_regionkey % 2) AS name, 'na' AS parentId,
          'semester' AS type, 100.0::DOUBLE AS maxScore, 1 AS coe,
@@ -110,7 +117,7 @@ evals AS (
          NULL, NULL, NULL, NULL
   FROM supplier
 ),
-scores AS (
+scores AS MATERIALIZED (
   SELECT l_orderkey * 10 + l_linenumber AS scoreId, o_custkey AS studentId,
          CASE WHEN l_linenumber % 3 = 0 THEN 'su' || (l_suppkey % 25)
               ELSE 'cu' || l_suppkey END AS evaluationId,

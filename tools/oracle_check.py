@@ -51,10 +51,127 @@ def canon_rows(columns, rows):
     return [c for c in sorted(columns)], out
 
 
+# ---------------------------------------------------------------------------
+# Large-result fast path (r9): the r8-ask oracle restructure moved the
+# gen10 sweep bottleneck INTO this harness — canonicalizing + sorting
+# 2.9M x 35-column results cost ~210 s per side per query. Equality of
+# the sorted canonical row lists is equivalent to equality of the row
+# MULTISETS, so big results compare via an order-independent multiset
+# digest (sum of per-row md5s of the SAME canonical tuples, mod a
+# prime) — canon_value semantics are untouched (each cell still goes
+# through the exact same function); the slow sorted path remains both
+# the small-result default and the mismatch fallback (the digest can't
+# print first-diffs).
+#
+# Parallelism: the digest uses a worker pool ONLY when one was
+# PRE-FORKED by main() before the Spark JVM and DuckDB start their
+# native threads — forking lazily at digest time deadlocked (workers
+# inherit malloc/py4j/duckdb mutexes mid-flight and futex-hang; 24
+# stuck children observed at gen10). Chunks travel to the pre-forked
+# workers by pickle; each returns one int, and the parent's pickling
+# overlaps worker canon via imap. Without a pool (the pytest path —
+# Spark is already up there) big results digest single-threaded, which
+# still skips the sort and the second canon list.
+# ---------------------------------------------------------------------------
+_PAR_ROWS = int(os.environ.get("SPARK_GRAFT_ORACLE_PAR_ROWS", "200000"))
+_DIGEST_MOD = (1 << 127) - 1
+_POOL = None  # set by main() before the JVM exists; see note above
+
+
+def _digest_chunk(args):
+    import hashlib
+
+    order, rows = args
+    total = 0
+    for r in rows:
+        ct = tuple(canon_value(r[i]) for i in order)
+        h = int.from_bytes(hashlib.md5(repr(ct).encode()).digest(), "big")
+        total = (total + h) % _DIGEST_MOD
+    return total
+
+
+def _digest_arrow_chunk(args):
+    """Worker: one IPC-serialized Arrow chunk -> digest. Materializing
+    the Python cells happens HERE, in parallel across the pre-forked
+    pool, instead of single-threaded in the parent."""
+    import pyarrow as pa
+
+    order, buf = args
+    tbl = pa.ipc.open_stream(buf).read_all()
+    return _digest_chunk((order, _table_to_rows(tbl)))
+
+
+def _digest_table(columns, tbl) -> int:
+    """Multiset digest of an Arrow table — chunk-parallel when the
+    pre-forked pool exists (chunks travel as Arrow IPC bytes: memcpy-
+    class serialization, no Python-object pickling)."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    if _POOL is None:
+        return _digest_chunk((order, _table_to_rows(tbl)))
+    import pyarrow as pa
+
+    nchunks = 64
+    step = (tbl.num_rows + nchunks - 1) // nchunks
+
+    def ipc(slice_):
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, slice_.schema) as w:
+            w.write_table(slice_)
+        return sink.getvalue()
+
+    chunks = (
+        (order, ipc(tbl.slice(lo, step)))
+        for lo in range(0, tbl.num_rows, step)
+    )
+    return sum(_POOL.imap_unordered(_digest_arrow_chunk, chunks)) % _DIGEST_MOD
+
+
+def _digest_side(columns, x) -> int:
+    if hasattr(x, "num_rows"):
+        return _digest_table(columns, x)
+    return multiset_digest(columns, x)
+
+
+def init_digest_pool(nproc: int | None = None):
+    """Pre-fork the digest worker pool. MUST be called before the
+    SparkSession / DuckDB connection exist (fork safety, see module
+    note). Safe to skip: digests fall back to single-threaded."""
+    global _POOL
+    if _POOL is None and hasattr(os, "fork"):
+        import multiprocessing as mp
+
+        n = nproc or min(mp.cpu_count() or 1, 32)
+        if n > 1:
+            _POOL = mp.get_context("fork").Pool(n)
+    return _POOL
+
+
+def multiset_digest(columns, rows) -> int:
+    """Order-independent digest of the canonicalized row multiset."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    if _POOL is not None and len(rows) >= _PAR_ROWS:
+        nchunks = 64  # > nproc so pickling overlaps worker canon
+        step = (len(rows) + nchunks - 1) // nchunks
+        chunks = (
+            (order, rows[lo:lo + step]) for lo in range(0, len(rows), step)
+        )
+        return sum(_POOL.imap_unordered(_digest_chunk, chunks)) % _DIGEST_MOD
+    return _digest_chunk((order, rows))
+
+
 def fetch_oracle(con, oracle_sql: str):
-    """Run an oracle SQL on an open DuckDB connection; (cols, rows)."""
+    """Run an oracle SQL on an open DuckDB connection; (cols, rows) —
+    or (cols, pyarrow.Table) for big arrow-safe results (see
+    fetch_spark's note; the compare layer handles both)."""
     cur = con.execute(oracle_sql)
-    return [d[0] for d in cur.description], cur.fetchall()
+    cols = [d[0] for d in cur.description]
+    try:
+        tbl = cur.fetch_arrow_table()
+    except Exception:
+        return cols, cur.fetchall()
+    if tbl.num_rows < _PAR_ROWS or not _arrow_schema_safe(tbl.schema):
+        return cols, _table_to_rows(tbl)
+    return cols, tbl
 
 
 def open_oracle_views(sf_dir: str):
@@ -66,11 +183,112 @@ def open_oracle_views(sf_dir: str):
     return con
 
 
+def _arrow_safe(dtype) -> bool:
+    """True when df.toArrow() + column to_pylist yields values that
+    canonicalize IDENTICALLY to collect()'s Row values. Structs are out
+    (Row reprs as a tuple, Arrow as a dict), binary is out (bytearray
+    vs bytes repr), and timestamps inside arrays are out (the tz
+    normalization below is top-level-column only)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.ArrayType):
+        return _arrow_safe(dtype.elementType) and not isinstance(
+            dtype.elementType, (T.TimestampType, T.TimestampNTZType)
+        )
+    if isinstance(dtype, (T.StructType, T.MapType, T.BinaryType)):
+        return False
+    return isinstance(dtype, T.AtomicType)
+
+
+def _arrow_schema_safe(schema) -> bool:
+    """Arrow-side twin of _arrow_safe: reject types whose to_pylist
+    values would canonicalize differently from the row-fetch path."""
+    import pyarrow as pa
+
+    def ok(t):
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            vt = t.value_type
+            return ok(vt) and not pa.types.is_timestamp(vt)
+        return not (
+            pa.types.is_struct(t)
+            or pa.types.is_map(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        )
+
+    return all(ok(f.type) for f in schema)
+
+
+def _table_to_rows(tbl):
+    """pyarrow.Table -> list of row tuples, with tz-aware timestamps
+    normalized to the naive-local datetimes the row-fetch paths produce
+    (astimezone() with no argument IS that local conversion)."""
+    import datetime as dt
+
+    cols = []
+    for i in range(tbl.num_columns):
+        vals = tbl.column(i).to_pylist()
+        first = next((v for v in vals if v is not None), None)
+        if isinstance(first, dt.datetime) and first.tzinfo is not None:
+            vals = [
+                v.astimezone().replace(tzinfo=None) if v is not None else None
+                for v in vals
+            ]
+        cols.append(vals)
+    return list(zip(*cols)) if cols else []
+
+
+def _side_len(x) -> int:
+    return x.num_rows if hasattr(x, "num_rows") else len(x)
+
+
+def fetch_spark(sdf):
+    """(columns, rows-or-Table) from a Spark DataFrame. Big-result fast
+    path (r9): collect() deserializes Rows one Python object at a time
+    and dominated the gen10 sweep (pl_monthly: ~7 min of its 9, on top
+    of a silent toArrow fallback when the vanilla 1g maxResultSize
+    rejected the export). For arrow-safe schemas the result leaves the
+    JVM as Arrow batches; big tables stay AS Arrow so the compare layer
+    can digest them chunk-parallel without materializing 100M Python
+    cells in the parent. Values are asserted equivalent for every type
+    by the full sorted-path sf0.01 gate."""
+    scols = sdf.columns
+    if not all(_arrow_safe(f.dataType) for f in sdf.schema.fields):
+        return scols, sdf.collect()
+    try:
+        tbl = sdf.toArrow()
+    except Exception:
+        return scols, sdf.collect()
+    if tbl.num_rows < _PAR_ROWS:
+        return scols, _table_to_rows(tbl)
+    return scols, tbl
+
+
 def compare_canonical(scols, srows, dcols, drows) -> str | None:
     """THE comparison (column names → row count → order-insensitive
     canonicalized values). Returns None on match, else a message —
     shared by the CLI gate below and assert_matches_oracle so the two
-    tiers can never drift."""
+    tiers can never drift. Each side is a list of rows OR a pyarrow
+    Table (the big-result representation from fetch_spark/
+    fetch_oracle)."""
+    if sorted(scols) != sorted(dcols):
+        return (
+            f"columns differ spark={sorted(scols)} duckdb={sorted(dcols)}"
+        )
+    if _side_len(srows) != _side_len(drows):
+        return (
+            f"rowcount spark={_side_len(srows)} duckdb={_side_len(drows)}"
+        )
+    if _side_len(srows) >= _PAR_ROWS:
+        # big results: order-independent multiset digest (identical
+        # canon_value semantics, chunk-parallel); on mismatch fall
+        # through to the sorted path for first-diff detail
+        if _digest_side(scols, srows) == _digest_side(dcols, drows):
+            return None
+    if hasattr(srows, "num_rows"):
+        srows = _table_to_rows(srows)
+    if hasattr(drows, "num_rows"):
+        drows = _table_to_rows(drows)
     sc, sr = canon_rows(scols, [tuple(r) for r in srows])
     dc, dr = canon_rows(dcols, drows)
     if sc != dc:
@@ -103,6 +321,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Fork the digest workers FIRST — before the JVM / DuckDB threads
+    # exist (fork-safety note on the digest block above).
+    # SPARK_GRAFT_ORACLE_POOL bounds the pool (oracle_sweep.py sets it
+    # per parallel batch).
+    init_digest_pool(int(os.environ.get("SPARK_GRAFT_ORACLE_POOL", "0")) or None)
+
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -112,16 +336,23 @@ def main() -> int:
     # supplies its own SparkSession, so every query must be self-sufficient
     # (catalog.ensure_runtime_confs applies the semantics-bearing confs at
     # runtime). Round-1 failure mode: session-build-time conf dependence.
+    # Scale sweeps (gen10+) override cores/memory via env; the
+    # DRIVER-mirroring defaults (local[8], 8 shuffle partitions, stock
+    # heap) stay untouched for the sf0.01 gate replica.
+    ncpu = os.environ.get("SPARK_GRAFT_ORACLE_CPUS", "8")
     builder = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{ncpu}]")
         .appName("oracle_check")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", ncpu)
     )
-    # Scale sweeps (e.g. the gen10 dataset) need more than the vanilla
-    # 1g driver heap; the DRIVER-mirroring default stays untouched.
     mem = os.environ.get("SPARK_GRAFT_ORACLE_DRIVER_MEM")
     if mem:
-        builder = builder.config("spark.driver.memory", mem)
+        # Scale-sweep mode: also lift maxResultSize (vanilla 1g), or
+        # toArrow/collect of the multi-million-row rows silently falls
+        # back / fails at gen10 result sizes.
+        builder = builder.config("spark.driver.memory", mem).config(
+            "spark.driver.maxResultSize", "8g"
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -134,15 +365,15 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            scols, srows = fetch_spark(sdf)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        t1 = time.time()
         if name not in oracles:
-            print(f"ok*   {name}: rows-only ({len(srows)} rows, "
-                  f"{time.time()-t0:.1f}s) — no oracle")
+            print(f"ok*   {name}: rows-only ({_side_len(srows)} rows, "
+                  f"{t1-t0:.1f}s) — no oracle")
             continue
         try:
             dcols, drows = fetch_oracle(con, oracles[name])
@@ -150,13 +381,18 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
+        t2 = time.time()
 
         msg = compare_canonical(scols, srows, dcols, drows)
         if msg is not None:
             failures.append(name)
             print(f"FAIL  {name}: {msg}")
             continue
-        print(f"OK    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+        t3 = time.time()
+        print(
+            f"OK    {name}: {_side_len(srows)} rows match ({t3-t0:.1f}s = "
+            f"spark {t1-t0:.1f} + duckdb {t2-t1:.1f} + cmp {t3-t2:.1f})"
+        )
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
     return 1 if failures else 0

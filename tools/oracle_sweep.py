@@ -1,0 +1,93 @@
+"""Batched oracle sweep — the scale-SF form of the correctness gate.
+
+Runs the full 50-row registry against DuckDB at a scale dataset (gen10)
+in FRESH oracle_check subprocesses, a few in parallel:
+
+    python tools/oracle_sweep.py /tmp/scale/gen10 [n_batches n_parallel]
+
+Why not one oracle_check marathon: a single long-lived process degrades
+as the inventory proceeds — the same marathon artifact BENCH_SCALE.md
+documents for the JVM also hits the Python/DuckDB side (measured r9:
+`ns_semantic_dedup`'s oracle executes in ~39 s in a fresh process and
+334 s late in a 50-query marathon, ~2 effective cores with 32 DuckDB
+threads; `ns_pq_ivfadc` 5.5 s fresh vs 258 s in-marathon). Fresh
+processes per batch kill the artifact, and batch parallelism overlaps
+the independent (spark, duckdb) pipelines — this is a CORRECTNESS
+gate, not a timing artifact, so parallelism is free. Per-query timing
+claims still come from tools/timeq.py / bench.py, never from here.
+
+Batches are round-robin over registration order so each gets a mix of
+heavy and light rows. Each subprocess gets local[cpus/n_parallel] and
+a bounded driver heap; the digest pool inside each subprocess shrinks
+the same way.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale/gen10"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_parallel = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    batches = [names[i::n_batches] for i in range(n_batches)]
+
+    cpus = os.cpu_count() or 8
+    per_proc = max(4, cpus // n_parallel)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_ORACLE_CPUS=str(per_proc),
+        SPARK_GRAFT_ORACLE_DRIVER_MEM=os.environ.get(
+            "SPARK_GRAFT_ORACLE_DRIVER_MEM", "16g"
+        ),
+        SPARK_GRAFT_ORACLE_POOL=str(per_proc),
+    )
+
+    t0 = time.time()
+    running: list[tuple[int, subprocess.Popen]] = []
+    outputs: dict[int, str] = {}
+    pending = list(enumerate(batches))
+    fails = 0
+    while pending or running:
+        while pending and len(running) < n_parallel:
+            i, batch = pending.pop(0)
+            p = subprocess.Popen(
+                [sys.executable, os.path.join(HERE, "oracle_check.py"),
+                 sf_dir, *batch],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, env=env,
+            )
+            running.append((i, p))
+        i, p = running[0]
+        out, _ = p.communicate()
+        outputs[i] = out
+        if p.returncode != 0:
+            fails += 1
+        running.pop(0)
+
+    ok = bad = 0
+    for i in sorted(outputs):
+        for line in outputs[i].splitlines():
+            if line.startswith(("OK", "FAIL", "ok*")):
+                print(line)
+                ok += line.startswith(("OK", "ok*"))
+                bad += line.startswith("FAIL")
+    total = ok + bad
+    print(f"\n{ok}/{total} passed  (wall {time.time()-t0:.0f}s, "
+          f"{n_batches} batches x local[{per_proc}], {n_parallel} parallel)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
