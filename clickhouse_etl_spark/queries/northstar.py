@@ -1540,12 +1540,19 @@ _BPE_MERGES = 8
 def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
     def stage(k: int) -> str:
         wrap = "chr(1) || {s} || chr(2)"
-        pat = "chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2)"
-        rep = "chr(1) || b.a || b.b || chr(2)"
         seq = (
             "array_to_string(list_transform(syms,"
             f" s -> {wrap.format(s='s')}), '')"
         )
+        # s{k}_pat folds the (at most one) argmax row into a scalar
+        # (pattern, replacement) pair. When NO pair has count >= 2 the
+        # fold COALESCEs to chr(1)||chr(2) — a byte sequence that can
+        # never occur in the fenced string (every chr(1) is followed by
+        # a non-empty symbol, never directly by chr(2)) — so the stage
+        # is a no-op instead of a CROSS JOIN against an empty relation
+        # that would empty every later stage. This mirrors train_bpe's
+        # early stop: it returns the symbol table as-is once the corpus
+        # yields fewer than n_merges mergeable pairs.
         return f"""
     s{k}_best AS (
       SELECT a, b FROM (
@@ -1555,16 +1562,28 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
         ) p GROUP BY p.a, p.b HAVING SUM(p.n) >= 2
       ) ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
     ),
+    s{k}_pat AS (
+      SELECT
+        COALESCE(MAX(chr(1) || a || chr(2) || chr(1) || b || chr(2)),
+                 chr(1) || chr(2)) AS pat,
+        COALESCE(MAX(chr(1) || a || b || chr(2)), chr(1) || chr(2)) AS rep
+      FROM s{k}_best
+    ),
     s{k + 1} AS MATERIALIZED (
       SELECT word, n,
         list_transform(
           list_filter(string_split(
-            replace({seq}, {pat}, {rep}), chr(2)), x -> x <> ''),
+            replace({seq}, b.pat, b.rep), chr(2)), x -> x <> ''),
           x -> x[2:]) AS syms
-      FROM s{k} CROSS JOIN s{k}_best b
+      FROM s{k} CROSS JOIN s{k}_pat b
     )"""
 
     stages = ",".join(stage(k) for k in range(n_merges))
+    # Final SELECT serializes syms to a space-joined string: the
+    # driver's pandas canonicalizer sorts columns and cannot hash list
+    # values (the a7_nested_order_lines precedent,
+    # queries/relational.py) — the typed array stays on the library
+    # surface (text/bpe.py).
     return f"""
     WITH s0 AS MATERIALIZED (
       SELECT word, COUNT(*) AS n,
@@ -1573,7 +1592,7 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
       ) WHERE word <> '' GROUP BY word
     ),{stages}
-    SELECT word, n, syms FROM s{n_merges}
+    SELECT word, n, array_to_string(syms, ' ') AS syms FROM s{n_merges}
     """
 
 
@@ -1586,10 +1605,17 @@ def ns_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair per merge, never data; the corpus-scale work is the single
     word_counts pass. The frequency-batched variant (batch_size>1, the
     100 TB training recipe) keeps its disjointness-equivalence and
-    losslessness pins in tests/test_bpe.py."""
+    losslessness pins in tests/test_bpe.py.
+
+    The registered projection space-joins the syms array so the
+    driver's pandas canonicalizer (which sorts column values and cannot
+    hash lists) can process it — the a7_nested_order_lines precedent;
+    the typed-array surface stays on text/bpe.py."""
     from clickhouse_etl_spark.text.bpe import train_bpe, word_counts
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = word_counts(docs)
     _merges, symtab = train_bpe(vocab, n_merges=_BPE_MERGES, batch_size=1)
-    return symtab
+    return symtab.select(
+        "word", "n", F.concat_ws(" ", "syms").alias("syms")
+    )

@@ -210,6 +210,8 @@ def test_train_bpe_matches_duckdb_unrolled_merges(spark):
     (_bpe_oracle; the fence-wrap semantics argument is in its comment
     block) and this test pins the identical check at smoke SF so the
     tier stays covered even if a future rotation demotes the row."""
+    from pyspark.sql import functions as F
+
     from clickhouse_etl_spark.queries.northstar import _bpe_oracle, _BPE_MERGES
     from tools.oracle_check import assert_matches_oracle
 
@@ -217,4 +219,51 @@ def test_train_bpe_matches_duckdb_unrolled_merges(spark):
     vocab = word_counts(docs)
     merges, symtab = train_bpe(vocab, n_merges=_BPE_MERGES, batch_size=1)
     assert len(merges) == _BPE_MERGES  # corpus is repetitive enough
-    assert_matches_oracle(symtab, _bpe_oracle(), SF_DIR)
+    # Space-join syms exactly like the registered projection: the oracle's
+    # final SELECT serializes the array (driver-canon atomicity contract).
+    proj = symtab.select("word", "n", F.concat_ws(" ", "syms").alias("syms"))
+    assert_matches_oracle(proj, _bpe_oracle(), SF_DIR)
+
+
+def test_bpe_oracle_early_stop_no_op_stages(spark, tmp_path):
+    """r9 ADVICE: when the corpus yields fewer than _BPE_MERGES mergeable
+    pairs, each exhausted oracle stage must be a NO-OP (COALESCE'd
+    can't-match pattern), not a CROSS JOIN against an empty argmax that
+    empties every later stage — and train_bpe's early stop must agree.
+
+    A corpus of unique non-repetitive words ("abcd", "efgh", ...) has
+    every adjacent pair count exactly 1, so zero merges fire: the
+    oracle must return the FULL single-char symbol table, matching the
+    engine's early-stopped output."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.queries.northstar import _bpe_oracle
+    from tools.oracle_check import canon_rows
+
+    words = ["abcd", "efgh", "ijkl", "mnop"]
+    docs = spark.createDataFrame(
+        [(" ".join(words),)], "text string"
+    ).withColumn("doc_id", F.lit(1))
+    p = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(p)
+
+    vocab = word_counts(docs)
+    merges, symtab = train_bpe(vocab, n_merges=8, batch_size=1)
+    assert merges == []  # early stop: nothing repeats
+    proj = symtab.select("word", "n", F.concat_ws(" ", "syms").alias("syms"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    cur = con.execute(_bpe_oracle())
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    con.close()
+
+    assert len(drows) == len(words)  # NOT the r9 failure mode (0 rows)
+    sc, sr = canon_rows(proj.columns, [tuple(r) for r in proj.collect()])
+    dc, dr = canon_rows(dcols, drows)
+    assert sc == dc and sr == dr

@@ -8,6 +8,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
 
 
 def test_entry_smoke(spark):
@@ -57,3 +58,46 @@ def test_query_callables_are_unique():
     qs = entrymod.queries()
     names = [fn.__name__ for fn in qs.values()]
     assert len(names) == len(set(names))
+
+
+def test_registered_schemas_are_atomic(spark):
+    """Every registered query's output schema must be atomic
+    (no Array/Struct/Map/Binary): the driver's pandas canonicalizer
+    sorts column values and dies on list cells (`TypeError: unhashable
+    type: 'list'` — the r9 `ns_train_bpe` red row). Local pytest
+    oracles may compare typed arrays; REGISTERED rows must project to
+    atomics (concat_ws / hex), the a7_nested_order_lines precedent.
+
+    Building the 50 DataFrames is plan-time only for most rows;
+    the iterative ones (BPE/k-means/logreg/DSIR) run their bounded
+    driver-coordinated jobs at smoke SF, which this suite already does
+    elsewhere.
+    """
+    from tools.oracle_check import non_atomic_columns
+
+    sf_dir = SF_SMOKE
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        bad = non_atomic_columns(fn(spark, sf_dir).schema)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"registered queries with driver-incompatible columns: {offenders}"
+    )
+
+
+def test_non_atomic_guard_fires(spark):
+    """The guard itself must reject a deliberately-array schema."""
+    from pyspark.sql import functions as F
+
+    from tools.oracle_check import non_atomic_columns
+
+    df = spark.range(3).select(
+        "id",
+        F.array(F.lit("a"), F.lit("b")).alias("arr"),
+        F.struct(F.lit(1).alias("x")).alias("st"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("mp"),
+        F.lit(b"\x00").alias("bin"),
+    )
+    assert non_atomic_columns(df.schema) == ["arr", "st", "mp", "bin"]
+    assert non_atomic_columns(df.select("id").schema) == []

@@ -304,6 +304,24 @@ def compare_canonical(scols, srows, dcols, drows) -> str | None:
     return None
 
 
+def non_atomic_columns(schema) -> list:
+    """Columns the DRIVER's canonicalizer cannot process.
+
+    The driver gate canonicalizes results with pandas
+    ``sort_values``, which raises ``TypeError: unhashable type`` on
+    list/dict cells — so every REGISTERED query must project to atomic
+    types (serialize arrays with concat_ws; hex binaries). This is the
+    r9 `ns_train_bpe` failure: the local ``canon_value`` tolerates
+    lists (pytest oracles legitimately compare them), but registered
+    rows must satisfy the stricter driver contract. Enforced in
+    ``main()`` below and in tests/test_contract.py's schema walk.
+    """
+    from pyspark.sql import types as T
+
+    bad = (T.ArrayType, T.StructType, T.MapType, T.BinaryType)
+    return [f.name for f in schema.fields if isinstance(f.dataType, bad)]
+
+
 def assert_matches_oracle(sdf, oracle_sql: str, sf_dir: str) -> None:
     """Pytest-tier twin of the driver gate for ONE query: run
     ``oracle_sql`` on DuckDB views over ``sf_dir``'s parquet tables and
@@ -365,6 +383,16 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            bad = non_atomic_columns(sdf.schema)
+            if bad:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: non-atomic output columns {bad} — "
+                    "the driver's pandas canonicalizer cannot sort "
+                    "list/struct/map/binary cells; project to atomics "
+                    "(concat_ws / hex) like a7_nested_order_lines"
+                )
+                continue
             scols, srows = fetch_spark(sdf)
         except Exception as e:
             failures.append(name)
