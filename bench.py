@@ -40,6 +40,60 @@ def _cpu_sample() -> tuple[int, int] | None:
         return None
 
 
+def _calib_loop(n: int) -> int:
+    """Fixed-size integer hash loop — the absolute CPU reference. Pure
+    Python on purpose: deterministic work, no allocation growth, no
+    I/O; its wall time measures effective host speed (clock, steal,
+    contention) directly."""
+    h = 0
+    for i in range(n):
+        h = (h * 1315423911 + i) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def calibration_probe(cpus: int) -> dict[str, float]:
+    """Absolute host-speed calibration (r9 judge ask #4): the load/steal
+    sampler cannot see slow-clock / noisy-neighbor effects (r9's
+    artifact ran uniformly 1.45x slower than r8 on byte-identical code
+    while sampling 'not hot'). Time a pinned-size CPU reference
+    single-core (calib_1c_sec) and across all bench cores via
+    fork-per-core processes (calib_nc_sec — run BEFORE the JVM exists,
+    so fork is safe), and record both in the artifact.
+
+    Normalization rule (documented for cross-round comparison): query
+    times are 32-core workloads, so to compare round A to round B
+    like-for-like, scale A's per-query seconds by
+    (calib_nc_sec_B / calib_nc_sec_A); calib_1c contextualizes whether
+    a slowdown is clock-wide or contention-only. A round whose
+    calib_nc differs >20% from the previous round's is a
+    different-speed host — per-query ratios must be normalized before
+    being read as regressions."""
+    import multiprocessing as mp
+
+    n_1c = int(os.environ.get("SPARK_GRAFT_CALIB_N", "20000000"))
+    t0 = time.perf_counter()
+    _calib_loop(n_1c)
+    calib_1c = time.perf_counter() - t0
+
+    # Same per-process size on every core simultaneously: wall time is
+    # the aggregate-throughput reference under whatever contention the
+    # host actually has right now.
+    ctx = mp.get_context("fork")
+    t0 = time.perf_counter()
+    procs = [ctx.Process(target=_calib_loop, args=(n_1c,)) for _ in range(cpus)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    calib_nc = time.perf_counter() - t0
+    return {
+        "calib_1c_sec": round(calib_1c, 3),
+        "calib_nc_sec": round(calib_nc, 3),
+        "calib_n": n_1c,
+        "calib_cores": cpus,
+    }
+
+
 def build_bench_session(cpus: int):
     """The bench session config — ONE definition, shared with
     tools/timeq.py so ad-hoc timings always match the driver's bench."""
@@ -158,6 +212,9 @@ def main() -> int:
         sf = None
 
     host_pre = ambient_check()
+    # Calibrate BEFORE the JVM exists (fork-safety of the nc probe) and
+    # before any Spark work can warm/steal cores.
+    calib = calibration_probe(cpus)
     spark = build_bench_session(cpus)
 
     import __spark_entry__ as entrymod
@@ -305,6 +362,17 @@ def main() -> int:
         "plan (scan, shuffle, aggregate, Arrow export) at the target SF; "
         "min-over-passes only removes noisy-neighbor interference.",
         "bench_passes": passes,
+        # passes actually folded into each query's minimum (bench_passes
+        # + the hot-retry clean pass when it ran) — keeps the artifact
+        # self-describing (r9 ADVICE).
+        "effective_passes": passes + (1 if hot_retry.get("clean_pass") else 0),
+        # Absolute host-speed reference (r9 judge ask #4) + the rule for
+        # using it; see calibration_probe's docstring.
+        "calibration": calib,
+        "calib_norm_rule": "cross-round like-for-like: scale this round's "
+        "per-query sec by (calib_nc_sec_other / calib_nc_sec_this); >20% "
+        "calib_nc delta between rounds = different-speed host, normalize "
+        "before reading ratios as regressions",
     }
     if warmup_sec is not None:
         out["warmup_sec"] = warmup_sec
@@ -347,6 +415,10 @@ def main() -> int:
         "cpus": cpus,
         "n_queries": len(per_query),
         "bench_passes": passes,
+        # absolute host-speed reference, so the driver line itself is
+        # normalizable across rounds (see calibration_probe docstring)
+        "calib_1c": calib["calib_1c_sec"],
+        "calib_nc": calib["calib_nc_sec"],
     }
     if failed:
         compact["failed"] = {n: msg[:60] for n, msg in failed.items()}

@@ -460,6 +460,56 @@ def _semantic_dedup_oracle() -> str:
     """
 
 
+def _semantic_margin_sql(margin: float = 1e-9) -> str:
+    """Near-threshold margin probe (r9 ADVICE): counts candidate pairs
+    whose cosine sits within ``margin`` of ``_SEM_THRESH``. The oracle
+    uses DuckDB's native list_inner_product while Spark sums in its own
+    order — a pair that close to the threshold could flip sides on
+    float summation order and surface as an opaque digest mismatch.
+    The sweep (tools/oracle_sweep.py) and tests/test_similarity.py run
+    this so a flip is DIAGNOSED (nonzero margin count) rather than
+    debugged from a hash. Reuses the exact cell/pair chain of
+    :func:`_semantic_dedup_oracle` up to the threshold filter."""
+    return f"""
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT cluster, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv,
+               COUNT(*) OVER () AS n
+        FROM emb
+      ) WHERE cluster < GREATEST(8, n // {_SEM_CELL_TARGET})
+    ),
+    d AS (
+      SELECT e.vec_id, c.cluster,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS sq
+      FROM emb e CROSS JOIN cent c
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sq ASC, cluster ASC) AS rk
+        FROM d
+      ) WHERE rk = 1
+    ),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, sqrt(list_inner_product(v, v)) AS nv FROM emb
+    )
+    SELECT COUNT(*) AS near_threshold_pairs FROM (
+      SELECT list_inner_product(ea.v, eb.v) / (na.nv * nb.nv) AS cos
+      FROM cells a JOIN cells b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN emb ea ON ea.vec_id = a.vec_id
+      JOIN emb eb ON eb.vec_id = b.vec_id
+      JOIN nrm na ON na.vec_id = a.vec_id
+      JOIN nrm nb ON nb.vec_id = b.vec_id
+    ) WHERE abs(cos - {_SEM_THRESH}) < {margin}
+    """
+
+
 @register("ns_semantic_dedup", oracle=_semantic_dedup_oracle())
 def ns_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep-set over the embeddings table

@@ -371,3 +371,25 @@ def test_probe_dims_modal_and_null_led_fallback(spark):
     )
     dims, big = _probe_dims_and_floor(null_led, "embedding")
     assert dims == 8 and big
+
+
+def test_semantic_margin_probe_no_near_threshold_pairs():
+    """r9 ADVICE: the oracle's native list_inner_product vs Spark's own
+    summation order could flip a pair that sits essentially ON the 0.45
+    cosine threshold. The margin probe counts candidate pairs within
+    1e-9 of the threshold; at the gate SFs it must be ZERO, so any
+    future semantic-dedup digest mismatch is a logic bug, not a float
+    flip (and the sweep prints this count per dataset)."""
+    import duckdb
+
+    from clickhouse_etl_spark.queries.northstar import _semantic_margin_sql
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        n = con.execute(_semantic_margin_sql()).fetchone()[0]
+        con.close()
+        assert n == 0, f"{sf_dir}: {n} near-threshold pairs"

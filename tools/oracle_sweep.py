@@ -57,36 +57,83 @@ def main() -> int:
     t0 = time.time()
     running: list[tuple[int, subprocess.Popen]] = []
     outputs: dict[int, str] = {}
+    errs: dict[int, tuple[int, str]] = {}  # batch -> (returncode, stderr tail)
     pending = list(enumerate(batches))
-    fails = 0
     while pending or running:
         while pending and len(running) < n_parallel:
             i, batch = pending.pop(0)
+            # stderr is CAPTURED, not discarded: a batch that dies before
+            # printing (OOM kill, Spark startup failure) must surface its
+            # returncode + stderr tail, or the gate goes silently green
+            # on crashed rows (r9 ADVICE).
             p = subprocess.Popen(
                 [sys.executable, os.path.join(HERE, "oracle_check.py"),
                  sf_dir, *batch],
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True, env=env,
             )
             running.append((i, p))
         i, p = running[0]
-        out, _ = p.communicate()
+        out, err = p.communicate()
         outputs[i] = out
         if p.returncode != 0:
-            fails += 1
+            # Nonzero is expected when the batch printed FAIL lines
+            # (oracle_check exits 1 on any failure) — those are counted
+            # below. Only record as a crash if the row accounting comes
+            # up short, but keep the stderr tail for the summary either way.
+            errs[i] = (p.returncode, "\n".join(err.splitlines()[-12:]))
         running.pop(0)
 
     ok = bad = 0
+    reported: set[str] = set()
     for i in sorted(outputs):
         for line in outputs[i].splitlines():
             if line.startswith(("OK", "FAIL", "ok*")):
                 print(line)
+                parts = line.split()
+                if len(parts) > 1:
+                    reported.add(parts[1].rstrip(":"))
                 ok += line.startswith(("OK", "ok*"))
                 bad += line.startswith("FAIL")
+    # EVERY registry row must have produced a result line — a subprocess
+    # that crashed mid-batch reports fewer rows than it was assigned, and
+    # the gate must go red, not silently green (no-silent-caps rule).
+    # Near-threshold margin probe (r9 ADVICE): the semantic-dedup oracle's
+    # native list_inner_product could flip a pair across _SEM_THRESH on
+    # summation order vs Spark. Count pairs within 1e-9 of the threshold at
+    # THIS dataset so a flip is diagnosed, not debugged from a digest.
+    margin_note = ""
+    if "ns_semantic_dedup" in names:
+        try:
+            import duckdb
+
+            from clickhouse_etl_spark.queries.northstar import (
+                _semantic_margin_sql,
+            )
+            from tools.oracle_check import open_oracle_views
+
+            con = open_oracle_views(sf_dir)
+            n_near = con.execute(_semantic_margin_sql()).fetchone()[0]
+            con.close()
+            margin_note = f", sem-margin pairs within 1e-9: {n_near}"
+            if n_near:
+                print(f"WARN  ns_semantic_dedup: {n_near} pair(s) within "
+                      "1e-9 of the cosine threshold — digest mismatches on "
+                      "this row may be float-order flips, not logic bugs")
+        except Exception as e:  # probe must never mask the gate result
+            margin_note = f", sem-margin probe error: {e}"
+
+    missing = sorted(set(names) - reported)
+    if missing:
+        print(f"\nMISSING {len(missing)} rows (subprocess died?): {missing}")
+        for i, (rc, tail) in sorted(errs.items()):
+            print(f"--- batch {i} rc={rc} stderr tail ---\n{tail}")
     total = ok + bad
-    print(f"\n{ok}/{total} passed  (wall {time.time()-t0:.0f}s, "
-          f"{n_batches} batches x local[{per_proc}], {n_parallel} parallel)")
-    return 1 if bad else 0
+    print(f"\n{ok}/{total} passed, {len(missing)} missing of {len(names)} "
+          f"(wall {time.time()-t0:.0f}s, "
+          f"{n_batches} batches x local[{per_proc}], {n_parallel} parallel"
+          f"{margin_note})")
+    return 1 if (bad or missing) else 0
 
 
 if __name__ == "__main__":
