@@ -327,14 +327,10 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SummingMergeTree state maintenance (sinks/upsert.py): snapshot(half 1)
 # folded with delta(half 2) must equal one GROUP BY over the whole table.
-@register(
-    "ext_summing_merge",
-    oracle="""
-    SELECT l_returnflag, ROUND(SUM(l_quantity), 3) AS total_qty,
-           ROUND(MAX(l_extendedprice), 3) AS max_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
+# Demoted to tests/test_demoted_oracles.py in the round-10 rotation,
+# batch 6 (identical value-hash oracle there): the MergeTree merge
+# family keeps ext_collapsing_merge as its driver row — the same
+# keyed aggregation-shuffle fold with the harder (signed) semantics.
 def ext_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.sinks.upsert import summing_merge
 
@@ -391,12 +387,200 @@ def ext_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapsing_merge(rows, ["k"], order_col="ver")
 
 
+# ---------------------------------------------------------------------------
+# Round-10 registry rotation, batch 6: the last pytest-only tiers into
+# the driver window — snapshot diff (incremental maintenance beyond
+# summing/collapsing), the strict-order funnel (completes the ClickHouse
+# event family), and fuzzy edit-distance pairs (entity resolution).
+# Demoted near-twins (identical oracles in tests/test_demoted_oracles.py):
+# ext_summing_merge, ext_scd2_lookup, ext_window_funnel.
+# ---------------------------------------------------------------------------
+
+
+# Snapshot diff (sinks/upsert.py:snapshot_diff): row-level
+# insert/update/delete classification between two keyed snapshots — the
+# CDC retrofit for sources that only expose periodic full extracts (the
+# reference's daily re-extract DAGs are exactly that shape, e.g.
+# apps/airflow/dags/student/etl_students_to_clickhouse.py's full-table
+# reload). Old = orders minus every 7th key (those become inserts);
+# new = orders minus every 11th key (deletes), with every 3rd key's
+# totalprice bumped 10% (updates). ONE full-outer hash join on the key;
+# unchanged rows never leave the join. Deletes carry the OLD payload.
+@register(
+    "ext_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base WHERE o_orderkey % 11 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+                ELSE n.o_orderstatus END AS o_orderstatus,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+                ELSE n.o_totalprice END AS o_totalprice
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.sinks.upsert import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = base.filter(F.col("o_orderkey") % 7 != 0)
+    new = base.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# ClickHouse windowFunnel(strict_order) (operators/events.py:
+# window_funnel_strict_order): consecutive-event funnel — an unrelated
+# event between steps INTERRUPTS the chain, unlike the relaxed mode
+# (demoted this rotation; strictness is pinned as a restriction of it
+# in tests/test_events.py). Oracle: the LEAD-chain formulation proven
+# in tests/test_events.py — the next (k-1) events after each step-1
+# anchor must match the next steps in order within the window.
+# Per-user window sort + LEADs: one user-keyed shuffle, no joins.
+@register(
+    "ext_funnel_strict_order",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             event_type = 'signup' AS s0,
+             LEAD(event_type = 'view', 1) OVER w AS n1t,
+             LEAD(epoch_us(ts), 1) OVER w AS n1ts,
+             LEAD(event_type = 'purchase', 2) OVER w AS n2t,
+             LEAD(epoch_us(ts), 2) OVER w AS n2ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    leveled AS (
+      SELECT user_id, ts_us, event_id,
+             1
+             + CASE WHEN COALESCE(n1t, FALSE)
+                     AND n1ts <= ts_us + 86400000000
+                     AND n1ts > ts_us THEN 1 ELSE 0 END
+             + CASE WHEN COALESCE(n1t, FALSE)
+                     AND n1ts <= ts_us + 86400000000
+                     AND n1ts > ts_us
+                     AND COALESCE(n2t, FALSE)
+                     AND n2ts <= ts_us + 86400000000
+                     AND n2ts > n1ts THEN 1 ELSE 0 END
+               AS lvl,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM flagged WHERE s0
+    )
+    SELECT user_id, lvl AS funnel_level FROM leveled WHERE rn = 1
+    """,
+)
+def ext_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.events import (
+        window_funnel_strict_order,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return window_funnel_strict_order(
+        events,
+        ["event_type = 'signup'", "event_type = 'view'",
+         "event_type = 'purchase'"],
+        window_seconds=86400,
+        tiebreak_col="event_id",
+    )
+
+
+# Fuzzy edit-distance pairs (operators/fuzzy.py:fuzzy_self_pairs):
+# entity resolution at data scale. The fixture manufactures a dirty
+# entity table deterministically on BOTH engines: each customer's name
+# is the first 12 hex chars of md5(custkey) — gram-SELECTIVE, like real
+# entity names and unlike the zero-padded synthetic c_name whose
+# constant-prefix grams make candidates ≈ all pairs (measured: gen1→3
+# exponent 1.8 on c_name vs sub-linear here) — and every 10th customer
+# is a planted TYPO of its predecessor ('z' + the partner's md5 tail:
+# exactly one substitution, distance 1). Output is therefore ~n/10
+# pairs, linear in the corpus.
+#
+# Oracle: q-gram candidate prefilter + exact levenshtein verify. With
+# q=5, k=1 every 12-char name is LONG (12 >= q*(k+1) = 10), so the
+# q-gram completeness bound is a THEOREM here (one edit destroys <= 5
+# of the 8 grams, leaving >= 3 shared) — the oracle mirrors candidate
+# generation the way the MinHash/LSH oracles reproduce theirs, and
+# tests/test_fuzzy.py pins oracle == brute-force n² at the gate SFs so
+# the prefilter's completeness is also checked empirically.
+@register(
+    "ext_fuzzy_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 10 = 0 AND c_custkey > 0
+                  THEN 'z' || substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 2, 11)
+                  ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)
+             END AS name
+      FROM customer
+    ),
+    grams AS (
+      SELECT id, name,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(name) - 4),
+               i -> substr(name, i, 5)))) AS g
+      FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                      a.name AS name_a, b.name AS name_b
+      FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           levenshtein(name_a, name_b) AS distance
+    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def ext_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.fuzzy import fuzzy_self_pairs
+
+    customer = load_table(spark, sf_dir, "customer")
+    key_str = F.col("c_custkey").cast("string")
+    partner_str = (F.col("c_custkey") - 1).cast("string")
+    names = customer.select(
+        "c_custkey",
+        F.when(
+            (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") > 0),
+            F.concat(
+                F.lit("z"),
+                F.substring(F.md5(F.encode(partner_str, "UTF-8")), 2, 11),
+            ),
+        )
+        .otherwise(F.substring(F.md5(F.encode(key_str, "UTF-8")), 1, 12))
+        .alias("name"),
+    )
+    return fuzzy_self_pairs(names, "name", max_distance=1,
+                            id_col="c_custkey", q=5)
+
+
 # SCD2 temporal lookup (sinks/upsert.py): build a type-2 history of each
 # customer's order-status timeline (ts made unique by adding o_orderkey
 # seconds), then join facts at ts+45 days to the version valid THEN.
-@register(
-    "ext_scd2_lookup",
-    oracle="""
+# Demoted to tests/test_demoted_oracles.py in the round-10 rotation,
+# batch 6 (identical value-hash oracle there): its Spark path COMPOSES
+# scd2_history + scd2_lookup, and the round-10 promotion
+# ext_snapshot_diff puts the incremental-maintenance story
+# (sinks/upsert.py beyond summing/collapsing) in the driver window.
+_SCD2_LOOKUP_ORACLE = """
     WITH ch AS (
       SELECT o_custkey AS id,
              o_orderdate + o_orderkey * INTERVAL 1 SECOND AS ts,
@@ -425,8 +609,9 @@ def ext_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.fact_id, f.id, f.amount, hist.status
     FROM f LEFT JOIN hist
       ON f.id = hist.id AND hist.valid_from <= f.ts AND f.ts < hist.valid_to
-    """,
-)
+    """
+
+
 def ext_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.sinks.upsert import scd2_history, scd2_lookup
 
@@ -503,9 +688,13 @@ def ext_fill_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ClickHouse windowFunnel (greedy-from-earliest variant; see
 # operators/events.py module doc): one user-keyed join per funnel step,
 # each shuffling only the user key.
-@register(
-    "ext_window_funnel",
-    oracle="""
+# Demoted to tests/test_demoted_oracles.py in the round-10 rotation,
+# batch 6 (identical value-hash oracle there): the funnel family keeps
+# ext_funnel_strict_order as its driver row — the strict mode is a
+# RESTRICTION of this relaxed one (pinned in tests/test_events.py) and
+# exercises the same per-user event machinery plus the interruption
+# semantics this row can't.
+_WINDOW_FUNNEL_ORACLE = """
     WITH t1 AS (
       SELECT user_id, min(ts) AS t1 FROM events
       WHERE event_type = 'signup' GROUP BY user_id
@@ -529,8 +718,9 @@ def ext_fill_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN t2.user_id IS NOT NULL THEN 2
                 ELSE 1 END AS funnel_level
     FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
-    """,
-)
+    """
+
+
 def ext_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.operators.events import window_funnel
 

@@ -1712,3 +1712,49 @@ def test_a8_json_custom_evals(spark):
         FROM lineitem GROUP BY l_orderkey
         """,
     )
+
+
+def test_ext_summing_merge(spark):
+    """SummingMergeTree fold — identical oracle to the row's registry
+    days (demoted round 10, batch 6: the MergeTree merge family keeps
+    ext_collapsing_merge as its driver row — the same keyed
+    aggregation-shuffle fold with the harder signed semantics)."""
+    from clickhouse_etl_spark.queries.extensions import ext_summing_merge
+
+    _assert_matches_oracle(
+        ext_summing_merge(spark, SF_DIR),
+        """
+        SELECT l_returnflag, ROUND(SUM(l_quantity), 3) AS total_qty,
+               ROUND(MAX(l_extendedprice), 3) AS max_price
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+
+
+def test_ext_scd2_lookup(spark):
+    """SCD2 history build + temporal lookup — identical oracle to the
+    row's registry days (demoted round 10, batch 6: the round's
+    ext_snapshot_diff promotion carries the sinks/upsert.py
+    incremental-maintenance tier in the driver window; this composed
+    scd2_history+scd2_lookup path keeps full rigor here)."""
+    from clickhouse_etl_spark.queries.extensions import (
+        _SCD2_LOOKUP_ORACLE,
+        ext_scd2_lookup,
+    )
+
+    _assert_matches_oracle(ext_scd2_lookup(spark, SF_DIR), _SCD2_LOOKUP_ORACLE)
+
+
+def test_ext_window_funnel(spark):
+    """Relaxed windowFunnel — identical oracle to the row's registry
+    days (demoted round 10, batch 6: the funnel family's driver row is
+    now ext_funnel_strict_order, whose strictness is pinned as a
+    restriction of this mode in tests/test_events.py)."""
+    from clickhouse_etl_spark.queries.extensions import (
+        _WINDOW_FUNNEL_ORACLE,
+        ext_window_funnel,
+    )
+
+    _assert_matches_oracle(
+        ext_window_funnel(spark, SF_DIR), _WINDOW_FUNNEL_ORACLE
+    )

@@ -88,3 +88,42 @@ def test_no_python_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_registered_row_oracle_prefilter_equals_bruteforce():
+    """The ext_fuzzy_pairs oracle uses the q-gram candidate prefilter
+    (a theorem at q=5, k=1 over 12-char names) instead of the n²
+    brute force, so it stays tractable at the sweep scales. Pin the
+    two formulations equal at the gate SFs — if the prefilter ever
+    dropped a true pair, THIS fails before the registry row could
+    drift."""
+    import duckdb
+
+    from clickhouse_etl_spark.queries import ORACLE_SQL
+
+    gram_sql = ORACLE_SQL["ext_fuzzy_pairs"]
+    brute_sql = """
+    WITH names AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 10 = 0 AND c_custkey > 0
+                  THEN 'z' || substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 2, 11)
+                  ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)
+             END AS name
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS distance
+    FROM names a JOIN names b ON a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+    """
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/customer.parquet')"
+        )
+        got = sorted(con.execute(gram_sql).fetchall())
+        want = sorted(con.execute(brute_sql).fetchall())
+        con.close()
+        assert len(want) > 0  # planted typos exist at every SF
+        assert got == want, f"{sf_dir}: prefilter dropped/added pairs"

@@ -96,6 +96,17 @@ HEADLINERS = {
     "ext_collapsing_merge": "ONE aggregation shuffle on the key: "
     "map-side partial folds the ±1 counts; max_by picks the surviving "
     "+1 payload; net<=0 keys filtered post-agg (r9 promotion)",
+    # round-10 rotation, batch 6
+    "ext_snapshot_diff": "ONE full-outer hash join on the key; change "
+    "classification + unchanged-row filter ride the join projection — "
+    "both sides fact-sized, nothing broadcast (r10 promotion)",
+    "ext_funnel_strict_order": "per-user window sort + LEAD chain — one "
+    "user-keyed exchange, zero joins; strictness is the consecutive-"
+    "event predicate on the LEADs (r10 promotion)",
+    "ext_fuzzy_pairs": "length-split q-gram candidate self-join "
+    "(provable completeness bound) + JVM levenshtein verify; short "
+    "strings pair at the distinct-VALUE level, never row×row (r10 "
+    "promotion)",
     "ext_fill_time_gaps": "per-key span aggregate + sequence() explode "
     "— gap rows are GENERATED, not joined against a calendar table",
     "ext_cramers_v": "one contingency aggregation per pair; the "
