@@ -338,3 +338,39 @@ def test_linear_fit_single_aggregation_pass(spark):
     agg_pos = plan.rfind("HashAggregate")
     udf_pos = plan.find("ArrowEvalPython")
     assert udf_pos != -1 and udf_pos < agg_pos
+
+
+def test_rotation6_registered_rows_plan_contracts(spark):
+    """Plan pins for the round-10 promotions: the snapshot diff is ONE
+    unbroadcast shuffle join (both sides fact-sized), the strict-order
+    funnel is pure window machinery (zero joins), and the fuzzy row
+    never plans a cartesian or row-Python."""
+    from clickhouse_etl_spark.queries.extensions import (
+        ext_funnel_strict_order,
+        ext_fuzzy_pairs,
+        ext_snapshot_diff,
+    )
+
+    d = ext_snapshot_diff(spark, SF_SMOKE)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins == 1, f"snapshot diff should be ONE join, saw {n_joins}"
+    opt = d._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "FullOuter" in line:
+            assert "broadcast" not in line.lower()
+
+    f = ext_funnel_strict_order(spark, SF_SMOKE)
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "strict-order funnel must not plan joins"
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    z = ext_fuzzy_pairs(spark, SF_SMOKE)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
