@@ -423,6 +423,16 @@ def main() -> int:
         )
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    # Tear the pre-forked digest pool down EXPLICITLY: letting the
+    # interpreter GC it mid-shutdown races module teardown and spews
+    # `AttributeError: 'NoneType' object has no attribute 'pack'` from
+    # Pool.__del__ after the result line (harmless but alarming in a
+    # gate log).
+    global _POOL
+    if _POOL is not None:
+        _POOL.terminate()
+        _POOL.join()
+        _POOL = None
     return 1 if failures else 0
 
 
