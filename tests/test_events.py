@@ -896,3 +896,75 @@ def test_sequence_count_matches_recursive_sql_oracle(spark):
         tiebreak_col="event_id",
     )
     _assert_matches(out, _sequence_count_oracle())
+
+
+def _strict_dedup_oracle(window_seconds: int = 86400) -> str:
+    """Recursive-CTE simulation of the strict_dedup automaton (round
+    10, same construction as :func:`_sequence_count_oracle`): state per
+    user is (anchor, level, last-advance ts, dead); a repeat of an
+    already-matched condition while waiting sets dead, an advance wins
+    over a simultaneous re-match. Proves strict_dedup
+    registry-promotable too."""
+    w = window_seconds * 1_000_000
+    return f"""
+    WITH RECURSIVE ev AS MATERIALIZED (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             epoch_us(ts) AS ts_us,
+             event_type = 'signup' AS s0,
+             event_type = 'view' AS s1,
+             event_type = 'purchase' AS s2
+      FROM events WHERE ts IS NOT NULL
+    ),
+    nev AS MATERIALIZED (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id),
+    st AS (
+      SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS t1,
+             0 AS lvl, CAST(NULL AS BIGINT) AS tp, FALSE AS dead
+      FROM nev
+      UNION ALL
+      SELECT user_id, rn,
+             CASE WHEN NOT started AND s0 THEN ts_us ELSE t1 END,
+             CASE WHEN NOT started AND s0 THEN 1
+                  WHEN adv THEN lvl + 1 ELSE lvl END,
+             CASE WHEN NOT started AND s0 THEN ts_us
+                  WHEN adv THEN ts_us ELSE tp END,
+             CASE WHEN started AND NOT adv AND live
+                   AND ((lvl >= 1 AND s0) OR (lvl >= 2 AND s1))
+                  THEN TRUE ELSE dead END
+      FROM (
+        SELECT *,
+               (live AND ts_us > tp AND ts_us <= t1 + {w}
+                AND ((lvl = 1 AND s1) OR (lvl = 2 AND s2))) AS adv
+        FROM (
+          SELECT s.user_id, e.rn, e.ts_us, e.s0, e.s1, e.s2,
+                 s.t1, s.lvl, s.tp, s.dead, s.t1 IS NOT NULL AS started,
+                 (s.t1 IS NOT NULL AND NOT s.dead AND s.lvl < 3) AS live
+          FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        )
+      )
+    )
+    SELECT st.user_id, st.lvl AS funnel_level
+    FROM st JOIN nev ON st.user_id = nev.user_id AND st.rn = nev.mx
+    WHERE st.t1 IS NOT NULL
+    """
+
+
+def test_window_funnel_strict_dedup_matches_recursive_sql_oracle(spark):
+    """strict_dedup vs the event-by-event recursive-CTE simulation —
+    full driver-gate comparison (the interrupt-on-repeat semantics no
+    fixed-depth LEAD ladder can express ARE SQL-expressible via
+    recursion), making the op registry-promotable."""
+    from clickhouse_etl_spark.operators.events import (
+        window_funnel_strict_dedup,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    out = window_funnel_strict_dedup(
+        events,
+        ["event_type = 'signup'", "event_type = 'view'",
+         "event_type = 'purchase'"],
+        86400,
+        tiebreak_col="event_id",
+    )
+    _assert_matches(out, _strict_dedup_oracle())
