@@ -21,7 +21,7 @@ from clickhouse_etl_spark.queries import register
     oracle="""
     SELECT p_brand, CAST(p_size % 5 AS INT) AS size_band,
            count(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM part
     GROUP BY ROLLUP (p_brand, CAST(p_size % 5 AS INT))
     """,
@@ -46,9 +46,9 @@ def ext_rollup_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_running_revenue",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+             ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_revenue
     FROM orders
     """,
 )
@@ -181,7 +181,7 @@ def ext_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              d + INTERVAL 14 HOUR, d + INTERVAL 930 MINUTE FROM days
     )
     SELECT i.interval_id, count(ev.ts) AS n_events,
-           CAST(SUM(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(CAST(ev.value AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM intervals i
     LEFT JOIN events ev ON ev.ts >= i.s AND ev.ts < i.e
     GROUP BY i.interval_id
@@ -241,7 +241,7 @@ def ext_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -78,7 +78,7 @@ def p3_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s7_incremental_watermark",
     oracle="""
     SELECT event_type, count(*) AS n_rows,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
     GROUP BY event_type
@@ -165,7 +165,7 @@ def f2_grade_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j1_revenue_per_nation",
     oracle="""
     SELECT n.n_name AS nation, count(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(CAST(o.o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -585,15 +585,34 @@ def ext_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H-Q1-shaped pricing summary (A1+A3+F7 composition) — also
 # the headline bench query.
+#
+# Oracle cast mediation (r10, closes the standing gen10 1-ulp miss):
+# every double<->decimal boundary goes through VARCHAR on the DuckDB
+# side, because the engines' native casts round differently —
+#   * double -> DECIMAL: Spark rounds the double's SHORTEST DECIMAL
+#     REPRESENTATION half-up (BigDecimal.valueOf + HALF_UP); DuckDB's
+#     direct cast rounds in double arithmetic (scale by 10^s, llround),
+#     so a value whose shortest repr ends in '5' one digit past the
+#     scale can round the other way (tests/test_cast_divergence.py).
+#     DuckDB's double->VARCHAR prints the shortest repr and its
+#     VARCHAR->DECIMAL parse rounds half-up — composing them IS Spark's
+#     semantics.
+#   * DECIMAL -> double: Spark is correctly rounded
+#     (BigDecimal.doubleValue); DuckDB's direct cast divides in double
+#     arithmetic (two roundings — observed 1 ulp off on a gen10 group
+#     sum); DECIMAL->VARCHAR->DOUBLE is exact-print + correctly-rounded
+#     parse. Same mediation applied to every decimal-summing oracle in
+#     this inventory (j1, p3, flagship, ext_rollup/running/range/
+#     hypertable).
 # ---------------------------------------------------------------------------
 @register(
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_extendedprice), 6) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -639,7 +658,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o.o_orderkey AS orderkey, c.c_name AS customer_name,
            n.n_name AS nation, r.r_name AS region,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            count(*) AS line_count,
            {grade_band_sql("CAST(o.o_orderkey % 101 AS DOUBLE)")} AS grade
     FROM lineitem l

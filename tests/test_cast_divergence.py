@@ -1,9 +1,13 @@
 """Pin the q1 10x-oracle footnote as an executable expectation.
 
-BENCH_SCALE.md's 10x value-hash sweep is 49/50: `q1_pricing_summary`'s
-`sum_charge` differs from DuckDB by one double ulp at gen10. Root
+Through round 9 the 10x value-hash sweep was 49/50: `q1_pricing_summary`'s
+`sum_charge` differed from DuckDB by one double ulp at gen10. Root
 cause (documented there, demonstrated here on a crafted fixture): the
 two engines implement double -> DECIMAL(18,6) casts differently.
+Round 10 CLOSED the gap by VARCHAR-mediating both cast boundaries on
+the DuckDB side (see the q1 oracle comment in queries/relational.py and
+test_varchar_mediated_casts_close_the_divergence below); the direct-cast
+divergence tests stay as the semantics record.
 
 - Spark routes through exact decimal arithmetic: the double's SHORTEST
   DECIMAL REPRESENTATION (``BigDecimal.valueOf`` = ``Double.toString``)
@@ -101,5 +105,46 @@ def test_engines_diverge_by_exactly_one_micro_unit(spark):
                 "SELECT CAST(? AS DECIMAL(18,6))", [d]
             ).fetchone()[0]
             assert spark_vals[d] == duck, d
+    finally:
+        con.close()
+
+
+def test_varchar_mediated_casts_close_the_divergence(spark):
+    """Round-10 resolution: routing the DuckDB side through VARCHAR at
+    BOTH boundaries reproduces Spark's cast semantics exactly, which is
+    how the registered oracles now achieve 50/50 at gen10 (previously a
+    standing 49/50 with this file as the adjudication witness).
+
+    - double -> VARCHAR prints the shortest repr; VARCHAR -> DECIMAL
+      parses half-up == Spark's BigDecimal.valueOf + HALF_UP.
+    - DECIMAL -> VARCHAR prints the exact digits; VARCHAR -> DOUBLE is
+      a correctly-rounded parse == Spark's BigDecimal.doubleValue
+      (DuckDB's DIRECT decimal->double divides in double arithmetic —
+      two roundings — observed one ulp off on a gen10 group sum).
+    """
+    df = spark.createDataFrame([(d,) for d in DIVERGENT + CONTROL], "d double")
+    spark_dec = {
+        float(r.d): r.c
+        for r in df.selectExpr("d", "CAST(d AS DECIMAL(18,6)) AS c").collect()
+    }
+    spark_dbl = {
+        float(r.d): r.c
+        for r in df.selectExpr(
+            "d", "CAST(CAST(d AS DECIMAL(18,6)) AS DOUBLE) AS c"
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        for d in DIVERGENT + CONTROL:
+            med_dec = con.execute(
+                "SELECT CAST(CAST(? AS VARCHAR) AS DECIMAL(18,6))", [d]
+            ).fetchone()[0]
+            assert med_dec == spark_dec[d], (d, med_dec, spark_dec[d])
+            med_dbl = con.execute(
+                "SELECT CAST(CAST(CAST(CAST(? AS VARCHAR) AS DECIMAL(18,6))"
+                " AS VARCHAR) AS DOUBLE)",
+                [d],
+            ).fetchone()[0]
+            assert med_dbl == spark_dbl[d], (d, med_dbl, spark_dbl[d])
     finally:
         con.close()
