@@ -80,6 +80,21 @@ def calibration_probe(cpus: int) -> dict[str, float]:
         _timed(_calib_loop, n_1c) for _ in range(3)
     )
 
+    # Fork guard (r10 ADVICE): the nc probe forks one worker per core —
+    # run BEFORE the JVM exists, so fork is safe — but on platforms
+    # without fork (Windows, spawn-only contexts) the bench must not
+    # crash at startup; it emits the 1c reference only, with a note,
+    # the same way tools/oracle_check.py guards its digest pool.
+    if not hasattr(os, "fork"):
+        return {
+            "calib_1c_sec": round(calib_1c, 3),
+            "calib_n": n_1c,
+            "calib_cores": cpus,
+            "calib_reps": [3, 0],
+            "calib_note": "no os.fork on this platform — nc probe "
+            "skipped; normalize with calib_1c_sec only",
+        }
+
     # Same per-process size on every core simultaneously: wall time is
     # the aggregate-throughput reference under whatever contention the
     # host actually has right now.
@@ -110,6 +125,48 @@ def _timed(fn, *args) -> float:
     t0 = time.perf_counter()
     fn(*args)
     return time.perf_counter() - t0
+
+
+# Best recorded IDLE-host calibration (BENCH_SCALE.md r10 section:
+# calib_1c 2.16 s / calib_nc 2.66 s on the quiet host that reproduced
+# r8's totals). These pin the denominator of slow_host_factor so the
+# artifact is self-describing (r10 judge ask #2: hot_retry_clean=true
+# on a calib-proven 1.64x-slow host read as "clean 88.6 s" unless the
+# reader cross-referenced BENCH_SCALE.md). Env-overridable so a
+# permanently different box can re-baseline without a code edit.
+CALIB_1C_REF = float(os.environ.get("SPARK_GRAFT_CALIB_1C_REF", "2.16"))
+CALIB_NC_REF = float(os.environ.get("SPARK_GRAFT_CALIB_NC_REF", "2.66"))
+# The nc reference was recorded forking THIS many workers; an nc probe
+# run at a different SPARK_GRAFT_CPUS measures different contention and
+# must not be compared against it (slow_host_factor falls back to 1c).
+CALIB_NC_REF_CORES = int(os.environ.get("SPARK_GRAFT_CALIB_NC_REF_CORES", "32"))
+# >20% above the reference = different-speed host (the calib_norm_rule
+# threshold, now enforced in-code rather than left to the reader).
+CALIB_SLOW_FACTOR = float(os.environ.get("SPARK_GRAFT_CALIB_SLOW_FACTOR", "1.2"))
+
+
+def _calib_1c_quick() -> float:
+    """Fork-free single-core re-probe (min of 2 reps) — safe to run
+    with the JVM alive, used by the hot-retry loop to decide whether
+    the host has actually returned to reference speed. The full nc
+    probe stays pre-JVM only (fork safety)."""
+    n_1c = int(os.environ.get("SPARK_GRAFT_CALIB_N", "20000000"))
+    return min(_timed(_calib_loop, n_1c) for _ in range(2))
+
+
+def slow_host_factor(calib: dict[str, float]) -> float:
+    """How much slower this host ran its calibration than the pinned
+    idle reference. Prefers the all-core probe (query times are
+    all-core workloads); falls back to 1c when fork was unavailable or
+    the probe forked a different core count than the reference was
+    recorded at (an 8-fork nc on a 32-core box measures no contention
+    and would read falsely fast)."""
+    if (
+        "calib_nc_sec" in calib
+        and calib.get("calib_cores") == CALIB_NC_REF_CORES
+    ):
+        return round(calib["calib_nc_sec"] / CALIB_NC_REF, 3)
+    return round(calib["calib_1c_sec"] / CALIB_1C_REF, 3)
 
 
 def build_bench_session(cpus: int):
@@ -297,32 +354,54 @@ def main() -> int:
     for _p in range(passes):
         run_pass()
 
-    # Hot-retry (r8 judge ask #3): the official r8 artifact carried
-    # ambient_hot inflation (53.2 s recorded vs 49.6 s on a clean host;
-    # three sub-second rows read as false regressions). If the host was
-    # hot at the pre-run sample OR is hot now, poll (bounded) for it to
-    # cool and fold ONE extra clean pass into the per-query minima — the
-    # committed artifact is then either clean-host or carries the
-    # retry-minimum per query, never a silently inflated number.
-    hot_retry: dict[str, float | bool] = {}
+    # Hot-retry (r8 judge ask #3, extended r10 ask #2): the official r8
+    # artifact carried ambient_hot inflation (53.2 s recorded vs 49.6 s
+    # on a clean host), and r10's carried calib-proven 1.64x slow-host
+    # inflation that load/steal sampling never saw. The retry now
+    # consults BOTH signals: it triggers when the host was ambient-hot
+    # OR the pre-run calibration ran >CALIB_SLOW_FACTOR above the
+    # pinned idle reference, and a retry pass only counts as clean when
+    # ambient is cool AND a fresh fork-free 1c probe is back within the
+    # factor — so hot_retry_clean=true can no longer certify a
+    # calib-proven slow run.
+    shf = slow_host_factor(calib)
+    calib_slow = shf > CALIB_SLOW_FACTOR
+    hot_retry: dict[str, float | bool | str] = {}
     post = _ambient_sample()
-    if host_pre.get("hot") or post.get("hot"):
+    if host_pre.get("hot") or post.get("hot") or calib_slow:
         wait_max = float(os.environ.get("SPARK_GRAFT_BENCH_HOT_WAIT_MAX", "300"))
         poll_s = float(os.environ.get("SPARK_GRAFT_BENCH_HOT_POLL_SEC", "30"))
         waited = 0.0
-        cool = not post.get("hot")
+
+        def _is_clean() -> tuple[bool, float]:
+            amb = _ambient_sample()
+            c1 = _calib_1c_quick()
+            return (
+                not amb.get("hot")
+                and c1 / CALIB_1C_REF <= CALIB_SLOW_FACTOR
+            ), c1
+
+        cool, c1 = _is_clean()
         while not cool and waited < wait_max:
             step = min(poll_s, wait_max - waited)
             time.sleep(step)
             waited += step
-            cool = not _ambient_sample().get("hot")
+            cool, c1 = _is_clean()
         hot_retry["waited_s"] = round(waited, 1)
         hot_retry["clean_pass"] = bool(cool)
+        hot_retry["retry_calib_1c"] = round(c1, 3)
+        hot_retry["trigger"] = "+".join(
+            [t for t, on in (
+                ("ambient", bool(host_pre.get("hot") or post.get("hot"))),
+                ("calib", calib_slow),
+            ) if on]
+        )
         if cool:
             run_pass()
         else:
             sys.stderr.write(
-                f"bench: host still hot after {waited:.0f}s wait — "
+                f"bench: host still hot/slow after {waited:.0f}s wait "
+                f"(last 1c probe {c1:.2f}s vs ref {CALIB_1C_REF}) — "
                 "no clean retry pass; timings may drift high\n"
             )
 
@@ -391,6 +470,14 @@ def main() -> int:
         "per-query sec by (calib_nc_sec_other / calib_nc_sec_this); >20% "
         "calib_nc delta between rounds = different-speed host, normalize "
         "before reading ratios as regressions",
+        # r10 judge ask #2: the artifact is self-describing about host
+        # speed — no BENCH_SCALE.md cross-reference needed. factor > 1.2
+        # means the main passes ran on a slow host; the normalized total
+        # estimates what the pinned idle reference host would have read
+        # (exact only to the extent query time scales with CPU speed).
+        "slow_host_factor": shf,
+        "calib_refs": {"calib_1c_ref": CALIB_1C_REF, "calib_nc_ref": CALIB_NC_REF},
+        "calib_norm_total_sec": round(total / shf, 1) if shf > 0 else None,
     }
     if warmup_sec is not None:
         out["warmup_sec"] = warmup_sec
@@ -436,8 +523,15 @@ def main() -> int:
         # absolute host-speed reference, so the driver line itself is
         # normalizable across rounds (see calibration_probe docstring)
         "calib_1c": calib["calib_1c_sec"],
-        "calib_nc": calib["calib_nc_sec"],
+        "calib_nc": calib.get("calib_nc_sec"),
+        # vs the pinned idle reference (r10 judge ask #2): >1.2 = the
+        # main passes ran on a calib-proven slow host; norm_value is the
+        # calibration-normalized inventory total.
+        "slow_host_factor": shf,
+        "calib_norm_value": round(total / shf, 1) if shf > 0 else None,
     }
+    if calib_slow:
+        compact["calib_slow"] = True
     if failed:
         compact["failed"] = {n: msg[:60] for n, msg in failed.items()}
     if host_pre.get("hot"):
@@ -445,10 +539,12 @@ def main() -> int:
         # self-describing in BENCH_r{N}.json, not just in BENCH_OUT
         compact["ambient_hot"] = True
     if hot_retry:
-        # hot_retry_clean=true means a cooled-host pass was folded into
-        # every per-query minimum — the numbers are noise-robust despite
-        # ambient_hot; false means the host never cooled in the wait
-        # budget and the timings should be read as upper bounds.
+        # hot_retry_clean=true now means a pass verified clean on BOTH
+        # signals (ambient cool AND 1c calibration back within 1.2x of
+        # the pinned reference) was folded into every per-query minimum;
+        # false means the host never returned to reference speed in the
+        # wait budget and the timings should be read as upper bounds
+        # (normalize by slow_host_factor).
         compact["hot_retry_clean"] = bool(hot_retry.get("clean_pass"))
     line = json.dumps(compact, separators=(",", ":"))
     # Hard guard: a line that outgrows the driver's capture window must

@@ -123,23 +123,31 @@ def window_funnel_strict_order(
     wrong step) stops it. In ``A → B → D → C`` the funnel reads level 2:
     ``D`` interrupts before ``C``.
 
-    Anchored greedy-from-earliest like :func:`window_funnel` (the first
-    step-1 event); the reached level is the longest step-prefix matched
-    by the CONSECUTIVE run of events starting there, each within
-    ``window_seconds`` of the anchor. Returns ``(user_col,
-    funnel_level)`` for users with a step-1 event.
+    EVERY step-1 event is a prospective anchor and the user's level is
+    the MAX over all of them — ClickHouse's semantics (windowFunnel
+    reports the longest chain, not the first; r10 ADVICE closed the
+    first-anchor approximation this operator used to ship). In
+    ``A → D → A → B → C`` the first anchor dies at level 1 (``D``
+    interrupts) but the second runs clean, so the funnel reads 3. Each
+    anchor's chain is the longest step-prefix matched by the
+    CONSECUTIVE run of events starting there, each within
+    ``window_seconds`` of ITS anchor. Returns ``(user_col,
+    funnel_level)`` for users with a step-1 event. Because a later
+    anchor carries a later deadline, the max-over-anchors level is NOT
+    bounded by the greedy-from-earliest relaxed mode's level — the
+    per-anchor chain is still a restriction of a relaxed chain from the
+    same anchor.
 
     Plan: strict order makes this a pure LEAD problem — one window sort
     per user, then ``lead(i)`` tests step ``i+1`` at offset ``i`` — no
     per-step joins at all (cheaper than the default mode\'s join
     ladder; the relaxed mode can\'t use LEAD because its steps skip
-    arbitrary distances). Like every mode in this family the chain's
-    timestamps must be STRICTLY increasing (a tied-timestamp pair never
-    chains — strict order composes the relaxed semantics with the
-    consecutiveness restriction, so its level is always <= the relaxed
-    level). ``tiebreak_col`` totalizes the event order under timestamp
-    ties, same caveat as :func:`sequence_count`. NULL timestamps are
-    dropped.
+    arbitrary distances), and the max-over-anchors pick is a plain
+    groupBy max over the already-computed per-anchor levels (no second
+    window pass). Like every mode in this family the chain's timestamps
+    must be STRICTLY increasing (a tied-timestamp pair never chains).
+    ``tiebreak_col`` totalizes the event order under timestamp ties,
+    same caveat as :func:`sequence_count`. NULL timestamps are dropped.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -178,16 +186,14 @@ def window_funnel_strict_order(
         level = level + acc.cast("int")
     anchored = base.select(
         F.col(user_col),
-        F.col("__ts_us"),
         F.col("__s0"),
         level.alias("__lvl"),
-        *([F.col("__tb")] if tiebreak_col else []),
     ).filter(F.col("__s0"))
-    # greedy-from-earliest: the FIRST step-1 event is the anchor
-    return (
-        anchored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(user_col, F.col("__lvl").alias("funnel_level"))
+    # ClickHouse parity: the user's level is the MAX over all step-1
+    # anchors (a later anchor can outrun one whose chain an intervening
+    # event killed) — partial-aggregated map-side, no second window.
+    return anchored.groupBy(user_col).agg(
+        F.max("__lvl").alias("funnel_level")
     )
 
 

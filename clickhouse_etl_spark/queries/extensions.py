@@ -450,12 +450,15 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ClickHouse windowFunnel(strict_order) (operators/events.py:
 # window_funnel_strict_order): consecutive-event funnel — an unrelated
-# event between steps INTERRUPTS the chain, unlike the relaxed mode
-# (demoted this rotation; strictness is pinned as a restriction of it
-# in tests/test_events.py). Oracle: the LEAD-chain formulation proven
-# in tests/test_events.py — the next (k-1) events after each step-1
-# anchor must match the next steps in order within the window.
-# Per-user window sort + LEADs: one user-keyed shuffle, no joins.
+# event between steps INTERRUPTS the chain, unlike the relaxed mode.
+# ClickHouse parity per r10 ADVICE: the level is the MAX over ALL
+# step-1 anchors (windowFunnel reports the longest chain, not the
+# first — the earlier first-anchor form was a documented
+# approximation). Oracle: the LEAD-chain formulation proven in
+# tests/test_events.py — the next (k-1) events after each step-1
+# anchor must match the next steps in order within that anchor's
+# window, then MAX over anchors. Per-user window sort + LEADs + one
+# partial-aggregated max: one user-keyed shuffle, no joins.
 @register(
     "ext_funnel_strict_order",
     oracle="""
@@ -481,12 +484,10 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND COALESCE(n2t, FALSE)
                      AND n2ts <= ts_us + 86400000000
                      AND n2ts > n1ts THEN 1 ELSE 0 END
-               AS lvl,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts_us, event_id) AS rn
+               AS lvl
       FROM flagged WHERE s0
     )
-    SELECT user_id, lvl AS funnel_level FROM leveled WHERE rn = 1
+    SELECT user_id, MAX(lvl) AS funnel_level FROM leveled GROUP BY user_id
     """,
 )
 def ext_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -380,26 +380,19 @@ def ns_pq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_CELL_TARGET, _SEM_THRESH = 500, 0.45
 
 
-def _semantic_dedup_oracle() -> str:
-    # r9 oracle-side restructure (semantics bit-identical): per-vector
-    # norms fold ONCE in `nrm` (previously re-evaluated for both sides
-    # of every candidate pair), the in-cell dot products use DuckDB's
-    # NATIVE list_inner_product — verified bit-identical to the
-    # sequential list_sum(list_transform(...)) fold on the gate vectors
-    # (0/19,900 mismatches; both are in-order C summations) but not
-    # interpreted per-element — `emb`/`cells` materialize (each is
-    # referenced 2-5x; DuckDB 1.0 inlines by default), and `pairs`
-    # materializes so the recursive closure can't re-run the in-cell
-    # pair chain per iteration — the same re-execution disease the
-    # curate oracle had. `edges` stays PLAIN on purpose: materializing
-    # it executes the whole upstream chain inside the (slow) CTE
-    # materializer — measured 137 s vs 37 s with the materialization
-    # one CTE earlier on the small pair list. The cell-assignment
-    # argmin in `d` KEEPS the lambda squared-distance fold:
-    # list_distance is sqrt-rounded and could flip a near-tie argmin
-    # vs the Spark side. Measured at gen10: 257 s -> ~37 s.
-    return f"""
-    WITH RECURSIVE emb AS MATERIALIZED (
+def _sem_cell_prefix_sql() -> str:
+    """The emb/cent/d/cells/nrm CTE prefix shared VERBATIM by
+    :func:`_semantic_dedup_oracle` and :func:`_semantic_margin_sql`
+    (r10 ADVICE: the margin probe previously duplicated this chain by
+    copy, so a later edit to the oracle's cell logic would silently
+    desync the probe and turn its float-order diagnosis misleading —
+    one helper makes divergence impossible).
+
+    The cell-assignment argmin in `d` KEEPS the lambda squared-distance
+    fold: list_distance is sqrt-rounded and could flip a near-tie
+    argmin vs the Spark side. `emb`/`cells`/`nrm` materialize (each is
+    referenced 2-5x; DuckDB 1.0 inlines by default)."""
+    return f"""emb AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     cent AS (
@@ -427,17 +420,43 @@ def _semantic_dedup_oracle() -> str:
       SELECT vec_id,
              sqrt(list_inner_product(v, v)) AS nv
       FROM emb
-    ),
-    pairs AS MATERIALIZED (
-      SELECT p.id_a, p.id_b FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_inner_product(ea.v, eb.v) / (na.nv * nb.nv) AS cos
+    )"""
+
+
+#: The in-cell candidate-pair scoring FROM clause — the other fragment
+#: both the dedup oracle and the margin probe must agree on bit-for-bit.
+_SEM_PAIR_FROM = """
         FROM cells a JOIN cells b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         JOIN emb ea ON ea.vec_id = a.vec_id
         JOIN emb eb ON eb.vec_id = b.vec_id
         JOIN nrm na ON na.vec_id = a.vec_id
         JOIN nrm nb ON nb.vec_id = b.vec_id
+"""
+
+
+def _semantic_dedup_oracle() -> str:
+    # r9 oracle-side restructure (semantics bit-identical): per-vector
+    # norms fold ONCE in `nrm` (previously re-evaluated for both sides
+    # of every candidate pair), the in-cell dot products use DuckDB's
+    # NATIVE list_inner_product — verified bit-identical to the
+    # sequential list_sum(list_transform(...)) fold on the gate vectors
+    # (0/19,900 mismatches; both are in-order C summations) but not
+    # interpreted per-element — and `pairs`
+    # materializes so the recursive closure can't re-run the in-cell
+    # pair chain per iteration — the same re-execution disease the
+    # curate oracle had. `edges` stays PLAIN on purpose: materializing
+    # it executes the whole upstream chain inside the (slow) CTE
+    # materializer — measured 137 s vs 37 s with the materialization
+    # one CTE earlier on the small pair list.
+    # Measured at gen10: 257 s -> ~37 s.
+    return f"""
+    WITH RECURSIVE {_sem_cell_prefix_sql()},
+    pairs AS MATERIALIZED (
+      SELECT p.id_a, p.id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_inner_product(ea.v, eb.v) / (na.nv * nb.nv) AS cos
+        {_SEM_PAIR_FROM}
       ) p WHERE p.cos >= {_SEM_THRESH}
     ),
     edges AS (
@@ -468,44 +487,15 @@ def _semantic_margin_sql(margin: float = 1e-9) -> str:
     float summation order and surface as an opaque digest mismatch.
     The sweep (tools/oracle_sweep.py) and tests/test_similarity.py run
     this so a flip is DIAGNOSED (nonzero margin count) rather than
-    debugged from a hash. Reuses the exact cell/pair chain of
-    :func:`_semantic_dedup_oracle` up to the threshold filter."""
+    debugged from a hash. Shares the cell-chain prefix and pair FROM
+    clause with :func:`_semantic_dedup_oracle` through
+    :func:`_sem_cell_prefix_sql` / ``_SEM_PAIR_FROM`` (r10 ADVICE:
+    previously a by-copy duplicate that could silently desync)."""
     return f"""
-    WITH emb AS MATERIALIZED (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    cent AS (
-      SELECT cluster, cv FROM (
-        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv,
-               COUNT(*) OVER () AS n
-        FROM emb
-      ) WHERE cluster < GREATEST(8, n // {_SEM_CELL_TARGET})
-    ),
-    d AS (
-      SELECT e.vec_id, c.cluster,
-             list_sum(list_transform(range(1, len(e.v) + 1),
-               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS sq
-      FROM emb e CROSS JOIN cent c
-    ),
-    cells AS MATERIALIZED (
-      SELECT vec_id, cluster FROM (
-        SELECT vec_id, cluster,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY sq ASC, cluster ASC) AS rk
-        FROM d
-      ) WHERE rk = 1
-    ),
-    nrm AS MATERIALIZED (
-      SELECT vec_id, sqrt(list_inner_product(v, v)) AS nv FROM emb
-    )
+    WITH {_sem_cell_prefix_sql()}
     SELECT COUNT(*) AS near_threshold_pairs FROM (
-      SELECT list_inner_product(ea.v, eb.v) / (na.nv * nb.nv) AS cos
-      FROM cells a JOIN cells b
-        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      JOIN emb ea ON ea.vec_id = a.vec_id
-      JOIN emb eb ON eb.vec_id = b.vec_id
-      JOIN nrm na ON na.vec_id = a.vec_id
-      JOIN nrm nb ON nb.vec_id = b.vec_id
+        SELECT list_inner_product(ea.v, eb.v) / (na.nv * nb.nv) AS cos
+        {_SEM_PAIR_FROM}
     ) WHERE abs(cos - {_SEM_THRESH}) < {margin}
     """
 

@@ -407,7 +407,9 @@ def test_sequence_count_matches_python_reference(spark):
 
 def test_window_funnel_strict_order_micro(spark):
     """A->B->D->C stops at level 2 (D interrupts); a clean consecutive
-    A->B->C reaches 3; window cutoff still applies."""
+    A->B->C reaches 3; window cutoff still applies; the level is the
+    MAX over all step-1 anchors (ClickHouse parity, r10 ADVICE — a
+    later anchor can outrun one an intervening event killed)."""
     import datetime as dt
 
     from clickhouse_etl_spark.operators.events import (
@@ -431,9 +433,14 @@ def test_window_funnel_strict_order_micro(spark):
         # u5: no A -> absent
         (5, base, "b"), (5, base + s, "c"),
         # u6: A and B at the SAME timestamp -> tied events never chain
-        # (strict order must stay a restriction of the relaxed mode,
+        # (each anchor's chain stays a restriction of a relaxed chain,
         # which requires strictly-later timestamps) -> 1
         (6, base, "a"), (6, base, "b"), (6, base + s, "c"),
+        # u7: A D A B C -> the FIRST anchor dies at 1 (D interrupts)
+        # but the SECOND runs clean -> max over anchors = 3 (the case
+        # the old first-anchor approximation scored 1)
+        (7, base, "a"), (7, base + s, "d"), (7, base + 2 * s, "a"),
+        (7, base + 3 * s, "b"), (7, base + 4 * s, "c"),
     ]
     events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
     got = {
@@ -444,13 +451,13 @@ def test_window_funnel_strict_order_micro(spark):
             window_seconds=60,
         ).collect()
     }
-    assert got == {1: 2, 2: 3, 3: 1, 4: 3, 6: 1}
+    assert got == {1: 2, 2: 3, 3: 1, 4: 3, 6: 1, 7: 3}
 
 
 def test_window_funnel_strict_order_oracle(spark):
     """Full-corpus check against a DuckDB LEAD-chain oracle (the same
     formulation: consecutive next events must match the next steps
-    within the window of the first step-1 anchor)."""
+    within each step-1 anchor's window, max over anchors)."""
     from clickhouse_etl_spark.operators.events import (
         window_funnel_strict_order,
     )
@@ -488,12 +495,11 @@ def test_window_funnel_strict_order_oracle(spark):
                          AND COALESCE(n2t, FALSE)
                          AND n2ts <= ts_us + 86400000000
                          AND n2ts > n1ts THEN 1 ELSE 0 END
-                   AS lvl,
-                 ROW_NUMBER() OVER (PARTITION BY user_id
-                                    ORDER BY ts_us, event_id) AS rn
+                   AS lvl
           FROM flagged WHERE s0
         )
-        SELECT user_id, lvl AS funnel_level FROM leveled WHERE rn = 1
+        SELECT user_id, MAX(lvl) AS funnel_level
+        FROM leveled GROUP BY user_id
         """,
     )
 

@@ -23,6 +23,16 @@ from pyspark.sql import SparkSession
 from clickhouse_etl_spark.catalog import TEST_TABLES
 
 
+def one_line(e: BaseException, width: int = 200) -> str:
+    """Exception text collapsed to a single bounded line. FAIL lines
+    must stay one-per-row: tools/oracle_sweep.py counts results by
+    scanning stdout for OK/FAIL prefixes, and a multi-line Py4J
+    traceback whose continuation lines start with those tokens would
+    skew the counts (r10 ADVICE)."""
+    s = " ".join(str(e).split())
+    return s[:width]
+
+
 def canon_value(v):
     """Canonicalize a scalar for cross-engine comparison."""
     import datetime as dt
@@ -396,7 +406,7 @@ def main() -> int:
             scols, srows = fetch_spark(sdf)
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark error: {one_line(e)}")
             continue
         t1 = time.time()
         if name not in oracles:
@@ -407,7 +417,7 @@ def main() -> int:
             dcols, drows = fetch_oracle(con, oracles[name])
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: duckdb error: {one_line(e)}")
             continue
         t2 = time.time()
 

@@ -86,13 +86,19 @@ def main() -> int:
 
     ok = bad = 0
     reported: set[str] = set()
+    name_set = set(names)
     for i in sorted(outputs):
         for line in outputs[i].splitlines():
             if line.startswith(("OK", "FAIL", "ok*")):
-                print(line)
+                # Count ONLY lines whose second token is a registry row
+                # (oracle_check collapses exception text to one line,
+                # but a stray stdout line starting with OK/FAIL must
+                # still not skew the tally — r10 ADVICE).
                 parts = line.split()
-                if len(parts) > 1:
-                    reported.add(parts[1].rstrip(":"))
+                if len(parts) < 2 or parts[1].rstrip(":") not in name_set:
+                    continue
+                print(line)
+                reported.add(parts[1].rstrip(":"))
                 ok += line.startswith(("OK", "ok*"))
                 bad += line.startswith("FAIL")
     # EVERY registry row must have produced a result line — a subprocess
@@ -126,8 +132,13 @@ def main() -> int:
     missing = sorted(set(names) - reported)
     if missing:
         print(f"\nMISSING {len(missing)} rows (subprocess died?): {missing}")
+        # Only the batches that actually lost rows get their stderr
+        # dumped (r10 ADVICE): a batch whose rc!=0 came from ordinary
+        # FAIL rows reported every name and its stderr is just noise.
+        missing_set = set(missing)
         for i, (rc, tail) in sorted(errs.items()):
-            print(f"--- batch {i} rc={rc} stderr tail ---\n{tail}")
+            if missing_set & set(batches[i]):
+                print(f"--- batch {i} rc={rc} stderr tail ---\n{tail}")
     total = ok + bad
     print(f"\n{ok}/{total} passed, {len(missing)} missing of {len(names)} "
           f"(wall {time.time()-t0:.0f}s, "
