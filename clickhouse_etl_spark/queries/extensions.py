@@ -459,9 +459,14 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anchor must match the next steps in order within that anchor's
 # window, then MAX over anchors. Per-user window sort + LEADs + one
 # partial-aggregated max: one user-keyed shuffle, no joins.
-@register(
-    "ext_funnel_strict_order",
-    oracle="""
+#
+# Demoted in the round-11 rotation (identical oracle in
+# tests/test_demoted_oracles.py): the funnel family's driver rows are
+# now ext_window_funnel_dedup + ext_sequence_count — the two modes
+# whose order-dependent automata needed the recursive-CTE oracle
+# construction; strict_order is the family's pure-LEAD restriction and
+# keeps full rigor in pytest.
+_FUNNEL_STRICT_ORDER_ORACLE = """
     WITH flagged AS (
       SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              event_type = 'signup' AS s0,
@@ -488,8 +493,9 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged WHERE s0
     )
     SELECT user_id, MAX(lvl) AS funnel_level FROM leveled GROUP BY user_id
-    """,
-)
+    """
+
+
 def ext_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.operators.events import (
         window_funnel_strict_order,
@@ -502,6 +508,254 @@ def ext_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
          "event_type = 'purchase'"],
         window_seconds=86400,
         tiebreak_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse windowFunnel(strict_dedup) + sequenceCount — the two event
+# automata whose semantics NO fixed-depth LEAD or join ladder can
+# express (any event anywhere in a wait gap can kill or extend a
+# chain). Promoted in the round-11 rotation after round 10 proved both
+# SQL-expressible via event-by-event recursive-CTE simulation (commits
+# 819f49f / 5900948): the oracle drives the SAME automaton one event
+# rank at a time — state per user = the candidate chains + the count —
+# so the driver gate replays the full order-dependent semantics, not a
+# weakened projection. Recursion depth = max per-user event count
+# (~100 at every generated factor: the events fixture fans out the
+# user key with sf, so depth stays flat while width grows — the oracle
+# scales the same way the operator does).
+#
+# The Spark side is the family's Arrow-batched per-user scan
+# (operators/events.py): step flags precomputed JVM-side, ONE user-key
+# shuffle, O(k) state per user — the standard user-keyed-aggregate
+# distribution story at 100 TB.
+# ---------------------------------------------------------------------------
+
+def _strict_dedup_oracle(window_seconds: int = 86400) -> str:
+    """Recursive-CTE simulation of the strict_dedup automaton: state
+    per user is (anchor t1, level, last-advance ts, dead); a repeat of
+    an already-matched condition while waiting sets dead, an advance
+    wins over a simultaneous re-match (dedup only interrupts while
+    waiting — mirrors operators/events.py:window_funnel_strict_dedup).
+    """
+    w = window_seconds * 1_000_000
+    return f"""
+    WITH RECURSIVE ev AS MATERIALIZED (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             epoch_us(ts) AS ts_us,
+             event_type = 'signup' AS s0,
+             event_type = 'view' AS s1,
+             event_type = 'purchase' AS s2
+      FROM events WHERE ts IS NOT NULL
+    ),
+    nev AS MATERIALIZED (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id),
+    st AS (
+      SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS t1,
+             0 AS lvl, CAST(NULL AS BIGINT) AS tp, FALSE AS dead
+      FROM nev
+      UNION ALL
+      SELECT user_id, rn,
+             CASE WHEN NOT started AND s0 THEN ts_us ELSE t1 END,
+             CASE WHEN NOT started AND s0 THEN 1
+                  WHEN adv THEN lvl + 1 ELSE lvl END,
+             CASE WHEN NOT started AND s0 THEN ts_us
+                  WHEN adv THEN ts_us ELSE tp END,
+             CASE WHEN started AND NOT adv AND live
+                   AND ((lvl >= 1 AND s0) OR (lvl >= 2 AND s1))
+                  THEN TRUE ELSE dead END
+      FROM (
+        SELECT *,
+               (live AND ts_us > tp AND ts_us <= t1 + {w}
+                AND ((lvl = 1 AND s1) OR (lvl = 2 AND s2))) AS adv
+        FROM (
+          SELECT s.user_id, e.rn, e.ts_us, e.s0, e.s1, e.s2,
+                 s.t1, s.lvl, s.tp, s.dead, s.t1 IS NOT NULL AS started,
+                 (s.t1 IS NOT NULL AND NOT s.dead AND s.lvl < 3) AS live
+          FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        )
+      )
+    )
+    SELECT st.user_id, st.lvl AS funnel_level
+    FROM st JOIN nev ON st.user_id = nev.user_id AND st.rn = nev.mx
+    WHERE st.t1 IS NOT NULL
+    """
+
+
+@register("ext_window_funnel_dedup", oracle=_strict_dedup_oracle())
+def ext_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel(strict_dedup): a repeat of an ALREADY-MATCHED step
+    condition interrupts the chain while waiting (A→B→A→C reads level
+    2). Level <= the default mode's level, pinned in tests."""
+    from clickhouse_etl_spark.operators.events import (
+        window_funnel_strict_dedup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return window_funnel_strict_dedup(
+        events,
+        ["event_type = 'signup'", "event_type = 'view'",
+         "event_type = 'purchase'"],
+        86400,
+        tiebreak_col="event_id",
+    )
+
+
+def _sequence_count_oracle(window_seconds: int = 86400) -> str:
+    """Recursive-CTE simulation of the sequenceCount greedy automaton
+    (max-anchor dominance, window expiry, reset-on-completion,
+    re-anchoring): state per user = the k-1 candidate (anchor, last)
+    pairs + the running count — mirrors
+    operators/events.py:sequence_count event-for-event."""
+    w = window_seconds * 1_000_000
+    return f"""
+    WITH RECURSIVE ev AS MATERIALIZED (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             epoch_us(ts) AS ts_us,
+             event_type = 'signup' AS s0,
+             event_type = 'view' AS s1,
+             event_type = 'purchase' AS s2
+      FROM events WHERE ts IS NOT NULL
+    ),
+    nev AS MATERIALIZED (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id),
+    st AS (
+      SELECT user_id, 0 AS rn,
+             CAST(NULL AS BIGINT) AS c1a, CAST(NULL AS BIGINT) AS c1l,
+             CAST(NULL AS BIGINT) AS c2a, CAST(NULL AS BIGINT) AS c2l,
+             CAST(0 AS BIGINT) AS n
+      FROM nev
+      UNION ALL
+      SELECT user_id, rn,
+             CASE WHEN done THEN NULL
+                  WHEN s0 AND (x1a IS NULL OR ts_us > x1a) THEN ts_us
+                  ELSE x1a END,
+             CASE WHEN done THEN NULL
+                  WHEN s0 AND (x1a IS NULL OR ts_us > x1a) THEN ts_us
+                  ELSE x1l END,
+             CASE WHEN done THEN NULL
+                  WHEN ext AND (x2a IS NULL OR x1a > x2a) THEN x1a
+                  ELSE x2a END,
+             CASE WHEN done THEN NULL
+                  WHEN ext AND (x2a IS NULL OR x1a > x2a) THEN ts_us
+                  ELSE x2l END,
+             n + CASE WHEN done THEN 1 ELSE 0 END
+      FROM (
+        SELECT *, (s2 AND x2a IS NOT NULL AND ts_us > x2l) AS done,
+               (s1 AND x1a IS NOT NULL AND ts_us > x1l) AS ext
+        FROM (
+          SELECT s.user_id, e.rn, e.ts_us, e.s0, e.s1, e.s2, s.n,
+                 CASE WHEN s.c1a IS NOT NULL AND e.ts_us > s.c1a + {w}
+                      THEN NULL ELSE s.c1a END AS x1a,
+                 CASE WHEN s.c1a IS NOT NULL AND e.ts_us > s.c1a + {w}
+                      THEN NULL ELSE s.c1l END AS x1l,
+                 CASE WHEN s.c2a IS NOT NULL AND e.ts_us > s.c2a + {w}
+                      THEN NULL ELSE s.c2a END AS x2a,
+                 CASE WHEN s.c2a IS NOT NULL AND e.ts_us > s.c2a + {w}
+                      THEN NULL ELSE s.c2l END AS x2l
+          FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        )
+      )
+    )
+    SELECT st.user_id, st.n AS n_sequences
+    FROM st JOIN nev ON st.user_id = nev.user_id AND st.rn = nev.mx
+    """
+
+
+@register("ext_sequence_count", oracle=_sequence_count_oracle())
+def ext_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceCount: greedy NON-OVERLAPPING completed chains per user
+    (earliest-completing chain wins, events never shared, abandoned
+    windows re-anchor) — the interval-scheduling maximum."""
+    from clickhouse_etl_spark.operators.events import sequence_count
+
+    events = load_table(spark, sf_dir, "events")
+    return sequence_count(
+        events,
+        ["event_type = 'signup'", "event_type = 'view'",
+         "event_type = 'purchase'"],
+        86400,
+        tiebreak_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view incremental maintenance as a DRIVER row (promoted
+# round 11, VERDICT ask #5): the reference maintains every derived
+# table by full daily rebuild + staging swap (apps/airflow/dags/
+# student_scores_subject/etl_student_scores_subject_month_to_
+# clickhouse.py:583-590) — exactly the matview maintenance problem
+# pipelines/matview.py solves incrementally. This row REPLAYS an
+# arriving-data timeline inside one call: refresh_full over the orders
+# that "exist" at the first cutoff, then two refresh_incremental folds
+# as later order dates arrive (each reads ONLY rows past the committed
+# watermark and merges O(delta + touched keys)), and returns the final
+# published snapshot. The oracle is one flat GROUP BY over the full
+# table — so the driver gate checks the refresh-path-equivalence
+# invariant itself (any incremental interleaving == one full rebuild),
+# not just a happy-path aggregation. Sums fold in DECIMAL(18,2) so the
+# states are exact under any partition/merge order; ts folds as a max
+# state (how repair_check knows how far the view has seen).
+# ---------------------------------------------------------------------------
+@register(
+    "ext_matview_incremental",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           count(*) AS n_orders,
+           MAX(o_orderdate) AS last_order_ts
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def ext_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from clickhouse_etl_spark.pipelines.matview import MaterializedView
+
+    orders = load_table(spark, sf_dir, "orders")
+    proj = orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_state"),
+        F.lit(1).cast("long").alias("n_state"),
+        F.col("o_orderdate").alias("order_ts"),
+    )
+    # The arriving-data clock: the source closure sees only rows up to
+    # the current cutoff, like a table receiving time-ordered appends
+    # between refreshes. The testdata's order dates span 1995-01-01 ..
+    # 2001-08-01, so the cutoffs split that range into three non-empty
+    # deltas at every SF.
+    clock = {"cutoff": "1997-06-30"}
+
+    def src(_spark: SparkSession) -> DataFrame:
+        return proj.filter(
+            F.col("order_ts") <= F.lit(clock["cutoff"]).cast("timestamp")
+        )
+
+    view = MaterializedView(
+        name="orders_by_status_priority",
+        table_root=tempfile.mkdtemp(prefix="ext_matview_row_"),
+        source=src,
+        keys=["o_orderstatus", "o_orderpriority"],
+        ts_col="order_ts",
+        strategy="summing",
+        sum_cols=["price_state", "n_state"],
+    )
+    view.refresh_full(spark)
+    clock["cutoff"] = "1999-06-30"
+    view.refresh_incremental(spark)
+    clock["cutoff"] = "2100-01-01"  # past the last order date: the rest
+    view.refresh_incremental(spark)
+    return view.read(spark).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("price_state").cast("double").alias("total_price"),
+        F.col("n_state").alias("n_orders"),
+        F.col("order_ts").alias("last_order_ts"),
     )
 
 

@@ -892,7 +892,12 @@ def _emb_neardup_oracle(threshold=0.35, num_planes=8, num_tables=6) -> str:
     """
 
 
-@register("ns_ann_lsh", oracle=_lsh_ann_oracle())
+# Demoted in the round-11 rotation (identical oracle in
+# tests/test_demoted_oracles.py): ns_emb_neardup exercises the SAME
+# shared hyperplane hasher (the Arrow sign-matmul kernel and the
+# bit-mirrored expr chain) under the driver gate, and the ANN top-k
+# shape stays registered via ns_ann_ivf + ns_pq_ivfadc — this row was
+# the family's redundant representative.
 def ns_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kernel='auto' (r8, size-aware): below the 4096-vector floor —
     every oracle-gate SF — this resolves to the all-JVM expr chain the
@@ -1282,14 +1287,18 @@ def ns_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate threshold on this corpus at sf0.001/0.01/0.1 — measured),
 # which the averaging-argument superset guarantee then makes a hash-
 # matchable result, not just an approximation.
-@register(
-    "ns_frequent_terms",
-    oracle="""
+# Demoted in the round-11 rotation (identical oracle in
+# tests/test_demoted_oracles.py): term-frequency machinery stays under
+# the driver gate through ext_bm25_topk (tf-idf over the same token
+# stream) and the curation/text-stats rows — the bare top-k count was
+# the text tier's most redundant row.
+_FREQUENT_TERMS_ORACLE = """
     SELECT word, COUNT(*) AS n FROM (
       SELECT unnest(string_split(text, ' ')) AS word FROM documents
     ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 15
-    """,
-)
+    """
+
+
 def ns_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_etl_spark.operators.sketches import frequent_items
 

@@ -1758,3 +1758,52 @@ def test_ext_window_funnel(spark):
     _assert_matches_oracle(
         ext_window_funnel(spark, SF_DIR), _WINDOW_FUNNEL_ORACLE
     )
+
+
+# --- round-11 rotation, batch 7 -------------------------------------------
+
+
+def test_ext_funnel_strict_order(spark):
+    """strict_order windowFunnel — identical oracle to the row's
+    registry days (demoted round 11, batch 7: the funnel family's
+    driver rows are now ext_window_funnel_dedup + ext_sequence_count,
+    the two recursive-CTE-proven automata; strict_order is the
+    family's pure-LEAD restriction). Semantics note (r10 ADVICE,
+    closed): the level is the MAX over ALL step-1 anchors — ClickHouse
+    parity, no longer the first-anchor approximation."""
+    from clickhouse_etl_spark.queries.extensions import (
+        _FUNNEL_STRICT_ORDER_ORACLE,
+        ext_funnel_strict_order,
+    )
+
+    _assert_matches_oracle(
+        ext_funnel_strict_order(spark, SF_DIR), _FUNNEL_STRICT_ORDER_ORACLE
+    )
+
+
+def test_ns_ann_lsh(spark):
+    """Hyperplane-LSH ANN top-k — identical oracle to the row's
+    registry days (demoted round 11, batch 7: ns_emb_neardup keeps the
+    SAME shared sign-hash kernel under the driver gate; the ANN top-k
+    shape stays registered via ns_ann_ivf + ns_pq_ivfadc)."""
+    from clickhouse_etl_spark.queries.northstar import (
+        _lsh_ann_oracle,
+        ns_ann_lsh,
+    )
+
+    _assert_matches_oracle(ns_ann_lsh(spark, SF_DIR), _lsh_ann_oracle())
+
+
+def test_ns_frequent_terms(spark):
+    """Top-k frequent terms — identical oracle to the row's registry
+    days (demoted round 11, batch 7: term-frequency machinery stays
+    driver-gated through ext_bm25_topk's tf-idf over the same token
+    stream)."""
+    from clickhouse_etl_spark.queries.northstar import (
+        _FREQUENT_TERMS_ORACLE,
+        ns_frequent_terms,
+    )
+
+    _assert_matches_oracle(
+        ns_frequent_terms(spark, SF_DIR), _FREQUENT_TERMS_ORACLE
+    )

@@ -819,71 +819,16 @@ def test_interval_length_sum_merge_semantics(spark):
 
 
 # ---------------------------------------------------------------------------
-# sequenceCount recursive-CTE oracle (round 10): the per-user greedy
-# automaton (max-anchor dominance, window expiry, reset-on-completion,
-# re-anchoring) simulated event-by-event in SQL — one recursive step
-# per event rank, state = the k-1 candidate (anchor, last) pairs + the
-# count. Proves the op SQL-expressible (the BPE precedent) so a future
-# rotation can promote it to the driver registry; recursion depth is
-# the max per-user event count (~100 at every generated factor, the
-# user key fans out, so the oracle stays tractable at the sweep
-# scales — measured 1.4 s at sf0.01).
+# sequenceCount / strict_dedup recursive-CTE oracles: built in round 10
+# here (proving both ops SQL-expressible, the BPE precedent), promoted
+# to the driver registry in the round-11 rotation — the builders now
+# live next to their registered rows in queries/extensions.py and are
+# imported so this suite and the driver gate can never diverge.
 # ---------------------------------------------------------------------------
-def _sequence_count_oracle(window_seconds: int = 86400) -> str:
-    w = window_seconds * 1_000_000
-    return f"""
-    WITH RECURSIVE ev AS MATERIALIZED (
-      SELECT user_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn,
-             epoch_us(ts) AS ts_us,
-             event_type = 'signup' AS s0,
-             event_type = 'view' AS s1,
-             event_type = 'purchase' AS s2
-      FROM events WHERE ts IS NOT NULL
-    ),
-    nev AS MATERIALIZED (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id),
-    st AS (
-      SELECT user_id, 0 AS rn,
-             CAST(NULL AS BIGINT) AS c1a, CAST(NULL AS BIGINT) AS c1l,
-             CAST(NULL AS BIGINT) AS c2a, CAST(NULL AS BIGINT) AS c2l,
-             CAST(0 AS BIGINT) AS n
-      FROM nev
-      UNION ALL
-      SELECT user_id, rn,
-             CASE WHEN done THEN NULL
-                  WHEN s0 AND (x1a IS NULL OR ts_us > x1a) THEN ts_us
-                  ELSE x1a END,
-             CASE WHEN done THEN NULL
-                  WHEN s0 AND (x1a IS NULL OR ts_us > x1a) THEN ts_us
-                  ELSE x1l END,
-             CASE WHEN done THEN NULL
-                  WHEN ext AND (x2a IS NULL OR x1a > x2a) THEN x1a
-                  ELSE x2a END,
-             CASE WHEN done THEN NULL
-                  WHEN ext AND (x2a IS NULL OR x1a > x2a) THEN ts_us
-                  ELSE x2l END,
-             n + CASE WHEN done THEN 1 ELSE 0 END
-      FROM (
-        SELECT *, (s2 AND x2a IS NOT NULL AND ts_us > x2l) AS done,
-               (s1 AND x1a IS NOT NULL AND ts_us > x1l) AS ext
-        FROM (
-          SELECT s.user_id, e.rn, e.ts_us, e.s0, e.s1, e.s2, s.n,
-                 CASE WHEN s.c1a IS NOT NULL AND e.ts_us > s.c1a + {w}
-                      THEN NULL ELSE s.c1a END AS x1a,
-                 CASE WHEN s.c1a IS NOT NULL AND e.ts_us > s.c1a + {w}
-                      THEN NULL ELSE s.c1l END AS x1l,
-                 CASE WHEN s.c2a IS NOT NULL AND e.ts_us > s.c2a + {w}
-                      THEN NULL ELSE s.c2a END AS x2a,
-                 CASE WHEN s.c2a IS NOT NULL AND e.ts_us > s.c2a + {w}
-                      THEN NULL ELSE s.c2l END AS x2l
-          FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
-        )
-      )
-    )
-    SELECT st.user_id, st.n AS n_sequences
-    FROM st JOIN nev ON st.user_id = nev.user_id AND st.rn = nev.mx
-    """
+from clickhouse_etl_spark.queries.extensions import (  # noqa: E402
+    _sequence_count_oracle,
+    _strict_dedup_oracle,
+)
 
 
 def test_sequence_count_matches_recursive_sql_oracle(spark):
@@ -902,58 +847,6 @@ def test_sequence_count_matches_recursive_sql_oracle(spark):
         tiebreak_col="event_id",
     )
     _assert_matches(out, _sequence_count_oracle())
-
-
-def _strict_dedup_oracle(window_seconds: int = 86400) -> str:
-    """Recursive-CTE simulation of the strict_dedup automaton (round
-    10, same construction as :func:`_sequence_count_oracle`): state per
-    user is (anchor, level, last-advance ts, dead); a repeat of an
-    already-matched condition while waiting sets dead, an advance wins
-    over a simultaneous re-match. Proves strict_dedup
-    registry-promotable too."""
-    w = window_seconds * 1_000_000
-    return f"""
-    WITH RECURSIVE ev AS MATERIALIZED (
-      SELECT user_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn,
-             epoch_us(ts) AS ts_us,
-             event_type = 'signup' AS s0,
-             event_type = 'view' AS s1,
-             event_type = 'purchase' AS s2
-      FROM events WHERE ts IS NOT NULL
-    ),
-    nev AS MATERIALIZED (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id),
-    st AS (
-      SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS t1,
-             0 AS lvl, CAST(NULL AS BIGINT) AS tp, FALSE AS dead
-      FROM nev
-      UNION ALL
-      SELECT user_id, rn,
-             CASE WHEN NOT started AND s0 THEN ts_us ELSE t1 END,
-             CASE WHEN NOT started AND s0 THEN 1
-                  WHEN adv THEN lvl + 1 ELSE lvl END,
-             CASE WHEN NOT started AND s0 THEN ts_us
-                  WHEN adv THEN ts_us ELSE tp END,
-             CASE WHEN started AND NOT adv AND live
-                   AND ((lvl >= 1 AND s0) OR (lvl >= 2 AND s1))
-                  THEN TRUE ELSE dead END
-      FROM (
-        SELECT *,
-               (live AND ts_us > tp AND ts_us <= t1 + {w}
-                AND ((lvl = 1 AND s1) OR (lvl = 2 AND s2))) AS adv
-        FROM (
-          SELECT s.user_id, e.rn, e.ts_us, e.s0, e.s1, e.s2,
-                 s.t1, s.lvl, s.tp, s.dead, s.t1 IS NOT NULL AS started,
-                 (s.t1 IS NOT NULL AND NOT s.dead AND s.lvl < 3) AS live
-          FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
-        )
-      )
-    )
-    SELECT st.user_id, st.lvl AS funnel_level
-    FROM st JOIN nev ON st.user_id = nev.user_id AND st.rn = nev.mx
-    WHERE st.t1 IS NOT NULL
-    """
 
 
 def test_window_funnel_strict_dedup_matches_recursive_sql_oracle(spark):

@@ -390,6 +390,14 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Drop every cached/persisted intermediate the PREVIOUS row
+        # left behind (pipelines persist shared intermediates by
+        # design). Without this the batch JVM accumulates cached blocks
+        # row over row and late rows run GC-starved — the measured
+        # marathon decay (r10: ext_fuzzy_pairs 6.4 s fresh vs 129 s
+        # late-in-batch at gen10; VERDICT r10 ask #3). Correctness is
+        # untouched: each row's own plan recomputes from parquet.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

@@ -128,6 +128,14 @@ HEADLINERS = {
     "columns as JVM expressions, no Python",
     "ns_duplicated_spans": "xxhash64 gram keys → dup-set join-back; "
     "islands merge + final agg share ONE doc_id exchange",
+    # round-11 rotation, batch 7
+    "ext_window_funnel_dedup": "step flags precomputed JVM-side, ONE "
+    "user-key shuffle into an Arrow applyInPandas scan (O(1) state per "
+    "user) — the interrupt-on-repeat automaton no LEAD ladder can "
+    "express (r11 promotion)",
+    "ext_sequence_count": "same single user-key shuffle + Arrow scan; "
+    "O(k) candidate-chain state per user, max-anchor dominance (r11 "
+    "promotion)",
 }
 
 # Iterative / driver-coordinated rows: a single final-result plan is
@@ -175,6 +183,16 @@ PROFILES = {
         "dominates; rounds run at vocabulary scale (capped via "
         "sample_vocabulary in the full recipe). Final plan below is "
         "the last fold over the materialized symbol table."
+    ),
+    "ext_matview_incremental": (
+        "Materialized-view maintenance replay (r11 promotion): one "
+        "refresh_full + two refresh_incremental calls, each ONE keyed "
+        "aggregation job — the incremental deltas' watermark predicate "
+        "reaches the source scan (PushedFilters), the summing merge "
+        "shuffles only (status, priority) keys, and each publish "
+        "writes a 15-row snapshot. At 100 TB the delta scan is "
+        "O(new data) and the merge is O(delta + touched keys); the "
+        "final-result plan below is just the published-snapshot read."
     ),
     "ns_cluster_assign": (
         "k-means: train iterates one GEMM-assignment + centroid-mean "
