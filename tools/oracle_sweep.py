@@ -20,6 +20,18 @@ Batches are round-robin over registration order so each gets a mix of
 heavy and light rows. Each subprocess gets local[cpus/n_parallel] and
 a bounded driver heap; the digest pool inside each subprocess shrinks
 the same way.
+
+Two-phase scheduling (r11, VERDICT ask #3): the r10 sweep's worst
+"marathon decay" rows turned out to be CONTENTION, not JVM decay — once
+oracle_check cleared caches between rows, the remaining inflation came
+from four heavy batches overlapping on 32 cores (measured r11 at gen10:
+ns_dsir_select 28.8 s spark fresh vs 402.8 s in-sweep, ns_minhash 15.9
+vs 165.4 — each ~3-4x CPU oversubscription compounding across spark +
+duckdb + digest pools). So the known-heavy rows now run in their OWN
+sequential phase, one fresh full-width subprocess per row (in-marathon
+== fresh by construction), and only the light rows share the parallel
+batch phase, where the oversubscription bound keeps worst-case
+inflation ~n_parallel-ish and the absolute seconds small.
 """
 
 from __future__ import annotations
@@ -32,6 +44,24 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(HERE))
 
+# Rows whose spark or oracle side is heavy enough at gen10 that
+# overlapping them quadruples everyone's wall time (measured r11
+# in-sweep seconds under the old all-parallel schedule: pl_monthly
+# 1544, pl_details 1509, sem_dedup 721, pl_totals 705, dsir 530,
+# minhash 415, copy_students 178, flagship 137, f_scalar 114). Each
+# runs alone, full-width, in its own fresh subprocess.
+HEAVY = [
+    "pl_monthly_subject_fact",
+    "pl_transcript_details",
+    "pl_transcript_totals",
+    "ns_semantic_dedup",
+    "ns_dsir_select",
+    "ns_minhash_neardup",
+    "pl_copy_students",
+    "flagship_wide_fact",
+    "f_scalar_suite",
+]
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale/gen10"
@@ -41,7 +71,13 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
-    batches = [names[i::n_batches] for i in range(n_batches)]
+    heavy = [n for n in names if n in HEAVY]
+    light = [n for n in names if n not in HEAVY]
+    batches = [light[i::n_batches] for i in range(n_batches)]
+    # Heavy rows append as single-row "batches" that run with
+    # parallelism 1 and full cores (see the scheduling loop).
+    batches += [[h] for h in heavy]
+    n_light_batches = n_batches
 
     cpus = os.cpu_count() or 8
     per_proc = max(4, cpus // n_parallel)
@@ -53,6 +89,11 @@ def main() -> int:
         ),
         SPARK_GRAFT_ORACLE_POOL=str(per_proc),
     )
+    heavy_env = dict(
+        env,
+        SPARK_GRAFT_ORACLE_CPUS=str(cpus),
+        SPARK_GRAFT_ORACLE_POOL=str(max(4, cpus // 2)),
+    )
 
     t0 = time.time()
     running: list[tuple[int, subprocess.Popen]] = []
@@ -60,8 +101,15 @@ def main() -> int:
     errs: dict[int, tuple[int, str]] = {}  # batch -> (returncode, stderr tail)
     pending = list(enumerate(batches))
     while pending or running:
+        # Light batches overlap up to n_parallel; a heavy batch starts
+        # only once it can run ALONE and blocks everything else while
+        # it does (its fresh full-width subprocess IS the row's fresh
+        # timing — no contention inflation to misread as decay).
         while pending and len(running) < n_parallel:
+            if pending[0][0] >= n_light_batches and running:
+                break  # heavy next: wait for the lights to drain
             i, batch = pending.pop(0)
+            is_heavy = i >= n_light_batches
             # stderr is CAPTURED, not discarded: a batch that dies before
             # printing (OOM kill, Spark startup failure) must surface its
             # returncode + stderr tail, or the gate goes silently green
@@ -70,9 +118,11 @@ def main() -> int:
                 [sys.executable, os.path.join(HERE, "oracle_check.py"),
                  sf_dir, *batch],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                text=True, env=env,
+                text=True, env=heavy_env if is_heavy else env,
             )
             running.append((i, p))
+            if is_heavy:
+                break  # run this heavy row alone
         i, p = running[0]
         out, err = p.communicate()
         outputs[i] = out
