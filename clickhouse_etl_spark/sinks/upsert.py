@@ -46,7 +46,11 @@ from operator import and_
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from clickhouse_etl_spark.operators.dedup import latest_row_per_key
+from clickhouse_etl_spark.operators.dedup import (
+    latest_row_per_key,
+    latest_row_per_key_adaptive,
+    latest_row_per_key_agg,
+)
 
 #: Epoch far in the future — SCD2's "open interval" sentinel. A literal
 #: (not NULL) so range predicates (`valid_from <= ts < valid_to`) need no
@@ -59,6 +63,7 @@ def merge_upsert(
     delta: DataFrame,
     keys: Sequence[str],
     order_col: str,
+    dedup_strategy: str = "window",
 ) -> DataFrame:
     """Merge ``delta`` into ``current``: the newest row per key wins.
 
@@ -68,15 +73,43 @@ def merge_upsert(
     ``order_col`` as the version column, but deterministic and immediate
     instead of "eventually, in the background".
 
-    Plan: union (no shuffle) → one ranking-window shuffle on ``keys``.
-    Never broadcasts; both inputs only need the same schema.
+    Plan: union (no shuffle) → ONE shuffle on ``keys``. Never
+    broadcasts; both inputs only need the same schema.
+
+    ``dedup_strategy`` picks the physical form of that shuffle (the r11
+    hot-key adversarial fixture, BENCH_SCALE.md round 11):
+
+    - ``'window'`` (default) — ranking window + rn=1. A window
+      partition cannot split, so one hot key serializes into one task;
+      measured at gen30 lineitem (18 M rows, 20% on ONE key) the
+      straggler stays bounded (1.83 s vs 1.01 s agg) because the sort
+      is narrow, but the bound is the hot key's row count — at 100 TB
+      a 20%-hot key is a single-task disaster.
+    - ``'agg'`` — whole-row ``max_by`` aggregation: partial aggregation
+      folds every scan partition's slice of the hot key BEFORE the
+      shuffle, so skew costs scan parallelism, not one task (and it
+      halves shuffle bytes; measured faster on balanced keys too at
+      narrow payloads). Same rows whenever (order_col, source) is
+      total per key — pinned in tests/test_upsert.py.
+    - ``'auto'`` — the measured decision: pay one count-aggregate
+      (``choose_dedup_strategy``) to pick the form, the same machinery
+      W1's ``latest_row_per_key_adaptive`` uses. Worth it for
+      maintenance merges on sources with unknown key distributions.
     """
     tagged_cur = current.withColumn("__src", F.lit(0))
     tagged_del = delta.withColumn("__src", F.lit(1))
     merged = tagged_cur.unionByName(tagged_del)
-    return latest_row_per_key(
-        merged, keys, order_col, tiebreak=["__src"]
-    ).drop("__src")
+    form = {
+        "window": latest_row_per_key,
+        "agg": latest_row_per_key_agg,
+        "auto": latest_row_per_key_adaptive,
+    }.get(dedup_strategy)
+    if form is None:
+        raise ValueError(
+            f"dedup_strategy must be 'window', 'agg' or 'auto', "
+            f"got {dedup_strategy!r}"
+        )
+    return form(merged, keys, order_col, tiebreak=["__src"]).drop("__src")
 
 
 def merge_upsert_with_deletes(
@@ -85,6 +118,7 @@ def merge_upsert_with_deletes(
     keys: Sequence[str],
     order_col: str,
     deleted_col: str = "is_deleted",
+    dedup_strategy: str = "window",
 ) -> DataFrame:
     """CDC-complete merge: ``delta`` rows flagged ``deleted_col`` remove
     the key from the output (after winning the version race) — the
@@ -96,7 +130,8 @@ def merge_upsert_with_deletes(
     cur = current
     if deleted_col not in cur.columns:
         cur = cur.withColumn(deleted_col, F.lit(False))
-    merged = merge_upsert(cur, delta, keys, order_col)
+    merged = merge_upsert(cur, delta, keys, order_col,
+                          dedup_strategy=dedup_strategy)
     return merged.filter(
         ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False))
     ).drop(deleted_col)

@@ -804,3 +804,44 @@ def test_moment_state_large_magnitude_values(spark):
     assert got.avg == pytest.approx(statistics.mean(vals1 + vals2), rel=1e-12)
     assert want_var > 100  # the spread is real
     assert got.var == pytest.approx(want_var, rel=1e-6)
+
+
+def test_merge_upsert_strategies_agree_on_hot_key(spark):
+    """r11 skew fixture (BENCH_SCALE.md round 11): 20% of rows on ONE
+    key. All three dedup_strategy forms must return identical rows
+    (the choice is purely physical), the agg form must stay a single
+    non-broadcast exchange, and an unknown strategy must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 2000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(-1))
+        .otherwise(F.col("id") % 97).alias("id_k"),
+        F.col("id").alias("rowid"),
+        (F.col("id") % 13).alias("ver"),
+    )
+    current = base.filter(F.col("rowid") % 10 < 7)
+    delta = base.filter(F.col("rowid") % 10 >= 7).withColumn(
+        "ver", F.col("ver") + 5
+    )
+    outs = {
+        s: merge_upsert(current, delta, ["id_k"], "ver", dedup_strategy=s)
+        for s in ("window", "agg", "auto")
+    }
+    # (order_col, __src) is NOT total per key here (many rowids share a
+    # ver) — compare on the keyed winning version, which IS determined.
+    vals = {
+        s: {(r.id_k, r.ver) for r in df.collect()} for s, df in outs.items()
+    }
+    assert vals["window"] == vals["agg"] == vals["auto"]
+
+    # plan pin on a FRESH (un-executed) frame — after a collect, AQE's
+    # toString prints Final+Initial sections and double-counts nodes
+    fresh = merge_upsert(current, delta, ["id_k"], "ver",
+                         dedup_strategy="agg")
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" not in plan
+    assert plan.count("Exchange") == 1
+
+    with pytest.raises(ValueError, match="dedup_strategy"):
+        merge_upsert(current, delta, ["id_k"], "ver", dedup_strategy="salt")
