@@ -18,12 +18,24 @@ downstream Metabase/report layer consumes them. Spark-first forms:
 
 All three are exact and DuckDB-oracle-checked (tests/test_events.py).
 
-Note on funnel semantics: ClickHouse's ``windowFunnel`` slides the
-window over EVERY step-1 occurrence and keeps the best chain;
-greedy-from-earliest anchors at the first occurrence — simpler, still a
-true funnel, and the variant whose oracle SQL stays readable. The
-docstring is the contract; don't silently assume the ClickHouse
-variant.
+Note on funnel semantics (the contract is each docstring; don't
+silently assume the ClickHouse variant):
+
+- :func:`window_funnel` (relaxed) anchors greedy-from-earliest —
+  ClickHouse slides the window over EVERY step-1 occurrence and keeps
+  the best chain. :func:`window_funnel_strict_order` DOES take the max
+  over all anchors (r10 ADVICE closed the approximation there, where
+  the per-anchor level is already a LEAD projection);
+  :func:`window_funnel_strict_dedup` and :func:`sequence_count` run
+  the full ClickHouse automata event-for-event (recursive-CTE-oracle
+  driver rows).
+- Every mode here requires chained timestamps to be STRICTLY
+  increasing — which is ClickHouse's ``strict_increase`` flag, not its
+  default (CH's default lets equal-timestamp events chain in whatever
+  order the engine sees them; that order is nondeterministic under
+  parallel scan, so this library pins the deterministic variant and
+  offers ``tiebreak_col`` to totalize equal-ts ORDERING where the scan
+  itself is order-sensitive).
 """
 
 from __future__ import annotations

@@ -340,6 +340,139 @@ def streaming_funnel(
     )
 
 
+SEQ_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sequences", T.LongType()),
+    ]
+)
+
+# per-level candidate chains (anchors[i]/lasts[i] = the level-(i+1)
+# candidate, NULL when empty) + the running completed-chain count
+_SEQ_COUNT_STATE = T.StructType(
+    [
+        T.StructField("anchors", T.ArrayType(T.LongType(), True)),
+        T.StructField("lasts", T.ArrayType(T.LongType(), True)),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def streaming_sequence_count(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The streaming twin of :func:`operators.events.sequence_count`
+    (ClickHouse ``sequenceCount``): greedy non-overlapping completed
+    chains per user, maintained as explicit GroupState across
+    micro-batches via ``applyInPandasWithState``.
+
+    State per user is O(k): the k-1 candidate (anchor, last) pairs plus
+    the running count — EXACTLY the batch operator's automaton state
+    (max-anchor dominance, window expiry, reset-on-completion,
+    re-anchoring), carried between batches instead of between loop
+    iterations, so batch ≡ stream holds by construction on in-order
+    input (asserted in tests/test_streaming.py, including a chain whose
+    steps straddle a micro-batch boundary).
+
+    Emits ``(user_id, n_sequences)`` whenever the user's count
+    INCREASES (the count is monotone; the consumer takes each user's
+    max). Users whose pattern never completes emit nothing — the batch
+    operator returns an explicit 0 row for them, so the batch ≡ stream
+    comparison treats absent as 0.
+
+    Same cross-batch ordering caveat as :func:`streaming_funnel`:
+    events must reach the operator in event-time order ACROSS
+    micro-batches for chains that span batches (within a batch the one
+    concatenated sort handles any arrival order). Runs ``NoTimeout``:
+    the COUNT must survive quiet periods for the stream's lifetime, so
+    state is O(distinct users) — the candidate pairs themselves expire
+    naturally through the window check, only the two small arrays and
+    a long persist per user.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    flags = [f"etl_s{i}" for i in range(k)]
+    with_flags = (
+        events.withWatermark("ts", watermark)
+        .selectExpr(
+            "user_id",
+            "unix_micros(ts) AS etl_ts_us",
+            *[f"CAST(({s}) AS BOOLEAN) AS {f}" for s, f in zip(steps, flags)],
+        )
+        .filter("etl_ts_us IS NOT NULL")
+    )
+    window_us = int(window_seconds) * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            anchors, lasts, n = state.get
+            chains = [
+                None if a is None else (a, l)
+                for a, l in zip(anchors, lasts)
+            ]
+        else:
+            chains = [None] * max(k - 1, 0)
+            n = 0
+        n0 = n
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        batch = frames[0] if len(frames) == 1 else pd.concat(frames)
+        # chains[lvl-1] here == the batch operator's chains[lvl] (its
+        # index 0 slot is never used); same scan, verbatim semantics
+        for row in batch.sort_values("etl_ts_us").itertuples(index=False):
+            ts_us = int(row.etl_ts_us)
+            for i in range(k - 1):
+                c = chains[i]
+                if c is not None and ts_us > c[0] + window_us:
+                    chains[i] = None
+            completed = False
+            for lvl in range(k - 1, 0, -1):  # longest candidates first
+                c = chains[lvl - 1]
+                if c is None or not getattr(row, f"etl_s{lvl}"):
+                    continue
+                if ts_us <= c[1]:  # strictly-later, ties never chain
+                    continue
+                if lvl + 1 == k:
+                    n += 1
+                    chains = [None] * (k - 1)
+                    completed = True
+                    break
+                nxt = chains[lvl]
+                if nxt is None or c[0] > nxt[0]:
+                    chains[lvl] = (c[0], ts_us)
+            if completed:
+                continue
+            if getattr(row, "etl_s0"):
+                if k == 1:
+                    n += 1
+                elif chains[0] is None or ts_us > chains[0][0]:
+                    chains[0] = (ts_us, ts_us)
+        state.update((
+            [None if c is None else c[0] for c in chains],
+            [None if c is None else c[1] for c in chains],
+            n,
+        ))
+        if n > n0:
+            yield pd.DataFrame({"user_id": [key[0]], "n_sequences": [n]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return with_flags.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SEQ_COUNT_SCHEMA,
+        _SEQ_COUNT_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def first_seen_per_key(
     events: DataFrame,
     watermark: str = "2 hours",

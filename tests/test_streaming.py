@@ -613,3 +613,97 @@ def test_summing_batch_carries_moment_states(spark, tmp_path):
     assert got["a"] == (3.0, round(statistics.variance([1.0, 2.0, 6.0]), 9))
     assert got["b"] == (6.0, round(statistics.variance([5.0, 7.0]), 9))
     assert got["c"] == (9.0, None)
+
+
+# --- stateful streaming sequenceCount --------------------------------------
+
+
+def test_streaming_sequence_count_equals_batch(spark, event_stream, tmp_path):
+    """Max emitted count per user == the batch sequence_count over the
+    same files, with absent streaming users == batch zeros (the stream
+    only emits when a chain completes). sf0.001 has no (user, ts) ties
+    (asserted in-test), so no tiebreak is needed for determinism."""
+    from clickhouse_etl_spark.operators.events import sequence_count
+
+    events = load_table(spark, SF_SMOKE, "events")
+    assert (
+        events.groupBy("user_id", "ts").count().filter("count > 1").count()
+        == 0
+    )
+    out = st.run_stream_to_memory(
+        spark,
+        st.streaming_sequence_count(event_stream, _FUNNEL_STEPS, 86400),
+        "t_seqcnt",
+        str(tmp_path / "sc"),
+        output_mode="append",
+    )
+    got = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_sequences").alias("n"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.n_sequences
+        for r in sequence_count(events, _FUNNEL_STEPS, 86400).collect()
+    }
+    assert all(got[u] == n for u, n in want.items() if n > 0)
+    assert set(got) == {u for u, n in want.items() if n > 0}
+    assert any(n > 0 for n in want.values())  # non-vacuous
+
+
+def test_streaming_sequence_count_chains_across_microbatches(spark, tmp_path):
+    """A chain whose steps straddle the micro-batch boundary completes,
+    a second full chain in the later batch counts separately
+    (non-overlapping greedy resumes after the completing event), and an
+    abandoned-window user stays at zero emissions."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01").value // 1000  # micros
+    s = 1_000_000
+    rows = [
+        # u1: signup+view in file A; purchase in file B -> 1, then a
+        # full signup/view/purchase in B -> 2
+        (1, base, 1, "signup"), (2, base + s, 1, "view"),
+        (3, base + 2 * s, 1, "purchase"),
+        (4, base + 3 * s, 1, "signup"), (5, base + 4 * s, 1, "view"),
+        (6, base + 5 * s, 1, "purchase"),
+        # u2: signup in A; view in B past the 60s window -> no completion
+        (7, base, 2, "signup"), (8, base + 100 * s, 2, "view"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    pdf["ts"] = pdf["ts"] * 1000  # micros -> nanos (landing-zone encoding)
+    zone = tmp_path / "sczone"
+    zone.mkdir()
+    a = pdf[pdf.event_id.isin([1, 2, 7])]
+    b = pdf[~pdf.event_id.isin([1, 2, 7])]
+    for name, part in (("a.parquet", a), ("b.parquet", b)):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(zone / name),
+        )
+    now = _time.time()
+    _os.utime(zone / "a.parquet", (now - 60, now - 60))
+    _os.utime(zone / "b.parquet", (now, now))
+    stream = st.read_event_stream(spark, str(zone), max_files_per_trigger=1)
+    out = st.run_stream_to_memory(
+        spark,
+        st.streaming_sequence_count(stream, _FUNNEL_STEPS, window_seconds=60),
+        "t_seqcnt_2b",
+        str(tmp_path / "sc2"),
+        output_mode="append",
+    )
+    got = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_sequences").alias("n"))
+        .collect()
+    }
+    assert got == {1: 2}
