@@ -130,12 +130,13 @@ HEADLINERS = {
     "islands merge + final agg share ONE doc_id exchange",
     # round-11 rotation, batch 7
     "ext_window_funnel_dedup": "step flags precomputed JVM-side, ONE "
-    "user-key shuffle into an Arrow applyInPandas scan (O(1) state per "
-    "user) — the interrupt-on-repeat automaton no LEAD ladder can "
-    "express (r11 promotion)",
-    "ext_sequence_count": "same single user-key shuffle + Arrow scan; "
-    "O(k) candidate-chain state per user, max-anchor dominance (r11 "
-    "promotion)",
+    "user-key shuffle + Tungsten sort, then a single mapInPandas pass "
+    "per partition (O(1) automaton state per user, state carried "
+    "across Arrow batches) — the interrupt-on-repeat automaton no "
+    "LEAD ladder can express (r11 promotion + perf pass)",
+    "ext_sequence_count": "same single user-key shuffle + Tungsten sort + "
+    "one mapInPandas pass per partition; O(k) candidate-chain state "
+    "per user, max-anchor dominance (r11 promotion + perf pass)",
 }
 
 # Iterative / driver-coordinated rows: a single final-result plan is
