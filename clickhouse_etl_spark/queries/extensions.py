@@ -1285,3 +1285,157 @@ def ext_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_iter").cast("int").alias("n_iter"),
         "converged",
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation gate (operators/quality.py) in driver-canon
+# shape — the ready-made ROTATION-8 row, proven this round the way the
+# r10 recursive-CTE proofs readied rotation 7: full value-hash oracle
+# below, driver-gate-rigor pytest in tests/test_demoted_oracles.py,
+# atomic output columns, NOT yet registered (registry pinned at 50).
+# The battery mixes passing and failing rules on purpose (the gate's
+# value is catching violations, not confirming clean data): the
+# accepted-values rule omits status 'P' and the price ceiling sits
+# inside the data's range, so both carry nonzero violation counts at
+# every SF. One aggregate pass for the row-level rules + one
+# distinct-count job for the unique rule — the operator's documented
+# plan; oracle mirrors each violation predicate exactly (NULL
+# semantics included: accepted_values/in_range/matches pass NULLs —
+# compose with not_null to forbid them — predicate counts NULL
+# conditions as violations).
+# ---------------------------------------------------------------------------
+_QUALITY_GATE_ORACLE = """
+    SELECT rule, kind, n_violations, n_violations = 0 AS passed FROM (
+      SELECT 'custkey_not_null' AS rule, 'not_null' AS kind,
+             COALESCE(SUM(CASE WHEN o_custkey IS NULL
+                               THEN 1 ELSE 0 END), 0) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'status_known', 'accepted_values',
+             COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                AND o_orderstatus NOT IN ('O', 'F')
+                               THEN 1 ELSE 0 END), 0)
+      FROM orders
+      UNION ALL
+      SELECT 'price_range', 'in_range',
+             COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                AND o_totalprice NOT BETWEEN 0 AND 300000
+                               THEN 1 ELSE 0 END), 0)
+      FROM orders
+      UNION ALL
+      SELECT 'priority_format', 'matches',
+             COALESCE(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                                AND NOT regexp_full_match(
+                                      o_orderpriority, '[1-5]-[A-Z ]+')
+                               THEN 1 ELSE 0 END), 0)
+      FROM orders
+      UNION ALL
+      SELECT 'recent_dates', 'predicate',
+             COALESCE(SUM(CASE WHEN NOT COALESCE(
+                    o_orderdate >= TIMESTAMP '1996-01-01 00:00:00', FALSE)
+                               THEN 1 ELSE 0 END), 0)
+      FROM orders
+      UNION ALL
+      SELECT 'orderkey_unique', 'unique',
+             (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    )
+    """
+
+
+def ext_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative expectation gate over orders: six rules (four
+    row-level sharing ONE aggregate pass, one predicate, one unique via
+    a distinct-count job) — (rule, kind, n_violations, passed) rows,
+    mixed pass/fail by construction."""
+    from dataclasses import replace
+
+    from clickhouse_etl_spark.operators.quality import (
+        accepted_values,
+        check_expectations,
+        in_range,
+        matches,
+        not_null,
+        predicate,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        replace(not_null("o_custkey"), name="custkey_not_null"),
+        replace(
+            accepted_values("o_orderstatus", ["O", "F"]),
+            name="status_known",
+        ),
+        replace(in_range("o_totalprice", 0, 300000), name="price_range"),
+        replace(
+            matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+            name="priority_format",
+        ),
+        predicate(
+            "recent_dates", "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        ),
+        replace(unique("o_orderkey"), name="orderkey_unique"),
+    ]
+    return check_expectations(orders, rules)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout (sinks/zorder.py) in driver-canon shape —
+# the second ready-made ROTATION-8 candidate. With literal boundary
+# cuts the whole chain is deterministic arithmetic: bucket index =
+# #cuts strictly below the value (NULL -> 0), Morton code = bit j of
+# column c at position j*n_cols + c — so the oracle mirrors it
+# exactly (len(list_filter) for the bucket, integer div/mod/multiply
+# for the interleave; no approxQuantile in the fixture, the quantile
+# path is pytest-pinned separately in tests/test_zorder.py). The
+# second cluster column is o_custkey % 1000, giving an SF-invariant
+# value distribution so every driver-gate SF exercises the full
+# bucket range.
+# ---------------------------------------------------------------------------
+_ZORDER_CK_CUTS = [float(c) for c in range(64, 960, 64)]  # 14 cuts
+_ZORDER_PRICE_CUTS = [float(p) for p in range(20000, 300001, 20000)]  # 15
+
+
+def _zorder_oracle() -> str:
+    def idx(expr: str, cuts: list[float]) -> str:
+        lst = ", ".join(repr(c) for c in cuts)
+        return (
+            f"len(list_filter([{lst}], c -> CAST({expr} AS DOUBLE) > c))"
+        )
+
+    i0 = idx("(o_custkey % 1000)", _ZORDER_CK_CUTS)
+    i1 = idx("o_totalprice", _ZORDER_PRICE_CUTS)
+    terms = []
+    for j in range(4):  # bits
+        for c, src in enumerate(("i0", "i1")):
+            terms.append(f"(({src} // {1 << j}) % 2) * {1 << (j * 2 + c)}")
+    return f"""
+    SELECT o_orderkey, CAST({' + '.join(terms)} AS BIGINT) AS zval
+    FROM (SELECT o_orderkey, {i0} AS i0, {i1} AS i1 FROM orders)
+    """
+
+
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values for a 2-D (custkey-band, price) clustering of
+    orders — the value column write_zordered range-partitions and
+    sorts by; emitting it per row makes the layout itself
+    value-hash-checkable."""
+    from clickhouse_etl_spark.sinks.zorder import zorder_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    proj = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1000).cast("double").alias("ck_mod"),
+        "o_totalprice",
+    )
+    out = zorder_value(
+        proj,
+        ["ck_mod", "o_totalprice"],
+        bits=4,
+        boundaries={
+            "ck_mod": _ZORDER_CK_CUTS,
+            "o_totalprice": _ZORDER_PRICE_CUTS,
+        },
+        out_col="zval",
+    )
+    return out.select("o_orderkey", "zval")

@@ -1807,3 +1807,38 @@ def test_ns_frequent_terms(spark):
     _assert_matches_oracle(
         ns_frequent_terms(spark, SF_DIR), _FREQUENT_TERMS_ORACLE
     )
+
+
+# --- rotation-8 candidates proven ahead (r11, the r10 pattern) ------------
+
+
+def test_ext_quality_gate_rotation8_candidate(spark):
+    """The expectation gate in driver-canon shape, full value-hash
+    oracle — proven REGISTRY-PROMOTABLE this round (rotation-8
+    candidate; registry pinned at 50). The battery mixes passing and
+    failing rules so the comparison is non-vacuous on both sides."""
+    from clickhouse_etl_spark.queries.extensions import (
+        _QUALITY_GATE_ORACLE,
+        ext_quality_gate,
+    )
+
+    out = ext_quality_gate(spark, SF_DIR)
+    rows = {r.rule: (r.n_violations, r.passed) for r in out.collect()}
+    assert rows["status_known"][0] > 0 and not rows["status_known"][1]
+    assert rows["custkey_not_null"] == (0, True)
+    _assert_matches_oracle(out, _QUALITY_GATE_ORACLE)
+
+
+def test_ext_zorder_layout_rotation8_candidate(spark):
+    """Z-order clustering values in driver-canon shape, full value-hash
+    oracle (literal cuts -> pure arithmetic both sides) — the second
+    rotation-8 candidate proven ahead."""
+    from clickhouse_etl_spark.queries.extensions import (
+        _zorder_oracle,
+        ext_zorder_layout,
+    )
+
+    out = ext_zorder_layout(spark, SF_DIR)
+    zs = [r.zval for r in out.limit(2000).collect()]
+    assert len(set(zs)) > 16  # non-degenerate: many distinct cells hit
+    _assert_matches_oracle(out, _zorder_oracle())
