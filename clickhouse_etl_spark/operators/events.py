@@ -296,8 +296,10 @@ def window_funnel_strict_dedup(
     (``repartition(user)`` + Tungsten ``sortWithinPartitions`` + one
     ``mapInPandas`` pass per partition; see sequence_count's docstring
     for the measured per-group-vs-per-partition crossing costs). NULL
-    timestamps are dropped. ``tiebreak_col`` totalizes the order under
-    timestamp ties.
+    timestamps are dropped before the scan — a user whose every
+    timestamp is NULL yields NO row rather than a level-0 row (pinned
+    in tests/test_events.py). ``tiebreak_col`` totalizes the order
+    under timestamp ties.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -423,10 +425,12 @@ def sequence_count(
     step-1 event, ``sequence_match`` (greedy-from-earliest) implies
     ``n_sequences >= 1`` but not conversely (pinned in tests).
 
-    Returns ``(user_col, n_sequences)`` for every user present in
-    ``events`` (0 when the pattern never completes — ClickHouse
-    semantics). NULL timestamps are dropped, matching the SQL-side
-    comparison semantics of the other event operators.
+    Returns ``(user_col, n_sequences)`` for every user with at least
+    one non-NULL-timestamp event (0 when the pattern never completes —
+    ClickHouse semantics). NULL timestamps are dropped BEFORE the scan,
+    matching the SQL-side comparison semantics of the other event
+    operators — so a user whose every timestamp is NULL yields NO row,
+    not a 0 row (pinned in tests/test_events.py).
 
     This one is inherently sequential PER USER (a chain's shape depends
     on which earlier events previous chains consumed), so it is an

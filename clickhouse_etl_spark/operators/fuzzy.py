@@ -25,6 +25,24 @@ So the plan splits by length:
   corpus). Strings long enough to pair with a long string are in BOTH
   paths; pairs dedupe at the end.
 
+Why q matters at scale (measured, BENCH_SCALE.md r11/r12): the gram
+self-join's cost is the in-bucket pair count. Once the corpus carries
+more gram occurrences than the gram space ``alphabet**q`` can hold,
+buckets saturate and candidates grow ~N² (birthday growth) — measured
+as a gen10→gen30 segment exponent of 1.39 at q=5 on 12-hex-char keys,
+restored to 0.84 by stepping to q=6. Hence:
+
+- ``q='auto'`` derives q from one aggregate pass over the corpus
+  (min/avg length, exact alphabet size): the largest q permitted by the
+  completeness bound ``q*(k+1) <= min_len`` whose gram space clears the
+  expected gram occupancy, so the short path is provably EMPTY and is
+  skipped entirely.
+- an explicit occupancy guard (``saturation='warn'|'raise'``) estimates
+  grams-per-bucket before the join and refuses (or warns loudly) to run
+  a saturated N² candidate join — including the dead corner where every
+  string lands in the short path (len <= q*(k+1)+k-1) and the
+  distinct-VALUE pairing would itself be a runaway cross join.
+
 Spark's built-in ``levenshtein`` does the verify JVM-side; DuckDB's
 ``levenshtein`` lets the whole operator be value-hash checked against a
 brute-force n² oracle (tests/test_fuzzy.py).
@@ -32,8 +50,116 @@ brute-force n² oracle (tests/test_fuzzy.py).
 
 from __future__ import annotations
 
+import logging
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+#: Soft cap for auto-selected q: beyond this, grams stop getting more
+#: selective in practice while shuffle keys get longer. Raised
+#: automatically (up to the completeness bound) if occupancy demands it.
+_AUTO_Q_SOFT_CAP = 16
+
+
+class GramSaturationError(ValueError):
+    """Raised (``saturation='raise'``) when no safe configuration exists:
+    either the q-gram space is saturated at every q the completeness
+    bound allows, or the short-string value space is large enough that
+    the distinct-value pairing would be a runaway cross join."""
+
+
+#: Rows the alphabet probe chars-explodes, max. A FULL char-explode
+#: pass is linear in corpus bytes — real money at 100 TB — and the
+#: alphabet only feeds the occupancy ESTIMATE, so a bounded
+#: deterministic sample suffices. Error direction is conservative:
+#: missing ultra-rare chars UNDERestimates the alphabet, which
+#: OVERestimates occupancy — the guard warns earlier, never later.
+_ALPHABET_SAMPLE_ROWS = 100_000
+
+
+def _corpus_stats(base: DataFrame) -> dict:
+    """One narrow aggregate pass + one bounded distinct for the stats
+    that drive q selection and the saturation guard. The aggregate
+    scans ONE string column; the alphabet probe chars-explodes at most
+    ``_ALPHABET_SAMPLE_ROWS`` rows (deterministic xxhash64 thinning, so
+    runs reproduce) and its output is bounded by the character set."""
+    row = base.agg(
+        F.count("*").alias("n"),
+        F.min("__len").alias("min_len"),
+        F.max("__len").alias("max_len"),
+        F.sum("__len").alias("sum_len"),
+    ).collect()[0]
+    if row["n"] == 0:
+        return {"n": 0, "min_len": 0, "max_len": 0, "sum_len": 0, "alphabet": 1}
+    sampled = base
+    stride = int(row["n"]) // _ALPHABET_SAMPLE_ROWS
+    if stride > 1:
+        sampled = base.filter(
+            F.pmod(F.xxhash64("__id", "__s"), F.lit(stride)) == 0
+        )
+    alphabet = (
+        sampled.select(F.explode(F.split("__s", "")).alias("__c"))
+        .filter(F.col("__c") != "")
+        .distinct()
+        .count()
+    )
+    return {
+        "n": row["n"],
+        "min_len": row["min_len"],
+        "max_len": row["max_len"],
+        "sum_len": row["sum_len"],
+        "alphabet": max(int(alphabet), 1),
+    }
+
+
+def _occupancy(stats: dict, q: int) -> float:
+    """Expected gram occurrences per gram-space slot. > ~1 means buckets
+    saturate and in-bucket candidate pairs grow quadratically."""
+    occurrences = max(stats["sum_len"] - stats["n"] * (q - 1), 0)
+    return occurrences / float(stats["alphabet"] ** q)
+
+
+def _choose_q(stats: dict, k: int, max_occupancy: float) -> int:
+    """Largest q compatible with the completeness bound whose gram space
+    clears ``max_occupancy``; prefers the soft cap when occupancy allows
+    (shorter shuffle keys), stepping up toward the hard bound only when
+    the space is too small. See module doc for the measured rationale."""
+    hard_bound = stats["min_len"] // (k + 1) if k >= 0 else stats["min_len"]
+    if hard_bound < 2:
+        return 2  # short path unavoidable; guard handles the runaway
+    q = min(hard_bound, _AUTO_Q_SOFT_CAP)
+    while q < hard_bound and _occupancy(stats, q) > max_occupancy:
+        q += 1
+    return q
+
+
+def _saturation_report(
+    stats: dict, q: int, k: int, short_distinct: int | None,
+    max_occupancy: float, max_short_values: int,
+) -> list[str]:
+    problems = []
+    occ = _occupancy(stats, q)
+    if occ > max_occupancy:
+        problems.append(
+            f"q-gram space saturated at q={q}: expected occupancy "
+            f"{occ:.2f} grams/slot over alphabet^q = "
+            f"{stats['alphabet']}^{q} slots (threshold "
+            f"{max_occupancy}); in-bucket candidates grow ~N^2 past "
+            f"~1.0. Raise q (valid while q*(k+1) <= min string length "
+            f"= {stats['min_len']}) or pass q='auto'."
+        )
+    if short_distinct is not None and short_distinct > max_short_values:
+        problems.append(
+            f"short-string path would pair {short_distinct} distinct "
+            f"values (> {max_short_values}) below the q-gram floor "
+            f"q*(k+1) = {q * (k + 1)} — a runaway distinct-value cross "
+            f"join. Lower q so these strings qualify for the gram path, "
+            f"or pass q='auto'."
+        )
+    return problems
 
 
 def fuzzy_self_pairs(
@@ -41,7 +167,10 @@ def fuzzy_self_pairs(
     col: str,
     max_distance: int = 1,
     id_col: str = "doc_id",
-    q: int = 3,
+    q: int | str = 3,
+    saturation: str = "warn",
+    max_gram_occupancy: float = 1.0,
+    max_short_values: int = 100_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose ``col`` values are within
     Levenshtein distance ``max_distance``.
@@ -49,15 +178,69 @@ def fuzzy_self_pairs(
     Output: ``(id_a, id_b, <col>_a, <col>_b, distance)``. Identical
     values also pair (distance 0) — filter ``distance > 0`` for
     near-miss-only matching.
+
+    ``q`` is the gram width (int) or ``'auto'`` to derive it from corpus
+    length/alphabet stats (module doc). ``saturation`` controls the
+    scale guard: ``'warn'`` (default) runs a cheap stats pass, warns
+    loudly on a saturated gram space or a runaway short-value path, and
+    skips the short path entirely when the corpus minimum length proves
+    it empty; ``'raise'`` turns those warnings into
+    :class:`GramSaturationError`; ``'ignore'`` skips the stats pass and
+    plans both paths lazily (exactly the pre-r12 plan — only safe when
+    the caller has sized q to the corpus, q='auto' not allowed).
     """
     if max_distance < 0:
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    if saturation not in ("ignore", "warn", "raise"):
+        raise ValueError(f"saturation must be ignore|warn|raise, got {saturation!r}")
+    auto_q = isinstance(q, str)
+    if auto_q and q != "auto":
+        raise ValueError(f"q must be an int or 'auto', got {q!r}")
+    if auto_q and saturation == "ignore":
+        raise ValueError("q='auto' needs the stats pass; use saturation='warn'|'raise'")
+    if not auto_q and q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+
     k = max_distance
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(col).alias("__s"),
         F.length(col).alias("__len"),
     ).filter(F.col("__s").isNotNull())
+
+    skip_short = False
+    if saturation != "ignore":
+        stats = _corpus_stats(base)
+        if auto_q:
+            q = _choose_q(stats, k, max_gram_occupancy)
+        long_floor = q * (k + 1)
+        # min_len >= floor proves the short path EMPTY: every pair then
+        # has max(La, Lb) >= q*(k+1), so the gram bound covers it.
+        skip_short = stats["n"] == 0 or stats["min_len"] >= long_floor
+        short_distinct = None
+        if not skip_short:
+            short_ceil = long_floor + k - 1 if k > 0 else long_floor - 1
+            short_distinct = (
+                base.filter(F.col("__len") <= short_ceil)
+                .select("__s")
+                .distinct()
+                .count()
+            )
+        if stats["n"]:
+            problems = _saturation_report(
+                stats, q, k, short_distinct, max_gram_occupancy, max_short_values
+            )
+            if problems:
+                msg = (
+                    f"fuzzy_self_pairs(q={q}, k={k}) will not scale on this "
+                    f"corpus (n={stats['n']}, len {stats['min_len']}.."
+                    f"{stats['max_len']}, alphabet {stats['alphabet']}): "
+                    + " | ".join(problems)
+                )
+                if saturation == "raise":
+                    raise GramSaturationError(msg)
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+                logger.warning(msg)
 
     long_floor = q * (k + 1)  # completeness bound: see module doc
     short_ceil = long_floor + k - 1 if k > 0 else long_floor - 1
@@ -93,43 +276,47 @@ def fuzzy_self_pairs(
         .distinct()
     )
 
-    # SHORT path: too few grams for the bound — pair at the VALUE level
-    # (the distinct short strings, a set bounded by alphabet^length, not
-    # by corpus rows), verify levenshtein there, then join the surviving
-    # value pairs back to ids. A million rows of "Jo" cost ONE distinct
-    # value in the cross join, not 10^12 crossed rows. Includes the
-    # boundary band [long_floor, short_ceil] so short-vs-long pairs
-    # (length gap <= k) are covered by one path or the other.
-    shorts = base.filter(F.col("__len") <= short_ceil)
-    vals = shorts.select("__s", "__len").distinct()
-    v2 = vals.select(
-        F.col("__s").alias("__s_b"), F.col("__len").alias("__len_b")
-    )
-    val_pairs = (
-        vals.crossJoin(v2)
-        .filter(
-            (F.col("__s") <= F.col("__s_b"))
-            & (F.abs(F.col("__len") - F.col("__len_b")) <= k)
-            & (F.levenshtein("__s", "__s_b") <= k)
+    if skip_short:
+        cand = long_cand
+    else:
+        # SHORT path: too few grams for the bound — pair at the VALUE
+        # level (the distinct short strings, a set bounded by
+        # alphabet^length, not by corpus rows), verify levenshtein
+        # there, then join the surviving value pairs back to ids. A
+        # million rows of "Jo" cost ONE distinct value in the cross
+        # join, not 10^12 crossed rows. Includes the boundary band
+        # [long_floor, short_ceil] so short-vs-long pairs (length gap
+        # <= k) are covered by one path or the other.
+        shorts = base.filter(F.col("__len") <= short_ceil)
+        vals = shorts.select("__s", "__len").distinct()
+        v2 = vals.select(
+            F.col("__s").alias("__s_b"), F.col("__len").alias("__len_b")
         )
-        .select("__s", "__s_b")
-    )
-    ids_a = shorts.select(F.col("__id").alias("__ia"), F.col("__s").alias("__va"))
-    ids_b = shorts.select(F.col("__id").alias("__ib"), F.col("__s").alias("__vb"))
-    a_first = F.col("__ia") < F.col("__ib")
-    short_cand = (
-        val_pairs.join(ids_a, val_pairs["__s"] == ids_a["__va"])
-        .join(ids_b, val_pairs["__s_b"] == ids_b["__vb"])
-        .filter(F.col("__ia") != F.col("__ib"))
-        .select(
-            F.when(a_first, F.col("__ia")).otherwise(F.col("__ib")).alias("__id"),
-            F.when(a_first, F.col("__va")).otherwise(F.col("__vb")).alias("__s"),
-            F.when(a_first, F.col("__ib")).otherwise(F.col("__ia")).alias("__id_b"),
-            F.when(a_first, F.col("__vb")).otherwise(F.col("__va")).alias("__s_b"),
+        val_pairs = (
+            vals.crossJoin(v2)
+            .filter(
+                (F.col("__s") <= F.col("__s_b"))
+                & (F.abs(F.col("__len") - F.col("__len_b")) <= k)
+                & (F.levenshtein("__s", "__s_b") <= k)
+            )
+            .select("__s", "__s_b")
         )
-    )
+        ids_a = shorts.select(F.col("__id").alias("__ia"), F.col("__s").alias("__va"))
+        ids_b = shorts.select(F.col("__id").alias("__ib"), F.col("__s").alias("__vb"))
+        a_first = F.col("__ia") < F.col("__ib")
+        short_cand = (
+            val_pairs.join(ids_a, val_pairs["__s"] == ids_a["__va"])
+            .join(ids_b, val_pairs["__s_b"] == ids_b["__vb"])
+            .filter(F.col("__ia") != F.col("__ib"))
+            .select(
+                F.when(a_first, F.col("__ia")).otherwise(F.col("__ib")).alias("__id"),
+                F.when(a_first, F.col("__va")).otherwise(F.col("__vb")).alias("__s"),
+                F.when(a_first, F.col("__ib")).otherwise(F.col("__ia")).alias("__id_b"),
+                F.when(a_first, F.col("__vb")).otherwise(F.col("__va")).alias("__s_b"),
+            )
+        )
+        cand = long_cand.unionByName(short_cand).distinct()
 
-    cand = long_cand.unionByName(short_cand).distinct()
     return (
         cand.withColumn("distance", F.levenshtein("__s", "__s_b"))
         .filter(F.col("distance") <= k)

@@ -200,6 +200,7 @@ def streaming_funnel(
     window_seconds: int,
     watermark: str = "2 hours",
     expire_closed_windows: bool = False,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """The streaming twin of :func:`operators.events.window_funnel`
     (ClickHouse ``windowFunnel``, greedy-from-earliest semantics):
@@ -228,6 +229,10 @@ def streaming_funnel(
     (back-fills) the source delivers in file order, so sort the
     landing files by time — the same discipline every event-time
     state machine (sessionization included) already needs.
+    ``tiebreak_col`` mirrors the batch operator's: equal-ts events
+    within a batch sort stably on ``(ts, tiebreak)`` instead of
+    quicksort-arbitrary order; equal-ts events split ACROSS batches
+    keep arrival order (the cross-batch caveat above).
 
     State: with the default ``expire_closed_windows=False`` the op runs
     ``NoTimeout`` — exact greedy-from-earliest semantics require the
@@ -252,6 +257,7 @@ def streaming_funnel(
     # plain (non-underscore) derived names: pandas itertuples renames
     # underscore-leading fields positionally, which would break getattr
     flags = [f"etl_s{i}" for i in range(k)]
+    sort_cols = ["etl_ts_us"] + (["etl_tb"] if tiebreak_col else [])
     with_flags = (
         events.withWatermark("ts", watermark)
         .selectExpr(
@@ -261,6 +267,7 @@ def streaming_funnel(
             *(["ts"] if expire_closed_windows else []),
             "unix_micros(ts) AS etl_ts_us",
             *[f"CAST(({s}) AS BOOLEAN) AS {f}" for s, f in zip(steps, flags)],
+            *([f"{tiebreak_col} AS etl_tb"] if tiebreak_col else []),
         )
         .filter("etl_ts_us IS NOT NULL")
     )
@@ -297,7 +304,9 @@ def streaming_funnel(
         if not frames:
             return
         batch = frames[0] if len(frames) == 1 else pd.concat(frames)
-        for row in batch.sort_values("etl_ts_us").itertuples(index=False):
+        for row in batch.sort_values(sort_cols, kind="stable").itertuples(
+            index=False
+        ):
             ts_us = int(row.etl_ts_us)
             if t1 is None:
                 if getattr(row, "etl_s0"):
@@ -363,6 +372,7 @@ def streaming_sequence_count(
     steps: list[str],
     window_seconds: int,
     watermark: str = "2 hours",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """The streaming twin of :func:`operators.events.sequence_count`
     (ClickHouse ``sequenceCount``): greedy non-overlapping completed
@@ -386,7 +396,13 @@ def streaming_sequence_count(
     Same cross-batch ordering caveat as :func:`streaming_funnel`:
     events must reach the operator in event-time order ACROSS
     micro-batches for chains that span batches (within a batch the one
-    concatenated sort handles any arrival order). Runs ``NoTimeout``:
+    concatenated sort handles any arrival order). ``tiebreak_col``
+    mirrors the batch operator's: equal-ts events WITHIN a batch sort
+    stably on ``(ts, tiebreak)`` instead of in quicksort-arbitrary
+    order, so tied-ts batches agree with the batch twin; ties that
+    straddle a micro-batch boundary remain ordered by arrival (the
+    cross-batch caveat above — state carries no lookbehind to reorder
+    them). Runs ``NoTimeout``:
     the COUNT must survive quiet periods for the stream's lifetime, so
     state is O(distinct users) — the candidate pairs themselves expire
     naturally through the window check, only the two small arrays and
@@ -396,12 +412,14 @@ def streaming_sequence_count(
         raise ValueError("steps must be non-empty")
     k = len(steps)
     flags = [f"etl_s{i}" for i in range(k)]
+    sort_cols = ["etl_ts_us"] + (["etl_tb"] if tiebreak_col else [])
     with_flags = (
         events.withWatermark("ts", watermark)
         .selectExpr(
             "user_id",
             "unix_micros(ts) AS etl_ts_us",
             *[f"CAST(({s}) AS BOOLEAN) AS {f}" for s, f in zip(steps, flags)],
+            *([f"{tiebreak_col} AS etl_tb"] if tiebreak_col else []),
         )
         .filter("etl_ts_us IS NOT NULL")
     )
@@ -426,7 +444,9 @@ def streaming_sequence_count(
         batch = frames[0] if len(frames) == 1 else pd.concat(frames)
         # chains[lvl-1] here == the batch operator's chains[lvl] (its
         # index 0 slot is never used); same scan, verbatim semantics
-        for row in batch.sort_values("etl_ts_us").itertuples(index=False):
+        for row in batch.sort_values(sort_cols, kind="stable").itertuples(
+            index=False
+        ):
             ts_us = int(row.etl_ts_us)
             for i in range(k - 1):
                 c = chains[i]

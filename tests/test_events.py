@@ -867,3 +867,32 @@ def test_window_funnel_strict_dedup_matches_recursive_sql_oracle(spark):
         tiebreak_col="event_id",
     )
     _assert_matches(out, _strict_dedup_oracle())
+
+
+def test_all_null_ts_users_yield_no_row(spark):
+    """Contract pin: a user whose EVERY timestamp is NULL is absent
+    from sequence_count / window_funnel_strict_dedup output (NULL ts
+    drop before the scan); a user with a mix keeps their row computed
+    over the non-NULL events only."""
+    import datetime as dt
+
+    from clickhouse_etl_spark.operators.events import (
+        sequence_count,
+        window_funnel_strict_dedup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, None, "signup"),  # u1: all-NULL ts -> no row
+        (2, t0, "signup"), (2, None, "view"),  # u2: mixed -> row, NULLs out
+        (2, t0 + dt.timedelta(seconds=1), "view"),
+        (3, t0, "signup"),  # u3: never completes -> explicit 0 row
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["event_type = 'signup'", "event_type = 'view'"]
+    seq = {r.user_id: r.n_sequences
+           for r in sequence_count(events, steps, 86400).collect()}
+    assert seq == {2: 1, 3: 0}
+    fun = {r.user_id: r.funnel_level
+           for r in window_funnel_strict_dedup(events, steps, 86400).collect()}
+    assert fun == {2: 2, 3: 1}

@@ -6,6 +6,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -88,6 +89,82 @@ def test_no_python_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_auto_q_matches_explicit_on_hex_names(spark):
+    """q='auto' on the registered 12-hex-char fixture must derive a q
+    that (a) skips the short path (min_len >= q*(k+1)) and (b) returns
+    the exact pinned-q=5 pair set."""
+    customer = load_table(spark, SF_DIR, "customer")
+    names = customer.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12).alias("name"),
+    )
+    pinned = fuzzy_self_pairs(names, "name", 1, q=5)
+    auto = fuzzy_self_pairs(names, "name", 1, q="auto")
+    key = lambda df: sorted((r.id_a, r.id_b, r.distance) for r in df.collect())
+    assert key(auto) == key(pinned)
+    # auto mode proves the short path empty and drops it from the plan
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "CrossJoin" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_auto_q_mixed_lengths_still_complete(spark):
+    """auto on a corpus with strings below any gram floor keeps the
+    short path and finds every pair."""
+    rows = [(1, "ab"), (2, "ac"), (3, "abcdefgh"), (4, "abcdefghx"),
+            (5, "abcde"), (6, "abcdef"), (7, "zzzz")]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    got = {(r.id_a, r.id_b): r.distance
+           for r in fuzzy_self_pairs(df, "s", 1, q="auto").collect()
+           if r.distance > 0}
+    assert got == {(1, 2): 1, (3, 4): 1, (5, 6): 1}
+
+
+def test_saturation_raise_no_safe_q(spark):
+    """The no-safe-q corner errs loudly instead of running a saturated
+    N² gram join: binary alphabet, 12-char strings, k=1 — even the
+    largest bound-compatible q (6) gives only 2^6 = 64 gram slots for
+    hundreds of gram occurrences."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.operators.fuzzy import GramSaturationError
+
+    rows = [(i, format(i % 4096, "012b")) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    with _pytest.raises(GramSaturationError, match="saturated"):
+        fuzzy_self_pairs(df, "s", 1, q="auto", saturation="raise")
+    # warn mode surfaces the same diagnosis but still plans the query
+    with _pytest.warns(RuntimeWarning, match="saturated"):
+        out = fuzzy_self_pairs(df, "s", 1, q=5, saturation="warn")
+    assert out.columns == ["id_a", "id_b", "s_a", "s_b", "distance"]
+
+
+def test_saturation_raise_short_value_runaway(spark):
+    """The dead corner (every string inside the short band with a large
+    distinct-value population) errs loudly instead of cross-joining."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.operators.fuzzy import GramSaturationError
+
+    rows = [(i, format(i, "04d")) for i in range(300)]  # 300 distinct len-4
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    with _pytest.raises(GramSaturationError, match="runaway"):
+        fuzzy_self_pairs(df, "s", 1, q=3, saturation="raise",
+                         max_short_values=100)
+
+
+def test_saturation_ignore_keeps_lazy_plan(spark):
+    """saturation='ignore' runs zero stats jobs (plan-only composition,
+    the pre-r12 contract) and rejects q='auto'."""
+    import pytest as _pytest
+
+    rows = [(1, "abcdefgh"), (2, "abcdefghx")]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    out = fuzzy_self_pairs(df, "s", 1, saturation="ignore")
+    assert {(r.id_a, r.id_b) for r in out.collect() if r.distance > 0} == {(1, 2)}
+    with _pytest.raises(ValueError, match="auto"):
+        fuzzy_self_pairs(df, "s", 1, q="auto", saturation="ignore")
 
 
 def test_registered_row_oracle_prefilter_equals_bruteforce():

@@ -707,3 +707,69 @@ def test_streaming_sequence_count_chains_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == {1: 2}
+
+
+def test_streaming_sequence_count_tiebreak_matches_batch(spark, tmp_path):
+    """Equal-timestamp events sort stably on (ts, tiebreak) inside a
+    micro-batch, matching the batch operator's tiebreak_col semantics.
+    The fixture's tie is order-SENSITIVE: a completing purchase and a
+    re-anchoring signup share a timestamp — purchase-first (the
+    event_id order) leaves the signup alive to start chain #2 (n=2);
+    signup-first would see the completion wipe it (n=1)."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_etl_spark.operators.events import sequence_count
+
+    base = pd.Timestamp("2024-01-01").value // 1000  # micros
+    s = 1_000_000
+    rows = [
+        (1, base, 1, "signup"), (2, base + s, 1, "view"),
+        (3, base + 2 * s, 1, "purchase"),  # completes chain 1 ...
+        (4, base + 2 * s, 1, "signup"),    # ... tied re-anchor survives
+        (5, base + 3 * s, 1, "view"), (6, base + 4 * s, 1, "purchase"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    pdf["ts"] = pdf["ts"] * 1000  # micros -> nanos (landing-zone encoding)
+    zone = tmp_path / "tiezone"
+    zone.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(zone / "a.parquet"),
+    )
+    now = _time.time()
+    _os.utime(zone / "a.parquet", (now, now))
+    stream = st.read_event_stream(spark, str(zone))
+    out = st.run_stream_to_memory(
+        spark,
+        st.streaming_sequence_count(
+            stream, _FUNNEL_STEPS, window_seconds=86400,
+            tiebreak_col="event_id",
+        ),
+        "t_seqcnt_tie",
+        str(tmp_path / "sctie"),
+        output_mode="append",
+    )
+    got = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_sequences").alias("n"))
+        .collect()
+    }
+    batch_events = spark.createDataFrame(
+        pdf.assign(ts=pd.to_datetime(pdf["ts"], unit="ns"))
+    )
+    want = {
+        r.user_id: r.n_sequences
+        for r in sequence_count(
+            batch_events, _FUNNEL_STEPS, 86400, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert want == {1: 2}
+    assert got == want
