@@ -448,6 +448,56 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"])
 
 
+# ---------------------------------------------------------------------------
+# ROTATION-9 candidate, proven ahead (r12, the r10/r11 pattern):
+# snapshot_cdc round-trip (sinks/upsert.py:514). The row composes TWO
+# engine paths — snapshot_cdc(old, new) to manufacture the CDC batch
+# (inserts/updates with new payload, tombstoned deletes), then
+# merge_upsert_with_deletes(old, batch) to apply it — and returns the
+# merged table. The oracle is simply `new` computed in SQL, so a
+# value-hash match IS a proof of the defining invariant
+# ``old + snapshot_cdc(old, new) == new`` at the gated SF (the pytest
+# round-trip in tests/test_upsert.py:470 pins it symbolically; this
+# form makes it driver-checkable). Same old/new fixture as the
+# registered ext_snapshot_diff: % 7 keys missing from old (inserts),
+# % 11 keys missing from new (deletes), % 3 keys price-bumped
+# (updates). Plan: two key-hash shuffles (the diff's full-outer join,
+# the merge's dedup) — merge-family physics, nothing broadcast,
+# nothing collected.
+# ---------------------------------------------------------------------------
+_SNAPSHOT_CDC_ORACLE = """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 11 <> 0
+    """
+
+
+def ext_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.sinks.upsert import (
+        merge_upsert_with_deletes,
+        snapshot_cdc,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = base.filter(F.col("o_orderkey") % 7 != 0)
+    new = base.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    cdc = snapshot_cdc(old, new, ["o_orderkey"])
+    applied = merge_upsert_with_deletes(
+        old.withColumn("ver", F.lit(0)),
+        cdc.withColumn("ver", F.lit(1)),
+        ["o_orderkey"],
+        order_col="ver",
+    )
+    return applied.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 # ClickHouse windowFunnel(strict_order) (operators/events.py:
 # window_funnel_strict_order): consecutive-event funnel — an unrelated
 # event between steps INTERRUPTS the chain, unlike the relaxed mode.
@@ -712,6 +762,8 @@ def ext_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
     import tempfile
 
     from clickhouse_etl_spark.pipelines.matview import MaterializedView
@@ -736,9 +788,15 @@ def ext_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("order_ts") <= F.lit(clock["cutoff"]).cast("timestamp")
         )
 
+    # Scratch storage for the view's snapshots. The returned DataFrame
+    # reads from it lazily, so it must outlive this call — reclaim at
+    # interpreter exit instead (every gate/sweep/bench invocation is its
+    # own process, so nothing accumulates across runs).
+    scratch = tempfile.mkdtemp(prefix="ext_matview_row_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     view = MaterializedView(
         name="orders_by_status_priority",
-        table_root=tempfile.mkdtemp(prefix="ext_matview_row_"),
+        table_root=scratch,
         source=src,
         keys=["o_orderstatus", "o_orderpriority"],
         ts_col="order_ts",
@@ -1092,9 +1150,13 @@ def ext_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_rank_corr",
-    oracle="""
+# Demoted in the round-12 rotation, batch 8 (identical value-hash
+# oracle in tests/test_demoted_oracles.py, which IMPORTS this
+# constant): near-twin of the registered ext_cramers_v — both are
+# two-column association statistics out of operators/stattests.py
+# whose driver-visible physics (rank/contingency pass + one JVM
+# aggregate) overlap; Cramer's V keeps the driver window.
+_RANK_CORR_ORACLE = """
     WITH src AS (
       SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
       FROM lineitem
@@ -1109,8 +1171,9 @@ def ext_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g, ROUND(CORR(rx, ry), 6) AS rank_corr
     FROM ranked GROUP BY g
-    """,
-)
+    """
+
+
 def ext_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``rankCorr``: Spearman via midrank windows + JVM corr
     (operators/stattests.py)."""
@@ -1144,9 +1207,13 @@ _LINREG_Y = (
 )
 
 
-@register(
-    "ext_linreg_fit",
-    oracle=f"""
+# Demoted in the round-12 rotation, batch 8 (identical value-hash
+# oracle in tests/test_demoted_oracles.py, which IMPORTS this
+# constant): near-twin of the registered ext_logreg_fit — both fits
+# out of operators/regression.py built on the same per-group
+# moment-aggregation physics; the iterative IRLS row (the harder
+# engine path) keeps the driver window.
+_LINREG_FIT_ORACLE = f"""
     WITH b AS (
       SELECT l_returnflag AS g, {_LINREG_X1} AS x1, {_LINREG_X2} AS x2,
              {_LINREG_Y} AS y
@@ -1183,8 +1250,9 @@ _LINREG_Y = (
                  / (syy - sy*sy/n), 6) AS r2,
            CAST(n AS BIGINT) AS n
     FROM s
-    """,
-)
+    """
+
+
 def ext_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``stochasticLinearRegression``, batch-correct: per-group
     OLS of the discounted price on centered quantity/discount — one JVM
@@ -1289,10 +1357,10 @@ def ext_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Data-quality expectation gate (operators/quality.py) in driver-canon
-# shape — the ready-made ROTATION-8 row, proven this round the way the
-# r10 recursive-CTE proofs readied rotation 7: full value-hash oracle
-# below, driver-gate-rigor pytest in tests/test_demoted_oracles.py,
-# atomic output columns, NOT yet registered (registry pinned at 50).
+# shape — proven ahead in r11 (full value-hash oracle below,
+# driver-gate-rigor pytest in tests/test_demoted_oracles.py, atomic
+# output columns, gen1/3/10 curves in BENCH_SCALE.md) and REGISTERED
+# in the round-12 rotation, batch 8.
 # The battery mixes passing and failing rules on purpose (the gate's
 # value is catching violations, not confirming clean data): the
 # accepted-values rule omits status 'P' and the price ceiling sits
@@ -1342,6 +1410,7 @@ _QUALITY_GATE_ORACLE = """
     """
 
 
+@register("ext_quality_gate", oracle=_QUALITY_GATE_ORACLE)
 def ext_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declarative expectation gate over orders: six rules (four
     row-level sharing ONE aggregate pass, one predicate, one unique via
@@ -1381,7 +1450,8 @@ def ext_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Z-order clustered layout (sinks/zorder.py) in driver-canon shape —
-# the second ready-made ROTATION-8 candidate. With literal boundary
+# proven ahead in r11 and REGISTERED in the round-12 rotation,
+# batch 8. With literal boundary
 # cuts the whole chain is deterministic arithmetic: bucket index =
 # #cuts strictly below the value (NULL -> 0), Morton code = bit j of
 # column c at position j*n_cols + c — so the oracle mirrors it
@@ -1415,6 +1485,7 @@ def _zorder_oracle() -> str:
     """
 
 
+@register("ext_zorder_layout", oracle=_zorder_oracle())
 def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-values for a 2-D (custkey-band, price) clustering of
     orders — the value column write_zordered range-partitions and

@@ -101,3 +101,41 @@ def test_non_atomic_guard_fires(spark):
     )
     assert non_atomic_columns(df.schema) == ["arr", "st", "mp", "bin"]
     assert non_atomic_columns(df.select("id").schema) == []
+
+
+def test_wh_rewrite_oracles_value_identical():
+    """The sweep's shared-warehouse oracle rewrite (tools/oracle_check
+    .wh_rewrite, r12) must be VALUE-identical to the verbatim registered
+    SQL for every oracle that embeds the prefix — same engine, same
+    canonicalization, sf0.001. Also pins that exactly the four pipeline
+    lifecycles carry the prefix (a refactor that breaks the exact
+    substring match would silently lose the speedup, not correctness —
+    this catches it)."""
+    from clickhouse_etl_spark.queries.pipelines import _WAREHOUSE_SQL
+    from tools.oracle_check import (
+        canon_rows,
+        fetch_oracle,
+        open_oracle_views,
+        wh_rewrite,
+    )
+
+    oracles = entrymod.oracle_sql()
+    with_prefix = sorted(
+        n for n, sql in oracles.items() if _WAREHOUSE_SQL.strip() in sql
+    )
+    assert with_prefix == [
+        "pl_copy_students",
+        "pl_monthly_subject_fact",
+        "pl_transcript_details",
+        "pl_transcript_totals",
+    ]
+    con = open_oracle_views(SF_SMOKE)
+    try:
+        for name in with_prefix:
+            rewritten = wh_rewrite(oracles[name], SF_SMOKE)
+            assert rewritten != oracles[name]
+            vcols, vrows = fetch_oracle(con, oracles[name])
+            rcols, rrows = fetch_oracle(con, rewritten)
+            assert canon_rows(vcols, vrows) == canon_rows(rcols, rrows), name
+    finally:
+        con.close()

@@ -1809,14 +1809,17 @@ def test_ns_frequent_terms(spark):
     )
 
 
-# --- rotation-8 candidates proven ahead (r11, the r10 pattern) ------------
+# --- round-12 rotation, batch 8 -------------------------------------------
+# The two promotions (proven ahead in r11) keep their pytest pins here;
+# their oracle builders stay co-located with the registered rows in
+# queries/extensions.py and are IMPORTED, never copied.
 
 
 def test_ext_quality_gate_rotation8_candidate(spark):
     """The expectation gate in driver-canon shape, full value-hash
-    oracle — proven REGISTRY-PROMOTABLE this round (rotation-8
-    candidate; registry pinned at 50). The battery mixes passing and
-    failing rules so the comparison is non-vacuous on both sides."""
+    oracle — proven ahead in r11, REGISTERED in the round-12 rotation
+    (batch 8). The battery mixes passing and failing rules so the
+    comparison is non-vacuous on both sides."""
     from clickhouse_etl_spark.queries.extensions import (
         _QUALITY_GATE_ORACLE,
         ext_quality_gate,
@@ -1831,8 +1834,8 @@ def test_ext_quality_gate_rotation8_candidate(spark):
 
 def test_ext_zorder_layout_rotation8_candidate(spark):
     """Z-order clustering values in driver-canon shape, full value-hash
-    oracle (literal cuts -> pure arithmetic both sides) — the second
-    rotation-8 candidate proven ahead."""
+    oracle (literal cuts -> pure arithmetic both sides) — proven ahead
+    in r11, REGISTERED in the round-12 rotation (batch 8)."""
     from clickhouse_etl_spark.queries.extensions import (
         _zorder_oracle,
         ext_zorder_layout,
@@ -1842,3 +1845,61 @@ def test_ext_zorder_layout_rotation8_candidate(spark):
     zs = [r.zval for r in out.limit(2000).collect()]
     assert len(set(zs)) > 16  # non-degenerate: many distinct cells hit
     _assert_matches_oracle(out, _zorder_oracle())
+
+
+def test_ext_linreg_fit(spark):
+    """Per-group moment-pass OLS vs the Cramer's-rule DuckDB oracle —
+    identical oracle to the row's registry days (demoted round 12,
+    batch 8: near-twin of the registered ext_logreg_fit, which keeps
+    the regression family's per-group moment-aggregation physics — and
+    its harder iterative IRLS path — under the driver gate)."""
+    from clickhouse_etl_spark.queries.extensions import (
+        _LINREG_FIT_ORACLE,
+        ext_linreg_fit,
+    )
+
+    _assert_matches_oracle(ext_linreg_fit(spark, SF_DIR), _LINREG_FIT_ORACLE)
+
+
+def test_ext_rank_corr(spark):
+    """Spearman via midrank windows + JVM corr — identical oracle to
+    the row's registry days (demoted round 12, batch 8: near-twin of
+    the registered ext_cramers_v; both are operators/stattests.py
+    two-column association measures, and the contingency form keeps
+    the driver window)."""
+    from clickhouse_etl_spark.queries.extensions import (
+        _RANK_CORR_ORACLE,
+        ext_rank_corr,
+    )
+
+    _assert_matches_oracle(ext_rank_corr(spark, SF_DIR), _RANK_CORR_ORACLE)
+
+
+# --- rotation-9 candidates proven ahead (r12, the r10/r11 pattern) --------
+
+
+def test_ext_snapshot_cdc_rotation9_candidate(spark):
+    """snapshot_cdc round-trip in driver-canon shape — the value-hash
+    oracle is the `new` snapshot itself, so a match proves the defining
+    invariant old + snapshot_cdc(old, new) == new through TWO composed
+    engine paths (diff manufacture + CDC merge apply). Rotation-9
+    candidate; registry pinned at 50."""
+    from clickhouse_etl_spark.queries.extensions import (
+        _SNAPSHOT_CDC_ORACLE,
+        ext_snapshot_cdc,
+    )
+
+    out = ext_snapshot_cdc(spark, SF_DIR)
+    _assert_matches_oracle(out, _SNAPSHOT_CDC_ORACLE)
+
+
+def test_ext_scd2_lookup_rotation9_candidate(spark):
+    """ext_scd2_lookup (demoted r10, oracle re-pinned above in
+    test_ext_scd2_lookup) is the second rotation-9 candidate: the
+    temporal as-of join over a type-2 history. This pin adds the
+    driver-canon contract the promotion needs: atomic output schema."""
+    from clickhouse_etl_spark.queries.extensions import ext_scd2_lookup
+    from tools.oracle_check import non_atomic_columns
+
+    out = ext_scd2_lookup(spark, SF_DIR)
+    assert non_atomic_columns(out.schema) == []

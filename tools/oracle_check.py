@@ -193,6 +193,100 @@ def open_oracle_views(sf_dir: str):
     return con
 
 
+# ---------------------------------------------------------------------------
+# Shared-warehouse oracle prefix materialization (r12, VERDICT r11 ask
+# #3). The four pipeline-lifecycle oracles each embed the SAME
+# `_WAREHOUSE_SQL` CTE prefix (queries/pipelines.py) — at gen10 the
+# lineitem⨝orders `scores` fact plus the `reps` arg_max re-run once PER
+# ORACLE and dominate the sweep's heavy phase (pl_monthly oracle alone:
+# ~519 s vs 39 s for the Spark side, BENCH_SCALE.md r11). The sweep
+# (NOT the sf0.01 driver-replica gate, which must stay byte-exact with
+# what the driver runs) materializes the prefix ONCE per fixture with
+# DuckDB itself and rewrites each oracle by EXACT-substring replacement
+# of the imported prefix — same engine, same SQL, computed once, so the
+# values are identical by construction; any drift would fail the
+# sweep's own value-hash compare. Enabled only via
+# SPARK_GRAFT_ORACLE_WH=1 (tools/oracle_sweep.py sets it and
+# pre-materializes before spawning its batches so children just read).
+# ---------------------------------------------------------------------------
+_WH_PARQUET_TABLES = ["students", "evals", "scores", "structures",
+                      "subject_dim", "reps"]
+_WH_FILTER_CTES = [("subj", "subject"), ("cust", "custom"),
+                   ("mon", "month"), ("sem", "semester")]
+
+
+def warehouse_prefix_dir(sf_dir: str) -> str:
+    """Cache dir for the materialized prefix, keyed by fixture identity
+    (realpath + per-table size/mtime) AND the prefix SQL text — any
+    fixture regeneration or prefix edit keys a fresh materialization."""
+    import hashlib
+    import tempfile
+
+    from clickhouse_etl_spark.queries.pipelines import _WAREHOUSE_SQL
+
+    h = hashlib.sha256(_WAREHOUSE_SQL.encode())
+    h.update(os.path.realpath(sf_dir).encode())
+    for t in TEST_TABLES:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_wh", h.hexdigest()[:24]
+    )
+
+
+def materialize_warehouse(sf_dir: str) -> str:
+    """Compute each prefix CTE once (DuckDB, the oracle engine itself)
+    into parquet under the keyed cache dir. Concurrency-safe: built in
+    a pid-suffixed tmp dir and os.rename'd into place; a loser of the
+    rename race just reuses the winner's copy."""
+    from clickhouse_etl_spark.queries.pipelines import _WAREHOUSE_SQL
+
+    d = warehouse_prefix_dir(sf_dir)
+    if os.path.isdir(d):
+        return d
+    tmp = f"{d}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    con = open_oracle_views(sf_dir)
+    try:
+        for t in _WH_PARQUET_TABLES:
+            con.execute(
+                f"COPY (WITH {_WAREHOUSE_SQL} SELECT * FROM {t}) "
+                f"TO '{tmp}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    finally:
+        con.close()
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse d
+    return d
+
+
+def wh_rewrite(oracle_sql: str, sf_dir: str) -> str:
+    """Sweep-mode oracle rewrite: swap the embedded `_WAREHOUSE_SQL`
+    prefix for parquet reads of its materialization. Exact-substring
+    match only — an oracle without the prefix passes through verbatim.
+    The match key is the STRIPPED prefix: the pipeline oracles embed
+    `_FACT_SQL.strip()` / `_TRANSCRIPT_SQL.strip()`, which removes the
+    prefix's leading newline."""
+    from clickhouse_etl_spark.queries.pipelines import _WAREHOUSE_SQL
+
+    marker = _WAREHOUSE_SQL.strip()
+    if marker not in oracle_sql:
+        return oracle_sql
+    d = materialize_warehouse(sf_dir)
+    repl = ",\n".join(
+        [f"{t} AS (SELECT * FROM '{d}/{t}.parquet')"
+         for t in _WH_PARQUET_TABLES if t != "reps"]
+        + [f"{name} AS (SELECT * FROM evals WHERE type = '{ty}')"
+           for name, ty in _WH_FILTER_CTES]
+        + [f"reps AS (SELECT * FROM '{d}/reps.parquet')"]
+    )
+    return oracle_sql.replace(marker, repl)
+
+
 def _arrow_safe(dtype) -> bool:
     """True when df.toArrow() + column to_pylist yields values that
     canonicalize IDENTICALLY to collect()'s Row values. Structs are out
@@ -422,7 +516,12 @@ def main() -> int:
                   f"{t1-t0:.1f}s) — no oracle")
             continue
         try:
-            dcols, drows = fetch_oracle(con, oracles[name])
+            osql = oracles[name]
+            if os.environ.get("SPARK_GRAFT_ORACLE_WH") == "1":
+                # sweep mode only — the driver-replica gate runs the
+                # registered SQL verbatim (see the rewrite block above)
+                osql = wh_rewrite(osql, sf_dir)
+            dcols, drows = fetch_oracle(con, osql)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {one_line(e)}")
