@@ -137,6 +137,15 @@ HEADLINERS = {
     "ext_sequence_count": "same single user-key shuffle + Tungsten sort + "
     "one mapInPandas pass per partition; O(k) candidate-chain state "
     "per user, max-anchor dominance (r11 promotion + perf pass)",
+    # round-12 rotation, batch 8
+    "ext_quality_gate": "six expectation rules: the four row-level "
+    "violation counts fold in ONE aggregate pass over the scan; the "
+    "unique rule is one distinct-count job; rule rows assemble "
+    "driver-side from k scalars (r12 promotion)",
+    "ext_zorder_layout": "map-only Morton encoding — literal boundary "
+    "cuts become a CASE ladder + bit-interleave expressions, zero "
+    "exchanges; the write path range-partitions on the emitted zval "
+    "(r12 promotion)",
 }
 
 # Iterative / driver-coordinated rows: a single final-result plan is
