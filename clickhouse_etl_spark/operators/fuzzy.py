@@ -328,3 +328,179 @@ def fuzzy_self_pairs(
             "distance",
         )
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    max_distance: int = 1,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    right_col: str | None = None,
+    q: int | str = 3,
+    saturation: str = "warn",
+    max_gram_occupancy: float = 1.0,
+    max_short_values: int = 100_000,
+) -> DataFrame:
+    """Two-table fuzzy equi-join: every (left row, right row) pair whose
+    string values are within Levenshtein distance ``max_distance`` —
+    the cross-dataset form of :func:`fuzzy_self_pairs` (link a dirty
+    feed against a canonical dimension, reconcile two extracts of the
+    same entity table). Same q-gram candidate machinery, completeness
+    bound, ``q='auto'`` derivation, and saturation guard; the corpus
+    stats and the occupancy estimate run over BOTH sides combined
+    (their grams share one bucket space, so combined occupancy is the
+    saturation knob), and the short-path guard bounds the distinct
+    short values of the union (the value-level pairing is a
+    left-distinct × right-distinct cross join).
+
+    Output: ``(id_l, id_r, <col>_l, <col>_r, distance)`` — one row per
+    matching pair, including exact matches (distance 0). ``right_col``
+    defaults to ``col``; ``id_l``/``id_r`` come from ``left_id``/
+    ``right_id``. Plan: one gram-keyed hash join between the two
+    exploded gram sets (both sides fact-sized, nothing broadcast,
+    nothing collected) + JVM levenshtein verify; short strings pair at
+    the distinct-VALUE level exactly like the self form.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    if saturation not in ("ignore", "warn", "raise"):
+        raise ValueError(f"saturation must be ignore|warn|raise, got {saturation!r}")
+    auto_q = isinstance(q, str)
+    if auto_q and q != "auto":
+        raise ValueError(f"q must be an int or 'auto', got {q!r}")
+    if auto_q and saturation == "ignore":
+        raise ValueError("q='auto' needs the stats pass; use saturation='warn'|'raise'")
+    if not auto_q and q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+
+    k = max_distance
+    rcol = right_col or col
+    base_l = left.select(
+        F.col(left_id).alias("__id"),
+        F.col(col).alias("__s"),
+        F.length(col).alias("__len"),
+    ).filter(F.col("__s").isNotNull())
+    base_r = right.select(
+        F.col(right_id).alias("__id"),
+        F.col(rcol).alias("__s"),
+        F.length(rcol).alias("__len"),
+    ).filter(F.col("__s").isNotNull())
+
+    skip_short = False
+    if saturation != "ignore":
+        stats = _corpus_stats(base_l.unionByName(base_r))
+        if auto_q:
+            q = _choose_q(stats, k, max_gram_occupancy)
+        long_floor = q * (k + 1)
+        skip_short = stats["n"] == 0 or stats["min_len"] >= long_floor
+        short_distinct = None
+        if not skip_short:
+            short_ceil = long_floor + k - 1 if k > 0 else long_floor - 1
+            short_distinct = (
+                base_l.unionByName(base_r)
+                .filter(F.col("__len") <= short_ceil)
+                .select("__s")
+                .distinct()
+                .count()
+            )
+        if stats["n"]:
+            problems = _saturation_report(
+                stats, q, k, short_distinct, max_gram_occupancy, max_short_values
+            )
+            if problems:
+                msg = (
+                    f"fuzzy_join(q={q}, k={k}) will not scale on this "
+                    f"corpus (n={stats['n']} both sides, len "
+                    f"{stats['min_len']}..{stats['max_len']}, alphabet "
+                    f"{stats['alphabet']}): " + " | ".join(problems)
+                )
+                if saturation == "raise":
+                    raise GramSaturationError(msg)
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+                logger.warning(msg)
+
+    long_floor = q * (k + 1)  # completeness bound: see module doc
+    short_ceil = long_floor + k - 1 if k > 0 else long_floor - 1
+
+    def grams_of(base: DataFrame) -> DataFrame:
+        return base.filter(F.col("__len") >= long_floor).select(
+            "__id",
+            "__s",
+            "__len",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(__len - {q} + 1, 1)),"
+                        f" i -> substring(__s, i, {q}))"
+                    )
+                )
+            ).alias("__g"),
+        )
+
+    gl = grams_of(base_l)
+    gr = grams_of(base_r).select(
+        F.col("__id").alias("__id_r"),
+        F.col("__s").alias("__s_r"),
+        F.col("__len").alias("__len_r"),
+        "__g",
+    )
+    long_cand = (
+        gl.join(gr, on="__g")
+        .filter(F.abs(F.col("__len") - F.col("__len_r")) <= k)
+        .select("__id", "__s", "__id_r", "__s_r")
+        .distinct()
+    )
+
+    if skip_short:
+        cand = long_cand
+    else:
+        # Value-level short path, two-sided: distinct short values of
+        # EACH side cross-pair (bounded by the value spaces, not the
+        # row counts), verify levenshtein there, join each side's ids
+        # back. Boundary band [long_floor, short_ceil] included on both
+        # sides so short-vs-long pairs are covered by one path.
+        shorts_l = base_l.filter(F.col("__len") <= short_ceil)
+        shorts_r = base_r.filter(F.col("__len") <= short_ceil)
+        vals_l = shorts_l.select("__s", "__len").distinct()
+        vals_r = shorts_r.select(
+            F.col("__s").alias("__s_r"), F.col("__len").alias("__len_r")
+        ).distinct()
+        val_pairs = (
+            vals_l.crossJoin(vals_r)
+            .filter(
+                (F.abs(F.col("__len") - F.col("__len_r")) <= k)
+                & (F.levenshtein("__s", "__s_r") <= k)
+            )
+            .select("__s", "__s_r")
+        )
+        ids_l = shorts_l.select(
+            F.col("__id").alias("__il"), F.col("__s").alias("__vl")
+        )
+        ids_r = shorts_r.select(
+            F.col("__id").alias("__ir"), F.col("__s").alias("__vr")
+        )
+        short_cand = (
+            val_pairs.join(ids_l, val_pairs["__s"] == ids_l["__vl"])
+            .join(ids_r, val_pairs["__s_r"] == ids_r["__vr"])
+            .select(
+                F.col("__il").alias("__id"),
+                F.col("__vl").alias("__s"),
+                F.col("__ir").alias("__id_r"),
+                F.col("__vr").alias("__s_r"),
+            )
+        )
+        cand = long_cand.unionByName(short_cand).distinct()
+
+    return (
+        cand.withColumn("distance", F.levenshtein("__s", "__s_r"))
+        .filter(F.col("distance") <= k)
+        .select(
+            F.col("__id").alias("id_l"),
+            F.col("__id_r").alias("id_r"),
+            F.col("__s").alias(f"{col}_l"),
+            F.col("__s_r").alias(f"{rcol}_r"),
+            "distance",
+        )
+    )

@@ -204,3 +204,129 @@ def test_registered_row_oracle_prefilter_equals_bruteforce():
         con.close()
         assert len(want) > 0  # planted typos exist at every SF
         assert got == want, f"{sf_dir}: prefilter dropped/added pairs"
+
+
+# --- fuzzy_join (two-table form, r12) -------------------------------------
+
+
+def _oracle_join_pairs(left_rel, right_rel, col, k):
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW l AS {left_rel}")
+        con.execute(f"CREATE VIEW r AS {right_rel}")
+        cur = con.execute(
+            f"""
+            SELECT l.id AS id_l, r.id AS id_r,
+                   l.{col} AS {col}_l, r.{col} AS {col}_r,
+                   levenshtein(l.{col}, r.{col}) AS distance
+            FROM l, r
+            WHERE levenshtein(l.{col}, r.{col}) <= {k}
+            """
+        )
+        return [d[0] for d in cur.description], cur.fetchall()
+    finally:
+        con.close()
+
+
+def test_fuzzy_join_matches_bruteforce_oracle(spark):
+    """Two-table candidate split + verify == the n×m ground truth:
+    customer names vs a dirtied copy (dropped char) of a sample of
+    them — inserts, deletes, and exact matches all represented."""
+    from clickhouse_etl_spark.operators.fuzzy import fuzzy_join
+
+    customer = load_table(spark, SF_DIR, "customer")
+    left = customer.select(F.col("c_custkey").alias("doc_id"),
+                           F.col("c_name").alias("name"))
+    # right: every 3rd customer, with every 2nd of those missing the
+    # last character (distance-1 deletions), the rest verbatim
+    right = (
+        customer.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            (F.col("c_custkey") + 1_000_000).alias("doc_id"),
+            F.when(
+                F.col("c_custkey") % 2 == 0,
+                F.expr("substring(c_name, 1, length(c_name) - 1)"),
+            ).otherwise(F.col("c_name")).alias("name"),
+        )
+    )
+    out = fuzzy_join(left, right, "name", max_distance=1)
+    dcols, drows = _oracle_join_pairs(
+        f"SELECT c_custkey AS id, c_name AS name FROM '{SF_DIR}/customer.parquet'",
+        f"""SELECT c_custkey + 1000000 AS id,
+               CASE WHEN c_custkey % 2 = 0
+                    THEN substring(c_name, 1, length(c_name) - 1)
+                    ELSE c_name END AS name
+            FROM '{SF_DIR}/customer.parquet' WHERE c_custkey % 3 = 0""",
+        "name",
+        1,
+    )
+    sc, sr = canon_rows(
+        ["id_l", "id_r", "name_l", "name_r", "distance"],
+        [tuple(r) for r in out.collect()],
+    )
+    dc, dr = canon_rows(dcols, drows)
+    assert len(sr) == len(dr) and sr == dr
+    assert len(sr) > 0
+
+
+def test_fuzzy_join_short_and_boundary(spark):
+    """Cross-table pairs below and across the q-gram floor route through
+    the two-sided value-level short path."""
+    from clickhouse_etl_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "ab"), (2, "abcde"), (3, "abcdefgh"), (4, "qqq")],
+        ["doc_id", "s"],
+    )
+    right = spark.createDataFrame(
+        [(10, "ac"), (20, "abcdef"), (30, "abcdefghx"), (40, "zzzz")],
+        ["doc_id", "s"],
+    )
+    got = {(r.id_l, r.id_r): r.distance
+           for r in fuzzy_join(left, right, "s", max_distance=1).collect()}
+    assert got == {(1, 10): 1, (2, 20): 1, (3, 30): 1}
+
+
+def test_fuzzy_join_auto_q_and_saturation(spark):
+    """auto-q derives from BOTH sides combined; the saturation guard
+    fires on a binary-alphabet corpus."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.operators.fuzzy import (
+        GramSaturationError,
+        fuzzy_join,
+    )
+
+    customer = load_table(spark, SF_DIR, "customer")
+    left = customer.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12).alias("s"),
+    )
+    right = customer.select(
+        (F.col("c_custkey") + 500_000).alias("doc_id"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12).alias("s"),
+    )
+    auto = fuzzy_join(left, right, "s", 1, q="auto")
+    pinned = fuzzy_join(left, right, "s", 1, q=5)
+    key = lambda df: sorted((r.id_l, r.id_r, r.distance) for r in df.collect())
+    ka = key(auto)
+    assert ka == key(pinned)
+    assert len(ka) > 0  # every left row has its exact twin on the right
+    bits = [(i, format(i % 4096, "012b")) for i in range(400)]
+    bl = spark.createDataFrame(bits, ["doc_id", "s"])
+    br = spark.createDataFrame([(i + 10_000, s) for i, s in bits], ["doc_id", "s"])
+    with _pytest.raises(GramSaturationError, match="saturated"):
+        fuzzy_join(bl, br, "s", 1, q="auto", saturation="raise")
+
+
+def test_fuzzy_join_right_col_and_k0(spark):
+    """Differently-named join columns and exact-only matching."""
+    from clickhouse_etl_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "a"])
+    right = spark.createDataFrame([(9, "alpha"), (8, "gamma")], ["doc_id", "b"])
+    out = fuzzy_join(left, right, "a", max_distance=0, right_col="b")
+    rows = out.collect()
+    assert [(r.id_l, r.id_r, r.a_l, r.b_r, r.distance) for r in rows] == [
+        (1, 9, "alpha", "alpha", 0)
+    ]
