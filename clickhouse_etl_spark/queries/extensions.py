@@ -885,6 +885,84 @@ def ext_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             id_col="c_custkey", q=5)
 
 
+# ---------------------------------------------------------------------------
+# ROTATION candidate, proven ahead (r12): the two-table fuzzy join
+# (operators/fuzzy.py:fuzzy_join) in driver-canon shape — link a dirty
+# right-side feed (every 3rd customer, half with a planted
+# substitution typo) against the canonical 12-hex-char name table.
+# Same oracle construction as ext_fuzzy_pairs: the q-gram candidate
+# prefilter is a theorem at q=5/k=1 over 12-char names, mirrored gram
+# for gram across BOTH sides, and tests/test_fuzzy.py pins
+# prefilter == brute force n×m at the gate SFs. Plan: one gram-keyed
+# hash join between the two exploded gram sets + JVM levenshtein —
+# both sides fact-sized, nothing broadcast, nothing collected.
+# ---------------------------------------------------------------------------
+_FUZZY_JOIN_ORACLE = """
+    WITH lnames AS (
+      SELECT c_custkey AS id,
+             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name
+      FROM customer
+    ),
+    rnames AS (
+      SELECT c_custkey + 1000000 AS id,
+             CASE WHEN c_custkey % 2 = 0
+                  THEN 'z' || substr(md5(CAST(c_custkey AS VARCHAR)), 2, 11)
+                  ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)
+             END AS name
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    lg AS (
+      SELECT id, name,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(name) - 4),
+               i -> substr(name, i, 5)))) AS g
+      FROM lnames
+    ),
+    rg AS (
+      SELECT id, name,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(name) - 4),
+               i -> substr(name, i, 5)))) AS g
+      FROM rnames
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS id_l, r.id AS id_r,
+                      l.name AS name_l, r.name AS name_r
+      FROM lg l JOIN rg r ON l.g = r.g
+    )
+    SELECT id_l, id_r, name_l, name_r,
+           levenshtein(name_l, name_r) AS distance
+    FROM cand WHERE levenshtein(name_l, name_r) <= 1
+    """
+
+
+def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.fuzzy import fuzzy_join
+
+    customer = load_table(spark, sf_dir, "customer")
+    key_str = F.col("c_custkey").cast("string")
+    left = customer.select(
+        "c_custkey",
+        F.substring(F.md5(F.encode(key_str, "UTF-8")), 1, 12).alias("name"),
+    )
+    right = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(
+                F.lit("z"),
+                F.substring(F.md5(F.encode(key_str, "UTF-8")), 2, 11),
+            ),
+        )
+        .otherwise(F.substring(F.md5(F.encode(key_str, "UTF-8")), 1, 12))
+        .alias("name"),
+    )
+    return fuzzy_join(
+        left, right, "name", max_distance=1,
+        left_id="c_custkey", right_id="c_custkey", q=5,
+    )
+
+
 # SCD2 temporal lookup (sinks/upsert.py): build a type-2 history of each
 # customer's order-status timeline (ts made unique by adding o_orderkey
 # seconds), then join facts at ts+45 days to the version valid THEN.

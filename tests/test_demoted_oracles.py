@@ -1903,3 +1903,22 @@ def test_ext_scd2_lookup_rotation9_candidate(spark):
 
     out = ext_scd2_lookup(spark, SF_DIR)
     assert non_atomic_columns(out.schema) == []
+
+
+def test_ext_fuzzy_join_rotation_candidate(spark):
+    """Two-table fuzzy join in driver-canon shape, full value-hash
+    oracle (q-gram prefilter mirrored across both sides — a theorem at
+    q=5/k=1 over 12-char names; prefilter == brute force pinned in
+    tests/test_fuzzy.py). Rotation candidate proven ahead; registry
+    pinned at 50."""
+    from clickhouse_etl_spark.queries.extensions import (
+        _FUZZY_JOIN_ORACLE,
+        ext_fuzzy_join,
+    )
+
+    out = ext_fuzzy_join(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert any(r.distance == 1 for r in rows)  # planted typos matched
+    assert any(r.distance == 0 for r in rows)  # verbatim copies matched
+    _assert_matches_oracle(out, _FUZZY_JOIN_ORACLE)

@@ -330,3 +330,43 @@ def test_fuzzy_join_right_col_and_k0(spark):
     assert [(r.id_l, r.id_r, r.a_l, r.b_r, r.distance) for r in rows] == [
         (1, 9, "alpha", "alpha", 0)
     ]
+
+
+def test_fuzzy_join_candidate_oracle_prefilter_equals_bruteforce():
+    """The ext_fuzzy_join candidate oracle uses the two-sided q-gram
+    prefilter instead of the n×m brute force; pin the formulations
+    equal at the gate SFs (the self-pairs precedent)."""
+    import duckdb
+
+    from clickhouse_etl_spark.queries.extensions import _FUZZY_JOIN_ORACLE
+
+    brute_sql = """
+    WITH lnames AS (
+      SELECT c_custkey AS id,
+             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name
+      FROM customer
+    ),
+    rnames AS (
+      SELECT c_custkey + 1000000 AS id,
+             CASE WHEN c_custkey % 2 = 0
+                  THEN 'z' || substr(md5(CAST(c_custkey AS VARCHAR)), 2, 11)
+                  ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)
+             END AS name
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT l.id AS id_l, r.id AS id_r, l.name AS name_l, r.name AS name_r,
+           levenshtein(l.name, r.name) AS distance
+    FROM lnames l, rnames r
+    WHERE levenshtein(l.name, r.name) <= 1
+    """
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/customer.parquet')"
+        )
+        got = sorted(con.execute(_FUZZY_JOIN_ORACLE).fetchall())
+        want = sorted(con.execute(brute_sql).fetchall())
+        con.close()
+        assert len(want) > 0
+        assert got == want, f"{sf_dir}: prefilter dropped/added pairs"
