@@ -886,6 +886,46 @@ def ext_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROTATION candidate, proven ahead (r12): sequenceNextNode(forward,
+# first_match) (operators/events.py:212) — the last unregistered
+# ClickHouse event-family op: per user, the value of the event
+# immediately following the first CONSECUTIVE signup→view run ("what
+# do users do next after the funnel"). Pure-LEAD plan: one window sort
+# per user, zero joins. The oracle is the LEAD-chain mirror already
+# pinned micro + full-corpus in tests/test_events.py:610,639; driver
+# canon needs the NULL-at-stream-end next_value kept (atomic string).
+# ---------------------------------------------------------------------------
+_SEQUENCE_NEXT_NODE_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             event_type = 'signup' AS s0,
+             LEAD(event_type = 'view', 1) OVER w AS n1,
+             LEAD(event_type, 2) OVER w AS nxt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    hits AS (
+      SELECT user_id, nxt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM flagged WHERE s0 AND COALESCE(n1, FALSE)
+    )
+    SELECT user_id, nxt AS next_value FROM hits WHERE rn = 1
+    """
+
+
+def ext_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_etl_spark.operators.events import sequence_next_node
+
+    events = load_table(spark, sf_dir, "events")
+    return sequence_next_node(
+        events,
+        ["event_type = 'signup'", "event_type = 'view'"],
+        tiebreak_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # ROTATION candidate, proven ahead (r12): the two-table fuzzy join
 # (operators/fuzzy.py:fuzzy_join) in driver-canon shape — link a dirty
 # right-side feed (every 3rd customer, half with a planted

@@ -1922,3 +1922,21 @@ def test_ext_fuzzy_join_rotation_candidate(spark):
     assert any(r.distance == 1 for r in rows)  # planted typos matched
     assert any(r.distance == 0 for r in rows)  # verbatim copies matched
     _assert_matches_oracle(out, _FUZZY_JOIN_ORACLE)
+
+
+def test_ext_sequence_next_node_rotation_candidate(spark):
+    """sequenceNextNode in driver-canon shape (atomic (user_id,
+    next_value) rows), LEAD-chain value-hash oracle — the last
+    unregistered ClickHouse event-family op, proven ahead for a future
+    rotation; registry pinned at 50. Micro-semantics (interrupts,
+    first-match anchoring, NULL at stream end) are pinned separately in
+    tests/test_events.py:610."""
+    from clickhouse_etl_spark.queries.extensions import (
+        _SEQUENCE_NEXT_NODE_ORACLE,
+        ext_sequence_next_node,
+    )
+    from tools.oracle_check import non_atomic_columns
+
+    out = ext_sequence_next_node(spark, SF_DIR)
+    assert non_atomic_columns(out.schema) == []
+    _assert_matches_oracle(out, _SEQUENCE_NEXT_NODE_ORACLE)
