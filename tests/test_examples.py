@@ -57,3 +57,16 @@ def test_training_corpus_example(spark):
     assert r["domain_filter"] < r["input"]
     assert r["url_dedup"] <= r["domain_filter"]
     assert r["n_shards"] >= 1
+
+
+def test_entity_resolution_example(spark):
+    from examples.entity_resolution import run
+
+    r = run(spark, SF_DIR)
+    assert r["canonical"] > 0 and r["feed"] > 0
+    # every feed row is within distance 1 of its true source, so
+    # linkage must cover the whole feed and point mostly at the truth
+    assert r["linked"] == r["feed"]
+    assert r["link_precision"] is not None and r["link_precision"] > 0.95
+    # survivorship merges on the canonical key: row count is unchanged
+    assert r["merged"] == r["canonical"]
