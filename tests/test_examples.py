@@ -70,3 +70,15 @@ def test_entity_resolution_example(spark):
     assert r["link_precision"] is not None and r["link_precision"] > 0.95
     # survivorship merges on the canonical key: row count is unchanged
     assert r["merged"] == r["canonical"]
+
+
+def test_streaming_sessions_example(spark, tmp_path):
+    from examples.streaming_sessions import run
+
+    r = run(spark, SF_DIR, str(tmp_path / "stream_ex"))
+    assert r["hourly_windows"] > 0 and r["sessions"] > 0
+    assert r["mean_session_events"] >= 1.0
+    # funnel levels are 1..3 and at least one user anchored
+    assert r["funnel_levels"] and set(r["funnel_levels"]) <= {1, 2, 3}
+    # the upsert snapshot holds exactly the distinct users in the zone
+    assert r["snapshot_users"] > 0
