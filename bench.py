@@ -180,11 +180,17 @@ def slow_host_factor(calib: dict[str, float]) -> float:
     all-core workloads); falls back to 1c when fork was unavailable or
     the probe forked a different core count than the reference was
     recorded at (an 8-fork nc on a 32-core box measures no contention
-    and would read falsely fast). Clamped at 1.0: the pin is a rolling
-    MIN (CALIB_REF_PROVENANCE), so a sub-pin probe means a
-    faster-than-reference host — normalizing totals DOWN by it would
-    flatter the round; the observation surfaces as a re-pin candidate
-    in the artifact instead."""
+    and would read falsely fast). Clamped at 1.0 (the r11 ask's
+    "factor < 1 impossible by construction"): a sub-pin probe is
+    either probe-window flutter (the workload itself did NOT run that
+    fast, so dividing the total by the lucky factor would overstate
+    reference-equivalent time) or a genuinely faster host (then the
+    rolling-min PIN is stale and must be lowered deliberately — until
+    then the honest move is to flag, not to normalize against a stale
+    denominator). Either way the observation surfaces as a re-pin
+    candidate in the artifact; note the clamp understates
+    reference-equivalent time for a genuinely faster host until the
+    re-pin lands, which is why the candidate is loud."""
     if (
         "calib_nc_sec" in calib
         and calib.get("calib_cores") == CALIB_NC_REF_CORES

@@ -32,10 +32,13 @@ buckets saturate and candidates grow ~N² (birthday growth) — measured
 as a gen10→gen30 segment exponent of 1.39 at q=5 on 12-hex-char keys,
 restored to 0.84 by stepping to q=6. Hence:
 
-- ``q='auto'`` derives q from one aggregate pass over the corpus
-  (min/avg length, exact alphabet size): the largest q permitted by the
-  completeness bound ``q*(k+1) <= min_len`` whose gram space clears the
-  expected gram occupancy, so the short path is provably EMPTY and is
+- ``q='auto'`` derives q from one bounded stats pass over the corpus
+  (a length histogram + a sampled alphabet): the largest q permitted
+  by the completeness bound ``q*(k+1) <= min_len`` whose gram space
+  clears the expected gram occupancy — computed ONLY over the strings
+  the floor admits to the gram join, since shorter strings pair at the
+  value level and must neither fake nor mask saturation. When min_len
+  itself clears the floor the short path is provably EMPTY and is
   skipped entirely.
 - an explicit occupancy guard (``saturation='warn'|'raise'``) estimates
   grams-per-bucket before the join and refuses (or warns loudly) to run
@@ -79,23 +82,37 @@ class GramSaturationError(ValueError):
 #: OVERestimates occupancy — the guard warns earlier, never later.
 _ALPHABET_SAMPLE_ROWS = 100_000
 
+#: Length-histogram clip: lengths above this collapse into one bucket.
+#: Bounds the driver-side histogram at 64k rows no matter the corpus;
+#: the only loss is over-counting grams of ultra-long strings by at
+#: most (q-1) each — noise at any realistic q, conservative direction.
+_LEN_HISTOGRAM_CAP = 65_536
+
 
 def _corpus_stats(base: DataFrame) -> dict:
-    """One narrow aggregate pass + one bounded distinct for the stats
-    that drive q selection and the saturation guard. The aggregate
-    scans ONE string column; the alphabet probe chars-explodes at most
-    ``_ALPHABET_SAMPLE_ROWS`` rows (deterministic xxhash64 thinning, so
-    runs reproduce) and its output is bounded by the character set."""
-    row = base.agg(
-        F.count("*").alias("n"),
-        F.min("__len").alias("min_len"),
-        F.max("__len").alias("max_len"),
-        F.sum("__len").alias("sum_len"),
-    ).collect()[0]
-    if row["n"] == 0:
-        return {"n": 0, "min_len": 0, "max_len": 0, "sum_len": 0, "alphabet": 1}
+    """One narrow length-histogram job + one bounded distinct for the
+    stats that drive q selection and the saturation guard. The
+    histogram groups ONE int column (driver receives ≤ min(max_len,
+    64k) rows), so occupancy can later be computed EXACTLY over the
+    strings a given floor admits to the gram join — a whole-corpus sum
+    would let a sea of below-floor short strings (which route to the
+    value-level path) fake saturation, or negative (len - q + 1) terms
+    mask it. The alphabet probe chars-explodes at most
+    ``~_ALPHABET_SAMPLE_ROWS`` rows (deterministic xxhash64 thinning,
+    so runs reproduce) and its output is bounded by the character set."""
+    hist = [
+        (int(r["__l"]), int(r["c"]), int(r["s"]))
+        for r in base.groupBy(
+            F.least(F.col("__len"), F.lit(_LEN_HISTOGRAM_CAP)).alias("__l")
+        )
+        .agg(F.count("*").alias("c"), F.sum("__len").alias("s"))
+        .collect()
+    ]
+    if not hist:
+        return {"n": 0, "min_len": 0, "max_len": 0, "hist": [], "alphabet": 1}
+    n = sum(c for _, c, _ in hist)
     sampled = base
-    stride = int(row["n"]) // _ALPHABET_SAMPLE_ROWS
+    stride = -(-n // _ALPHABET_SAMPLE_ROWS)  # ceil: honors the row cap
     if stride > 1:
         sampled = base.filter(
             F.pmod(F.xxhash64("__id", "__s"), F.lit(stride)) == 0
@@ -107,18 +124,24 @@ def _corpus_stats(base: DataFrame) -> dict:
         .count()
     )
     return {
-        "n": row["n"],
-        "min_len": row["min_len"],
-        "max_len": row["max_len"],
-        "sum_len": row["sum_len"],
+        "n": n,
+        "min_len": min(l for l, _, _ in hist),
+        "max_len": max(l for l, _, _ in hist),  # clipped at the cap
+        "hist": hist,
         "alphabet": max(int(alphabet), 1),
     }
 
 
-def _occupancy(stats: dict, q: int) -> float:
-    """Expected gram occurrences per gram-space slot. > ~1 means buckets
-    saturate and in-bucket candidate pairs grow quadratically."""
-    occurrences = max(stats["sum_len"] - stats["n"] * (q - 1), 0)
+def _occupancy(stats: dict, q: int, k: int) -> float:
+    """Expected gram occurrences per gram-space slot, counting ONLY the
+    strings the completeness floor ``q*(k+1)`` admits to the gram join
+    (shorter strings never reach it — they pair at the value level).
+    > ~1 means buckets saturate and in-bucket candidate pairs grow
+    quadratically."""
+    floor = q * (k + 1)
+    occurrences = sum(
+        s - c * (q - 1) for l, c, s in stats["hist"] if l >= floor
+    )
     return occurrences / float(stats["alphabet"] ** q)
 
 
@@ -127,11 +150,11 @@ def _choose_q(stats: dict, k: int, max_occupancy: float) -> int:
     clears ``max_occupancy``; prefers the soft cap when occupancy allows
     (shorter shuffle keys), stepping up toward the hard bound only when
     the space is too small. See module doc for the measured rationale."""
-    hard_bound = stats["min_len"] // (k + 1) if k >= 0 else stats["min_len"]
+    hard_bound = stats["min_len"] // (k + 1)
     if hard_bound < 2:
         return 2  # short path unavoidable; guard handles the runaway
     q = min(hard_bound, _AUTO_Q_SOFT_CAP)
-    while q < hard_bound and _occupancy(stats, q) > max_occupancy:
+    while q < hard_bound and _occupancy(stats, q, k) > max_occupancy:
         q += 1
     return q
 
@@ -141,7 +164,7 @@ def _saturation_report(
     max_occupancy: float, max_short_values: int,
 ) -> list[str]:
     problems = []
-    occ = _occupancy(stats, q)
+    occ = _occupancy(stats, q, k)
     if occ > max_occupancy:
         problems.append(
             f"q-gram space saturated at q={q}: expected occupancy "
@@ -160,6 +183,77 @@ def _saturation_report(
             f"or pass q='auto'."
         )
     return problems
+
+
+def _validate_fuzzy_args(max_distance: int, q, saturation: str) -> bool:
+    """Shared argument contract for the pair/join forms; returns
+    ``auto_q``."""
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    if saturation not in ("ignore", "warn", "raise"):
+        raise ValueError(
+            f"saturation must be ignore|warn|raise, got {saturation!r}"
+        )
+    auto_q = isinstance(q, str)
+    if auto_q and q != "auto":
+        raise ValueError(f"q must be an int or 'auto', got {q!r}")
+    if auto_q and saturation == "ignore":
+        raise ValueError(
+            "q='auto' needs the stats pass; use saturation='warn'|'raise'"
+        )
+    if not auto_q and q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    return auto_q
+
+
+def _saturation_guard(
+    base: DataFrame,
+    op_name: str,
+    q,
+    auto_q: bool,
+    k: int,
+    saturation: str,
+    max_gram_occupancy: float,
+    max_short_values: int,
+) -> tuple[int, bool]:
+    """The shared stats pass + guard: derive q when ``auto_q``, prove
+    the short path empty when the corpus minimum length allows, and
+    warn/raise on either saturation mode. Returns ``(q, skip_short)``.
+    ``base`` is the (union of the) operand(s) with ``__id``/``__s``/
+    ``__len`` columns — both fuzzy forms share one bucket space, so one
+    combined corpus is the right scope for both decisions."""
+    stats = _corpus_stats(base)
+    if auto_q:
+        q = _choose_q(stats, k, max_gram_occupancy)
+    long_floor = q * (k + 1)
+    # min_len >= floor proves the short path EMPTY: every pair then has
+    # max(La, Lb) >= q*(k+1), so the gram bound covers it.
+    skip_short = stats["n"] == 0 or stats["min_len"] >= long_floor
+    short_distinct = None
+    if not skip_short:
+        short_ceil = long_floor + k - 1 if k > 0 else long_floor - 1
+        short_distinct = (
+            base.filter(F.col("__len") <= short_ceil)
+            .select("__s")
+            .distinct()
+            .count()
+        )
+    if stats["n"]:
+        problems = _saturation_report(
+            stats, q, k, short_distinct, max_gram_occupancy, max_short_values
+        )
+        if problems:
+            msg = (
+                f"{op_name}(q={q}, k={k}) will not scale on this corpus "
+                f"(n={stats['n']}, len {stats['min_len']}.."
+                f"{stats['max_len']}, alphabet {stats['alphabet']}): "
+                + " | ".join(problems)
+            )
+            if saturation == "raise":
+                raise GramSaturationError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+            logger.warning(msg)
+    return q, skip_short
 
 
 def fuzzy_self_pairs(
@@ -189,17 +283,7 @@ def fuzzy_self_pairs(
     plans both paths lazily (exactly the pre-r12 plan — only safe when
     the caller has sized q to the corpus, q='auto' not allowed).
     """
-    if max_distance < 0:
-        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
-    if saturation not in ("ignore", "warn", "raise"):
-        raise ValueError(f"saturation must be ignore|warn|raise, got {saturation!r}")
-    auto_q = isinstance(q, str)
-    if auto_q and q != "auto":
-        raise ValueError(f"q must be an int or 'auto', got {q!r}")
-    if auto_q and saturation == "ignore":
-        raise ValueError("q='auto' needs the stats pass; use saturation='warn'|'raise'")
-    if not auto_q and q < 2:
-        raise ValueError(f"q must be >= 2, got {q}")
+    auto_q = _validate_fuzzy_args(max_distance, q, saturation)
 
     k = max_distance
     base = df.select(
@@ -210,37 +294,10 @@ def fuzzy_self_pairs(
 
     skip_short = False
     if saturation != "ignore":
-        stats = _corpus_stats(base)
-        if auto_q:
-            q = _choose_q(stats, k, max_gram_occupancy)
-        long_floor = q * (k + 1)
-        # min_len >= floor proves the short path EMPTY: every pair then
-        # has max(La, Lb) >= q*(k+1), so the gram bound covers it.
-        skip_short = stats["n"] == 0 or stats["min_len"] >= long_floor
-        short_distinct = None
-        if not skip_short:
-            short_ceil = long_floor + k - 1 if k > 0 else long_floor - 1
-            short_distinct = (
-                base.filter(F.col("__len") <= short_ceil)
-                .select("__s")
-                .distinct()
-                .count()
-            )
-        if stats["n"]:
-            problems = _saturation_report(
-                stats, q, k, short_distinct, max_gram_occupancy, max_short_values
-            )
-            if problems:
-                msg = (
-                    f"fuzzy_self_pairs(q={q}, k={k}) will not scale on this "
-                    f"corpus (n={stats['n']}, len {stats['min_len']}.."
-                    f"{stats['max_len']}, alphabet {stats['alphabet']}): "
-                    + " | ".join(problems)
-                )
-                if saturation == "raise":
-                    raise GramSaturationError(msg)
-                warnings.warn(msg, RuntimeWarning, stacklevel=2)
-                logger.warning(msg)
+        q, skip_short = _saturation_guard(
+            base, "fuzzy_self_pairs", q, auto_q, k, saturation,
+            max_gram_occupancy, max_short_values,
+        )
 
     long_floor = q * (k + 1)  # completeness bound: see module doc
     short_ceil = long_floor + k - 1 if k > 0 else long_floor - 1
@@ -363,17 +420,7 @@ def fuzzy_join(
     nothing collected) + JVM levenshtein verify; short strings pair at
     the distinct-VALUE level exactly like the self form.
     """
-    if max_distance < 0:
-        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
-    if saturation not in ("ignore", "warn", "raise"):
-        raise ValueError(f"saturation must be ignore|warn|raise, got {saturation!r}")
-    auto_q = isinstance(q, str)
-    if auto_q and q != "auto":
-        raise ValueError(f"q must be an int or 'auto', got {q!r}")
-    if auto_q and saturation == "ignore":
-        raise ValueError("q='auto' needs the stats pass; use saturation='warn'|'raise'")
-    if not auto_q and q < 2:
-        raise ValueError(f"q must be >= 2, got {q}")
+    auto_q = _validate_fuzzy_args(max_distance, q, saturation)
 
     k = max_distance
     rcol = right_col or col
@@ -390,36 +437,10 @@ def fuzzy_join(
 
     skip_short = False
     if saturation != "ignore":
-        stats = _corpus_stats(base_l.unionByName(base_r))
-        if auto_q:
-            q = _choose_q(stats, k, max_gram_occupancy)
-        long_floor = q * (k + 1)
-        skip_short = stats["n"] == 0 or stats["min_len"] >= long_floor
-        short_distinct = None
-        if not skip_short:
-            short_ceil = long_floor + k - 1 if k > 0 else long_floor - 1
-            short_distinct = (
-                base_l.unionByName(base_r)
-                .filter(F.col("__len") <= short_ceil)
-                .select("__s")
-                .distinct()
-                .count()
-            )
-        if stats["n"]:
-            problems = _saturation_report(
-                stats, q, k, short_distinct, max_gram_occupancy, max_short_values
-            )
-            if problems:
-                msg = (
-                    f"fuzzy_join(q={q}, k={k}) will not scale on this "
-                    f"corpus (n={stats['n']} both sides, len "
-                    f"{stats['min_len']}..{stats['max_len']}, alphabet "
-                    f"{stats['alphabet']}): " + " | ".join(problems)
-                )
-                if saturation == "raise":
-                    raise GramSaturationError(msg)
-                warnings.warn(msg, RuntimeWarning, stacklevel=2)
-                logger.warning(msg)
+        q, skip_short = _saturation_guard(
+            base_l.unionByName(base_r), "fuzzy_join", q, auto_q, k,
+            saturation, max_gram_occupancy, max_short_values,
+        )
 
     long_floor = q * (k + 1)  # completeness bound: see module doc
     short_ceil = long_floor + k - 1 if k > 0 else long_floor - 1

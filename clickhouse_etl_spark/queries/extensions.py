@@ -902,6 +902,7 @@ _SEQUENCE_NEXT_NODE_ORACLE = """
              LEAD(event_type = 'view', 1) OVER w AS n1,
              LEAD(event_type, 2) OVER w AS nxt
       FROM events
+      WHERE ts IS NOT NULL  -- engine drops NULL ts pre-window
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     hits AS (

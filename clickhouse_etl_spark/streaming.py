@@ -231,8 +231,10 @@ def streaming_funnel(
     state machine (sessionization included) already needs.
     ``tiebreak_col`` mirrors the batch operator's: equal-ts events
     within a batch sort stably on ``(ts, tiebreak)`` instead of
-    quicksort-arbitrary order; equal-ts events split ACROSS batches
-    keep arrival order (the cross-batch caveat above).
+    quicksort-arbitrary order, with NULL tiebreaks FIRST (Spark's
+    ascending-sort default, so ties agree with the batch twin); equal-ts
+    events split ACROSS batches keep arrival order (the cross-batch
+    caveat above).
 
     State: with the default ``expire_closed_windows=False`` the op runs
     ``NoTimeout`` — exact greedy-from-earliest semantics require the
@@ -304,7 +306,9 @@ def streaming_funnel(
         if not frames:
             return
         batch = frames[0] if len(frames) == 1 else pd.concat(frames)
-        for row in batch.sort_values(sort_cols, kind="stable").itertuples(
+        for row in batch.sort_values(
+            sort_cols, kind="stable", na_position="first"
+        ).itertuples(
             index=False
         ):
             ts_us = int(row.etl_ts_us)
@@ -399,7 +403,8 @@ def streaming_sequence_count(
     concatenated sort handles any arrival order). ``tiebreak_col``
     mirrors the batch operator's: equal-ts events WITHIN a batch sort
     stably on ``(ts, tiebreak)`` instead of in quicksort-arbitrary
-    order, so tied-ts batches agree with the batch twin; ties that
+    order, NULL tiebreaks first (Spark's ascending-sort default), so
+    tied-ts batches agree with the batch twin; ties that
     straddle a micro-batch boundary remain ordered by arrival (the
     cross-batch caveat above — state carries no lookbehind to reorder
     them). Runs ``NoTimeout``:
@@ -444,7 +449,9 @@ def streaming_sequence_count(
         batch = frames[0] if len(frames) == 1 else pd.concat(frames)
         # chains[lvl-1] here == the batch operator's chains[lvl] (its
         # index 0 slot is never used); same scan, verbatim semantics
-        for row in batch.sort_values(sort_cols, kind="stable").itertuples(
+        for row in batch.sort_values(
+            sort_cols, kind="stable", na_position="first"
+        ).itertuples(
             index=False
         ):
             ts_us = int(row.etl_ts_us)

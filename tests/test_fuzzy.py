@@ -370,3 +370,37 @@ def test_fuzzy_join_candidate_oracle_prefilter_equals_bruteforce():
         con.close()
         assert len(want) > 0
         assert got == want, f"{sf_dir}: prefilter dropped/added pairs"
+
+
+def test_occupancy_scoped_to_gram_path(spark):
+    """The saturation estimate counts ONLY strings the completeness
+    floor admits to the gram join: a sea of short strings (value-level
+    path) must not fake saturation for a tiny, safe long-string
+    population. Regression for the r12 whole-corpus occupancy bug."""
+    from clickhouse_etl_spark.operators.fuzzy import fuzzy_self_pairs
+
+    # 4000 binary 4-char strings (occupancy over 2^q would scream) +
+    # 10 hex 16-char strings that are perfectly safe at q=5, k=1.
+    rows = [(i, format(i % 16, "04b")) for i in range(4000)]
+    rows += [(10_000 + i, f"{i:x}" * 16) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    # must NOT raise: the gram join holds only the 10 long strings
+    out = fuzzy_self_pairs(df, "s", 1, q=5, saturation="raise",
+                           max_short_values=100_000)
+    assert out.columns == ["id_a", "id_b", "s_a", "s_b", "distance"]
+
+
+def test_occupancy_not_masked_by_short_strings():
+    """Converse direction: below-floor strings contribute no negative
+    (len - q + 1) terms that could mask a genuinely saturated
+    long-string population."""
+    from clickhouse_etl_spark.operators.fuzzy import _occupancy
+
+    # 500 12-char strings over a 2-char alphabet at q=6: 2^6 = 64
+    # slots for 500*7 = 3500 occurrences -> occupancy ~54.7. A million
+    # 3-char strings must not drag the estimate below the threshold.
+    hist = [(3, 1_000_000, 3_000_000), (12, 500, 6_000)]
+    stats = {"n": 1_000_500, "min_len": 3, "max_len": 12,
+             "hist": hist, "alphabet": 2}
+    occ = _occupancy(stats, 6, 1)
+    assert occ > 50  # only the 500 long strings count

@@ -773,3 +773,79 @@ def test_streaming_sequence_count_tiebreak_matches_batch(spark, tmp_path):
     }
     assert want == {1: 2}
     assert got == want
+
+
+def test_streaming_sequence_count_null_tiebreak_matches_batch(spark, tmp_path):
+    """NULL tiebreak values among tied-ts events sort FIRST in the
+    micro-batch (na_position='first'), matching Spark's ascending
+    nulls-first default in the batch twin. The fixture's tie is
+    order-SENSITIVE: the completing purchase carries a NULL event_id
+    and ties with a re-anchoring signup — NULL-first means the
+    purchase completes chain #1 before the signup re-anchors (n=2);
+    NULL-last would let the completion wipe the new anchor (n=1)."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_etl_spark.operators.events import sequence_count
+
+    base = pd.Timestamp("2024-01-01").value // 1000  # micros
+    s = 1_000_000
+    rows = [
+        (1, base, 1, "signup"), (2, base + s, 1, "view"),
+        (None, base + 2 * s, 1, "purchase"),  # tied completer, NULL id
+        (4, base + 2 * s, 1, "signup"),       # tied re-anchor
+        (5, base + 3 * s, 1, "view"), (6, base + 4 * s, 1, "purchase"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    pdf["event_id"] = pdf["event_id"].astype("Int64")
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    pdf["ts"] = pdf["ts"] * 1000  # micros -> nanos (landing-zone encoding)
+    zone = tmp_path / "nulltiezone"
+    zone.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(zone / "a.parquet"),
+    )
+    now = _time.time()
+    _os.utime(zone / "a.parquet", (now, now))
+    stream = st.read_event_stream(spark, str(zone))
+    out = st.run_stream_to_memory(
+        spark,
+        st.streaming_sequence_count(
+            stream, _FUNNEL_STEPS, window_seconds=86400,
+            tiebreak_col="event_id",
+        ),
+        "t_seqcnt_nulltie",
+        str(tmp_path / "scnulltie"),
+        output_mode="append",
+    )
+    got = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_sequences").alias("n"))
+        .collect()
+    }
+    # build the batch twin with a TRUE NULL (pandas Int64 NaN reaches
+    # Spark as a float NaN, which sorts LAST — not the same row)
+    batch_rows = [
+        (None if e is None else int(e),
+         pd.to_datetime(t * 1000, unit="ns").to_pydatetime(), int(u), et)
+        for e, t, u, et in rows
+    ]
+    batch_events = spark.createDataFrame(
+        batch_rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    want = {
+        r.user_id: r.n_sequences
+        for r in sequence_count(
+            batch_events, _FUNNEL_STEPS, 86400, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert want == {1: 2}
+    assert got == want
