@@ -246,14 +246,35 @@ def synthetic_subject_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memoized warehouse DataFrames per (Spark context, sf_dir). The five
+# derivations are fixed column expressions over the immutable driver
+# tables, but CONSTRUCTING them costs ~1.6 s of eager PySpark analysis
+# (measured r12: ~15 DataFrame ops, each re-analyzing its subtree), and
+# the three pipeline queries each rebuilt the whole set per bench pass.
+# The cached values are lazy plan fragments — no data or execution
+# state; every consumer still plans and scans from parquet. An extra
+# benefit: byte-identical plan objects make the downstream shared
+# `materialize` entries (per_eval/custom rollups) cache-key-stable by
+# construction.
+_WAREHOUSE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def synthetic_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _WAREHOUSE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
+    wh = {
         "students": synthetic_students(spark, sf_dir),
         "evaluations": synthetic_evaluations(spark, sf_dir),
         "scores": synthetic_scores(spark, sf_dir),
         "structures": synthetic_structures(spark, sf_dir),
         "subject_dim": synthetic_subject_dim(spark, sf_dir),
     }
+    _WAREHOUSE_CACHE[key] = dict(wh)
+    return wh
 
 
 # ---------------------------------------------------------------------------

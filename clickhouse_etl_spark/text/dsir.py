@@ -86,9 +86,18 @@ def hashed_ngram_buckets(
     featureless doc carries no evidence either way)."""
     if num_buckets < 2:
         raise ValueError("num_buckets must be >= 2")
+    from clickhouse_etl_spark.util import rebalance_for_compute
+
     bucket = _bucket_expr("g", num_buckets, hash_family)
+    # The tokenize/gram/char-fold chain is the CPU-heavy part of DSIR
+    # and the text input is byte-small, so a narrow parquet scan
+    # arrives as ONE partition and the whole fold runs on one core.
+    # Spread it first — the same guard the other per-char text
+    # operators (minhash shingles, span grams, bm25 terms) already
+    # apply; a no-op when the scan is already wide (the 100 TB case).
     return (
-        df.select(F.col(id_col), F.expr(_tokens(text_col)).alias("__toks"))
+        rebalance_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.expr(_tokens(text_col)).alias("__toks"))
         .select(
             F.col(id_col),
             F.explode(
