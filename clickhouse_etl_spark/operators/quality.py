@@ -162,33 +162,44 @@ def _violation_condition(rule: Rule) -> Column:
 def check_expectations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Evaluate every rule; return (rule, kind, n_violations, passed).
 
-    Row-level rules share ONE aggregate pass. Each ``unique`` rule adds
-    one groupBy job (duplicate keys = rows beyond the first per key).
+    ALL rules share ONE aggregate pass: row-level rules as conditional
+    sums, each ``unique`` rule as count(*) - count(DISTINCT key struct)
+    (duplicate keys = rows beyond the first per key, NULL keys grouped
+    like a groupBy would).
     """
     row_rules = [r for r in rules if r.kind != "unique"]
     uniq_rules = [r for r in rules if r.kind == "unique"]
 
     spark = df.sparkSession
     results: list[tuple[str, str, int]] = []
-    if row_rules:
-        aggs = [
-            F.sum(_violation_condition(r).cast("long")).alias(f"__v{i}")
-            for i, r in enumerate(row_rules)
-        ]
+    # ONE aggregate pass for everything: each unique rule folds as
+    # count(*) - count(DISTINCT struct(cols)) — equal to the old
+    # per-rule groupBy sum(count-1) job, including NULL keys (struct
+    # equality treats NULL fields the way a groupBy key does), so k
+    # unique rules no longer cost k extra scans of the table.
+    aggs = [
+        F.sum(_violation_condition(r).cast("long")).alias(f"__v{i}")
+        for i, r in enumerate(row_rules)
+    ]
+    aggs += [
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(
+                F.struct(*[F.col(c) for c in r.params["columns"]])
+            )
+        ).alias(f"__u{i}")
+        for i, r in enumerate(uniq_rules)
+    ]
+    if aggs:
         row = df.agg(*aggs).collect()[0]
         results += [
             (r.name, r.kind, int(row[f"__v{i}"] or 0))
             for i, r in enumerate(row_rules)
         ]
-    for r in uniq_rules:
-        cols = list(r.params["columns"])
-        dup = (
-            df.groupBy(*cols)
-            .count()
-            .agg(F.sum(F.col("count") - 1).alias("extra"))
-            .collect()[0]["extra"]
-        )
-        results.append((r.name, r.kind, int(dup or 0)))
+        results += [
+            (r.name, r.kind, int(row[f"__u{i}"] or 0))
+            for i, r in enumerate(uniq_rules)
+        ]
 
     out = spark.createDataFrame(
         results, "rule string, kind string, n_violations long"

@@ -241,54 +241,10 @@ def logistic_regression_fit(
             .add("n_iter", T.IntegerType())
             .add("converged", T.BooleanType())
         )
-        # Loud cardinality guard folded into the ONE collect: limit+1
-        # bounds what the driver ever holds (max_groups+1 key tuples),
-        # and an over-full result proves the cap is exceeded without a
-        # second distinct-aggregation job.
-        rows = base.select(*keys).distinct().limit(max_groups + 1).collect()
-        if len(rows) > max_groups:
-            raise ValueError(
-                f"logistic_regression_fit: more than {max_groups} distinct "
-                f"groups for keys {keys} — the Newton driver state is "
-                "k·(p+1) coefficients and this key would overwhelm it. "
-                "Coarsen the key, fit a global model (keys=[]), or raise "
-                "max_groups explicitly if you know k·p fits in driver "
-                "memory."
-            )
-        groups = [tuple(r) for r in rows]
-        if not groups:
-            return spark.createDataFrame([], out_schema)
 
-        beta = {g: np.zeros(p + 1) for g in groups}  # [coefs..., intercept]
-        done: dict[tuple, tuple[int, bool]] = {}
-        eps = 1e-12
-
-        for it in range(1, max_iter + 1):
-            active = [g for g in groups if g not in done]
-            if not active:
-                break
-            # broadcast the current models onto the rows
-            brows = [
-                (*g, [float(v) for v in beta[g]]) for g in active
-            ]
-            bschema = base.select(*keys).schema.add(
-                "__beta", T.ArrayType(T.DoubleType())
-            )
-            bdf = F.broadcast(spark.createDataFrame(brows, bschema))
-            # eqNullSafe join: a NULL key value is a legitimate group
-            # (groupBy semantics); a plain equi-join would silently
-            # drop it and report an unfitted all-zero model
-            b, m = base.alias("__b"), bdf.alias("__m")
-            jc = F.lit(True)
-            for k in keys:
-                jc = jc & F.col(f"__b.{k}").eqNullSafe(F.col(f"__m.{k}"))
-            cur = b.join(m, jc, "inner").select(
-                *[F.col(f"__b.{c}") for c in base.columns],
-                F.col("__m.__beta").alias("__beta"),
-            )
-            eta = F.col("__beta")[p]
-            for i in range(p):
-                eta = eta + F.col("__beta")[i] * F.col(f"__x{i}")
+        def stats_for(cur, eta) -> list:
+            """One Newton-step aggregation pass: per-group gradient and
+            Hessian upper triangle under the given linear predictor."""
             mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
             mu = F.least(F.greatest(mu, F.lit(eps)), F.lit(1.0 - eps))
             w = mu * (1.0 - mu)
@@ -301,7 +257,99 @@ def logistic_regression_fit(
                     aggs.append(
                         F.sum(w * feats[i] * feats[j]).alias(f"__h{i}_{j}")
                     )
-            stats = cur.groupBy(*keys).agg(*aggs).collect()
+            # limit(max_groups+1) keeps the cardinality guard's bound on
+            # what the driver ever holds, without a separate distinct job.
+            return cur.groupBy(*keys).agg(*aggs).limit(max_groups + 1).collect()
+
+        groups: list[tuple] = []
+        beta: dict[tuple, np.ndarray] = {}
+        done: dict[tuple, tuple[int, bool]] = {}
+        eps = 1e-12
+        # Literal-model iterations stay worthwhile while the CASE chain
+        # is small; past this the broadcast join is the better plan.
+        max_literal_groups = 256
+
+        for it in range(1, max_iter + 1):
+            if it == 1:
+                # Every model starts at beta = 0, so the first Newton
+                # pass needs NO model attachment at all — eta is the
+                # zero literal and the aggregation's own group rows ARE
+                # the group list (no separate distinct-groups job).
+                cur = base
+                eta = F.lit(0.0)
+            else:
+                active = [g for g in groups if g not in done]
+                if not active:
+                    break
+                if len(keys) == 1 and len(active) <= max_literal_groups:
+                    # Attach the k active models as literal CASE chains
+                    # keyed on the single group column: no per-iteration
+                    # createDataFrame, no broadcast build, no join —
+                    # the aggregation reads base (cached) directly.
+                    # eqNullSafe conditions keep NULL-key groups fitted.
+                    kc = F.col(keys[0])
+                    match = None
+                    for g in active:
+                        c = kc.eqNullSafe(F.lit(g[0]))
+                        match = c if match is None else match | c
+                    cur = base.filter(match)
+
+                    def beta_j(j: int):
+                        e = None
+                        for g in active:
+                            c = kc.eqNullSafe(F.lit(g[0]))
+                            v = F.lit(float(beta[g][j]))
+                            e = F.when(c, v) if e is None else e.when(c, v)
+                        return e
+
+                    eta = beta_j(p)
+                    for i in range(p):
+                        eta = eta + beta_j(i) * F.col(f"__x{i}")
+                else:
+                    # broadcast the current models onto the rows
+                    brows = [
+                        (*g, [float(v) for v in beta[g]]) for g in active
+                    ]
+                    bschema = base.select(*keys).schema.add(
+                        "__beta", T.ArrayType(T.DoubleType())
+                    )
+                    bdf = F.broadcast(spark.createDataFrame(brows, bschema))
+                    # eqNullSafe join: a NULL key value is a legitimate
+                    # group (groupBy semantics); a plain equi-join would
+                    # silently drop it and report an unfitted all-zero
+                    # model
+                    b, m = base.alias("__b"), bdf.alias("__m")
+                    jc = F.lit(True)
+                    for k in keys:
+                        jc = jc & F.col(f"__b.{k}").eqNullSafe(F.col(f"__m.{k}"))
+                    cur = b.join(m, jc, "inner").select(
+                        *[F.col(f"__b.{c}") for c in base.columns],
+                        F.col("__m.__beta").alias("__beta"),
+                    )
+                    eta = F.col("__beta")[p]
+                    for i in range(p):
+                        eta = eta + F.col("__beta")[i] * F.col(f"__x{i}")
+
+            stats = stats_for(cur, eta)
+
+            if it == 1:
+                # Loud cardinality guard (see stats_for's limit): an
+                # over-full first-pass result proves the cap exceeded.
+                if len(stats) > max_groups:
+                    raise ValueError(
+                        f"logistic_regression_fit: more than {max_groups} "
+                        f"distinct groups for keys {keys} — the Newton "
+                        "driver state is k·(p+1) coefficients and this "
+                        "key would overwhelm it. Coarsen the key, fit a "
+                        "global model (keys=[]), or raise max_groups "
+                        "explicitly if you know k·p fits in driver "
+                        "memory."
+                    )
+                groups = [tuple(row[k] for k in keys) for row in stats]
+                if not groups:
+                    return spark.createDataFrame([], out_schema)
+                beta = {g: np.zeros(p + 1) for g in groups}
+                active = list(groups)
 
             for row in stats:
                 g = tuple(row[k] for k in keys)

@@ -109,6 +109,16 @@ class MaterializedView:
             )
         if self.ledger is None:
             self.ledger = WatermarkLedger(f"{self.table_root}/_watermarks.jsonl")
+        # Torn-refresh repair is only needed for state left by a PRIOR
+        # process (publish landed, watermark commit lost to a crash).
+        # Within one live instance every refresh either completes both
+        # steps or raises before the next call, so after one repair
+        # probe the instance can trust its own bookkeeping — the probe
+        # (a snapshot read + max aggregation per refresh) is skipped
+        # from then on. A fresh process starts unproven again. Single
+        # writer per table_root is already the module's concurrency
+        # contract (the version counter has no CAS).
+        self._repair_probed = False
 
     # -- internals ---------------------------------------------------------
 
@@ -137,19 +147,21 @@ class MaterializedView:
                 "separate table_root"
             )
 
+    def _wm_expr(self) -> F.Column:
+        """max(ts_col) in the ledger's canonical string form — every
+        commit site MUST use this one format; mixed formats (str(ts) vs
+        ISO-T) would break the ledger's lexicographic comparisons."""
+        return F.max(
+            F.date_format(
+                F.col(self.ts_col).cast("timestamp"),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            )
+        )
+
     def _max_ts_string(self, df: DataFrame) -> str | None:
         """max(ts_col) in the ledger's canonical string form, computed
-        executor-side — every commit site MUST use this one format;
-        mixed formats (str(ts) vs ISO-T) would break the ledger's
-        lexicographic comparisons."""
-        return df.agg(
-            F.max(
-                F.date_format(
-                    F.col(self.ts_col).cast("timestamp"),
-                    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
-                )
-            )
-        ).collect()[0][0]
+        executor-side (see :meth:`_wm_expr`)."""
+        return df.agg(self._wm_expr()).collect()[0][0]
 
     def _merge(self, current: DataFrame | None, delta: DataFrame) -> DataFrame:
         if self.strategy == "summing":
@@ -201,7 +213,15 @@ class MaterializedView:
         already-folded delta and double-count it in a summing view —
         recovery must not depend on an operator remembering to repair
         by hand."""
-        self.repair_check(spark)
+        # Probe for a torn refresh only until this instance has proven
+        # its state once (see __post_init__): in-process, every
+        # completed refresh leaves publish and watermark consistent, so
+        # re-probing per refresh pays a snapshot read + max aggregation
+        # for nothing. The PUBLIC repair_check stays a full probe for
+        # callers checking externally-modified state.
+        if not self._repair_probed:
+            self.repair_check(spark)
+            self._repair_probed = True
         wm = self.ledger.get(self.name)
         delta = self.source(spark).filter(
             F.col(self.ts_col) > F.lit(wm).cast("timestamp")
@@ -210,14 +230,22 @@ class MaterializedView:
         # max — an unsnapshotted plan could re-scan a LIVE source
         # between the two and commit past unfolded rows.
         delta = materialize(delta, cut_lineage=True)
-        if delta.isEmpty():
+        # ONE probe over the snapshotted batch serves both the
+        # empty-batch short-circuit and the new watermark (previously an
+        # isEmpty job plus a separate max job). Computing the watermark
+        # before the publish is safe: the delta is snapshotted, so the
+        # value cannot drift, and a crash between publish and commit is
+        # still repaired by repair_check as before.
+        probe = delta.agg(
+            F.count(F.lit(1)).alias("__n"), self._wm_expr().alias("__wm")
+        ).collect()[0]
+        if not probe["__n"]:
             return None
         merged = self._merge(self._read_current(spark), delta)
         version = self._next_version()
         publish_snapshot(merged, self.table_root, version=version)
-        new_wm = self._max_ts_string(delta)
-        if new_wm is not None:
-            self.ledger.commit(self.name, new_wm)
+        if probe["__wm"] is not None:
+            self.ledger.commit(self.name, probe["__wm"])
         return version
 
     def repair_check(self, spark: SparkSession) -> bool:

@@ -501,10 +501,17 @@ def neardup_clusters(
         .distinct()
         .transform(materialize)
     )
+    # Round 1 folds into the init: with identity start labels, the first
+    # propagation is exactly least(own id, min neighbor id) — one groupBy
+    # over the edge list, so the loop below starts from round 2 instead
+    # of checkpointing an identity table and joining it once for nothing.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("__mn")).alias("cluster_id"),
+        )
         .transform(lambda d: materialize(d, cut_lineage=True))
     )
     for _ in range(max_iterations):
@@ -519,6 +526,9 @@ def neardup_clusters(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("src_label").alias("neighbor_label"))
         )
+        # Carry the improvement flag INSIDE the checkpointed frame: the
+        # convergence probe is then a filter-count over the checkpoint
+        # instead of a second new-vs-old join job per round.
         new_labels = (
             labels.join(neighbor_min, on="doc_id", how="left")
             .select(
@@ -526,17 +536,17 @@ def neardup_clusters(
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce("neighbor_label", F.col("cluster_id")),
-                ).alias("cluster_id"),
+                ).alias("new_cluster_id"),
+                F.col("cluster_id").alias("old_cluster_id"),
             )
         )
         new_labels = materialize(new_labels, cut_lineage=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
-            .count()
+        changed = new_labels.filter(
+            F.col("new_cluster_id") < F.col("old_cluster_id")
+        ).count()
+        labels = new_labels.select(
+            "doc_id", F.col("new_cluster_id").alias("cluster_id")
         )
-        labels = new_labels
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame
@@ -10,6 +11,39 @@ from pyspark.sql import DataFrame
 _MATERIALIZE_MODE: str | None = None
 
 _MATERIALIZE_MODES = ("localCheckpoint", "checkpoint", "persist", "none")
+
+# Active sink for :func:`track_materialized` (None = not tracking).
+_TRACK_SINK: list[DataFrame] | None = None
+
+
+def resolved_materialize_mode(mode: str | None = None) -> str:
+    """The mode :func:`materialize` would resolve right now (explicit
+    arg → setter → env → 'persist') — lets callers decide whether a
+    materialized plan is a pure lazy fragment (persist/none) or carries
+    eager executor state (localCheckpoint/checkpoint)."""
+    return (
+        mode
+        or _MATERIALIZE_MODE
+        or os.environ.get("SPARK_GRAFT_MATERIALIZE")
+        or "persist"
+    )
+
+
+@contextlib.contextmanager
+def track_materialized(sink: list[DataFrame]):
+    """Collect every DataFrame :func:`materialize` persist-marks inside
+    the block. Used by the query layer's plan memo: a memoized chain's
+    persist registrations are wiped by ``spark.catalog.clearCache()``
+    between bench passes, so the memo re-registers exactly the tracked
+    set per invocation to keep the within-pass cache-sharing semantics
+    identical to a fresh build."""
+    global _TRACK_SINK
+    prev = _TRACK_SINK
+    _TRACK_SINK = sink
+    try:
+        yield sink
+    finally:
+        _TRACK_SINK = prev
 
 
 def set_materialize_mode(mode: str | None) -> None:
@@ -55,12 +89,7 @@ def materialize(
     Resolution order: explicit ``mode`` arg → ``set_materialize_mode`` →
     ``$SPARK_GRAFT_MATERIALIZE`` → ``persist``.
     """
-    mode = (
-        mode
-        or _MATERIALIZE_MODE
-        or os.environ.get("SPARK_GRAFT_MATERIALIZE")
-        or "persist"
-    )
+    mode = resolved_materialize_mode(mode)
     if mode not in _MATERIALIZE_MODES:
         raise ValueError(f"materialize mode must be one of {_MATERIALIZE_MODES}")
     if cut_lineage and mode in ("persist", "none"):
@@ -77,7 +106,10 @@ def materialize(
                 "dir: call spark.sparkContext.setCheckpointDir('<hdfs/s3 path>')"
             )
         return df.checkpoint(eager=True)
-    return df.persist()
+    out = df.persist()
+    if _TRACK_SINK is not None:
+        _TRACK_SINK.append(out)
+    return out
 
 
 def rebalance_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
@@ -86,12 +118,35 @@ def rebalance_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
     Parquet splits by bytes (spark.sql.files.maxPartitionBytes), so a few-MB
     documents table arrives as 1 partition and a per-row-expensive operator
     (MinHash shingling, SimHash, feature extraction) runs on one core. When
-    the scan yields fewer partitions than the available parallelism,
-    repartition up; when the input is already wide (the 100 TB case) this is
-    a no-op — no shuffle added.
+    the input is estimated to yield fewer partitions than the available
+    parallelism, repartition up; when the input is already wide (the 100 TB
+    case) this is a no-op — no shuffle added.
+
+    The width check is STATIC — the optimizer's size estimate divided by
+    ``spark.sql.files.maxPartitionBytes`` — never ``df.rdd``: under AQE,
+    converting a DataFrame to an RDD finalizes the adaptive plan, which
+    EXECUTES every shuffle stage beneath it. The old
+    ``df.rdd.getNumPartitions()`` probe silently ran (and threw away) the
+    upstream join/aggregate stages at plan-construction time — measured
+    r12: 10 ghost jobs per near-dup build. A size estimate can be wrong in
+    either direction, but the failure modes are benign: overestimating
+    skips a repartition the data didn't need; underestimating adds one
+    cheap extra shuffle of a small input.
     """
-    sc = df.sparkSession.sparkContext
+    sess = df.sparkSession
+    sc = sess.sparkContext
     target = sc.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        max_pb = int(
+            sc._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        )
+        est_parts = max(1, size // max(1, max_pb))
+    except Exception:
+        # estimate unavailable (exotic plan): spreading a small input
+        # twice is cheap, leaving a huge one unspread is not — repartition
+        return df.repartition(target)
+    if est_parts < target:
         return df.repartition(target)
     return df
