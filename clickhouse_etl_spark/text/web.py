@@ -213,6 +213,19 @@ def url_dedup(
     with_canon = df.withColumn(
         canon_col, canonicalize_url(url_col, fold_www=fold_www)
     )
+    # Repartition on the canonical key BEFORE the parsed/unparsed branch
+    # split: the canonicalization chain (percent-normalization + ~10
+    # regexes) is the expensive part of this operator, and two filter
+    # branches over the same projection evaluate it TWICE per row. The
+    # exchange this inserts is the one the dedup needed anyway (the
+    # ranking window / groupBy requires hashpartitioning on the key, so
+    # no second shuffle appears), both branches read its output, and
+    # canonicalization runs once on the map side. Measured r12:
+    # 1.44 s -> 1.24 s on the registered row, identical output. Scale
+    # note: unparsed (NULL-key) rows now ride the same shuffle into one
+    # partition — bounded by the unparseable fraction of a crawl, which
+    # is small by construction; they previously stayed map-side.
+    with_canon = with_canon.repartition(canon_col)
     parsed = with_canon.filter(F.col(canon_col).isNotNull())
     unparsed = with_canon.filter(F.col(canon_col).isNull())
     order = order_col if order_col is not None else url_col
