@@ -506,6 +506,15 @@ def main() -> int:
         # estimates what the pinned idle reference host would have read
         # (exact only to the extent query time scales with CPU speed).
         "slow_host_factor": shf,
+        # r12 VERDICT ask #2 (scaling legibility): per-query
+        # calibration-normalized seconds, so low-vs-high-core ratios can
+        # be read without host-speed deltas masquerading as flat (or
+        # inverted) scaling — divide any two rounds'/core-counts'
+        # queries_calib_norm entries directly. stdout stays the driver's
+        # exact contract; this lives in the full artifact only.
+        "queries_calib_norm": {
+            n: round(t / shf, 3) for n, t in per_query.items()
+        } if shf > 0 else None,
         "calib_refs": {
             "calib_1c_ref": CALIB_1C_REF,
             "calib_nc_ref": CALIB_NC_REF,

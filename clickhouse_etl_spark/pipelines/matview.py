@@ -197,10 +197,17 @@ class MaterializedView:
         src = materialize(self.source(spark), cut_lineage=True)
         merged = self._merge(None, src)
         version = self._next_version()
+        # Dis-arm the probe memo across the publish→commit window: if
+        # publish succeeds but the commit raises, the next refresh on
+        # this instance must re-run repair_check or it would re-read the
+        # stale watermark and double-count the published delta (r12
+        # ADVICE). Re-armed only after the commit completes.
+        self._repair_probed = False
         publish_snapshot(merged, self.table_root, version=version)
         wm = self._max_ts_string(src)
         if wm is not None:
             self.ledger.commit(self.name, wm)
+        self._repair_probed = True
         return version
 
     def refresh_incremental(self, spark: SparkSession) -> str | None:
@@ -243,9 +250,14 @@ class MaterializedView:
             return None
         merged = self._merge(self._read_current(spark), delta)
         version = self._next_version()
+        # Dis-arm across the publish→commit window (see refresh_full):
+        # a torn publish/commit must re-arm the repair probe for the
+        # next refresh on this same live instance (r12 ADVICE).
+        self._repair_probed = False
         publish_snapshot(merged, self.table_root, version=version)
         if probe["__wm"] is not None:
             self.ledger.commit(self.name, probe["__wm"])
+        self._repair_probed = True
         return version
 
     def repair_check(self, spark: SparkSession) -> bool:

@@ -1492,7 +1492,8 @@ def ext_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conditions as violations).
 # ---------------------------------------------------------------------------
 _QUALITY_GATE_ORACLE = """
-    SELECT rule, kind, n_violations, n_violations = 0 AS passed FROM (
+    SELECT rule, kind, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed FROM (
       SELECT 'custkey_not_null' AS rule, 'not_null' AS kind,
              COALESCE(SUM(CASE WHEN o_custkey IS NULL
                                THEN 1 ELSE 0 END), 0) AS n_violations
@@ -1526,6 +1527,7 @@ _QUALITY_GATE_ORACLE = """
       SELECT 'orderkey_unique', 'unique',
              (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
     )
+    ORDER BY rule
     """
 
 
@@ -1564,7 +1566,10 @@ def ext_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         replace(unique("o_orderkey"), name="orderkey_unique"),
     ]
-    return check_expectations(orders, rules)
+    # Output order pinned on BOTH sides (oracle ORDER BY rule): the
+    # driver's value-hash is order-sensitive where the local checker's
+    # is not (r12 VERDICT ask #1a).
+    return check_expectations(orders, rules).orderBy("rule")
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,11 @@ _MATERIALIZE_MODES = ("localCheckpoint", "checkpoint", "persist", "none")
 
 # Active sink for :func:`track_materialized` (None = not tracking).
 _TRACK_SINK: list[DataFrame] | None = None
+# Set when an EAGER materialization (checkpoint/localCheckpoint — e.g. a
+# cut_lineage escalation) happens inside a track_materialized block: the
+# plan memo must refuse to cache such a chain, because checkpointed data
+# survives clearCache() and would leak across bench passes (r12 ADVICE).
+_TRACK_SAW_EAGER: bool = False
 
 
 def resolved_materialize_mode(mode: str | None = None) -> str:
@@ -36,14 +41,26 @@ def track_materialized(sink: list[DataFrame]):
     persist registrations are wiped by ``spark.catalog.clearCache()``
     between bench passes, so the memo re-registers exactly the tracked
     set per invocation to keep the within-pass cache-sharing semantics
-    identical to a fresh build."""
-    global _TRACK_SINK
+    identical to a fresh build. Also resets the eager-materialization
+    flag (see :func:`tracked_saw_eager`) for the block."""
+    global _TRACK_SINK, _TRACK_SAW_EAGER
     prev = _TRACK_SINK
+    prev_eager = _TRACK_SAW_EAGER
     _TRACK_SINK = sink
+    _TRACK_SAW_EAGER = False
     try:
         yield sink
     finally:
         _TRACK_SINK = prev
+        _TRACK_SAW_EAGER = prev_eager
+
+
+def tracked_saw_eager() -> bool:
+    """True when the CURRENT track_materialized block saw an eager
+    (checkpoint/localCheckpoint) materialization — e.g. a cut_lineage
+    escalation under persist mode. Read it INSIDE the with-block, before
+    it exits (exit restores the outer flag)."""
+    return _TRACK_SAW_EAGER
 
 
 def set_materialize_mode(mode: str | None) -> None:
@@ -98,6 +115,8 @@ def materialize(
     if mode == "none":
         return df
     if mode == "localCheckpoint":
+        global _TRACK_SAW_EAGER
+        _TRACK_SAW_EAGER = True
         return df.localCheckpoint(eager=True)
     if mode == "checkpoint":
         if df.sparkSession.sparkContext.getCheckpointDir() is None:
@@ -105,6 +124,7 @@ def materialize(
                 "materialize(mode='checkpoint') needs a reliable checkpoint "
                 "dir: call spark.sparkContext.setCheckpointDir('<hdfs/s3 path>')"
             )
+        _TRACK_SAW_EAGER = True
         return df.checkpoint(eager=True)
     out = df.persist()
     if _TRACK_SINK is not None:
@@ -144,9 +164,14 @@ def rebalance_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
         )
         est_parts = max(1, size // max(1, max_pb))
     except Exception:
-        # estimate unavailable (exotic plan): spreading a small input
-        # twice is cheap, leaving a huge one unspread is not — repartition
-        return df.repartition(target)
+        # Estimate unavailable (exotic plan): return UNCHANGED (r12
+        # ADVICE). The old `repartition(target)` fallback inverted the
+        # documented no-op-when-wide guarantee — for an already-wide
+        # input it would coalesce thousands of partitions down to
+        # defaultParallelism, a full shuffle of a possibly-huge input.
+        # Missing a spread on a genuinely narrow input costs one
+        # under-parallelized stage; shuffling 100 TB costs hours.
+        return df
     if est_parts < target:
         return df.repartition(target)
     return df
