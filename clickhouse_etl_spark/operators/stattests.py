@@ -753,20 +753,31 @@ def spearman_rank_corr(
     Plan — CELL-based, never a row-level window (the r6 judge's ask:
     a ``partitionBy(keys).orderBy(x)`` row window with a 3-value key is
     a single-task sort of the whole group, the exact hot-partition
-    shape BENCH_SCALE.md condemns). Same machinery as
-    ``kolmogorov_smirnov`` above and ``quantiles_exact_weighted``:
+    shape BENCH_SCALE.md condemns):
 
     1. one hash aggregate collapses rows to distinct ``(keys, x, y)``
        PAIR cells with their row count ``w`` — fully parallel,
        map-side partials;
-    2. per-axis cells (``groupBy(keys, x)``) get midranks from a
-       cumulative window over CELLS:
-       ``rank = cum_count_below + (count+1)/2`` — the per-group sort
-       is bounded by value cardinality, not rows;
-    3. midranks join back to the pair cells on the fine-grained
-       ``(keys, value)`` keys (no hot partition — the join key includes
-       the value), and one hash aggregate folds weighted Pearson:
+    2. midranks come from cumulative windows DIRECTLY over the pair
+       cells: per axis, ``tie = Σw over (keys, value)`` and
+       ``cum = Σw over (keys) ORDER BY value`` (the default RANGE frame
+       includes ties), giving ``rank = cum − tie + (tie+1)/2`` — the
+       exact same integer sums the old per-axis cell aggregation
+       produced, now with NO join-back and NO re-derivation of the
+       pair aggregate per axis (r13: the previous join-back shape
+       re-ran the full input scan + pair aggregation once per axis —
+       three scans total — because each axis branch re-derived
+       ``cells`` from an unshared subtree; plan evidence in
+       plans/r13/ext_rank_corr_{before,after}.txt);
+    3. one hash aggregate folds weighted Pearson:
        ``(n·Σw·rx·ry − Σw·rx·Σw·ry) / √((n·Σw·rx² − (Σw·rx)²)(…y…))``.
+
+    All four window aggregates share ONE hash exchange on ``keys`` (the
+    tie windows' ``(keys, value)`` partitioning is satisfied by the
+    keys partitioning); each axis costs one in-partition sort of the
+    cells. Midranks are bit-identical to the old form: ``w`` is a long,
+    so ``cum`` and ``tie`` are exact integer sums whichever grouping
+    produced them, and the only float op is the final ``(tie+1)/2``.
 
     The uncentered fold is numerically safe here: midranks are exact
     halves, and both the co-moment difference and the variance
@@ -774,11 +785,13 @@ def spearman_rank_corr(
     verified against the window-form DuckDB oracle at every SF.
 
     Caveat: for a continuous axis, cell cardinality approaches the row
-    count and step 2's per-group cell sort grows with it; keys with
-    few groups AND a continuous coordinate keep a large (though
-    cell-level, ids-only-width) sort. Rows where either coordinate is
-    NULL are dropped first so both rankings see the same row set.
-    Constant x or y (all midranks equal) yields NULL (ClickHouse nan).
+    count and the per-group cell sort grows with it; keys with few
+    groups AND a continuous coordinate keep a large (though cell-level,
+    ids-only-width) sort — true of the old join-back shape too (its
+    continuous-axis cell window was the same size). Rows where either
+    coordinate is NULL are dropped first so both rankings see the same
+    row set. Constant x or y (all midranks equal) yields NULL
+    (ClickHouse nan).
     """
     x, y = F.col(x_col), F.col(y_col)
     base = df.where(x.isNotNull() & y.isNotNull())
@@ -786,40 +799,20 @@ def spearman_rank_corr(
         F.count(F.lit(1)).alias("__w")
     )
 
-    def _axis_midranks(col: str, rank_name: str) -> DataFrame:
-        cells = pairs.groupBy(*keys, col).agg(F.sum("__w").alias("__c"))
-        cum = Window.partitionBy(*keys).orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        midrank = (
-            F.sum("__c").over(cum) - F.col("__c") + (F.col("__c") + 1) / 2.0
-        )
-        return cells.select(*keys, col, midrank.alias(rank_name))
+    def _midrank(col: str):
+        # default frame with orderBy = RANGE UNBOUNDED PRECEDING..CURRENT
+        # ROW: cum includes every cell tied on `col` — exactly the old
+        # cell-level cumulative sum. NULL key values order first within
+        # their (legitimate) group; `col` itself is never NULL here.
+        cum = F.sum("__w").over(Window.partitionBy(*keys).orderBy(col))
+        tie = F.sum("__w").over(Window.partitionBy(*keys, col))
+        return cum - tie + (tie + 1) / 2.0
 
-    def _nullsafe_join(
-        left: DataFrame, right: DataFrame, on: list, take: str
-    ) -> DataFrame:
-        # NULL KEY VALUES form a legitimate group (groupBy semantics —
-        # both sides produced them with the same aggregation); a plain
-        # equi-join would silently drop that whole group. The value
-        # columns (__x/__y) are NULL-filtered, but ride the same
-        # null-safe build for one uniform condition. Only `take` (the
-        # midrank) is kept from the right side — a Column-based drop of
-        # the duplicated keys would leave ambiguous references.
-        l, r = left.alias("__l"), right.alias("__r")
-        cond = F.lit(True)
-        for c in on:
-            cond = cond & F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
-        return l.join(r, cond).select(
-            *[F.col(f"__l.{c}") for c in left.columns],
-            F.col(f"__r.{take}"),
-        )
-
-    ranked = _nullsafe_join(
-        pairs, _axis_midranks("__x", "__rx"), [*keys, "__x"], "__rx"
-    )
-    ranked = _nullsafe_join(
-        ranked, _axis_midranks("__y", "__ry"), [*keys, "__y"], "__ry"
+    ranked = pairs.select(
+        *keys,
+        "__w",
+        _midrank("__x").alias("__rx"),
+        _midrank("__y").alias("__ry"),
     )
     w = F.col("__w")
     agg = ranked.groupBy(*keys).agg(

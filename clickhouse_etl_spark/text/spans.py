@@ -113,9 +113,25 @@ def duplicated_spans(
         raise ValueError(f"key must be 'gram' or 'hash', got {key!r}")
     if mark not in ("all", "non_first"):
         raise ValueError(f"mark must be 'all' or 'non_first', got {mark!r}")
+    from clickhouse_etl_spark.util import materialize
+
     grams = _positioned_shingles(df, k, id_col, text_col)
     if key == "hash":
         grams = grams.withColumn("gram", F.xxhash64("gram"))
+    # The shingle enumeration (split + per-position slice/concat — the
+    # operator's dominant CPU) feeds TWO consumers: the duplicated-set
+    # aggregate and the occurrence join-back. Their subtrees differ
+    # (partial agg vs raw stream), so exchange reuse never fires and the
+    # enumeration ran twice per query (r13 measurement: ~2× the shingle
+    # CPU at every SF). One persist marker computes it once; both
+    # consumers read the cache. The aggregate's map-side combine is
+    # unaffected (it runs over cached partitions), and the join-back
+    # stays AQE-elective broadcast — the hot-gram safety reasoning below
+    # is unchanged. At 100 TB the cache is the exploded gram stream
+    # (MEMORY_AND_DISK, spills to local disk); that trades one disk
+    # write for a second full tokenize+slice pass over the corpus, the
+    # same trade the MinHash banding path already makes.
+    grams = materialize(grams.select(id_col, "pos", "gram"))
 
     # Corpus-wide duplicated-shingle set: one partial-aggregated pass
     # (count + canonical first occurrence), then occurrences join back.

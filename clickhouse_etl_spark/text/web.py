@@ -210,36 +210,64 @@ def url_dedup(
             f"canon_col {canon_col!r} already exists in the input; "
             "pass a non-colliding canon_col"
         )
+    if f"__{canon_col}_shufkey" in df.columns:
+        raise ValueError(
+            f"__{canon_col}_shufkey already exists in the input; "
+            "pass a different canon_col"
+        )
     with_canon = df.withColumn(
         canon_col, canonicalize_url(url_col, fold_www=fold_www)
     )
-    # Repartition on the canonical key BEFORE the parsed/unparsed branch
-    # split: the canonicalization chain (percent-normalization + ~10
-    # regexes) is the expensive part of this operator, and two filter
-    # branches over the same projection evaluate it TWICE per row. The
-    # exchange this inserts is the one the dedup needed anyway (the
-    # ranking window / groupBy requires hashpartitioning on the key, so
-    # no second shuffle appears), both branches read its output, and
-    # canonicalization runs once on the map side. Measured r12:
-    # 1.44 s -> 1.24 s on the registered row, identical output. Scale
-    # note: unparsed (NULL-key) rows now ride the same shuffle into one
-    # partition — bounded by the unparseable fraction of a crawl, which
-    # is small by construction; they previously stayed map-side.
-    with_canon = with_canon.repartition(canon_col)
+    # Repartition BEFORE the parsed/unparsed branch split: the
+    # canonicalization chain (percent-normalization + ~10 regexes) is
+    # the expensive part of this operator, and two filter branches over
+    # the same projection evaluate it TWICE per row. The exchange this
+    # inserts is the one the dedup needed anyway (the ranking window /
+    # groupBy requires hashpartitioning on its key, so no second shuffle
+    # appears), both branches read its output, and canonicalization runs
+    # once on the map side. Measured r12: 1.44 s -> 1.24 s on the
+    # registered row, identical output.
+    #
+    # Skew guard (r13, VERDICT r12 ask #8): hashing on the canonical key
+    # alone funnels every UNPARSEABLE row (canon NULL) into ONE
+    # partition — at crawl scale even a 1% garbage fraction is a single
+    # multi-TB task. The shuffle key is therefore
+    # ``coalesce(canon, '\\x00' || pmod(xxhash64(url), 16384))``: equal
+    # to the canonical URL for every parsed row (so keying the dedup on
+    # it is EXACTLY the canonical-key dedup — NULL rows never reach the
+    # window/groupBy), while unparseable rows spread deterministically
+    # over 16384 salt buckets (xxhash64 of the raw url — retry-safe per
+    # the guide's deterministic-synthetic-key rule; '\\x00' cannot
+    # prefix a real canonical URL, which always starts with a scheme).
+    # A NULL raw url hashes to one constant bucket — acceptable: NULL
+    # urls are a degenerate input, not a crawl flood mode.
+    shuf_key = f"__{canon_col}_shufkey"
+    with_canon = with_canon.withColumn(
+        shuf_key,
+        F.coalesce(
+            F.col(canon_col),
+            F.concat(
+                F.lit("\x00"),
+                F.pmod(F.xxhash64(F.col(url_col)), F.lit(16384)).cast(
+                    "string"
+                ),
+            ),
+        ),
+    ).repartition(shuf_key)
     parsed = with_canon.filter(F.col(canon_col).isNotNull())
-    unparsed = with_canon.filter(F.col(canon_col).isNull())
+    unparsed = with_canon.filter(F.col(canon_col).isNull()).drop(shuf_key)
     order = order_col if order_col is not None else url_col
     if strategy == "auto":
-        strategy = choose_dedup_strategy(parsed, [canon_col], log_fn=log_fn)
+        strategy = choose_dedup_strategy(parsed, [shuf_key], log_fn=log_fn)
     if strategy == "agg":
         deduped = latest_row_per_key_agg(
-            parsed, [canon_col], order_col=order, tiebreak=[url_col]
+            parsed, [shuf_key], order_col=order, tiebreak=[url_col]
         )
     else:
         deduped = latest_row_per_key(
-            parsed, [canon_col], order_col=order, tiebreak=[url_col]
+            parsed, [shuf_key], order_col=order, tiebreak=[url_col]
         )
-    return deduped.unionByName(unparsed)
+    return deduped.drop(shuf_key).unionByName(unparsed)
 
 
 def domain_stats(

@@ -219,6 +219,47 @@ def test_url_dedup_latest_and_passthrough(spark):
     assert canon[4] is None
 
 
+def test_url_dedup_null_key_skew_spreads(spark):
+    """r13 skew guard: a corpus that is MOSTLY unparseable must not
+    funnel the NULL canonical keys into one shuffle partition (the
+    pre-r13 `repartition(canon_col)` hashed every NULL to the same
+    task). The salted shuffle key spreads the unparseable rows while
+    the dedup result stays exactly the canonical-key dedup."""
+    rows = [(i, f"garbage-{i}", i) for i in range(400)]  # 400 unparseable
+    rows += [
+        (1000, "http://example.com/a?utm_source=x", 1),
+        (1001, "http://example.com:80/a/", 2),  # same canonical as 1000
+        (1002, "https://other.com/b", 3),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, v int")
+    out = url_dedup(df, "url", order_col="v")
+    # dedup semantics unchanged: variants collapse to max-order, every
+    # unparseable row passes through, no helper column leaks
+    ids = sorted(r.id for r in out.collect())
+    assert ids == list(range(400)) + [1001, 1002]
+    assert set(out.columns) == {"id", "url", "v", "canonical_url"}
+    # the physical spread: NULL-canon rows land in MANY partitions of
+    # the dedup's own exchange (with 400 salted rows and 16384 buckets,
+    # one-partition collapse is impossible unless the salt is ignored).
+    # AQE's partition coalescing folds this tiny corpus back into one
+    # partition regardless of the key — disable it for the physical
+    # assertion so the test sees the exchange's own hash spread.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        parts = (
+            url_dedup(df, "url", order_col="v")
+            .filter(F.col("canonical_url").isNull())
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert parts > 1, "unparseable rows collapsed into one partition"
+
+
 def test_domain_stats_and_filter(spark):
     urls = _urls(spark, SF_DIR)
     stats = domain_stats(urls, weight_col="doc_id").collect()
