@@ -211,3 +211,11 @@ register("ext_linreg_fit", oracle=extensions._LINREG_FIT_ORACLE)(
 register("ext_rank_corr", oracle=extensions._RANK_CORR_ORACLE)(
     extensions.ext_rank_corr
 )
+# Both restored rows are pure-lazy chains (verified r13: zero Spark jobs
+# during construction once the relation is resolved — the linreg solve
+# is an in-plan pandas UDF, the rank-corr chain is windows/aggregates
+# only), so they join the plan memo. Wrapped here, after registration:
+# the _PURE_LAZY_ROWS loop above ran before these tail rows existed.
+for _name in ("ext_linreg_fit", "ext_rank_corr"):
+    QUERIES[_name] = _memoized(_name, QUERIES[_name])
+del _name

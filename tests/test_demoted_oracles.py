@@ -130,6 +130,30 @@ def test_neardup_clusters_known_graph(spark):
     assert keep == {1: (1, 3), 10: (10, 4), 20: (20, 2)}
 
 
+def test_neardup_clusters_kernels_agree(spark):
+    """r13 kernel dispatch: the bounded driver union-find (small pair
+    lists) and the distributed min-label propagation
+    (driver_max_edges=0) must produce identical (doc_id, cluster_id)
+    labels — pinned on a graph with a long chain (propagation needs
+    multiple rounds), duplicate edges, and an isolated pair."""
+    from clickhouse_etl_spark.text.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # 7-chain
+         (2, 3), (1, 2),                                   # dup edges
+         (40, 41), (50, 60), (60, 70), (50, 70)],
+        ["doc_a", "doc_b"],
+    )
+    fast = sorted(map(tuple, neardup_clusters(pairs).collect()))
+    dist = sorted(
+        map(tuple, neardup_clusters(pairs, driver_max_edges=0).collect())
+    )
+    assert fast == dist
+    assert fast == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1),
+                    (7, 1), (40, 40), (41, 40), (50, 50), (60, 50),
+                    (70, 50)]
+
+
 def test_neardup_clusters_matches_recursive_oracle(spark):
     """Connected components over the REAL MinHash pair list (poly family,
     sf0.001) must equal DuckDB's recursive-CTE transitive closure."""
