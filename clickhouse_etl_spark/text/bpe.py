@@ -170,7 +170,7 @@ def train_bpe(
     vocab: DataFrame,
     n_merges: int,
     min_count: int = 2,
-    materialize_every: int = 8,
+    materialize_every: int = 4,
     batch_size: int = 1,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a (word, n) vocabulary.
@@ -231,6 +231,12 @@ def train_bpe(
             # (cut_lineage escalates persist to a checkpoint), or
             # Catalyst re-analyzes an ever-growing tree each iteration.
             # The superseded cache is released (no-op for checkpoints).
+            # Cut depth re-adjudicated r13 (interleaved same-JVM A/B,
+            # sf0.1 + gen10): every=4 beats every=8 at both scales
+            # (2.65->2.56 s / 3.98->3.62 s on the registered row —
+            # replay between cuts is quadratic in depth, the cut itself
+            # is vocab-scale); every=2 measured equal to 4, so 4 keeps
+            # half the eager serialization barriers.
             symtab = materialize(symtab, cut_lineage=True)
             prev.unpersist()
             prev = symtab
