@@ -800,12 +800,23 @@ def spearman_rank_corr(
     )
 
     def _midrank(col: str):
-        # default frame with orderBy = RANGE UNBOUNDED PRECEDING..CURRENT
-        # ROW: cum includes every cell tied on `col` — exactly the old
-        # cell-level cumulative sum. NULL key values order first within
-        # their (legitimate) group; `col` itself is never NULL here.
-        cum = F.sum("__w").over(Window.partitionBy(*keys).orderBy(col))
-        tie = F.sum("__w").over(Window.partitionBy(*keys, col))
+        # Both sums ride ONE window spec (partition keys, order col), so
+        # the planner evaluates them in a single Window operator with a
+        # single sort per axis (a `partitionBy(keys, col)` tie window
+        # would be value-identical but plans its own extra sort):
+        # - cum: default frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW)
+        #   includes every cell tied on `col` — the old cell-level
+        #   cumulative sum exactly;
+        # - tie: RANGE CURRENT ROW..CURRENT ROW is precisely the rows
+        #   whose `col` equals this row's — the old per-(keys, col)
+        #   cell weight.
+        # NULL key values order first within their (legitimate) group;
+        # `col` itself is never NULL here.
+        w = Window.partitionBy(*keys).orderBy(col)
+        cum = F.sum("__w").over(w)
+        tie = F.sum("__w").over(
+            w.rangeBetween(Window.currentRow, Window.currentRow)
+        )
         return cum - tie + (tie + 1) / 2.0
 
     ranked = pairs.select(
